@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's tuned defaults.
+  *
+  * Local test/bench runs use `local[n]`; on a real cluster the same
+  * conf block applies (AQE, skew-join handling, partition sizing) and
+  * only master/shuffle-partitions change with cluster size.
+  */
+object GraftSession {
+
+  /** Confs every graft session wants, local or cluster. */
+  def tuned(b: SparkSession.Builder, shufflePartitions: Int): SparkSession.Builder =
+    b.config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // testdata ns-precision timestamps: surfaced as long nanos, graft
+      // converts explicitly (portable across engines).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def local(cores: Int = 4): SparkSession = {
+    val s = tuned(SparkSession.builder().master(s"local[$cores]"), cores)
+      .appName("graft")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
