@@ -11,14 +11,44 @@ object SparkEntry {
     Relational.q1Pricing(Tables(spark, "/root/testdata/sf0.001"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
+  private def q(f: Tables => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => f(Tables(s, dir))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing" -> ((s, dir) => Relational.q1Pricing(Tables(s, dir)))
+    // core relational (SURVEY §2)
+    "q1_pricing" -> q(Relational.q1Pricing),
+    "q3_shipping" -> q(Relational.q3Shipping),
+    "q5_region_rollup" -> q(Relational.q5RegionRollup),
+    "top3_per_category" -> q(Relational.top3PerCategory),
+    "blacklist_filter" -> q(Relational.blacklistFilter),
+    "kv_extract_count" -> q(Relational.kvExtractCount),
+    // wordcount family
+    "word_count" -> q(WordCounts.wordCount),
+    "hdfs_word_count" -> q(WordCounts.hdfsWordCount),
+    "persist_word_count" -> q(WordCounts.persistWordCount),
+    "running_count" -> q(WordCounts.runningCount),
+    // windowed
+    "tumbling_counts" -> q(Windows.tumblingCounts),
+    "sliding_counts" -> q(Windows.slidingCounts),
+    "window_hot_word" -> q(Windows.windowHotWord)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing" -> Relational.q1PricingSql
+    "q1_pricing" -> Relational.q1PricingSql,
+    "q3_shipping" -> Relational.q3ShippingSql,
+    "q5_region_rollup" -> Relational.q5RegionRollupSql,
+    "top3_per_category" -> Relational.top3PerCategorySql,
+    "blacklist_filter" -> Relational.blacklistFilterSql,
+    "kv_extract_count" -> Relational.kvExtractCountSql,
+    "word_count" -> WordCounts.wordCountSql,
+    "hdfs_word_count" -> WordCounts.hdfsWordCountSql,
+    "persist_word_count" -> WordCounts.persistWordCountSql,
+    "running_count" -> WordCounts.runningCountSql,
+    "tumbling_counts" -> Windows.tumblingCountsSql,
+    "sliding_counts" -> Windows.slidingCountsSql,
+    "window_hot_word" -> Windows.windowHotWordSql
   )
 }

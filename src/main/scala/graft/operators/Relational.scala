@@ -58,4 +58,152 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Shipping-priority revenue (TPC-H Q3 shape): two selective dims
+    * joined to the fact, agg, top-10.
+    *
+    * `customer` and `orders` are broadcast after their filters — at
+    * cluster scale the lineitem side never shuffles for the join; only
+    * the (orderkey, partial-revenue) pairs move for the aggregation.
+    */
+  def q3Shipping(t: Tables): DataFrame = {
+    val one = lit(1).cast("decimal(12,2)")
+    val cust = t.customer
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = t.orders
+      .filter(col("o_orderdate") < lit("1999-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    t.lineitem
+      .filter(col("l_shipdate") > lit("1997-01-01 00:00:00"))
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_sec"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q3ShippingSql: String =
+    """SELECT l_orderkey,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_sec,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate_sec
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Regional supplier revenue rollup (TPC-H Q5 shape): a 6-table star
+    * join. All dimension tables broadcast; the only shuffle is the
+    * final 25-group aggregation.
+    */
+  def q5RegionRollup(t: Tables): DataFrame = {
+    val one = lit(1).cast("decimal(12,2)")
+    val dims = t.customer
+      .join(t.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(t.region.filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "c_nationkey", "n_name")
+    val sup = t.supplier.select("s_suppkey", "s_nationkey")
+    val ord = t.orders
+      .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+        col("o_orderdate") < lit("1998-01-01 00:00:00"))
+      .select("o_orderkey", "o_custkey")
+    t.lineitem
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def q5RegionRollupSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Per-category top-3 products by click count — the reference's
+    * Top3HotProduct (ref: Top3HotProduct.java:95-107, row_number over
+    * partition) on `events`: category=event_type, product=user_id.
+    *
+    * The heavy step is the pre-aggregation (groupBy collapses map-side);
+    * the rank window then runs over one row per (category, product),
+    * not per click.
+    */
+  def top3PerCategory(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t.events
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("click_count"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("click_count").desc, col("user_id"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("event_type", "user_id", "click_count", "rank")
+  }
+
+  def top3PerCategorySql: String =
+    """SELECT event_type, user_id, click_count, rank FROM (
+      |  SELECT event_type, user_id, click_count,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY click_count DESC, user_id) AS INT) AS rank
+      |  FROM (SELECT event_type, user_id, COUNT(*) AS click_count
+      |        FROM events GROUP BY event_type, user_id))
+      |WHERE rank <= 3""".stripMargin
+
+  /** Blacklist filtering — the reference's TransformBlacklist (ref:
+    * TransformBlacklist.java:49-77: leftOuterJoin + filter + map).
+    *
+    * Re-expressed as ONE broadcast left_anti join: no shuffle of the
+    * event stream, no post-filter pass, and Catalyst can still push
+    * the projection into the scan.
+    */
+  def blacklistFilter(t: Tables): DataFrame = {
+    val blacklist = t.customer
+      .filter(col("c_acctbal") < 0).select("c_custkey")
+    t.events
+      .join(broadcast(blacklist), col("user_id") === col("c_custkey"),
+        "left_anti")
+      .select("event_id", "user_id", "event_type")
+  }
+
+  def blacklistFilterSql: String =
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin
+
+  /** Kafka-shaped key extraction + count: the reference's Kafka word
+    * counts consume (key,value) records (ref: KafkaDirectWordCount.java);
+    * here the payload is the events `props` JSON and the key is pulled
+    * with a codegen'd regexp — no UDF, no JSON parser on the hot path.
+    */
+  def kvExtractCount(t: Tables): DataFrame =
+    t.events
+      .select(regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+        .cast("int").as("k"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("k"))
+
+  def kvExtractCountSql: String =
+    """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
+      |  COUNT(*) AS cnt
+      |FROM events GROUP BY k ORDER BY k""".stripMargin
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+
+/** Plans must stay scale-shaped: dims broadcast, filters pushed to the
+  * scan, aggregation partial. These assertions pin the physical plan so
+  * a regression (e.g. a broadcast silently becoming a sort-merge join)
+  * fails the build, not the 100 TB run.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimized(df: DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("q1 pushes the shipdate filter into the parquet scan") {
+    val plan = physical(Relational.q1Pricing(tables))
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"missing pushdown:\n$plan")
+  }
+
+  test("q1 prunes to the 8 referenced lineitem columns") {
+    val plan = physical(Relational.q1Pricing(tables))
+    assert(!plan.contains("l_orderkey"), "scan reads unreferenced columns")
+  }
+
+  test("q3/q5/blacklist join dims via broadcast, not shuffle") {
+    for (df <- Seq(Relational.q3Shipping(tables),
+      Relational.q5RegionRollup(tables),
+      Relational.blacklistFilter(tables))) {
+      val plan = physical(df)
+      assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+      assert(!plan.contains("SortMergeJoin"), s"unexpected shuffle join:\n$plan")
+    }
+  }
+
+  test("blacklist is a single anti join (no post-filter pass)") {
+    val plan = physical(Relational.blacklistFilter(tables))
+    assert(plan.contains("LeftAnti"), plan)
+  }
+
+  test("wordcount aggregates partially (map-side) before the shuffle") {
+    val plan = physical(WordCounts.wordCount(tables))
+    // two HashAggregate levels around one shuffle
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("windowed queries stay in whole-stage codegen") {
+    val df = Windows.slidingCounts(tables)
+    df.collect() // AQE finalizes the plan (codegen spans) on execution
+    val plan = df.queryExecution.executedPlan.toString
+    // `*(n)` prefixes mark whole-stage-codegen spans; the explode,
+    // window assignment and partial agg must share one span.
+    assert(plan.contains("*(1) HashAggregate"), plan)
+    assert(plan.contains("*(1) Generate explode"), plan)
+  }
+
+  test("top3 rank runs over pre-aggregated counts, not raw events") {
+    val opt = optimized(Relational.top3PerCategory(tables))
+    // Aggregate below the Window in the optimized plan
+    val aggIdx = opt.indexOf("Aggregate")
+    val winIdx = opt.indexOf("Window")
+    assert(aggIdx > winIdx && winIdx >= 0, opt)
+  }
+}
