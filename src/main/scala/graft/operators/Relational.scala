@@ -59,12 +59,14 @@ object Relational {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
-  /** Shipping-priority revenue (TPC-H Q3 shape): two selective dims
-    * joined to the fact, agg, top-10.
+  /** Shipping-priority revenue (TPC-H Q3 shape): one selective dim
+    * joined to two facts, agg, top-10.
     *
-    * `customer` and `orders` are broadcast after their filters — at
-    * cluster scale the lineitem side never shuffles for the join; only
-    * the (orderkey, partial-revenue) pairs move for the aggregation.
+    * Only the true dimension (`customer`) carries a broadcast hint.
+    * lineitem ⋈ orders is fact-fact: its date filter keeps most of
+    * `orders`, so at cluster scale it must shuffle on the order key
+    * (AQE picks broadcast anyway when a filtered side happens to be
+    * small — a size decision made at runtime, never forced).
     */
   def q3Shipping(t: Tables): DataFrame = {
     val one = lit(1).cast("decimal(12,2)")
@@ -76,7 +78,7 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     t.lineitem
       .filter(col("l_shipdate") > lit("1997-01-01 00:00:00"))
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"),
         unix_timestamp(col("o_orderdate")).as("o_orderdate_sec"))
@@ -100,8 +102,10 @@ object Relational {
       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
 
   /** Regional supplier revenue rollup (TPC-H Q5 shape): a 6-table star
-    * join. All dimension tables broadcast; the only shuffle is the
-    * final 25-group aggregation.
+    * join. True dimensions (customer⋈nation⋈region, supplier)
+    * broadcast; lineitem ⋈ orders is fact-fact and shuffles on the
+    * order key (the 2-year date filter keeps most of `orders` — a
+    * forced broadcast would OOM at cluster scale).
     */
   def q5RegionRollup(t: Tables): DataFrame = {
     val one = lit(1).cast("decimal(12,2)")
@@ -116,7 +120,7 @@ object Relational {
         col("o_orderdate") < lit("1998-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey")
     t.lineitem
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
       .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
         col("s_nationkey") === col("c_nationkey"))
@@ -187,7 +191,8 @@ object Relational {
 
   def blacklistFilterSql: String =
     """SELECT event_id, user_id, event_type FROM events
-      |WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)""".stripMargin
+      |WHERE NOT EXISTS (SELECT 1 FROM customer
+      |                  WHERE c_acctbal < 0 AND c_custkey = user_id)""".stripMargin
 
   /** Kafka-shaped key extraction + count: the reference's Kafka word
     * counts consume (key,value) records (ref: KafkaDirectWordCount.java);

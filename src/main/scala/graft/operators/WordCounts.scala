@@ -59,20 +59,37 @@ object WordCounts {
 
   /** Batch view of updateStateByKey (ref:
     * UpdateStateByKeyWordCount.java:56-81): the running total each key
-    * would have had after every event, via a cumulative window.
+    * would have had after every event.
     *
-    * Scale note: partitions by event_type (bounded cardinality); at
-    * 100 TB the streaming path (`streaming.RunningCounts`) holds only
-    * one long per key in state rather than sorting history — this
-    * batch form exists for replay/backfill and the oracle.
+    * Two-phase prefix sum, so no task ever sorts a key's full history:
+    * phase 1 aggregates per (type, second) — the cumulative window then
+    * runs over #distinct-seconds rows per type, not #events; phase 2
+    * ranks only within a single second. At 100 TB the widest sort is
+    * max(events-per-second-per-type, seconds-per-type), both bounded,
+    * vs. the naive single cumulative window's full-history-per-type.
+    * (The streaming twin `streaming.RunningCounts` holds one long per
+    * key in state instead — this batch form is for replay/backfill.)
     */
   def runningCount(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts_sec"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    t.events.select(col("event_id"), col("event_type"),
-      count(lit(1)).over(w).as("running_cnt"))
+    val ev = t.events.select(col("event_id"), col("event_type"), col("ts_sec"))
+    // phase 1: per-second totals, then a cumulative count of everything
+    // BEFORE each second (small: #types × #distinct-seconds rows)
+    val wCum = Window.partitionBy(col("event_type")).orderBy(col("ts_sec"))
+    val offsets = ev.groupBy(col("event_type"), col("ts_sec"))
+      .agg(count(lit(1)).as("sec_cnt"))
+      .withColumn("base", sum(col("sec_cnt")).over(wCum) - col("sec_cnt"))
+      .select(col("event_type").as("b_type"), col("ts_sec").as("b_sec"),
+        col("base"))
+    // phase 2: order only within one second; the (type, sec) hash
+    // partitioning is shared by the window and the join (one shuffle)
+    val wInSec = Window.partitionBy(col("event_type"), col("ts_sec"))
+      .orderBy(col("event_id"))
+    ev.withColumn("r", row_number().over(wInSec))
+      .join(offsets,
+        col("event_type") === col("b_type") && col("ts_sec") === col("b_sec"))
+      .select(col("event_id"), col("event_type"),
+        (col("base") + col("r")).cast("long").as("running_cnt"))
   }
 
   def runningCountSql: String =

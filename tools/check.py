@@ -44,7 +44,11 @@ def main():
         # exact value compare (the driver hashes values)
         mismatch = None
         for c in got.columns:
-            a, b = got[c], exp[c].astype(got[c].dtype, errors="ignore") if hasattr(exp[c], 'astype') else exp[c]
+            try:
+                b = exp[c].astype(got[c].dtype)
+            except (TypeError, ValueError):
+                b = exp[c]
+            a = got[c]
             try:
                 eq = (a.values == b.values) | (pd.isna(a.values) & pd.isna(b.values))
             except Exception:
