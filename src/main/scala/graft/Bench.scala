@@ -8,6 +8,12 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: absorbs session init + first-codegen cost so the
+    // first timed query's number is attributable to its plan.
+    SparkEntry.queries.headOption.foreach { case (name, fn) =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink executes the FULL plan (orderBy, projections) —
