@@ -1,0 +1,173 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming twins of the reference's DStream programs.
+  *
+  * Each job is a pure streaming-DataFrame transform (testable with
+  * MemoryStream, attachable to any [[Sources]] source) plus, where the
+  * reference has sink-side behavior, a `start` wiring. DStream-isms are
+  * re-expressed in the Structured model:
+  *
+  *   - `updateStateByKey` → `flatMapGroupsWithState` (state lives in the
+  *     state store, checkpointed per-batch; recovery = restart with the
+  *     same checkpoint dir, vs. the reference's
+  *     `jssc.checkpoint(...)` at UpdateStateByKeyWordCount.java:32)
+  *   - `reduceByKeyAndWindow` → event-time `window()` + watermark (state
+  *     bounded by the watermark lag instead of the window length;
+  *     processing-time windows become event-time — deterministic on replay)
+  *   - `transform` + per-RDD SQL → `foreachBatch` (the micro-batch escape
+  *     hatch with the full batch API)
+  *
+  * Scale: every aggregation below is partial (map-side combine) before its
+  * shuffle; state stores shard by key hash across executors; watermarks
+  * bound state size. No job collects to the driver.
+  */
+object Jobs {
+
+  // ---------------------------------------------------------------------
+  // WordCountStream — ref: WordCount.java:30-60 (socket → flatMap →
+  // mapToPair → reduceByKey → print).
+  // ---------------------------------------------------------------------
+  object WordCountStream {
+
+    /** lines(`value`) → (word, cnt). Complete-mode output gives the
+      * reference's every-batch full-table print.
+      */
+    def counts(lines: DataFrame): DataFrame =
+      Sources.words(lines)
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+
+    def writer(lines: DataFrame): DataStreamWriter[Row] =
+      counts(lines).writeStream.outputMode(OutputMode.Complete())
+  }
+
+  // ---------------------------------------------------------------------
+  // RunningCounts — ref: UpdateStateByKeyWordCount.java:54-78: global
+  // per-word totals across all batches, state checkpointed (line 32).
+  // ---------------------------------------------------------------------
+  object RunningCounts {
+
+    /** Global running count per word. State = one Long per key in the
+      * state store (constant per key — the 100 TB-safe shape; the batch
+      * replay equivalent is operators.WordCounts.runningCount). Emits the
+      * updated total for every key seen in the micro-batch (update mode),
+      * exactly the reference's per-batch updateStateByKey output.
+      */
+    def counts(lines: DataFrame): Dataset[(String, Long)] = {
+      val spark = lines.sparkSession
+      import spark.implicits._
+      Sources.words(lines)
+        .as[String]
+        .groupByKey(identity)
+        .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+          (word: String, batch: Iterator[String], state: GroupState[Long]) => {
+            val total = state.getOption.getOrElse(0L) + batch.size
+            state.update(total)
+            Iterator((word, total))
+          })
+        .toDF("word", "total").as[(String, Long)]
+    }
+
+    /** Checkpointed update-mode writer — stop + restart with the same
+      * `checkpointDir` resumes from persisted state (the reference's
+      * `jssc.checkpoint` recovery story).
+      */
+    def writer(lines: DataFrame, checkpointDir: String): DataStreamWriter[(String, Long)] =
+      counts(lines).writeStream
+        .outputMode(OutputMode.Update())
+        .option("checkpointLocation", checkpointDir)
+  }
+
+  // ---------------------------------------------------------------------
+  // SlidingCounts — ref: WindowHotWord.java:143-148: reduceByKeyAndWindow
+  // over 60 s window / 10 s slide.
+  // ---------------------------------------------------------------------
+  object SlidingCounts {
+
+    /** Event-time sliding-window counts per word over a (ts, word) stream.
+      * Append mode: a window's count is emitted once, when the watermark
+      * passes its end — deterministic on replay, state bounded by the
+      * watermark lag (the DStream original re-reduced the last 6 batches
+      * every slide and kept them all in memory).
+      */
+    def counts(events: DataFrame,
+               windowDur: String = "60 seconds",
+               slideDur: String = "10 seconds",
+               watermarkLag: String = "30 seconds"): DataFrame =
+      events
+        .withWatermark("ts", watermarkLag)
+        .groupBy(window(col("ts"), windowDur, slideDur), col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("window.start").as("w_start"), col("word"), col("cnt"))
+
+    def writer(events: DataFrame): DataStreamWriter[Row] =
+      counts(events).writeStream.outputMode(OutputMode.Append())
+  }
+
+  // ---------------------------------------------------------------------
+  // BlacklistFilter — ref: TransformBlacklist.java:48-73: per-batch
+  // leftOuterJoin against a static blacklist RDD + filter + map.
+  // ---------------------------------------------------------------------
+  object BlacklistFilter {
+
+    /** Stream-static anti join: the three-step leftOuterJoin → filter →
+      * map collapses into ONE broadcast left_anti join — the stream side
+      * never shuffles, each executor filters its partitions against the
+      * broadcast list. `clicks` needs a `user` column; all its columns
+      * pass through.
+      */
+    def valid(clicks: DataFrame, blacklist: DataFrame): DataFrame =
+      clicks.join(broadcast(blacklist.select("user")), Seq("user"), "left_anti")
+  }
+
+  // ---------------------------------------------------------------------
+  // TopKPerCategory — ref: Top3HotProduct.java:139-196: window counts,
+  // then per-RDD HiveContext SQL row_number rank ≤ 3.
+  // ---------------------------------------------------------------------
+  object TopKPerCategory {
+
+    /** Sliding-window click counts per (category, product) — the
+      * reduceByKeyAndWindow half (Top3HotProduct.java:139-144).
+      */
+    def windowedCounts(clicks: DataFrame,
+                       windowDur: String = "60 seconds",
+                       slideDur: String = "10 seconds",
+                       watermarkLag: String = "30 seconds"): DataFrame =
+      clicks
+        .withWatermark("ts", watermarkLag)
+        .groupBy(window(col("ts"), windowDur, slideDur),
+          col("category"), col("product"))
+        .agg(count(lit(1)).as("click_count"))
+        .select(col("window.start").as("w_start"),
+          col("category"), col("product"), col("click_count"))
+
+    /** The per-batch rank the reference runs via HiveContext SQL
+      * (Top3HotProduct.java:179-190) — row_number per (window, category),
+      * keep ≤ k. Runs inside foreachBatch with the full batch API.
+      */
+    def topK(windowCounts: DataFrame, k: Int = 3): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("w_start"), col("category"))
+        .orderBy(col("click_count").desc, col("product"))
+      windowCounts
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+
+    /** Full job: windowed counts → foreachBatch(rank → sink). Append mode,
+      * so each window's rank is computed once, on finalized counts.
+      */
+    def start(clicks: DataFrame, k: Int, checkpointDir: String)
+             (sink: (DataFrame, Long) => Unit): StreamingQuery =
+      windowedCounts(clicks).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch((batch: DataFrame, id: Long) => sink(topK(batch, k), id))
+        .start()
+  }
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.ForeachWriter
+import java.util.concurrent.ConcurrentHashMap
+
+/** Persistence sinks — the reference's pooled-JDBC story (ref:
+  * PersistWordCount.java:73-100 foreachRDD → foreachPartition → pooled
+  * connection → insert; ConnectionPool.java:29-58 static LinkedList pool).
+  *
+  * Structured Streaming's unit of sink work is the [[ForeachWriter]]:
+  * open(partition, epoch) / process(row) / close — exactly the reference's
+  * one-connection-per-partition discipline, plus epoch ids for idempotent
+  * retry (the DStream original re-inserted on replay; here a sink can
+  * upsert keyed on (epochId, key)).
+  */
+object Sinks {
+
+  /** Bounded blocking pool, one per JVM per id — the semantics of the
+    * reference's static synchronized LinkedList pool
+    * (ConnectionPool.java:29: lazily built, acquire from head, return to
+    * head), with two fixes: connections are created lazily up to `size`
+    * (the reference eagerly opens all 10), and an empty pool blocks
+    * instead of returning null (ConnectionPool.java:57 `poll()` hands a
+    * null connection to the writer).
+    */
+  final class ConnectionPool[C](factory: () => C, val size: Int) {
+    private val idle = new java.util.ArrayDeque[C]()
+    private var created = 0
+
+    /** Total connections ever created — the pool-reuse observable. */
+    def createdCount: Int = synchronized(created)
+
+    def acquire(): C = synchronized {
+      while (idle.isEmpty && created >= size) wait()
+      if (idle.isEmpty) { created += 1; factory() }
+      else idle.pop()
+    }
+
+    def release(conn: C): Unit = synchronized {
+      idle.push(conn)
+      notifyAll()
+    }
+  }
+
+  /** JVM-local pool registry. A ForeachWriter is serialized to every
+    * executor; the pool must NOT travel with it (a serialized pool would
+    * be a fresh pool per task — no reuse). Writers carry only the pool id
+    * + factory and bind to their executor's pool instance in open().
+    */
+  object ConnectionPools {
+    private val pools = new ConcurrentHashMap[String, ConnectionPool[_]]()
+
+    def getOrCreate[C](id: String, factory: () => C, size: Int): ConnectionPool[C] =
+      pools.computeIfAbsent(id, _ => new ConnectionPool[C](factory, size))
+        .asInstanceOf[ConnectionPool[C]]
+
+    /** Test hook: drop a pool so each spec starts cold. */
+    def remove(id: String): Unit = pools.remove(id)
+  }
+
+  /** Per-partition pooled sink writer (ref: PersistWordCount.java:76-97:
+    * acquire one connection per partition, write every row through it,
+    * return it).
+    *
+    * @param poolId  executor-local pool identity (one pool per sink target)
+    * @param factory opens a new backend connection (serialized to executors)
+    * @param poolSize max live connections per executor JVM
+    * @param write   writes one row through a connection; receives the epoch
+    *                id so backends can make retried epochs idempotent
+    */
+  final class PooledForeachWriter[T, C](
+      poolId: String,
+      factory: () => C,
+      poolSize: Int,
+      write: (C, T, Long) => Unit
+  ) extends ForeachWriter[T] {
+
+    @transient private var conn: C = _
+    @transient private var epoch: Long = _
+
+    override def open(partitionId: Long, epochId: Long): Boolean = {
+      conn = ConnectionPools.getOrCreate(poolId, factory, poolSize).acquire()
+      epoch = epochId
+      true
+    }
+
+    override def process(value: T): Unit = write(conn, value, epoch)
+
+    override def close(errorOrNull: Throwable): Unit =
+      if (conn != null)
+        ConnectionPools.getOrCreate(poolId, factory, poolSize).release(conn)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Streaming ingestion surface — the Structured Streaming twins of the
+  * reference's receivers (ref: WordCount.java:30 `socketTextStream`,
+  * HDFSWordCount.java:25 `textFileStream`, KafkaReceiverWordCount.java:34 /
+  * KafkaDirectWordCount.java:37 Kafka streams).
+  *
+  * Every source yields a uniform one-string-column `value` line stream, so
+  * the jobs in [[Jobs]] compose with any of them. The Kafka connector jar is
+  * not present in this zero-egress image, so [[kafkaShaped]] is a
+  * line-protocol shim exposing Kafka's (key, value, topic) record schema —
+  * the downstream parse/agg plumbing is identical to what the real
+  * `format("kafka")` source would feed.
+  *
+  * Scale: socket/rate are test/demo receivers; the production path is the
+  * file-dir source (exactly-once list-and-track, splits across executors)
+  * or the real Kafka source (partition-per-topic-partition parallelism).
+  */
+object Sources {
+
+  val LineSchema: StructType = StructType(Seq(StructField("value", StringType)))
+
+  /** Socket line receiver (ref: WordCount.java:30). Test/demo only — a
+    * socket receiver is single-point by nature; it exists for parity with
+    * the reference, not the 100 TB path.
+    */
+  def socketLines(spark: SparkSession, host: String, port: Int): DataFrame =
+    spark.readStream
+      .format("socket")
+      .option("host", host)
+      .option("port", port.toString)
+      .load()
+
+  /** File-landing-directory source (ref: HDFSWordCount.java:25
+    * `textFileStream`). Structured Streaming's file source tracks seen
+    * files in the checkpoint (exactly-once), reads new files per
+    * micro-batch, and splits large files across executors — the scalable
+    * ingestion shape.
+    */
+  def textDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .format("text")
+      .schema(LineSchema)
+      .load(dir)
+
+  /** Deterministic rate-driven word stream: the rate source's monotonic
+    * `value` indexes a vocabulary. Useful for soak/demo runs with no
+    * external feeder.
+    */
+  def rateWords(spark: SparkSession, rowsPerSecond: Int, vocab: Seq[String]): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(col("timestamp").as("ts"),
+        element_at(
+          lit(vocab.toArray),
+          (pmod(col("value"), lit(vocab.size)) + 1).cast("int")
+        ).as("value"))
+
+  /** Kafka-record shim: parse `topic\tkey\tvalue` lines into the
+    * (topic, key, value) record schema the real `format("kafka")` source
+    * exposes (ref: KafkaDirectWordCount.java:37 consumes such records and
+    * word-splits the value). Works over ANY line source above, so the
+    * whole downstream pipeline is source-agnostic.
+    */
+  def kafkaShaped(lines: DataFrame): DataFrame = {
+    val parts = split(col("value"), "\t", 3)
+    lines.select(
+      element_at(parts, 1).as("topic"),
+      element_at(parts, 2).as("key"),
+      element_at(parts, 3).as("value"))
+  }
+
+  /** flatMap(split) tokenization shared by the wordcount jobs
+    * (ref: WordCount.java:38-43). Empty tokens (double spaces) dropped.
+    */
+  def words(lines: DataFrame): DataFrame =
+    lines
+      .select(explode(split(col("value"), " ")).as("word"))
+      .where(length(col("word")) > 0)
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicInteger
+
+/** In-memory "database" standing in for the reference's MySQL
+  * (PersistWordCount.java:87-91 insert into wordcount). JVM-static so
+  * executor threads and the spec see the same store in local mode.
+  */
+object TestStore {
+  val rows = new ConcurrentHashMap[String, Long]()
+  val opened = new AtomicInteger(0)
+
+  /** A "connection": records that it was opened; writes upsert the map. */
+  final class Conn {
+    TestStore.opened.incrementAndGet()
+    def upsert(word: String, count: Long): Unit = rows.put(word, count)
+  }
+
+  def reset(): Unit = { rows.clear(); opened.set(0) }
+}
+
+class SinksSpec extends SparkSpec {
+  import org.apache.spark.sql.SQLContext
+  implicit lazy val sqlCtx: SQLContext = spark.sqlContext
+
+  test("ConnectionPool: lazy creation, bounded size, LIFO reuse") {
+    var made = 0
+    val pool = new Sinks.ConnectionPool[String](() => { made += 1; s"c$made" }, 2)
+    val a = pool.acquire()
+    assert(made == 1) // lazy: nothing created until asked
+    val b = pool.acquire()
+    assert(made == 2 && a != b)
+    pool.release(b)
+    assert(pool.acquire() == b) // reused, not recreated
+    assert(made == 2 && pool.createdCount == 2)
+    // a 3rd concurrent acquire blocks until a release (bounded pool)
+    val got = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val t = new Thread(() => got.put(pool.acquire()))
+    t.start()
+    Thread.sleep(50)
+    assert(got.isEmpty) // still blocked — pool exhausted
+    pool.release(a)
+    assert(got.poll(2, java.util.concurrent.TimeUnit.SECONDS) == a)
+    t.join()
+  }
+
+  test("PooledForeachWriter: per-partition pooled upserts reach the store") {
+    import spark.implicits._
+    TestStore.reset()
+    Sinks.ConnectionPools.remove("test-store")
+
+    val in = MemoryStream[String]
+    val writer = new Sinks.PooledForeachWriter[(String, Long), TestStore.Conn](
+      poolId = "test-store",
+      factory = () => new TestStore.Conn,
+      poolSize = 3,
+      write = (c, row, _) => c.upsert(row._1, row._2))
+    val q = Jobs.RunningCounts.counts(in.toDF())
+      .writeStream.outputMode("update").foreach(writer).start()
+    try {
+      in.addData("hello world hello", "spark")
+      q.processAllAvailable()
+      in.addData("hello spark")
+      q.processAllAvailable()
+
+      import scala.jdk.CollectionConverters._
+      assert(TestStore.rows.asScala.toMap ==
+        Map("hello" -> 3L, "world" -> 1L, "spark" -> 2L))
+      // pooling actually pooled: many partitions/epochs ran
+      // (2 epochs × shuffle partitions), but connections stay ≤ pool size
+      assert(TestStore.opened.get() <= 3)
+    } finally q.stop()
+  }
+}
