@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
+import graft.dedup.Dedup
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7. */
 object SparkEntry {
@@ -30,7 +31,13 @@ object SparkEntry {
     // windowed
     "tumbling_counts" -> q(Windows.tumblingCounts),
     "sliding_counts" -> q(Windows.slidingCounts),
-    "window_hot_word" -> q(Windows.windowHotWord)
+    "window_hot_word" -> q(Windows.windowHotWord),
+    // dedup family (LLM pipeline)
+    "dedup_exact" -> q(Dedup.dedupExact),
+    "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
+    "dedup_minhash" -> q(Dedup.dedupMinhash),
+    "dedup_simhash" -> q(Dedup.dedupSimhash),
+    "dedup_embedding" -> q(Dedup.dedupEmbedding)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -49,6 +56,11 @@ object SparkEntry {
     "running_count" -> WordCounts.runningCountSql,
     "tumbling_counts" -> Windows.tumblingCountsSql,
     "sliding_counts" -> Windows.slidingCountsSql,
-    "window_hot_word" -> Windows.windowHotWordSql
+    "window_hot_word" -> Windows.windowHotWordSql,
+    "dedup_exact" -> Dedup.dedupExactSql,
+    "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_embedding" -> Dedup.dedupEmbeddingSql
   )
 }

@@ -1,0 +1,275 @@
+package graft.dedup
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family over the `documents` corpus — the
+  * LLM-training-data operators a 100 TB pipeline runs before training.
+  *
+  * Every op is a declarative DataFrame plan with a bit-identical DuckDB
+  * oracle. Portability rules (SURVEY §6): the only hash crossing the
+  * oracle boundary is `md5` (identical hex in both engines);
+  * "permutations" are min-over-md5-with-seed-prefix (lexicographic string
+  * min is portable, unlike seeded integer minhash); ratios are rounded to
+  * 6 dp after identical double formulas.
+  *
+  * Scale (100 TB): no op compares the corpus all-pairs. Candidate
+  * generation is always a bucket join — by shingle (inverted index), by
+  * LSH band key, by simhash chunk, by embedding sign bucket — so the
+  * shuffle carries (bucket-key, doc_id) pairs and the quadratic work is
+  * confined to each bucket. Documents' text never travels: every join
+  * moves hashes and ids only.
+  */
+object Dedup {
+
+  val ShingleSize = 3
+  val NumPerms = 8   // minhash signature length
+  val NumBands = 4   // 2 rows per band
+  val SimhashBits = 16
+  val SimhashChunks = 4 // pigeonhole: hamming<=3 pairs share >=1 chunk
+  val HammingMax = 1
+  val JaccardMin = 0.8
+  val CosineMin = 0.35
+  val EmbedBucketBits = 2
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: group by md5(text), keeper = min doc_id. The shuffle
+    * carries (hash, id) — never the text. O(n) at any scale.
+    */
+  def dedupExact(t: Tables): DataFrame =
+    t.documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keeper_id"))
+      .orderBy(col("text_hash"))
+
+  def dedupExactSql: String =
+    """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+      |  MIN(doc_id) AS keeper_id
+      |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word 3-shingles per doc — the unit of all shingle-based
+    * dedup. Per-row transform (codegen'd higher-order functions), then a
+    * distinct on (doc_id, shingle).
+    */
+  private def shingles(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= ShingleSize)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(ts) - ${ShingleSize - 1}), " +
+          s"i -> concat_ws(' ', slice(ts, i, $ShingleSize)))")).as("s"))
+      .distinct()
+
+  /** DuckDB twin of [[shingles]] as a CTE body. */
+  private def shinglesSql: String =
+    """tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+      |        WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+      |       FROM tok, unnest(generate_series(1, len(ts) - 2)) t(i))""".stripMargin
+
+  // ------------------------------------------------------ ngram jaccard
+
+  /** Exact shingle-Jaccard near-dup pairs via an inverted-index join:
+    * shuffle (shingle, doc_id), count common shingles per candidate pair,
+    * then the Jaccard formula over precomputed set sizes. Quadratic work
+    * happens only inside a shingle's posting list, never corpus-wide —
+    * at larger scale, cap posting-list length (drop stop-shingles) or
+    * run this as the verify step after [[dedupMinhash]] candidates.
+    */
+  def dedupNgramJaccard(t: Tables): DataFrame = {
+    val sh = shingles(t)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val common = sh.as("x")
+      .join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("common").cast("double")
+          / (col("sa.n") + col("sb.n") - col("common")), 6).as("jaccard"))
+      .filter(col("jaccard") >= JaccardMin)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def dedupNgramJaccardSql: String =
+    s"""WITH $shinglesSql,
+       |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |pairs AS (SELECT x.doc_id doc_a, y.doc_id doc_b, COUNT(*) common
+       |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |          GROUP BY x.doc_id, y.doc_id)
+       |SELECT doc_a, doc_b,
+       |  round(common::DOUBLE / (sa.n + sb.n - common), 6) AS jaccard
+       |FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+       |           JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE round(common::DOUBLE / (sa.n + sb.n - common), 6) >= $JaccardMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash + LSH candidate pairs. Signature = 8 portable "permutations"
+    * (min over md5 with a seed prefix — lexicographic min of hex strings,
+    * identical in every engine), banded 4 × 2; candidates are docs
+    * sharing any band key. The shuffles carry (doc_id, shingle-hash) then
+    * (band-key, doc_id): at 100 TB the O(n²) comparison never happens —
+    * only same-band collisions meet, and a downstream Jaccard verify
+    * ([[dedupNgramJaccard]]'s formula) runs per candidate pair.
+    */
+  def dedupMinhash(t: Tables): DataFrame = {
+    val sigCols = (0 until NumPerms).map(p =>
+      min(md5(concat(lit(s"$p:"), col("s")))).as(s"h$p"))
+    val sig = shingles(t).groupBy(col("doc_id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+    val bandStructs = (0 until NumBands).map(b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))
+          .as("band_key")))
+    val bands = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def dedupMinhashSql: String = {
+    val mins = (0 until NumPerms)
+      .map(p => s"min(md5('$p:' || s)) h$p").mkString(", ")
+    val bands = (0 until NumBands).map(b =>
+      s"SELECT doc_id, $b band_idx, md5(h${2 * b} || '|' || h${2 * b + 1}) band_key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $shinglesSql,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bands)
+       |SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+       |FROM bands x JOIN bands y
+       |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       | AND x.doc_id < y.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** Count-weighted 16-bit SimHash near-dup pairs. Each token contributes
+    * its per-doc count with sign taken from bit i of md5(token)'s first
+    * 16 bits (hex digits parsed via ascii arithmetic — portable); simhash
+    * bit i is the sign of the sum. Candidates share at least one of 4
+    * 4-bit chunks (pigeonhole covers hamming ≤ 3); kept pairs have
+    * hamming ≤ 1. Shuffles: (doc, token) counts, then (chunk-key, id).
+    * At 100 TB, widen to 64-bit signatures + 8 chunks — same plan shape.
+    */
+  def dedupSimhash(t: Tables): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    def hexDigit(i: Int) =
+      s"(ascii(substring(md5(w), $i, 1)) - 48 - 39 * " +
+        s"(CASE WHEN ascii(substring(md5(w), $i, 1)) >= 97 THEN 1 ELSE 0 END))"
+    val hv = (1 to 4).map(i => s"${hexDigit(i)} * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+    val sumCols = (0 until SimhashBits).map(i => expr(
+      s"sum(cnt * (CASE WHEN (hv div ${1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS s$i"))
+    val sums = tok.withColumn("hv", expr(hv))
+      .groupBy(col("doc_id"))
+      .agg(sumCols.head, sumCols.tail: _*)
+    val simhash = (0 until SimhashBits).map(i =>
+      s"(CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+    val sig = sums.select(col("doc_id"),
+      expr(s"CAST($simhash AS BIGINT)").as("simhash"))
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+        explode(expr(s"sequence(0, ${SimhashChunks - 1})")).as("j"))
+      .withColumn("chunk", expr("(simhash div CAST(pow(16, j) AS BIGINT)) % 16"))
+    chunks.as("x")
+      .join(chunks.as("y"),
+        col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
+      .filter(col("hamming") <= HammingMax)
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def dedupSimhashSql: String = {
+    def hexDigit(i: Int) =
+      s"(ascii(substr(md5(w), $i, 1)) - 48 - 39 * " +
+        s"(CASE WHEN ascii(substr(md5(w), $i, 1)) >= 97 THEN 1 ELSE 0 END))"
+    val hv = (1 to 4).map(i => s"${hexDigit(i)} * ${1 << (4 * (4 - i))}")
+      .mkString(" + ")
+    val sums = (0 until SimhashBits).map(i =>
+      s"sum(cnt * (CASE WHEN (hv // ${1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) s$i")
+      .mkString(", ")
+    val simhash = (0 until SimhashBits).map(i =>
+      s"(CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id, w, COUNT(*) cnt FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
+       |  GROUP BY doc_id, w),
+       |hvt AS (SELECT doc_id, cnt, $hv AS hv FROM tok),
+       |sums AS (SELECT doc_id, $sums FROM hvt GROUP BY doc_id),
+       |sig AS (SELECT doc_id, ($simhash)::BIGINT simhash FROM sums),
+       |chunks AS (SELECT doc_id, simhash, j,
+       |    (simhash // (16 ** j)::BIGINT) % 16 chunk
+       |  FROM sig, unnest(generate_series(0, ${SimhashChunks - 1})) t(j))
+       |SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b,
+       |  bit_count(xor(x.simhash, y.simhash))::INT hamming
+       |FROM chunks x JOIN chunks y
+       |  ON x.j = y.j AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  // ----------------------------------------------------------- embedding
+
+  /** Embedding-cosine near-dup pairs over sign-LSH buckets: bucket =
+    * sign bits of the first [[EmbedBucketBits]] dimensions, pairs meet
+    * only within a bucket, kept when cosine ≥ [[CosineMin]]. Norms are
+    * computed once per vector BEFORE the join (sequential double fold —
+    * the portable summation order); cosine rounds to 6 dp. At 100 TB:
+    * more bucket bits (and multiple hash tables for recall) — the plan
+    * shape, a bucket-equi-join, is unchanged.
+    */
+  def dedupEmbedding(t: Tables): DataFrame = {
+    val bucketExpr = (0 until EmbedBucketBits).map(i =>
+      s"(CASE WHEN v[$i] > 0 THEN ${1 << (EmbedBucketBits - 1 - i)} ELSE 0 END)")
+      .mkString(" + ")
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(transform(v, p -> p * p), CAST(0 AS DOUBLE), (acc, z) -> acc + z))"))
+      .withColumn("bucket", expr(bucketExpr))
+    e.as("x")
+      .join(e.as("y"),
+        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        round(expr(
+          "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
+          / (col("x.norm") * col("y.norm")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= CosineMin)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def dedupEmbeddingSql: String = {
+    val bucketExpr = (0 until EmbedBucketBits).map(i =>
+      s"(CASE WHEN v[${i + 1}] > 0 THEN ${1 << (EmbedBucketBits - 1 - i)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm,
+       |        $bucketExpr AS bucket FROM e)
+       |SELECT x.vec_id vec_a, y.vec_id vec_b,
+       |  round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS cos_sim
+       |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+       |WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) >= $CosineMin
+       |ORDER BY vec_a, vec_b""".stripMargin
+  }
+}
