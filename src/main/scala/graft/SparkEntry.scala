@@ -3,6 +3,9 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.operators._
 import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.textanalysis.TextAnalysis
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7. */
 object SparkEntry {
@@ -37,7 +40,17 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
     "dedup_minhash" -> q(Dedup.dedupMinhash),
     "dedup_simhash" -> q(Dedup.dedupSimhash),
-    "dedup_embedding" -> q(Dedup.dedupEmbedding)
+    "dedup_embedding" -> q(Dedup.dedupEmbedding),
+    // similarity search
+    "embed_topk" -> q(Ann.embedTopK),
+    "embed_ann_lsh" -> q(Ann.embedAnnLsh),
+    // text analysis
+    "token_count" -> q(TextAnalysis.tokenCount),
+    "lang_id" -> q(TextAnalysis.langId),
+    "quality_score" -> q(TextAnalysis.qualityScore),
+    "doc_fingerprint" -> q(TextAnalysis.docFingerprint),
+    // multimodal
+    "multimodal_meta" -> q(Multimodal.multimodalMeta)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -61,6 +74,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
-    "dedup_embedding" -> Dedup.dedupEmbeddingSql
+    "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "embed_topk" -> Ann.embedTopKSql,
+    "embed_ann_lsh" -> Ann.embedAnnLshSql,
+    "token_count" -> TextAnalysis.tokenCountSql,
+    "lang_id" -> TextAnalysis.langIdSql,
+    "quality_score" -> TextAnalysis.qualityScoreSql,
+    "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "multimodal_meta" -> Multimodal.multimodalMetaSql
   )
 }

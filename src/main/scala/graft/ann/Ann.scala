@@ -1,0 +1,132 @@
+package graft.ann
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (64-dim float vectors): a brute-force cosine top-k baseline and the
+  * sign-LSH bucketed variant that is the 100 TB path.
+  *
+  * Query set = `vec_id < 10`; corpus = the rest. Cosines are computed as
+  * sequential double folds (portable summation order), rounded to 6 dp
+  * BEFORE ranking — ranking on the rounded value with a vec_id tiebreak
+  * is what makes top-k deterministic across engines (a 1e-17 float
+  * difference can otherwise flip near-ties).
+  */
+object Ann {
+
+  val K = 10
+  val NumQueries = 10
+  val BucketBits = 4 // 16 buckets; at 100 TB: more bits + multiple tables
+
+  /** (vec_id, v double[], norm, bucket) — norms once per vector, never
+    * inside the scoring join.
+    */
+  private def prepared(t: Tables): DataFrame = {
+    val bucketExpr = (0 until BucketBits).map(i =>
+      s"(CASE WHEN v[$i] > 0 THEN ${1 << (BucketBits - 1 - i)} ELSE 0 END)")
+      .mkString(" + ")
+    t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", expr(
+        "sqrt(aggregate(transform(v, p -> p * p), CAST(0 AS DOUBLE), (acc, z) -> acc + z))"))
+      .withColumn("bucket", expr(bucketExpr))
+  }
+
+  private val cosine: Column = round(
+    expr("aggregate(zip_with(q.v, c.v, (p, x) -> p * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
+      / (col("q.norm") * col("c.norm")), 6)
+
+  /** Brute-force cosine top-k: the tiny query side broadcasts (a
+    * BroadcastNestedLoopJoin over ALL corpus rows — intentionally; that
+    * is what "brute force" means), the corpus never shuffles, and the
+    * per-query rank runs in two phases so no task ever sorts a query's
+    * whole score list: phase 1 takes top-k within each (query, input
+    * partition), phase 2 ranks the ≤ k×partitions survivors.
+    */
+  def embedTopK(t: Tables): DataFrame = {
+    val p = prepared(t)
+    val queries = p.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v"), col("norm"))
+    val corpus = p.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("v"), col("norm"))
+    val scored = corpus.as("c")
+      .crossJoin(broadcast(queries.as("q")))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        cosine.as("cos_sim"))
+    // phase 1: partial top-k per input partition — bounds every sort
+    val partial = scored
+      .withColumn("part", spark_partition_id())
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id"), col("part"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("pr") <= K)
+    // phase 2: global rank over the k×partitions survivors per query
+    partial
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def embedTopKSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
+       |           FROM embeddings),
+       |scored AS (SELECT q.vec_id q_id, c.vec_id vec_id,
+       |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) cos_sim
+       |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id >= $NumQueries)
+       |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+
+  /** Sign-LSH bucketed ANN: the corpus is bucketed by the sign bits of
+    * its first [[BucketBits]] dimensions; a query scores ONLY its own
+    * bucket (~1/2^bits of the corpus). The join is a bucket equi-join —
+    * at 100 TB the corpus shuffles once on bucket (or is written
+    * bucket-partitioned and never shuffles again), and per-bucket top-k
+    * is a partial rank, not a global sort.
+    */
+  def embedAnnLsh(t: Tables): DataFrame = {
+    val p = prepared(t)
+    val queries = p.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v"), col("norm"), col("bucket"))
+    val corpus = p.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("v"), col("norm"), col("bucket"))
+    corpus.as("c")
+      .join(broadcast(queries.as("q")), col("q.bucket") === col("c.bucket"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        cosine.as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def embedAnnLshSql: String = {
+    val bucketExpr = (0 until BucketBits).map(i =>
+      s"(CASE WHEN v[${i + 1}] > 0 THEN ${1 << (BucketBits - 1 - i)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
+       |           FROM embeddings),
+       |b AS (SELECT vec_id, v, norm, $bucketExpr AS bucket FROM e),
+       |scored AS (SELECT q.vec_id q_id, c.vec_id vec_id,
+       |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) cos_sim
+       |  FROM b q JOIN b c ON q.bucket = c.bucket
+       |   AND q.vec_id < $NumQueries AND c.vec_id >= $NumQueries)
+       |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+}

@@ -1,0 +1,146 @@
+package graft.multimodal
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (binary-column) surface: media travels as an opaque
+  * `binary` payload column + typed metadata, processed per-partition.
+  *
+  * [[Multimodal.multimodalMeta]] is the oracle-checked metadata pass
+  * (byte length, digest, magic-byte sniff — pure codegen'd columns).
+  * [[Pipeline]] is the decode/resize/frame-sample plumbing over a typed
+  * `Dataset[MediaRecord]`: the Spark side (schema, encoders, partition
+  * batching, feature shape) is real and tested; the actual image/audio
+  * codec is pluggable and STUBBED here ([[Pipeline.RealDecoder]]) since
+  * no media libraries exist in this container — tests run the
+  * deterministic fake.
+  *
+  * Scale: payloads never shuffle — every stage is a per-partition map;
+  * metadata extraction and decoding run at scan parallelism. On a real
+  * corpus, payload columns live in parquet with
+  * `spark.sql.parquet.columnarReaderBatchSize` tuned down for wide
+  * binary rows, and features (small) are what downstream joins touch.
+  */
+object Multimodal {
+
+  /** The testdata ships no media files, so the binary payload is the
+    * UTF-8 encoding of `documents.text` — byte-identical in both
+    * engines, which is all the metadata pass needs.
+    */
+  def multimodalMeta(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        md5(col("payload")).as("digest"),
+        // magic-byte sniff: the dispatch a real pipeline does before
+        // handing payloads to a codec; text payloads fall through
+        when(expr("substring(payload, 1, 4)") === lit(Array[Byte](0x89.toByte, 'P', 'N', 'G')), "image/png")
+          .when(expr("substring(payload, 1, 4)") === lit("RIFF".getBytes("US-ASCII")), "audio/wav")
+          .otherwise("text/plain").as("media_type"))
+      .orderBy(col("doc_id"))
+
+  def multimodalMetaSql: String =
+    """SELECT doc_id,
+      |  octet_length(text::BLOB)::BIGINT AS n_bytes,
+      |  md5(text) AS digest,
+      |  CASE WHEN substr(text, 1, 4) = chr(137) || 'PNG' THEN 'image/png'
+      |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'
+      |       ELSE 'text/plain' END AS media_type
+      |FROM documents ORDER BY doc_id""".stripMargin
+}
+
+/** Typed decode → resize → frame-sample plumbing. */
+object Pipeline {
+
+  final case class MediaRecord(id: Long, mediaType: String, payload: Array[Byte])
+
+  /** Decoded frame grid; frames are raw byte planes. */
+  final case class Decoded(width: Int, height: Int, frames: Seq[Array[Byte]])
+
+  final case class MediaFeatures(
+      id: Long,
+      mediaType: String,
+      nBytes: Long,
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      sampledFrames: Int,
+      meanByte: Double)
+
+  /** Codec boundary. Implementations must be Serializable: one instance
+    * ships to every executor and decodes inside mapPartitions.
+    */
+  trait Decoder extends Serializable {
+    def decode(payload: Array[Byte]): Decoded
+  }
+
+  /** The real codec hook — intentionally unimplemented: this container
+    * has no image/audio libraries. Swap in a javax.imageio / ffmpeg
+    * backed implementation in a real deployment.
+    */
+  object RealDecoder extends Decoder {
+    def decode(payload: Array[Byte]): Decoded =
+      throw new UnsupportedOperationException(
+        "no media codec in this environment — use a real Decoder impl")
+  }
+
+  /** Deterministic fake: dimensions and frame count derived from the
+    * payload bytes, frames are slices of the payload. Makes every
+    * downstream stage testable with exact assertions.
+    */
+  object FakeDecoder extends Decoder {
+    def decode(payload: Array[Byte]): Decoded = {
+      val w = 4 + math.abs(payload.headOption.getOrElse(0: Byte).toInt) % 8
+      val h = 4 + math.abs(payload.lastOption.getOrElse(0: Byte).toInt) % 8
+      val n = 1 + payload.length % 4
+      val frames = (0 until n).map(i =>
+        payload.slice(i * (payload.length / n), (i + 1) * (payload.length / n)))
+      Decoded(w, h, frames)
+    }
+  }
+
+  /** decode → "resize" (dimension clamp — a stand-in for a pixel op) →
+    * sample every `frameStride`-th frame → per-record features.
+    *
+    * mapPartitions (not a per-row UDF) so a real codec can amortize
+    * init per partition — the Scala analog of batched mapInPandas.
+    */
+  def features(records: Dataset[MediaRecord],
+               decoder: Decoder,
+               maxDim: Int = 8,
+               frameStride: Int = 2): Dataset[MediaFeatures] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.mapPartitions { it =>
+      it.map { r =>
+        val d = decoder.decode(r.payload)
+        val sampled = d.frames.zipWithIndex.collect {
+          case (f, i) if i % frameStride == 0 => f
+        }
+        val bytes = sampled.flatten
+        MediaFeatures(
+          id = r.id,
+          mediaType = r.mediaType,
+          nBytes = r.payload.length.toLong,
+          width = math.min(d.width, maxDim),
+          height = math.min(d.height, maxDim),
+          nFrames = d.frames.size,
+          sampledFrames = sampled.size,
+          meanByte = if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xff).toDouble).sum / bytes.size)
+      }
+    }
+  }
+
+  /** documents → MediaRecord dataset (text bytes as payload). */
+  def recordsFromDocuments(t: Tables): Dataset[MediaRecord] = {
+    val spark = t.spark
+    import spark.implicits._
+    t.documents
+      .select(col("doc_id").as("id"), lit("text/plain").as("mediaType"),
+        col("text").cast("binary").as("payload"))
+      .as[MediaRecord]
+  }
+}

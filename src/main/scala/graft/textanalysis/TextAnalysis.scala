@@ -1,0 +1,135 @@
+package graft.textanalysis
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the per-document scoring
+  * pass of an LLM data pipeline (language ID, quality, token counting,
+  * fingerprinting).
+  *
+  * Everything is a per-row column formula (whole-stage codegen, no UDF,
+  * no shuffle except where a groupBy is the semantics) with a
+  * bit-identical DuckDB oracle: identical arithmetic order, doubles
+  * rounded to 6 dp at the boundary, md5 as the only hash.
+  *
+  * Scale: per-row transforms are embarrassingly parallel — these run at
+  * scan speed on any corpus size; the only aggregations group by doc_id
+  * (never global).
+  */
+object TextAnalysis {
+
+  /** English-profile stopwords present in the corpus vocabulary. */
+  val Stopwords = Seq("the", "a")
+  val StopRatioEn = 0.05 // >= → 'en'
+
+  // BPE-ish lexer classes: letter runs, digit runs, single non-alnum
+  private val TokenPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+  /** Whitespace vs BPE-ish token counts per doc. */
+  def tokenCount(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(TokenPattern), lit(0)))
+        .cast("long").as("bpe_tokens"))
+      .orderBy(col("doc_id"))
+
+  def tokenCountSql: String =
+    s"""SELECT doc_id,
+       |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+       |  len(regexp_extract_all(text, '$TokenPattern'))::BIGINT AS bpe_tokens
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** N-gram-profile language ID: the fraction of tokens in an
+    * English-stopword profile decides en vs other. (A real pipeline
+    * scores several language profiles the same way — per-token set
+    * membership + one groupBy — this is the deterministic single-profile
+    * form; the lang column in the testdata is a label, not derivable
+    * from its synthetic text.)
+    */
+  def langId(t: Tables): DataFrame = {
+    val isStop = Stopwords.map(w => col("w") === w).reduce(_ || _)
+    t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(when(isStop, 1).otherwise(0)).cast("double")
+        / count(lit(1)), 6).as("stop_ratio"))
+      .withColumn("lang_pred",
+        when(col("stop_ratio") >= StopRatioEn, "en").otherwise("other"))
+      .orderBy(col("doc_id"))
+  }
+
+  def langIdSql: String = {
+    val set = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
+       |r AS (SELECT doc_id,
+       |    round(sum(CASE WHEN w IN ($set) THEN 1 ELSE 0 END)::DOUBLE
+       |          / count(*), 6) stop_ratio
+       |  FROM tok GROUP BY doc_id)
+       |SELECT doc_id, stop_ratio,
+       |  CASE WHEN stop_ratio >= $StopRatioEn THEN 'en' ELSE 'other' END AS lang_pred
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Composite quality score: length saturation + type-token ratio
+    * (lexical diversity) + mean-token-length saturation, identical
+    * weighted formula both sides. Components surfaced for debuggability.
+    */
+  def qualityScore(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"),
+        col("n_chars"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("w")).as("n_distinct"))
+      .select(col("doc_id"),
+        round(col("n_distinct").cast("double") / col("n_tok"), 6).as("ttr"),
+        round(col("n_chars").cast("double") / col("n_tok"), 6)
+          .as("mean_tok_len"),
+        round(
+          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.5
+            + (col("n_distinct").cast("double") / col("n_tok")) * 0.3
+            + least((col("n_chars").cast("double") / col("n_tok")) / 8.0,
+              lit(1.0)) * 0.2, 6).as("quality"))
+      .orderBy(col("doc_id"))
+
+  def qualityScoreSql: String =
+    """WITH tok AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) w
+      |             FROM documents),
+      |agg AS (SELECT doc_id, n_chars, count(*) n_tok,
+      |          count(DISTINCT w) n_distinct
+      |        FROM tok GROUP BY doc_id, n_chars)
+      |SELECT doc_id,
+      |  round(n_distinct::DOUBLE / n_tok, 6) AS ttr,
+      |  round(n_chars::DOUBLE / n_tok, 6) AS mean_tok_len,
+      |  round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.5
+      |        + (n_distinct::DOUBLE / n_tok) * 0.3
+      |        + least((n_chars::DOUBLE / n_tok) / 8.0, 1.0) * 0.2, 6) AS quality
+      |FROM agg ORDER BY doc_id""".stripMargin
+
+  /** Winnowing-style fingerprint: the minimum md5 over a doc's word
+    * 3-shingles (stable under local edits — the basis of near-dup
+    * clustering) plus the exact md5 of the full text.
+    */
+  def docFingerprint(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), md5(col("text")).as("full_md5"),
+        split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), col("full_md5"), explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', slice(ts, i, 3)))"))
+        .as("s"))
+      .groupBy(col("doc_id"), col("full_md5"))
+      .agg(min(md5(col("s"))).as("min_shingle_md5"))
+      .select(col("doc_id"), col("min_shingle_md5"), col("full_md5"))
+      .orderBy(col("doc_id"))
+
+  def docFingerprintSql: String =
+    """WITH tok AS (SELECT doc_id, md5(text) full_md5,
+      |               string_split(text, ' ') ts FROM documents
+      |             WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT doc_id, full_md5, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] s
+      |       FROM tok, unnest(generate_series(1, len(ts) - 2)) t(i))
+      |SELECT doc_id, min(md5(s)) AS min_shingle_md5, full_md5
+      |FROM sh GROUP BY doc_id, full_md5 ORDER BY doc_id""".stripMargin
+}
