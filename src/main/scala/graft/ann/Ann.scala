@@ -1,6 +1,7 @@
 package graft.ann
 
 import graft.Tables
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -30,21 +31,24 @@ object Ann {
       .mkString(" + ")
     t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(transform(v, p -> p * p), CAST(0 AS DOUBLE), (acc, z) -> acc + z))"))
+      .withColumn("norm", VectorFunctions.norm(col("v")))
       .withColumn("bucket", expr(bucketExpr))
   }
 
+  // native codegen'd dot (graft.functions.DotProduct) — same sequential
+  // fold as the HOF form, minus the per-element lambda interpreter
   private val cosine: Column = round(
-    expr("aggregate(zip_with(q.v, c.v, (p, x) -> p * x), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
-      / (col("q.norm") * col("c.norm")), 6)
+    VectorFunctions.cosineFromNorms(
+      col("q.v"), col("c.v"), col("q.norm"), col("c.norm")), 6)
 
   /** Brute-force cosine top-k: the tiny query side broadcasts (a
     * BroadcastNestedLoopJoin over ALL corpus rows — intentionally; that
-    * is what "brute force" means), the corpus never shuffles, and the
-    * per-query rank runs in two phases so no task ever sorts a query's
-    * whole score list: phase 1 takes top-k within each (query, input
-    * partition), phase 2 ranks the ≤ k×partitions survivors.
+    * is what "brute force" means) and the corpus never shuffles. The
+    * rank ≤ k filter becomes a two-phase WindowGroupLimit (Partial
+    * before the shuffle, Final after — AnnSpec pins it): every scan
+    * task keeps only its own top-k per query, so the shuffle carries
+    * ≤ k × tasks rows per query and no task ever sorts a query's whole
+    * score list, even with few distinct queries at 100 TB corpus scale.
     */
   def embedTopK(t: Tables): DataFrame = {
     val p = prepared(t)
@@ -52,24 +56,14 @@ object Ann {
       .select(col("vec_id").as("q_id"), col("v"), col("norm"))
     val corpus = p.filter(col("vec_id") >= NumQueries)
       .select(col("vec_id"), col("v"), col("norm"))
-    val scored = corpus.as("c")
+    corpus.as("c")
       .crossJoin(broadcast(queries.as("q")))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
         cosine.as("cos_sim"))
-    // phase 1: partial top-k per input partition — bounds every sort
-    val partial = scored
-      .withColumn("part", spark_partition_id())
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("q_id"), col("part"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))))
-      .filter(col("pr") <= K)
-    // phase 2: global rank over the k×partitions survivors per query
-    partial
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("vec_id"))))
       .filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
 

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import graft.Tables
+import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -187,12 +188,27 @@ object Dedup {
       s"(CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
     val sig = sums.select(col("doc_id"),
       expr(s"CAST($simhash AS BIGINT)").as("simhash"))
-    val chunks = sig.select(col("doc_id"), col("simhash"),
-        explode(expr(s"sequence(0, ${SimhashChunks - 1})")).as("j"))
-      .withColumn("chunk", expr("(simhash div CAST(pow(16, j) AS BIGINT)) % 16"))
-    chunks.as("x")
-      .join(chunks.as("y"),
-        col("x.j") === col("y.j") && col("x.chunk") === col("y.chunk") &&
+    // band on PAIRS of 4-bit chunks (8-bit keys): hamming <= 1 flips at
+    // most one chunk, so >= 3 of 4 chunks match => some chunk-pair
+    // matches exactly. 256-value keys collide ~16x less than single
+    // chunks — an order of magnitude fewer candidate pairs at any scale.
+    val chunkPairs = for {
+      i <- 0 until SimhashChunks; j <- (i + 1) until SimhashChunks
+    } yield (i, j)
+    val bandStructs = chunkPairs.zipWithIndex.map { case ((i, j), idx) =>
+      struct(lit(idx).as("band_idx"),
+        expr(s"((simhash div ${math.pow(16, i).toLong}) % 16) * 16 + " +
+          s"((simhash div ${math.pow(16, j).toLong}) % 16)").as("band_key"))
+    }
+    val bands = sig
+      .select(col("doc_id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.band_idx"), col("bk.band_key"))
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
@@ -218,13 +234,15 @@ object Dedup {
        |hvt AS (SELECT doc_id, cnt, $hv AS hv FROM tok),
        |sums AS (SELECT doc_id, $sums FROM hvt GROUP BY doc_id),
        |sig AS (SELECT doc_id, ($simhash)::BIGINT simhash FROM sums),
-       |chunks AS (SELECT doc_id, simhash, j,
-       |    (simhash // (16 ** j)::BIGINT) % 16 chunk
-       |  FROM sig, unnest(generate_series(0, ${SimhashChunks - 1})) t(j))
+       |bands AS (SELECT doc_id, simhash, b.i * 4 + b.j band_idx,
+       |    ((simhash // (16 ** b.i)::BIGINT) % 16) * 16
+       |      + ((simhash // (16 ** b.j)::BIGINT) % 16) band_key
+       |  FROM sig, (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) b(i, j))
        |SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b,
        |  bit_count(xor(x.simhash, y.simhash))::INT hamming
-       |FROM chunks x JOIN chunks y
-       |  ON x.j = y.j AND x.chunk = y.chunk AND x.doc_id < y.doc_id
+       |FROM bands x JOIN bands y
+       |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       | AND x.doc_id < y.doc_id
        |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
@@ -245,16 +263,16 @@ object Dedup {
       .mkString(" + ")
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", expr(
-        "sqrt(aggregate(transform(v, p -> p * p), CAST(0 AS DOUBLE), (acc, z) -> acc + z))"))
+      .withColumn("norm", VectorFunctions.norm(col("v")))
       .withColumn("bucket", expr(bucketExpr))
     e.as("x")
       .join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(expr(
-          "aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
-          / (col("x.norm") * col("y.norm")), 6).as("cos_sim"))
+        // native codegen'd dot — same sequential fold as the HOF form
+        round(VectorFunctions.cosineFromNorms(
+          col("x.v"), col("y.v"), col("x.norm"), col("y.norm")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= CosineMin)
       .orderBy(col("vec_a"), col("vec_b"))
   }

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.sqrt
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst dot product over two `array<double>` columns.
+  *
+  * The built-in route — `aggregate(zip_with(a, b, (p, q) -> p * q), 0d,
+  * (acc, z) -> acc + z)` — evaluates interpreted lambdas per element with
+  * boxing; on a candidate-pair join that is millions of 64-element folds
+  * through the interpreter. This expression generates a tight primitive
+  * `double` loop inside whole-stage codegen (and matches it with an
+  * identical interpreted eval), accumulating in ascending index order —
+  * the same sequential fold the HOF form computes, so results are
+  * bit-identical and oracle parity (SURVEY §6) is preserved.
+  *
+  * Assumes non-null array elements (embedding vectors); a null array
+  * input yields null via the BinaryExpression null contract.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // no ExpectsInputTypes (its types are private[sql]); graft's call
+  // sites always cast to array<double> before constructing this
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API surface for the native vector expressions. */
+object VectorFunctions {
+
+  /** Sequential-order dot product (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** L2 norm via the same sequential fold. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Cosine from a dot and two precomputed norms (norms should be
+    * computed once per vector, never inside a pair join).
+    */
+  def cosineFromNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+
+  test("DotProduct is bit-identical to the sequential HOF fold") {
+    val e = tables.embeddings.limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pairs = e.as("x").crossJoin(e.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+    val both = pairs.select(
+      VectorFunctions.dot(col("x.v"), col("y.v")).as("native"),
+      expr("aggregate(zip_with(x.v, y.v, (p, q) -> p * q), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
+        .as("hof"))
+    // exact ==, not tolerance: same fold order must give the same bits
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("DotProduct interpreted eval matches codegen") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.DotProduct
+    val a = Literal.create(Seq(1.0, 2.0, 3.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    val b = Literal.create(Seq(4.0, 5.0, 6.0),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+    assert(DotProduct(a, b).eval(null) == 32.0)
+  }
+
+  test("cosine scoring is the native expression, not interpreted lambdas") {
+    val plan = graft.ann.Ann.embedTopK(tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"))
+    assert(plan.contains("vec_dot"))
+  }
+}
