@@ -174,14 +174,16 @@ object Dedup {
     val tok = t.documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-    def hexDigit(i: Int) =
-      s"(ascii(substring(md5(w), $i, 1)) - 48 - 39 * " +
-        s"(CASE WHEN ascii(substring(md5(w), $i, 1)) >= 97 THEN 1 ELSE 0 END))"
+    def hexDigit(i: Int) = // parse one hex digit of the materialized hash
+      s"(ascii(substring(h, $i, 1)) - 48 - 39 * " +
+        s"(CASE WHEN ascii(substring(h, $i, 1)) >= 97 THEN 1 ELSE 0 END))"
     val hv = (1 to 4).map(i => s"${hexDigit(i)} * ${1 << (4 * (4 - i))}")
       .mkString(" + ")
     val sumCols = (0 until SimhashBits).map(i => expr(
       s"sum(cnt * (CASE WHEN (hv div ${1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS s$i"))
-    val sums = tok.withColumn("hv", expr(hv))
+    val sums = tok
+      .withColumn("h", md5(col("w"))) // hash once, parse four digits
+      .withColumn("hv", expr(hv))
       .groupBy(col("doc_id"))
       .agg(sumCols.head, sumCols.tail: _*)
     val simhash = (0 until SimhashBits).map(i =>

@@ -80,4 +80,35 @@ class PlanSpec extends SparkSpec {
     val winIdx = opt.indexOf("Window")
     assert(aggIdx > winIdx && winIdx >= 0, opt)
   }
+
+  test("dedup document scans prune to doc_id + text") {
+    for (df <- Seq(graft.dedup.Dedup.dedupMinhash(tables),
+      graft.dedup.Dedup.dedupSimhash(tables),
+      graft.textanalysis.TextAnalysis.docFingerprint(tables))) {
+      val plan = physical(df)
+      // lang/source/n_chars must not reach the scan
+      assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),
+        "scan reads unreferenced columns")
+      assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        plan.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    }
+  }
+
+  test("ann corpus is never shuffled before scoring") {
+    // brute force: corpus side feeds a broadcast join directly — the only
+    // exchanges are the tiny broadcast and the post-rank orderBy range
+    val plan = physical(graft.ann.Ann.embedTopK(tables))
+    val shuffles = "Exchange (hash|range)partitioning".r.findAllIn(plan).toList
+    assert(shuffles.count(_.contains("hash")) <= 1, plan) // rank shuffle only
+  }
+
+  test("no LLM-pipeline plan collects or nests loops over the corpus") {
+    for (df <- Seq(graft.dedup.Dedup.dedupNgramJaccard(tables),
+      graft.dedup.Dedup.dedupEmbedding(tables),
+      graft.ann.Ann.embedAnnLsh(tables),
+      graft.textanalysis.TextAnalysis.qualityScore(tables))) {
+      val plan = physical(df)
+      assert(!plan.contains("CartesianProduct"), plan)
+    }
+  }
 }
