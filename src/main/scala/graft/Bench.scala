@@ -8,9 +8,11 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: absorbs session init + first-codegen cost so the
-    // first timed query's number is attributable to its plan.
-    SparkEntry.queries.headOption.foreach { case (name, fn) =>
+    // Full untimed warmup pass: every query's first execution pays
+    // whole-stage-codegen compilation + JIT; timing the second run makes
+    // the numbers attributable to the plans (steady-state varies ~2-4x
+    // less than first-run on this corpus size).
+    SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }

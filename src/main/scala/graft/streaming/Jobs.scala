@@ -126,6 +126,27 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // StreamingDedup — the LLM-pipeline exact dedup (dedup.Dedup.dedupExact)
+  // in the streaming model: no reference twin, but the natural companion
+  // of a streaming ingest pipeline.
+  // ---------------------------------------------------------------------
+  object StreamingDedup {
+
+    /** Emit only the first document per content hash; duplicates arriving
+      * within the watermark horizon are dropped. State is one (hash, ts)
+      * entry per distinct doc inside the lag — bounded by the watermark,
+      * unlike a global streaming distinct (which would grow forever).
+      * Needs (ts timestamp, doc columns...); rows pass through with the
+      * content hash attached.
+      */
+    def firstSeen(docs: DataFrame, watermarkLag: String = "10 seconds"): DataFrame =
+      docs
+        .withColumn("text_hash", md5(col("text")))
+        .withWatermark("ts", watermarkLag)
+        .dropDuplicatesWithinWatermark("text_hash")
+  }
+
+  // ---------------------------------------------------------------------
   // TopKPerCategory — ref: Top3HotProduct.java:139-196: window counts,
   // then per-RDD HiveContext SQL row_number rank ≤ 3.
   // ---------------------------------------------------------------------

@@ -1,0 +1,23 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("vec_dot is callable from SQL via GraftExtensions") {
+    // GraftSession.tuned sets spark.sql.extensions=graft.GraftExtensions;
+    // the shared test session goes through GraftSession.local
+    val r = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 32.0)
+  }
+
+  test("vec_dot over the embeddings table in pure SQL") {
+    tables.embeddings.createOrReplaceTempView("emb")
+    val n = spark.sql(
+      """SELECT vec_id,
+        |  vec_dot(CAST(embedding AS ARRAY<DOUBLE>), CAST(embedding AS ARRAY<DOUBLE>)) AS sq_norm
+        |FROM emb""".stripMargin)
+      .filter("sq_norm > 0.99 AND sq_norm < 1.01").count()
+    assert(n == tables.embeddings.count()) // unit-norm vectors
+  }
+}

@@ -162,6 +162,27 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StreamingDedup: first doc per content hash survives, dups drop") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val deduped = Jobs.StreamingDedup.firstSeen(
+      in.toDF().toDF("ts", "doc_id", "text"))
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sdedup").start()
+    try {
+      val t = (s: Long) => new Timestamp(s * 1000)
+      in.addData(Seq((t(10), 1L, "aaa"), (t(11), 2L, "aaa"), (t(12), 3L, "bbb")))
+      q.processAllAvailable()
+      val kept = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 3L)) // first "aaa" wins, second drops
+      // a later duplicate inside the watermark horizon also drops
+      in.addData(Seq((t(13), 4L, "aaa")))
+      q.processAllAvailable()
+      val kept2 = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
+      assert(kept2 == Set(1L, 3L))
+    } finally q.stop()
+  }
+
   test("Sources.textDir: file-landing-dir source feeds the wordcount") {
     import spark.implicits._
     val dir = tmp("graft-textdir")
