@@ -2,6 +2,7 @@ package graft.ann
 
 import graft.Tables
 import graft.functions.VectorFunctions
+import graft.functions.Portable.{round6, round6Sql}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -37,9 +38,9 @@ object Ann {
 
   // native codegen'd dot (graft.functions.DotProduct) — same sequential
   // fold as the HOF form, minus the per-element lambda interpreter
-  private val cosine: Column = round(
+  private val cosine: Column = round6(
     VectorFunctions.cosineFromNorms(
-      col("q.v"), col("c.v"), col("q.norm"), col("c.norm")), 6)
+      col("q.v"), col("c.v"), col("q.norm"), col("c.norm")))
 
   /** Brute-force cosine top-k: the tiny query side broadcasts (a
     * BroadcastNestedLoopJoin over ALL corpus rows — intentionally; that
@@ -72,7 +73,7 @@ object Ann {
        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
        |           FROM embeddings),
        |scored AS (SELECT q.vec_id q_id, c.vec_id vec_id,
-       |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) cos_sim
+       |    ${round6Sql("list_dot_product(q.v, c.v) / (q.norm * c.norm)")} cos_sim
        |  FROM e q JOIN e c ON q.vec_id < $NumQueries AND c.vec_id >= $NumQueries)
        |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER
@@ -114,7 +115,7 @@ object Ann {
        |           FROM embeddings),
        |b AS (SELECT vec_id, v, norm, $bucketExpr AS bucket FROM e),
        |scored AS (SELECT q.vec_id q_id, c.vec_id vec_id,
-       |    round(list_dot_product(q.v, c.v) / (q.norm * c.norm), 6) cos_sim
+       |    ${round6Sql("list_dot_product(q.v, c.v) / (q.norm * c.norm)")} cos_sim
        |  FROM b q JOIN b c ON q.bucket = c.bucket
        |   AND q.vec_id < $NumQueries AND c.vec_id >= $NumQueries)
        |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (

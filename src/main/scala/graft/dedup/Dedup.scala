@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.Tables
 import graft.functions.VectorFunctions
+import graft.functions.Portable.{round6, round6Sql}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -93,8 +94,8 @@ object Dedup {
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("common").cast("double")
-          / (col("sa.n") + col("sb.n") - col("common")), 6).as("jaccard"))
+        round6(col("common").cast("double")
+          / (col("sa.n") + col("sb.n") - col("common"))).as("jaccard"))
       .filter(col("jaccard") >= JaccardMin)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -106,10 +107,10 @@ object Dedup {
        |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
        |          GROUP BY x.doc_id, y.doc_id)
        |SELECT doc_a, doc_b,
-       |  round(common::DOUBLE / (sa.n + sb.n - common), 6) AS jaccard
+       |  ${round6Sql("common::DOUBLE / (sa.n + sb.n - common)")} AS jaccard
        |FROM pairs JOIN sz sa ON doc_a = sa.doc_id
        |           JOIN sz sb ON doc_b = sb.doc_id
-       |WHERE round(common::DOUBLE / (sa.n + sb.n - common), 6) >= $JaccardMin
+       |WHERE ${round6Sql("common::DOUBLE / (sa.n + sb.n - common)")} >= $JaccardMin
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------- minhash
@@ -272,8 +273,8 @@ object Dedup {
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
         // native codegen'd dot — same sequential fold as the HOF form
-        round(VectorFunctions.cosineFromNorms(
-          col("x.v"), col("y.v"), col("x.norm"), col("y.norm")), 6)
+        round6(VectorFunctions.cosineFromNorms(
+          col("x.v"), col("y.v"), col("x.norm"), col("y.norm")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= CosineMin)
       .orderBy(col("vec_a"), col("vec_b"))
@@ -287,9 +288,9 @@ object Dedup {
        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm,
        |        $bucketExpr AS bucket FROM e)
        |SELECT x.vec_id vec_a, y.vec_id vec_b,
-       |  round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) AS cos_sim
+       |  ${round6Sql("list_dot_product(x.v, y.v) / (x.norm * y.norm)")} AS cos_sim
        |FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
-       |WHERE round(list_dot_product(x.v, y.v) / (x.norm * y.norm), 6) >= $CosineMin
+       |WHERE ${round6Sql("list_dot_product(x.v, y.v) / (x.norm * y.norm)")} >= $CosineMin
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 }

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed shuffles.
+  *
+  * AQE's skew-join handling splits oversized SHUFFLE partitions, but it
+  * cannot help a skewed AGGREGATION key or a skewed broadcast-bucket
+  * (e.g. one stop-shingle LSH band holding 1% of a 100 TB corpus).
+  * Salting fans one hot key out over `n` deterministic sub-keys, paying
+  * one extra partial-agg/merge step for an n-way spread of the hot key.
+  *
+  * The salt is `pmod(hash(idCol), n)` — deterministic (replay-safe, no
+  * rand()) and uniform.
+  */
+object Salting {
+
+  def salt(idCol: Column, n: Int): Column = pmod(hash(idCol), lit(n))
+
+  /** Two-phase salted aggregation: count per (key, salt) — the hot key
+    * spreads over n tasks — then merge per key. Result is identical to
+    * `df.groupBy(key).count()`; the hot key's first-phase work is
+    * parallelized n ways.
+    */
+  def saltedCount(df: DataFrame, key: String, idCol: String,
+                  n: Int = 16): DataFrame =
+    df.withColumn("_salt", salt(col(idCol), n))
+      .groupBy(col(key), col("_salt"))
+      .agg(count(lit(1)).as("_partial"))
+      .groupBy(col(key))
+      .agg(sum(col("_partial")).cast("long").as("cnt"))
+}

@@ -1,6 +1,7 @@
 package graft.textanalysis
 
 import graft.Tables
+import graft.functions.Portable.{round6, round6Sql}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -52,8 +53,8 @@ object TextAnalysis {
     t.documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"))
-      .agg(round(sum(when(isStop, 1).otherwise(0)).cast("double")
-        / count(lit(1)), 6).as("stop_ratio"))
+      .agg(round6(sum(when(isStop, 1).otherwise(0)).cast("double")
+        / count(lit(1))).as("stop_ratio"))
       .withColumn("lang_pred",
         when(col("stop_ratio") >= StopRatioEn, "en").otherwise("other"))
       .orderBy(col("doc_id"))
@@ -63,8 +64,7 @@ object TextAnalysis {
     val set = Stopwords.map(w => s"'$w'").mkString(", ")
     s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents),
        |r AS (SELECT doc_id,
-       |    round(sum(CASE WHEN w IN ($set) THEN 1 ELSE 0 END)::DOUBLE
-       |          / count(*), 6) stop_ratio
+       |    ${round6Sql("sum(CASE WHEN w IN (" + set + ") THEN 1 ELSE 0 END)::DOUBLE / count(*)")} stop_ratio
        |  FROM tok GROUP BY doc_id)
        |SELECT doc_id, stop_ratio,
        |  CASE WHEN stop_ratio >= $StopRatioEn THEN 'en' ELSE 'other' END AS lang_pred
@@ -83,29 +83,30 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tok"),
         countDistinct(col("w")).as("n_distinct"))
       .select(col("doc_id"),
-        round(col("n_distinct").cast("double") / col("n_tok"), 6).as("ttr"),
-        round(col("n_chars").cast("double") / col("n_tok"), 6)
+        round6(col("n_distinct").cast("double") / col("n_tok")).as("ttr"),
+        round6(col("n_chars").cast("double") / col("n_tok"))
           .as("mean_tok_len"),
-        round(
+        round6(
           least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.5
             + (col("n_distinct").cast("double") / col("n_tok")) * 0.3
             + least((col("n_chars").cast("double") / col("n_tok")) / 8.0,
-              lit(1.0)) * 0.2, 6).as("quality"))
+              lit(1.0)) * 0.2).as("quality"))
       .orderBy(col("doc_id"))
 
   def qualityScoreSql: String =
-    """WITH tok AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) w
-      |             FROM documents),
-      |agg AS (SELECT doc_id, n_chars, count(*) n_tok,
-      |          count(DISTINCT w) n_distinct
-      |        FROM tok GROUP BY doc_id, n_chars)
-      |SELECT doc_id,
-      |  round(n_distinct::DOUBLE / n_tok, 6) AS ttr,
-      |  round(n_chars::DOUBLE / n_tok, 6) AS mean_tok_len,
-      |  round(least(n_chars::DOUBLE / 500.0, 1.0) * 0.5
-      |        + (n_distinct::DOUBLE / n_tok) * 0.3
-      |        + least((n_chars::DOUBLE / n_tok) / 8.0, 1.0) * 0.2, 6) AS quality
-      |FROM agg ORDER BY doc_id""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) w
+       |             FROM documents),
+       |agg AS (SELECT doc_id, n_chars, count(*) n_tok,
+       |          count(DISTINCT w) n_distinct
+       |        FROM tok GROUP BY doc_id, n_chars)
+       |SELECT doc_id,
+       |  ${round6Sql("n_distinct::DOUBLE / n_tok")} AS ttr,
+       |  ${round6Sql("n_chars::DOUBLE / n_tok")} AS mean_tok_len,
+       |  ${round6Sql(
+        "least(n_chars::DOUBLE / 500.0, 1.0) * 0.5"
+          + " + (n_distinct::DOUBLE / n_tok) * 0.3"
+          + " + least((n_chars::DOUBLE / n_tok) / 8.0, 1.0) * 0.2")} AS quality
+       |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Winnowing-style fingerprint: the minimum md5 over a doc's word
     * 3-shingles (stable under local edits — the basis of near-dup
