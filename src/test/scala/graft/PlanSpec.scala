@@ -102,6 +102,11 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.count(_.contains("hash")) <= 1, plan) // rank shuffle only
   }
 
+  test("ann lsh probes via broadcast bucket join — corpus side unshuffled") {
+    val plan = physical(graft.ann.Ann.embedAnnLsh(tables))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("no LLM-pipeline plan collects or nests loops over the corpus") {
     for (df <- Seq(graft.dedup.Dedup.dedupNgramJaccard(tables),
       graft.dedup.Dedup.dedupEmbedding(tables),

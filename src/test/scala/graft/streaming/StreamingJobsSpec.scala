@@ -201,7 +201,7 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("Sources.kafkaShaped parses records; rateWords/socketLines construct") {
+  test("Sources.kafkaShaped parses records; rateWords constructs") {
     import spark.implicits._
     // kafkaShaped is a pure transform — assert on a batch DF
     val recs = Seq("t1\tk1\thello world", "t2\tk2\tspark").toDF("value")
@@ -209,7 +209,39 @@ class StreamingJobsSpec extends SparkSpec {
       .collect().toSet
     assert(parsed == Set(("t1", "k1", "hello world"), ("t2", "k2", "spark")))
     assert(Sources.rateWords(spark, 1, Seq("a", "b")).isStreaming)
-    // socket source: construction only (no listener in the test env)
-    assert(Sources.socketLines(spark, "localhost", 9999).isStreaming)
+  }
+
+  test("Sources.socketLines: end-to-end against a local server socket") {
+    import spark.implicits._
+    val server = new java.net.ServerSocket(0) // ephemeral port
+    val feeder = new Thread(() => {
+      try {
+        val client = server.accept()
+        val out = new java.io.PrintWriter(client.getOutputStream, true)
+        out.println("tom hello")
+        out.println("leo hello world")
+        // keep the connection open until the query is done reading
+        Thread.sleep(8000)
+        client.close()
+      } catch { case _: Throwable => () }
+    })
+    feeder.setDaemon(true)
+    feeder.start()
+    val q = Jobs.WordCountStream.writer(
+      Sources.socketLines(spark, "localhost", server.getLocalPort))
+      .format("memory").queryName("socket_wc").start()
+    try {
+      // socket source has no availability barrier — poll for arrival
+      val deadline = System.currentTimeMillis() + 15000
+      def counts = spark.table("socket_wc").as[(String, Long)].collect().toMap
+      while (counts.values.sum < 5 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable()
+        Thread.sleep(200)
+      }
+      assert(counts == Map("tom" -> 1L, "hello" -> 2L, "leo" -> 1L, "world" -> 1L))
+    } finally {
+      q.stop()
+      server.close()
+    }
   }
 }
