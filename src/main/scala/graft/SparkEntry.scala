@@ -6,6 +6,7 @@ import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.textanalysis.TextAnalysis
 import graft.multimodal.Multimodal
+import graft.pipeline.CorpusClean
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) and §7. */
 object SparkEntry {
@@ -50,7 +51,9 @@ object SparkEntry {
     "quality_score" -> q(TextAnalysis.qualityScore),
     "doc_fingerprint" -> q(TextAnalysis.docFingerprint),
     // multimodal
-    "multimodal_meta" -> q(Multimodal.multimodalMeta)
+    "multimodal_meta" -> q(Multimodal.multimodalMeta),
+    // composite pipeline
+    "corpus_clean" -> q(CorpusClean.corpusClean)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -81,6 +84,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
-    "multimodal_meta" -> Multimodal.multimodalMetaSql
+    "multimodal_meta" -> Multimodal.multimodalMetaSql,
+    "corpus_clean" -> CorpusClean.corpusCleanSql
   )
 }
