@@ -3,7 +3,8 @@ package graft
 import graft.functions.DotProduct
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** graft's `SparkSessionExtensions` hook: registers the native
   * expressions with the session FunctionRegistry, so SQL users get them
@@ -21,7 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.size == 2, "vec_dot(arrayA, arrayB) takes 2 arguments")
-        DotProduct(children.head, children(1))
+        // cast inputs so vec_dot(embedding, ...) on array<float> columns
+        // is correct (getDouble over float elements would read garbage);
+        // non-castable inputs fail analysis instead of crashing at runtime
+        DotProduct(Cast(children.head, ArrayType(DoubleType)),
+          Cast(children(1), ArrayType(DoubleType)))
       }))
   }
 }

@@ -2,6 +2,7 @@ package graft.ann
 
 import graft.Tables
 import graft.functions.VectorFunctions
+import graft.functions.Portable
 import graft.functions.Portable.{round6, round6Sql}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -27,9 +28,7 @@ object Ann {
     * inside the scoring join.
     */
   private def prepared(t: Tables): DataFrame = {
-    val bucketExpr = (0 until BucketBits).map(i =>
-      s"(CASE WHEN v[$i] > 0 THEN ${1 << (BucketBits - 1 - i)} ELSE 0 END)")
-      .mkString(" + ")
+    val bucketExpr = Portable.signBucketExpr(BucketBits, oneBasedIndex = false)
     t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", VectorFunctions.norm(col("v")))
@@ -107,9 +106,7 @@ object Ann {
   }
 
   def embedAnnLshSql: String = {
-    val bucketExpr = (0 until BucketBits).map(i =>
-      s"(CASE WHEN v[${i + 1}] > 0 THEN ${1 << (BucketBits - 1 - i)} ELSE 0 END)")
-      .mkString(" + ")
+    val bucketExpr = Portable.signBucketExpr(BucketBits, oneBasedIndex = true)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
        |           FROM embeddings),

@@ -261,9 +261,8 @@ object Dedup {
     * shape, a bucket-equi-join, is unchanged.
     */
   def dedupEmbedding(t: Tables): DataFrame = {
-    val bucketExpr = (0 until EmbedBucketBits).map(i =>
-      s"(CASE WHEN v[$i] > 0 THEN ${1 << (EmbedBucketBits - 1 - i)} ELSE 0 END)")
-      .mkString(" + ")
+    val bucketExpr =
+      graft.functions.Portable.signBucketExpr(EmbedBucketBits, oneBasedIndex = false)
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", VectorFunctions.norm(col("v")))
@@ -281,9 +280,8 @@ object Dedup {
   }
 
   def dedupEmbeddingSql: String = {
-    val bucketExpr = (0 until EmbedBucketBits).map(i =>
-      s"(CASE WHEN v[${i + 1}] > 0 THEN ${1 << (EmbedBucketBits - 1 - i)} ELSE 0 END)")
-      .mkString(" + ")
+    val bucketExpr =
+      graft.functions.Portable.signBucketExpr(EmbedBucketBits, oneBasedIndex = true)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm,
        |        $bucketExpr AS bucket FROM e)

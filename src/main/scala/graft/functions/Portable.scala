@@ -24,4 +24,16 @@ object Portable {
   /** The identical DuckDB expression for [[round6]]. */
   def round6Sql(e: String): String =
     s"floor(($e) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE"
+
+  /** Sign-LSH bucket id from the first `bits` dimensions of a vector
+    * column named `v`: bit i set iff v[i] > 0. One generator for both
+    * engines — the only difference is array indexing base (Spark 0-,
+    * DuckDB 1-based), which this encapsulates so the four call sites
+    * (dedup + ANN, Spark + SQL) cannot drift.
+    */
+  def signBucketExpr(bits: Int, oneBasedIndex: Boolean): String =
+    (0 until bits).map { i =>
+      val idx = if (oneBasedIndex) i + 1 else i
+      s"(CASE WHEN v[$idx] > 0 THEN ${1 << (bits - 1 - i)} ELSE 0 END)"
+    }.mkString(" + ")
 }

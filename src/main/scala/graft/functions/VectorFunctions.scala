@@ -25,8 +25,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // no ExpectsInputTypes (its types are private[sql]); graft's call
-  // sites always cast to array<double> before constructing this
+  // manual check instead of ExpectsInputTypes (its types are
+  // private[sql]): reject non-array<double> inputs at analysis time —
+  // getDouble over e.g. float elements would silently read garbage
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    def ok(dt: DataType) = dt match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot requires two array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "vec_dot"

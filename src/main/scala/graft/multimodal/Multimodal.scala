@@ -30,14 +30,19 @@ object Multimodal {
     */
   def multimodalMeta(t: Tables): DataFrame =
     t.documents
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"), col("text").as("txt"),
+        col("text").cast("binary").as("payload"))
       .select(col("doc_id"),
         length(col("payload")).cast("long").as("n_bytes"),
         md5(col("payload")).as("digest"),
-        // magic-byte sniff: the dispatch a real pipeline does before
-        // handing payloads to a codec; text payloads fall through
-        when(expr("substring(payload, 1, 4)") === lit(Array[Byte](0x89.toByte, 'P', 'N', 'G')), "image/png")
-          .when(expr("substring(payload, 1, 4)") === lit("RIFF".getBytes("US-ASCII")), "audio/wav")
+        // magic-prefix sniff: the dispatch a real pipeline does before
+        // handing payloads to a codec. Compared as CHARACTERS (not
+        // bytes) because the stand-in payload is text and DuckDB has no
+        // blob substring — byte-substring vs char-substr would diverge
+        // on multibyte prefixes. On a real binary corpus, switch to
+        // substring(payload, 1, 4) against byte literals.
+        when(substring(col("txt"), 1, 4) === lit("\u0089PNG"), "image/png")
+          .when(substring(col("txt"), 1, 4) === lit("RIFF"), "audio/wav")
           .otherwise("text/plain").as("media_type"))
       .orderBy(col("doc_id"))
 

@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import graft.functions.Portable.{round6, round6Sql}
+import graft.textanalysis.TextAnalysis
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -35,11 +35,8 @@ object CorpusClean {
       .groupBy(col("doc_id"), col("n_chars"))
       .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_distinct"))
       .select(col("doc_id"),
-        round6(
-          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.5
-            + (col("n_distinct").cast("double") / col("n_tok")) * 0.3
-            + least((col("n_chars").cast("double") / col("n_tok")) / 8.0,
-              lit(1.0)) * 0.2).as("quality"))
+        TextAnalysis.qualityExpr(col("n_chars"), col("n_tok"),
+          col("n_distinct")).as("quality"))
     docs
       .withColumn("rn", keeperRank)
       .filter(col("rn") === 1)
@@ -57,10 +54,7 @@ object CorpusClean {
        |          count(DISTINCT w) n_distinct
        |        FROM tok GROUP BY doc_id, n_chars),
        |q AS (SELECT doc_id,
-       |  ${round6Sql(
-        "least(n_chars::DOUBLE / 500.0, 1.0) * 0.5"
-          + " + (n_distinct::DOUBLE / n_tok) * 0.3"
-          + " + least((n_chars::DOUBLE / n_tok) / 8.0, 1.0) * 0.2")} quality
+       |  ${TextAnalysis.qualityExprSql("n_chars", "n_tok", "n_distinct")} quality
        |  FROM agg),
        |k AS (SELECT doc_id,
        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn

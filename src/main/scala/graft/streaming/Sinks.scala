@@ -32,12 +32,25 @@ object Sinks {
 
     def acquire(): C = synchronized {
       while (idle.isEmpty && created >= size) wait()
-      if (idle.isEmpty) { created += 1; factory() }
-      else idle.pop()
+      if (idle.isEmpty) {
+        created += 1
+        try factory()
+        catch { // roll the slot back or a failed open leaks it forever
+          case e: Throwable => created -= 1; notifyAll(); throw e
+        }
+      } else idle.pop()
     }
 
     def release(conn: C): Unit = synchronized {
       idle.push(conn)
+      notifyAll()
+    }
+
+    /** Drop a (possibly poisoned) connection instead of returning it,
+      * freeing its slot so a fresh one can be opened.
+      */
+    def discard(conn: C): Unit = synchronized {
+      created -= 1
       notifyAll()
     }
   }
@@ -87,7 +100,11 @@ object Sinks {
     override def process(value: T): Unit = write(conn, value, epoch)
 
     override def close(errorOrNull: Throwable): Unit =
-      if (conn != null)
-        ConnectionPools.getOrCreate(poolId, factory, poolSize).release(conn)
+      if (conn != null) {
+        val pool = ConnectionPools.getOrCreate(poolId, factory, poolSize)
+        // a failed task may have poisoned the connection (half-written
+        // txn, broken socket) — never return it to the pool
+        if (errorOrNull == null) pool.release(conn) else pool.discard(conn)
+      }
   }
 }

@@ -70,10 +70,12 @@ object Sources {
     */
   def kafkaShaped(lines: DataFrame): DataFrame = {
     val parts = split(col("value"), "\t", 3)
+    // try_element_at, not element_at: a malformed line (missing tabs)
+    // yields nulls instead of killing the query under ANSI mode
     lines.select(
-      element_at(parts, 1).as("topic"),
-      element_at(parts, 2).as("key"),
-      element_at(parts, 3).as("value"))
+      try_element_at(parts, lit(1)).as("topic"),
+      try_element_at(parts, lit(2)).as("key"),
+      try_element_at(parts, lit(3)).as("value"))
   }
 
   /** flatMap(split) tokenization shared by the wordcount jobs

@@ -71,6 +71,25 @@ object TextAnalysis {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** THE quality composite — single definition shared by qualityScore
+    * and pipeline.CorpusClean so the formulas cannot drift. Inputs are
+    * (n_chars, n_tok, n_distinct) columns.
+    */
+  def qualityExpr(nChars: org.apache.spark.sql.Column,
+                  nTok: org.apache.spark.sql.Column,
+                  nDistinct: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round6(
+      least(nChars.cast("double") / 500.0, lit(1.0)) * 0.5
+        + (nDistinct.cast("double") / nTok) * 0.3
+        + least((nChars.cast("double") / nTok) / 8.0, lit(1.0)) * 0.2)
+
+  /** DuckDB twin of [[qualityExpr]]; args are SQL fragments. */
+  def qualityExprSql(nChars: String, nTok: String, nDistinct: String): String =
+    round6Sql(
+      s"least($nChars::DOUBLE / 500.0, 1.0) * 0.5"
+        + s" + ($nDistinct::DOUBLE / $nTok) * 0.3"
+        + s" + least(($nChars::DOUBLE / $nTok) / 8.0, 1.0) * 0.2")
+
   /** Composite quality score: length saturation + type-token ratio
     * (lexical diversity) + mean-token-length saturation, identical
     * weighted formula both sides. Components surfaced for debuggability.
@@ -86,11 +105,8 @@ object TextAnalysis {
         round6(col("n_distinct").cast("double") / col("n_tok")).as("ttr"),
         round6(col("n_chars").cast("double") / col("n_tok"))
           .as("mean_tok_len"),
-        round6(
-          least(col("n_chars").cast("double") / 500.0, lit(1.0)) * 0.5
-            + (col("n_distinct").cast("double") / col("n_tok")) * 0.3
-            + least((col("n_chars").cast("double") / col("n_tok")) / 8.0,
-              lit(1.0)) * 0.2).as("quality"))
+        qualityExpr(col("n_chars"), col("n_tok"), col("n_distinct"))
+          .as("quality"))
       .orderBy(col("doc_id"))
 
   def qualityScoreSql: String =
@@ -102,10 +118,7 @@ object TextAnalysis {
        |SELECT doc_id,
        |  ${round6Sql("n_distinct::DOUBLE / n_tok")} AS ttr,
        |  ${round6Sql("n_chars::DOUBLE / n_tok")} AS mean_tok_len,
-       |  ${round6Sql(
-        "least(n_chars::DOUBLE / 500.0, 1.0) * 0.5"
-          + " + (n_distinct::DOUBLE / n_tok) * 0.3"
-          + " + least((n_chars::DOUBLE / n_tok) / 8.0, 1.0) * 0.2")} AS quality
+       |  ${qualityExprSql("n_chars", "n_tok", "n_distinct")} AS quality
        |FROM agg ORDER BY doc_id""".stripMargin
 
   /** Winnowing-style fingerprint: the minimum md5 over a doc's word

@@ -17,10 +17,14 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
-  test("every query executes at sf0.001 with non-empty schema") {
+  test("every query EXECUTES at sf0.001 (not just analyzes)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
       assert(df.schema.fields.nonEmpty, s"$name has empty schema")
+      // actually run the plan — analysis-only checks miss runtime
+      // failures (ANSI out-of-bounds, codegen errors, bad casts)
+      try df.limit(1).collect()
+      catch { case e: Throwable => fail(s"$name failed at runtime: $e") }
     }
   }
 }

@@ -47,6 +47,23 @@ class SinksSpec extends SparkSpec {
     t.join()
   }
 
+  test("ConnectionPool: failed factory rolls back its slot; discard frees one") {
+    var fail = true
+    var made = 0
+    val pool = new Sinks.ConnectionPool[String](
+      () => { if (fail) sys.error("db down"); made += 1; s"c$made" }, 1)
+    intercept[RuntimeException](pool.acquire())
+    // slot must be rolled back: with the backend healthy again the
+    // single-slot pool can still open a connection (no permanent leak)
+    fail = false
+    val a = pool.acquire()
+    assert(a == "c1" && pool.createdCount == 1)
+    // discard (poisoned connection) frees the slot for a fresh one
+    pool.discard(a)
+    assert(pool.createdCount == 0)
+    assert(pool.acquire() == "c2")
+  }
+
   test("PooledForeachWriter: per-partition pooled upserts reach the store") {
     import spark.implicits._
     TestStore.reset()
