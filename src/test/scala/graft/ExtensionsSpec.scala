@@ -20,4 +20,14 @@ class ExtensionsSpec extends SparkSpec {
       .filter("sq_norm > 0.99 AND sq_norm < 1.01").count()
     assert(n == tables.embeddings.count()) // unit-norm vectors
   }
+
+  test("vec_dot auto-casts raw float arrays (the obvious SQL call is correct)") {
+    tables.embeddings.createOrReplaceTempView("emb")
+    // no explicit CAST: the registered builder casts array<float> →
+    // array<double>; without it getDouble over float elements reads garbage
+    val n = spark.sql(
+      "SELECT vec_dot(embedding, embedding) AS sq_norm FROM emb")
+      .filter("sq_norm > 0.99 AND sq_norm < 1.01").count()
+    assert(n == tables.embeddings.count())
+  }
 }
