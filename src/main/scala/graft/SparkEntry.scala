@@ -50,6 +50,7 @@ object SparkEntry {
     "lang_id" -> q(TextAnalysis.langId),
     "quality_score" -> q(TextAnalysis.qualityScore),
     "doc_fingerprint" -> q(TextAnalysis.docFingerprint),
+    "top_ngrams" -> q(t => TextAnalysis.topNgrams(t)),
     // multimodal
     "multimodal_meta" -> q(Multimodal.multimodalMeta),
     // composite pipeline
@@ -84,6 +85,7 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "top_ngrams" -> TextAnalysis.topNgramsSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql
   )

@@ -121,6 +121,42 @@ object TextAnalysis {
        |  ${qualityExprSql("n_chars", "n_tok", "n_distinct")} AS quality
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Corpus n-gram statistics: the top 3-grams by document frequency —
+    * the profile pass a pipeline runs to find boilerplate/stop-phrases
+    * worth stripping before dedup. Document frequency (distinct docs per
+    * shingle), not raw count, so one spammy doc cannot dominate; top-k
+    * via rank with a shingle tiebreak (deterministic across engines).
+    * Scale: shuffle carries (shingle, doc_id) pairs; the rank runs over
+    * one row per distinct shingle.
+    */
+  def topNgrams(t: Tables, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = t.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ts) - 2), i -> concat_ws(' ', slice(ts, i, 3)))"))
+        .as("ngram"))
+      .distinct()
+    sh.groupBy(col("ngram"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("doc_freq").desc, col("ngram"))))
+      .filter(col("rank") <= k)
+      .select(col("ngram"), col("doc_freq"), col("rank"))
+  }
+
+  def topNgramsSql: String =
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+      |             WHERE len(string_split(text, ' ')) >= 3),
+      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] ngram
+      |       FROM tok, unnest(generate_series(1, len(ts) - 2)) t(i)),
+      |df AS (SELECT ngram, COUNT(*) doc_freq FROM sh GROUP BY ngram)
+      |SELECT ngram, doc_freq, CAST(rank AS INT) AS rank FROM (
+      |  SELECT ngram, doc_freq,
+      |    row_number() OVER (ORDER BY doc_freq DESC, ngram) rank FROM df)
+      |WHERE rank <= 20""".stripMargin
+
   /** Winnowing-style fingerprint: the minimum md5 over a doc's word
     * 3-shingles (stable under local edits — the basis of near-dup
     * clustering) plus the exact md5 of the full text.
