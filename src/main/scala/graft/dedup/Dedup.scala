@@ -28,8 +28,9 @@ object Dedup {
   val ShingleSize = 3
   val NumPerms = 8   // minhash signature length
   val NumBands = 4   // 2 rows per band
-  val SimhashBits = 16
-  val SimhashChunks = 4 // pigeonhole: hamming<=3 pairs share >=1 chunk
+  val SimhashBits = 48  // 12 md5 hex digits; stays positive in a BIGINT
+  val SimhashChunks = 4 // pigeonhole: hamming<=1 pairs share >=3 chunks
+  val SimhashChunkBits: Int = SimhashBits / SimhashChunks // 12 -> 4096-value chunks
   val HammingMax = 1
   val JaccardMin = 0.8
   val CosineMin = 0.35
@@ -163,45 +164,47 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** Count-weighted 16-bit SimHash near-dup pairs. Each token contributes
+  /** Count-weighted 48-bit SimHash near-dup pairs. Each token contributes
     * its per-doc count with sign taken from bit i of md5(token)'s first
-    * 16 bits (hex digits parsed via ascii arithmetic — portable); simhash
-    * bit i is the sign of the sum. Candidates share at least one of 4
-    * 4-bit chunks (pigeonhole covers hamming ≤ 3); kept pairs have
-    * hamming ≤ 1. Shuffles: (doc, token) counts, then (chunk-key, id).
-    * At 100 TB, widen to 64-bit signatures + 8 chunks — same plan shape.
+    * 48 bits (12 hex digits parsed via ascii arithmetic — portable; 48
+    * keeps the signature positive in a signed BIGINT both engines);
+    * simhash bit i is the sign of the sum. Candidates share at least
+    * one PAIR of 12-bit chunks (hamming ≤ 1 leaves ≥ 3 of 4 chunks
+    * equal ⇒ some pair matches); 24-bit pair keys make random
+    * collisions negligible, so candidates ≈ true near-dups even at
+    * billions of documents. Shuffles: (doc, token) counts, then
+    * (chunk-key, id).
     */
   def dedupSimhash(t: Tables): DataFrame = {
+    val nHex = SimhashBits / 4
     val tok = t.documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
     def hexDigit(i: Int) = // parse one hex digit of the materialized hash
       s"(ascii(substring(h, $i, 1)) - 48 - 39 * " +
         s"(CASE WHEN ascii(substring(h, $i, 1)) >= 97 THEN 1 ELSE 0 END))"
-    val hv = (1 to 4).map(i => s"${hexDigit(i)} * ${1 << (4 * (4 - i))}")
+    val hv = (1 to nHex).map(i => s"${hexDigit(i)} * ${1L << (4 * (nHex - i))}L")
       .mkString(" + ")
     val sumCols = (0 until SimhashBits).map(i => expr(
-      s"sum(cnt * (CASE WHEN (hv div ${1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) AS s$i"))
+      s"sum(cnt * (CASE WHEN (hv div ${1L << i}L) % 2 = 1 THEN 1 ELSE -1 END)) AS s$i"))
     val sums = tok
-      .withColumn("h", md5(col("w"))) // hash once, parse four digits
+      .withColumn("h", md5(col("w"))) // hash once, parse the digits
       .withColumn("hv", expr(hv))
       .groupBy(col("doc_id"))
       .agg(sumCols.head, sumCols.tail: _*)
     val simhash = (0 until SimhashBits).map(i =>
-      s"(CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      s"(CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END)").mkString(" + ")
     val sig = sums.select(col("doc_id"),
       expr(s"CAST($simhash AS BIGINT)").as("simhash"))
-    // band on PAIRS of 4-bit chunks (8-bit keys): hamming <= 1 flips at
-    // most one chunk, so >= 3 of 4 chunks match => some chunk-pair
-    // matches exactly. 256-value keys collide ~16x less than single
-    // chunks — an order of magnitude fewer candidate pairs at any scale.
+    val chunkVals = 1L << SimhashChunkBits
+    def chunkOf(i: Int) =
+      s"((simhash div ${1L << (SimhashChunkBits * i)}L) % ${chunkVals}L)"
     val chunkPairs = for {
       i <- 0 until SimhashChunks; j <- (i + 1) until SimhashChunks
     } yield (i, j)
     val bandStructs = chunkPairs.zipWithIndex.map { case ((i, j), idx) =>
       struct(lit(idx).as("band_idx"),
-        expr(s"((simhash div ${math.pow(16, i).toLong}) % 16) * 16 + " +
-          s"((simhash div ${math.pow(16, j).toLong}) % 16)").as("band_key"))
+        expr(s"${chunkOf(i)} * ${chunkVals}L + ${chunkOf(j)}").as("band_key"))
     }
     val bands = sig
       .select(col("doc_id"), col("simhash"),
@@ -221,16 +224,21 @@ object Dedup {
   }
 
   def dedupSimhashSql: String = {
+    val nHex = SimhashBits / 4
     def hexDigit(i: Int) =
       s"(ascii(substr(md5(w), $i, 1)) - 48 - 39 * " +
         s"(CASE WHEN ascii(substr(md5(w), $i, 1)) >= 97 THEN 1 ELSE 0 END))"
-    val hv = (1 to 4).map(i => s"${hexDigit(i)} * ${1 << (4 * (4 - i))}")
+    val hv = (1 to nHex) // ::BIGINT before the multiply — int32 overflows
+      .map(i => s"${hexDigit(i)}::BIGINT * ${1L << (4 * (nHex - i))}")
       .mkString(" + ")
     val sums = (0 until SimhashBits).map(i =>
-      s"sum(cnt * (CASE WHEN (hv // ${1 << i}) % 2 = 1 THEN 1 ELSE -1 END)) s$i")
+      s"sum(cnt * (CASE WHEN (hv // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END)) s$i")
       .mkString(", ")
     val simhash = (0 until SimhashBits).map(i =>
-      s"(CASE WHEN s$i > 0 THEN ${1 << i} ELSE 0 END)").mkString(" + ")
+      s"(CASE WHEN s$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    val chunkVals = 1L << SimhashChunkBits
+    def chunkOf(c: String) =
+      s"((simhash // (${chunkVals} ** b.$c)::BIGINT) % ${chunkVals})"
     s"""WITH tok AS (SELECT doc_id, w, COUNT(*) cnt FROM
        |  (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
        |  GROUP BY doc_id, w),
@@ -238,8 +246,8 @@ object Dedup {
        |sums AS (SELECT doc_id, $sums FROM hvt GROUP BY doc_id),
        |sig AS (SELECT doc_id, ($simhash)::BIGINT simhash FROM sums),
        |bands AS (SELECT doc_id, simhash, b.i * 4 + b.j band_idx,
-       |    ((simhash // (16 ** b.i)::BIGINT) % 16) * 16
-       |      + ((simhash // (16 ** b.j)::BIGINT) % 16) band_key
+       |    ${chunkOf("i")} * ${chunkVals}
+       |      + ${chunkOf("j")} band_key
        |  FROM sig, (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) b(i, j))
        |SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b,
        |  bit_count(xor(x.simhash, y.simhash))::INT hamming
