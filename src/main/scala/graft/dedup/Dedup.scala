@@ -63,8 +63,7 @@ object Dedup {
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .where(size(col("ts")) >= ShingleSize)
       .select(col("doc_id"), explode(expr(
-        s"transform(sequence(1, size(ts) - ${ShingleSize - 1}), " +
-          s"i -> concat_ws(' ', slice(ts, i, $ShingleSize)))")).as("s"))
+        graft.functions.Portable.shingleExpr(ShingleSize))).as("s"))
       .distinct()
 
   /** DuckDB twin of [[shingles]] as a CTE body. */

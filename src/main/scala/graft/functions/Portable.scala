@@ -25,6 +25,18 @@ object Portable {
   def round6Sql(e: String): String =
     s"floor(($e) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE"
 
+  /** Word-shingle generator over a token-array column named `ts`:
+    * `transform(sequence(...), i -> concat_ws(...))`. The caller must
+    * pre-filter `size(ts) >= n` — Spark's `sequence(1, k)` DESCENDS for
+    * k < 1 (DuckDB's generate_series is empty), so an unguarded short
+    * doc would produce phantom shingles in Spark only. One definition
+    * for the three shingle-based ops (minhash/jaccard, fingerprint,
+    * top-ngrams).
+    */
+  def shingleExpr(n: Int): String =
+    s"transform(sequence(1, size(ts) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice(ts, i, $n)))"
+
   /** Sign-LSH bucket id from the first `bits` dimensions of a vector
     * column named `v`: bit i set iff v[i] > 0. One generator for both
     * engines — the only difference is array indexing base (Spark 0-,
