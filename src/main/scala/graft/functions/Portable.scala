@@ -33,9 +33,9 @@ object Portable {
     * for the three shingle-based ops (minhash/jaccard, fingerprint,
     * top-ngrams).
     */
-  def shingleExpr(n: Int): String =
-    s"transform(sequence(1, size(ts) - ${n - 1}), " +
-      s"i -> concat_ws(' ', slice(ts, i, $n)))"
+  def shingleExpr(n: Int, tokensCol: String = "ts"): String =
+    s"transform(sequence(1, size($tokensCol) - ${n - 1}), " +
+      s"i -> concat_ws(' ', slice($tokensCol, i, $n)))"
 
   /** Sign-LSH bucket id from the first `bits` dimensions of a vector
     * column named `v`: bit i set iff v[i] > 0. One generator for both

@@ -147,6 +147,64 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // MinhashCandidates — dedup.Dedup.dedupMinhash in the streaming model:
+  // near-dup candidate pairs over a live document stream.
+  // ---------------------------------------------------------------------
+  object MinhashCandidates {
+
+    import graft.dedup.Dedup.{NumBands, NumPerms, ShingleSize}
+
+    /** Per-ROW minhash band keys — no aggregation, so the downstream
+      * stream-stream join stays legal. The usual groupBy-min signature
+      * is replaced by `array_min` over per-shingle md5s (min is
+      * duplicate-insensitive, so skipping the distinct changes nothing),
+      * computed entirely in codegen'd higher-order functions. Emits one
+      * row per (doc, band).
+      */
+    def bandKeys(docs: DataFrame): DataFrame = {
+      val sigCols = (0 until NumPerms).map(p => expr(
+        s"array_min(transform(sh, s -> md5(concat('$p:', s))))").as(s"h$p"))
+      val bandStructs = (0 until NumBands).map(b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))
+            .as("band_key")))
+      docs
+        .withColumn("ts_toks", split(col("text"), " "))
+        .where(size(col("ts_toks")) >= ShingleSize)
+        .withColumn("sh", expr(
+          graft.functions.Portable.shingleExpr(ShingleSize, "ts_toks")))
+        .select(col("ts") +: col("doc_id") +: sigCols: _*)
+        .select(col("ts"), col("doc_id"),
+          explode(array(bandStructs: _*)).as("bk"))
+        .select(col("ts"), col("doc_id"),
+          col("bk.band_idx"), col("bk.band_key"))
+    }
+
+    /** Candidate near-dup pairs from a (ts, doc_id, text) stream: both
+      * sides of a watermarked stream-stream self-join on band key,
+      * time-bounded to `horizon` so the join state is droppable — the
+      * streaming analog of the batch band join, with the watermark
+      * playing the corpus-boundary role. Append mode.
+      */
+    def candidates(docs: DataFrame,
+                   horizon: String = "60 seconds",
+                   watermarkLag: String = "30 seconds"): DataFrame = {
+      val a = bandKeys(docs).withWatermark("ts", watermarkLag)
+        .select(col("ts").as("ts_a"), col("doc_id").as("doc_a"),
+          col("band_idx").as("bi_a"), col("band_key").as("bk_a"))
+      val b = bandKeys(docs).withWatermark("ts", watermarkLag)
+        .select(col("ts").as("ts_b"), col("doc_id").as("doc_b"),
+          col("band_idx").as("bi_b"), col("band_key").as("bk_b"))
+      a.join(b,
+        col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") &&
+          col("doc_a") < col("doc_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+        .select(col("doc_a"), col("doc_b"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // TopKPerCategory — ref: Top3HotProduct.java:139-196: window counts,
   // then per-RDD HiveContext SQL row_number rank ≤ 3.
   // ---------------------------------------------------------------------

@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 import java.sql.Timestamp
 import java.nio.file.Files
@@ -181,6 +182,58 @@ class StreamingJobsSpec extends SparkSpec {
       val kept2 = spark.table("sdedup").select("doc_id").as[Long].collect().toSet
       assert(kept2 == Set(1L, 3L))
     } finally q.stop()
+  }
+
+  test("MinhashCandidates: stream-stream band join surfaces near-dup pairs") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val cand = Jobs.MinhashCandidates.candidates(
+      in.toDF().toDF("ts", "doc_id", "text"))
+    val q = cand.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mh_cand").start()
+    try {
+      val t = (s: Long) => new Timestamp(s * 1000)
+      val dup = "the quick brown fox jumps over the lazy dog again and again"
+      val other = "completely different words with no overlap whatsoever here now"
+      in.addData(Seq((t(10), 1L, dup), (t(20), 2L, dup), (t(25), 3L, other)))
+      q.processAllAvailable()
+      in.addData(Seq((t(10000), 99L, "x y z"))) // advance watermark
+      q.processAllAvailable()
+      val pairs = spark.table("mh_cand").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L))) // identical docs pair; `other` never does
+    } finally q.stop()
+  }
+
+  test("MinhashCandidates per-row signature equals the batch aggregated one") {
+    import spark.implicits._
+    // min over md5s is duplicate-insensitive, so the per-row array_min
+    // signature must equal dedup.Dedup's groupBy-min — pin the claim
+    val docs = tables.documents.limit(50)
+      .select(current_timestamp().as("ts"), col("doc_id"), col("text"))
+    val streamed = Jobs.MinhashCandidates.bandKeys(docs)
+      .select("doc_id", "band_idx", "band_key")
+      .as[(Long, Int, String)].collect().toSet
+    // batch twin: same bands via Dedup's aggregated signatures
+    val agg = {
+      import graft.dedup.Dedup
+      val sh = tables.documents.limit(50)
+        .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        .where(size(col("ts")) >= 3)
+        .select(col("doc_id"),
+          explode(expr(graft.functions.Portable.shingleExpr(3))).as("s"))
+        .distinct()
+      val sigCols = (0 until Dedup.NumPerms).map(p =>
+        min(md5(concat(lit(s"$p:"), col("s")))).as(s"h$p"))
+      val sig = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandStructs = (0 until Dedup.NumBands).map(b =>
+        struct(lit(b).as("band_idx"),
+          md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))
+            .as("band_key")))
+      sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
+        .as[(Long, Int, String)].collect().toSet
+    }
+    assert(streamed == agg)
   }
 
   test("Sources.textDir: file-landing-dir source feeds the wordcount") {
