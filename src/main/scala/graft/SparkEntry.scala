@@ -36,6 +36,7 @@ object SparkEntry {
     "tumbling_counts" -> q(Windows.tumblingCounts),
     "sliding_counts" -> q(Windows.slidingCounts),
     "window_hot_word" -> q(Windows.windowHotWord),
+    "sessionize" -> q(Windows.sessionize),
     // dedup family (LLM pipeline)
     "dedup_exact" -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -74,6 +75,7 @@ object SparkEntry {
     "tumbling_counts" -> Windows.tumblingCountsSql,
     "sliding_counts" -> Windows.slidingCountsSql,
     "window_hot_word" -> Windows.windowHotWordSql,
+    "sessionize" -> Windows.sessionizeSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,

@@ -66,6 +66,64 @@ object Windows {
   def slidingCountsSql: String =
     s"SELECT event_type, w_start, COUNT(*) AS cnt\n$slidingCountsFrom"
 
+  val SessionGapSec = 1800L // 30 min inactivity closes a session
+
+  /** Per-user sessionization (gaps-and-islands): a session breaks after
+    * [[SessionGapSec]] of inactivity; emit one row per session with its
+    * bounds, event count, and exact value sum. The third classic window
+    * kind next to tumbling/sliding — the reference has no equivalent;
+    * the streaming twin is `streaming.Jobs.SessionCounts`
+    * (`session_window`, state bounded by the watermark).
+    *
+    * Scale: both windows partition by user_id — a user's history sorts
+    * in one task, bounded by per-user event counts (for whale users,
+    * pre-split by (user, day) first — same plan shape). The session
+    * aggregation itself is partial as always.
+    */
+  def sessionize(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val isNew = when(
+      col("ts_sec") - lag(col("ts_sec"), 1).over(byUser) > SessionGapSec ||
+        lag(col("ts_sec"), 1).over(byUser).isNull, 1).otherwise(0)
+    t.events
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("value"))
+      .withColumn("is_new", isNew)
+      .withColumn("session_idx", sum(col("is_new")).over(byUser).cast("long"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_sec")).as("session_start"),
+        max(col("ts_sec")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  def sessionizeSql: String =
+    s"""WITH ev AS (SELECT event_id, user_id,
+       |              CAST(floor(epoch(ts)) AS BIGINT) ts_sec, value
+       |            FROM events),
+       |marked AS (SELECT *,
+       |    CASE WHEN ts_sec - lag(ts_sec, 1) OVER
+       |             (PARTITION BY user_id ORDER BY ts_sec, event_id)
+       |           > $SessionGapSec
+       |           OR lag(ts_sec, 1) OVER
+       |             (PARTITION BY user_id ORDER BY ts_sec, event_id)
+       |           IS NULL
+       |         THEN 1 ELSE 0 END is_new
+       |  FROM ev),
+       |sess AS (SELECT *,
+       |    CAST(sum(is_new) OVER
+       |      (PARTITION BY user_id ORDER BY ts_sec, event_id) AS BIGINT)
+       |      session_idx
+       |  FROM marked)
+       |SELECT user_id, session_idx,
+       |  MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
   /** Top-3 hottest keys per sliding window (ref: WindowHotWord.java:
     * 61-91 — sortByKey + take(3), re-expressed as a rank window so the
     * top-k runs inside the plan, distributed, with no driver collect).

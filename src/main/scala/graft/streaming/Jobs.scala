@@ -147,6 +147,30 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // SessionCounts — streaming twin of operators.Windows.sessionize:
+  // native session windows (gap-merged), state bounded by the watermark.
+  // ---------------------------------------------------------------------
+  object SessionCounts {
+
+    /** Per-user session aggregates over a (ts, user) stream: Spark's
+      * `session_window` merges events whose gaps are under `gap` into
+      * one growing window; a session emits (append) once the watermark
+      * passes its close. The batch replay is Windows.sessionize's
+      * gaps-and-islands plan.
+      */
+    def counts(events: DataFrame,
+               gap: String = "30 minutes",
+               watermarkLag: String = "10 minutes"): DataFrame =
+      events
+        .withWatermark("ts", watermarkLag)
+        .groupBy(session_window(col("ts"), gap), col("user"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("user"), col("n_events"))
+  }
+
+  // ---------------------------------------------------------------------
   // MinhashCandidates — dedup.Dedup.dedupMinhash in the streaming model:
   // near-dup candidate pairs over a live document stream.
   // ---------------------------------------------------------------------

@@ -184,6 +184,31 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SessionCounts: gap-merged session windows emit exact aggregates") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val counts = Jobs.SessionCounts.counts(
+      in.toDF().toDF("ts", "user"), gap = "30 seconds", watermarkLag = "10 seconds")
+    val q = counts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sessions").start()
+    try {
+      val t = (s: Long) => new Timestamp(s * 1000)
+      // tom: events at 10, 25, 40 chain into ONE session (gaps < 30 s);
+      // the event at 100 starts a second session. leo: one event.
+      in.addData(Seq((t(10), "tom"), (t(25), "tom"), (t(40), "tom"),
+        (t(100), "tom"), (t(12), "leo")))
+      q.processAllAvailable()
+      in.addData(Seq((t(10000), "x"))) // close everything via watermark
+      q.processAllAvailable()
+      val got = spark.table("sessions").as[(Timestamp, Timestamp, String, Long)]
+        .collect().map { case (s, e, u, n) =>
+          (s.getTime / 1000, e.getTime / 1000, u, n) }.toSet
+      // session end = last event + gap
+      assert(got == Set(
+        (10L, 70L, "tom", 3L), (100L, 130L, "tom", 1L), (12L, 42L, "leo", 1L)))
+    } finally q.stop()
+  }
+
   test("MinhashCandidates: stream-stream band join surfaces near-dup pairs") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, String)]
