@@ -27,6 +27,7 @@ object SparkEntry {
     "top3_per_category" -> q(Relational.top3PerCategory),
     "blacklist_filter" -> q(Relational.blacklistFilter),
     "kv_extract_count" -> q(Relational.kvExtractCount),
+    "q18_large_orders" -> q(Relational.q18LargeOrders),
     // wordcount family
     "word_count" -> q(WordCounts.wordCount),
     "hdfs_word_count" -> q(WordCounts.hdfsWordCount),
@@ -68,6 +69,7 @@ object SparkEntry {
     "top3_per_category" -> Relational.top3PerCategorySql,
     "blacklist_filter" -> Relational.blacklistFilterSql,
     "kv_extract_count" -> Relational.kvExtractCountSql,
+    "q18_large_orders" -> Relational.q18LargeOrdersSql,
     "word_count" -> WordCounts.wordCountSql,
     "hdfs_word_count" -> WordCounts.hdfsWordCountSql,
     "persist_word_count" -> WordCounts.persistWordCountSql,

@@ -194,6 +194,45 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM customer
       |                  WHERE c_acctbal < 0 AND c_custkey = user_id)""".stripMargin
 
+  /** Large-order report (TPC-H Q18 shape): aggregate the fact, filter on
+    * the aggregate (HAVING), then join the survivors back to the
+    * dimensions. The scale shape: the heavy groupBy collapses map-side;
+    * the HAVING filter shrinks the result to a sliver, which then joins
+    * back as the SMALL side — at 100 TB the join back to orders/customer
+    * broadcasts the survivors, never the facts.
+    */
+  def q18LargeOrders(t: Tables): DataFrame = {
+    val bigOrders = t.lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"))
+      .filter(col("qty") > 300)
+      .select(col("l_orderkey"), col("qty").cast("double").as("sum_qty"))
+    t.orders
+      .join(bigOrders, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(t.customer.select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_sec"),
+        dec(col("o_totalprice")).cast("double").as("o_totalprice"),
+        col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  def q18LargeOrdersSql: String =
+    """SELECT c_custkey, c_name, o_orderkey,
+      |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_sec,
+      |  CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice,
+      |  sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey,
+      |        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) sum_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 300) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
   /** Kafka-shaped key extraction + count: the reference's Kafka word
     * counts consume (key,value) records (ref: KafkaDirectWordCount.java);
     * here the payload is the events `props` JSON and the key is pulled
