@@ -38,6 +38,7 @@ object SparkEntry {
     "sliding_counts" -> q(Windows.slidingCounts),
     "window_hot_word" -> q(Windows.windowHotWord),
     "sessionize" -> q(Windows.sessionize),
+    "event_stats" -> q(Windows.eventStats),
     // dedup family (LLM pipeline)
     "dedup_exact" -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
@@ -78,6 +79,7 @@ object SparkEntry {
     "sliding_counts" -> Windows.slidingCountsSql,
     "window_hot_word" -> Windows.windowHotWordSql,
     "sessionize" -> Windows.sessionizeSql,
+    "event_stats" -> Windows.eventStatsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,

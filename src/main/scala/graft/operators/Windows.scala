@@ -66,6 +66,38 @@ object Windows {
   def slidingCountsSql: String =
     s"SELECT event_type, w_start, COUNT(*) AS cnt\n$slidingCountsFrom"
 
+  /** Per-type value-distribution profile: count, exact decimal mean,
+    * min/max, and interpolated p50/p95 (Spark `percentile` and DuckDB
+    * `quantile_cont` share the interpolation definition — verified
+    * bit-identical; round6 guards the last ulp). Scale: exact
+    * percentile materializes each group's values — fine for
+    * bounded-cardinality groups like event types; for high-cardinality
+    * keys switch to `approx_percentile` (t-digest, mergeable map-side).
+    */
+  def eventStats(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    t.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(12,2)")).cast("double") / count(lit(1)))
+          .as("mean_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        round6(expr("percentile(value, 0.5)")).as("p50"),
+        round6(expr("percentile(value, 0.95)")).as("p95"))
+      .orderBy(col("event_type"))
+  }
+
+  def eventStatsSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""SELECT event_type, COUNT(*) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS mean_value,
+       |  MIN(value) AS min_value, MAX(value) AS max_value,
+       |  ${round6Sql("quantile_cont(value, 0.5)")} AS p50,
+       |  ${round6Sql("quantile_cont(value, 0.95)")} AS p95
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   val SessionGapSec = 1800L // 30 min inactivity closes a session
 
   /** Per-user sessionization (gaps-and-islands): a session breaks after
