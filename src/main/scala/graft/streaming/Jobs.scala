@@ -147,6 +147,37 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // CorpusCleanStream — pipeline.CorpusClean on a live document stream:
+  // per-row quality gate, then watermarked exact dedup. The full intake
+  // path an LLM data pipeline runs as documents land.
+  // ---------------------------------------------------------------------
+  object CorpusCleanStream {
+
+    /** (ts, doc_id, text) stream → documents that clear the quality
+      * threshold AND are first-seen for their content hash. The quality
+      * inputs (chars, tokens, distinct tokens) are per-row higher-order
+      * functions — no aggregation — so the only state is the dedup
+      * store, bounded by the watermark. The formula is
+      * textanalysis.TextAnalysis.qualityExpr, the SAME definition the
+      * batch op filters on.
+      */
+    def clean(docs: DataFrame,
+              qualityMin: Double = graft.pipeline.CorpusClean.QualityMin,
+              watermarkLag: String = "10 seconds"): DataFrame =
+      docs
+        .withColumn("n_chars", length(col("text")))
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("quality", graft.textanalysis.TextAnalysis.qualityExpr(
+          col("n_chars"), size(col("toks")),
+          size(array_distinct(col("toks")))))
+        .filter(col("quality") >= qualityMin)
+        .withColumn("text_hash", md5(col("text")))
+        .withWatermark("ts", watermarkLag)
+        .dropDuplicatesWithinWatermark("text_hash")
+        .select(col("ts"), col("doc_id"), col("quality"), col("text_hash"))
+  }
+
+  // ---------------------------------------------------------------------
   // SessionCounts — streaming twin of operators.Windows.sessionize:
   // native session windows (gap-merged), state bounded by the watermark.
   // ---------------------------------------------------------------------

@@ -184,6 +184,28 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CorpusCleanStream: quality gate plus watermarked dedup") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = Jobs.CorpusCleanStream.clean(
+      in.toDF().toDF("ts", "doc_id", "text"), qualityMin = 0.5)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cc_stream").start()
+    try {
+      val t = (s: Long) => new Timestamp(s * 1000)
+      // rich doc: long + diverse → clears 0.5; "x x" → fails the gate
+      val rich = ("the quick brown fox jumps over a lazy dog while many " +
+        "other animals watch the scene with great interest and some doubt " +
+        "about whether this classic sentence really contains every letter")
+      in.addData(Seq(
+        (t(10), 1L, rich), (t(11), 2L, "x x"), (t(12), 3L, rich)))
+      q.processAllAvailable()
+      val kept = spark.table("cc_stream").select("doc_id").as[Long]
+        .collect().toSet
+      assert(kept == Set(1L)) // low quality dropped; duplicate rich dropped
+    } finally q.stop()
+  }
+
   test("SessionCounts: gap-merged session windows emit exact aggregates") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, String)]
