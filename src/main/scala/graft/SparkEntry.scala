@@ -41,7 +41,7 @@ object SparkEntry {
     "event_stats" -> q(Windows.eventStats),
     // dedup family (LLM pipeline)
     "dedup_exact" -> q(Dedup.dedupExact),
-    "dedup_ngram_jaccard" -> q(Dedup.dedupNgramJaccard),
+    "dedup_ngram_jaccard" -> q(t => Dedup.dedupNgramJaccard(t)),
     "dedup_minhash" -> q(Dedup.dedupMinhash),
     "dedup_simhash" -> q(Dedup.dedupSimhash),
     "dedup_embedding" -> q(Dedup.dedupEmbedding),
@@ -57,7 +57,8 @@ object SparkEntry {
     // multimodal
     "multimodal_meta" -> q(Multimodal.multimodalMeta),
     // composite pipeline
-    "corpus_clean" -> q(CorpusClean.corpusClean)
+    "corpus_clean" -> q(CorpusClean.corpusClean),
+    "corpus_clean_neardup" -> q(CorpusClean.corpusCleanNearDup)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -93,6 +94,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "top_ngrams" -> TextAnalysis.topNgramsSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
-    "corpus_clean" -> CorpusClean.corpusCleanSql
+    "corpus_clean" -> CorpusClean.corpusCleanSql,
+    "corpus_clean_neardup" -> CorpusClean.corpusCleanNearDupSql
   )
 }

@@ -35,6 +35,13 @@ object Dedup {
   val JaccardMin = 0.8
   val CosineMin = 0.35
   val EmbedBucketBits = 2
+  /** Max documents a shingle may appear in before it is treated as
+    * boilerplate and dropped from [[dedupNgramJaccard]]'s index. Bounds
+    * the posting-list self-join at O(cap²) per shingle: without it one
+    * stop-shingle ("all rights reserved") shared by 1% of a 100 TB
+    * corpus makes that key's join quadratic in corpus size.
+    */
+  val ShingleDocFreqCap = 100
 
   // ---------------------------------------------------------------- exact
 
@@ -77,20 +84,49 @@ object Dedup {
 
   /** Exact shingle-Jaccard near-dup pairs via an inverted-index join:
     * shuffle (shingle, doc_id), count common shingles per candidate pair,
-    * then the Jaccard formula over precomputed set sizes. Quadratic work
-    * happens only inside a shingle's posting list, never corpus-wide —
-    * at larger scale, cap posting-list length (drop stop-shingles) or
-    * run this as the verify step after [[dedupMinhash]] candidates.
+    * then the Jaccard formula over precomputed set sizes.
+    *
+    * The index is CAPPED: shingles appearing in more than
+    * [[ShingleDocFreqCap]] documents are boilerplate (stop-phrases,
+    * license headers) and are dropped from the shingle universe — from
+    * the posting lists AND the per-doc set sizes, so the output is the
+    * exact Jaccard of the capped sets (identical definition both
+    * engines). This bounds the self-join at O(cap²) per shingle; the
+    * quadratic work is confined to each posting list and the lists are
+    * bounded, so the plan survives a corpus where one stop-shingle
+    * covers 1% of 100 TB. Docs whose shingles are ALL boilerplate drop
+    * out of the universe — correct: they share no distinctive content.
     */
-  def dedupNgramJaccard(t: Tables): DataFrame = {
-    val sh = shingles(t)
-    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common = sh.as("x")
+  /** [[shingles]] minus boilerplate: shingles in more than `cap` docs
+    * are dropped. The doc_freq aggregation and the semi join share the
+    * (s) hash partitioning — one logical shuffle on the shingle key.
+    */
+  private def cappedShingles(t: Tables, cap: Int): DataFrame = {
+    val all = shingles(t)
+    val rare = all.groupBy(col("s")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") <= cap)
+      .select(col("s"))
+    all.join(rare, Seq("s"), "left_semi")
+  }
+
+  /** Candidate pairs + common-shingle counts from the capped inverted
+    * index — the bounded-fan-out core of [[dedupNgramJaccard]], exposed
+    * so DedupSpec can pin that a planted stop-shingle does not explode
+    * the candidate count.
+    */
+  def ngramCandidates(t: Tables, cap: Int = ShingleDocFreqCap): DataFrame = {
+    val sh = cappedShingles(t, cap)
+    sh.as("x")
       .join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("common"))
-    common
+  }
+
+  def dedupNgramJaccard(t: Tables, cap: Int = ShingleDocFreqCap): DataFrame = {
+    val sz = cappedShingles(t, cap)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    ngramCandidates(t, cap)
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -102,9 +138,12 @@ object Dedup {
 
   def dedupNgramJaccardSql: String =
     s"""WITH $shinglesSql,
-       |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |shc AS (SELECT doc_id, s FROM sh WHERE s IN
+       |          (SELECT s FROM sh GROUP BY s
+       |           HAVING COUNT(*) <= $ShingleDocFreqCap)),
+       |sz AS (SELECT doc_id, COUNT(*) n FROM shc GROUP BY doc_id),
        |pairs AS (SELECT x.doc_id doc_a, y.doc_id doc_b, COUNT(*) common
-       |          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+       |          FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
        |          GROUP BY x.doc_id, y.doc_id)
        |SELECT doc_a, doc_b,
        |  ${round6Sql("common::DOUBLE / (sa.n + sb.n - common)")} AS jaccard
@@ -145,21 +184,28 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  def dedupMinhashSql: String = {
+  /** CTE chain (`tok`, `sh`, `sig`, `bands`) behind [[dedupMinhashSql]],
+    * shared with pipeline.CorpusClean's near-dup composite so the band
+    * definition cannot drift between the two oracles.
+    */
+  def minhashBandsCtes: String = {
     val mins = (0 until NumPerms)
       .map(p => s"min(md5('$p:' || s)) h$p").mkString(", ")
     val bands = (0 until NumBands).map(b =>
       s"SELECT doc_id, $b band_idx, md5(h${2 * b} || '|' || h${2 * b + 1}) band_key FROM sig")
       .mkString(" UNION ALL ")
-    s"""WITH $shinglesSql,
+    s"""$shinglesSql,
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |bands AS ($bands)
+       |bands AS ($bands)""".stripMargin
+  }
+
+  def dedupMinhashSql: String =
+    s"""WITH $minhashBandsCtes
        |SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
        |FROM bands x JOIN bands y
        |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
        | AND x.doc_id < y.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
-  }
 
   // ------------------------------------------------------------- simhash
 

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   *   2. its quality composite (textanalysis.TextAnalysis.qualityScore's
   *      exact formula) clears [[CorpusClean.QualityMin]].
   *
-  * Near-dup removal (minhash/simhash candidate pairs → drop non-keepers)
-  * plugs into the same shape as an additional left_anti join against the
-  * pair set.
+  * [[CorpusClean.corpusCleanNearDup]] adds step 3: near-dup removal —
+  * every doc appearing as the HIGHER id of a minhash LSH candidate pair
+  * (dedup.Dedup.dedupMinhash) is dropped, keeping each near-dup
+  * cluster's lowest surviving id. One more left_anti join on doc_id.
   *
   * Scale: one shuffle on (md5, id) for the keeper window — cluster
-  * sizes are bounded by dup multiplicity, so no skew — and one shuffle
-  * for the quality aggregation; the join keys are doc_id (unique).
+  * sizes are bounded by dup multiplicity, so no skew — one shuffle for
+  * the quality aggregation, and (near-dup variant) the bounded minhash
+  * band join; the final join keys are doc_id (unique).
   */
 object CorpusClean {
 
@@ -47,22 +49,54 @@ object CorpusClean {
       .orderBy(col("doc_id"))
   }
 
-  def corpusCleanSql: String =
-    s"""WITH tok AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) w
-       |             FROM documents),
+  /** Near-dup-free corpus: [[corpusClean]] minus every doc that is the
+    * higher id of a minhash LSH candidate pair. (Dropping all `doc_b`s
+    * keeps exactly each cluster's lowest id when the cluster is fully
+    * connected — true for exact/near copies, which collide on every
+    * band; chain-shaped clusters may drop an extra member, the standard
+    * conservative LSH-dedup trade.)
+    */
+  def corpusCleanNearDup(t: Tables): DataFrame = {
+    val losers = graft.dedup.Dedup.dedupMinhash(t)
+      .select(col("doc_b").as("doc_id")).distinct()
+    corpusClean(t)
+      .join(losers, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
+  /** `ctok`/`agg`/`q`/`k` CTEs — names disjoint from Dedup's minhash
+    * CTEs so the two chains compose in [[corpusCleanNearDupSql]].
+    */
+  private def cleanCtes: String =
+    s"""ctok AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) w
+       |         FROM documents),
        |agg AS (SELECT doc_id, n_chars, count(*) n_tok,
        |          count(DISTINCT w) n_distinct
-       |        FROM tok GROUP BY doc_id, n_chars),
+       |        FROM ctok GROUP BY doc_id, n_chars),
        |q AS (SELECT doc_id,
        |  ${TextAnalysis.qualityExprSql("n_chars", "n_tok", "n_distinct")} quality
        |  FROM agg),
        |k AS (SELECT doc_id,
        |        row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rn
-       |      FROM documents)
-       |SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality
+       |      FROM documents)""".stripMargin
+
+  private def cleanSelect(extraPred: String): String =
+    s"""SELECT d.doc_id, d.lang, d.source, d.n_chars, q.quality
        |FROM documents d
        |JOIN q ON d.doc_id = q.doc_id
        |JOIN k ON d.doc_id = k.doc_id
-       |WHERE k.rn = 1 AND q.quality >= $QualityMin
+       |WHERE k.rn = 1 AND q.quality >= $QualityMin$extraPred
        |ORDER BY d.doc_id""".stripMargin
+
+  def corpusCleanSql: String = s"WITH $cleanCtes\n${cleanSelect("")}"
+
+  def corpusCleanNearDupSql: String =
+    s"""WITH ${graft.dedup.Dedup.minhashBandsCtes},
+       |losers AS (SELECT DISTINCT y.doc_id AS doc_id
+       |           FROM bands x JOIN bands y
+       |             ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |            AND x.doc_id < y.doc_id),
+       |$cleanCtes
+       |${cleanSelect(
+        "\n  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)")}""".stripMargin
 }

@@ -33,6 +33,34 @@ class DedupSpec extends SparkSpec {
     assert((jac -- cand).isEmpty, s"missed pairs: ${jac -- cand}")
   }
 
+  test("doc_freq cap bounds the posting-list join on a planted stop-shingle") {
+    import spark.implicits._
+    // 60 docs share one boilerplate shingle; each also has unique filler.
+    // Two docs (9000, 9001) are true near-dups through RARE shingles.
+    val boiler = "all rights reserved"
+    val docs = (0 until 60).map { i =>
+      (i.toLong, s"$boiler unique$i filler$i content$i")
+    } ++ Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta"),
+      (9001L, "alpha beta gamma delta epsilon zeta eta"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_stopshingle").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    // uncapped: every boilerplate doc pairs with every other → C(60,2)
+    val uncapped = Dedup.ngramCandidates(t, cap = Int.MaxValue).count()
+    assert(uncapped >= 60L * 59 / 2, s"expected quadratic blowup, got $uncapped")
+    // capped: the stop-shingle's posting list is dropped; only genuinely
+    // similar docs remain candidates
+    val capped = Dedup.ngramCandidates(t, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((9000L, 9001L)), s"got $capped")
+    // and the rare-shingle near-dup pair still surfaces end to end
+    val pairs = Dedup.dedupNgramJaccard(t, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((9000L, 9001L)), s"got $pairs")
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val rows = Dedup.dedupExact(tables).collect()
     val docs = tables.documents.count()

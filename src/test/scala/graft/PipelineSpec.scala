@@ -1,0 +1,27 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.pipeline.CorpusClean
+
+class PipelineSpec extends SparkSpec {
+
+  test("corpus_clean_neardup = corpus_clean minus minhash pair losers, exactly") {
+    val base = CorpusClean.corpusClean(tables).collect()
+      .map(_.getLong(0)).toSet
+    val losers = Dedup.dedupMinhash(tables).collect()
+      .map(_.getLong(1)).toSet
+    val got = CorpusClean.corpusCleanNearDup(tables).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (base -- losers))
+    // the pipeline actually removes something at this sf (planted
+    // near-dups that survive the exact-dedup + quality gates)
+    assert(got.size < base.size, "near-dup stage removed nothing")
+  }
+
+  test("near-dup removal is one anti join over the clean plan") {
+    val plan = CorpusClean.corpusCleanNearDup(tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.linesIterator.take(8).mkString("\n"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
