@@ -23,6 +23,7 @@ object SparkEntry {
     // core relational (SURVEY §2)
     "q1_pricing" -> q(Relational.q1Pricing),
     "q3_shipping" -> q(Relational.q3Shipping),
+    "q3_bucketed" -> q(graft.storage.Bucketing.q3Bucketed),
     "q5_region_rollup" -> q(Relational.q5RegionRollup),
     "top3_per_category" -> q(Relational.top3PerCategory),
     "blacklist_filter" -> q(Relational.blacklistFilter),
@@ -30,6 +31,7 @@ object SparkEntry {
     "q18_large_orders" -> q(Relational.q18LargeOrders),
     // wordcount family
     "word_count" -> q(WordCounts.wordCount),
+    "word_count_salted" -> q(WordCounts.wordCountSalted),
     "hdfs_word_count" -> q(WordCounts.hdfsWordCount),
     "persist_word_count" -> q(WordCounts.persistWordCount),
     "running_count" -> q(WordCounts.runningCount),
@@ -48,6 +50,7 @@ object SparkEntry {
     // similarity search
     "embed_topk" -> q(Ann.embedTopK),
     "embed_ann_lsh" -> q(Ann.embedAnnLsh),
+    "embed_ann_multiprobe" -> q(Ann.embedAnnMultiprobe),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
@@ -67,12 +70,14 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" -> Relational.q1PricingSql,
     "q3_shipping" -> Relational.q3ShippingSql,
+    "q3_bucketed" -> Relational.q3ShippingSql,
     "q5_region_rollup" -> Relational.q5RegionRollupSql,
     "top3_per_category" -> Relational.top3PerCategorySql,
     "blacklist_filter" -> Relational.blacklistFilterSql,
     "kv_extract_count" -> Relational.kvExtractCountSql,
     "q18_large_orders" -> Relational.q18LargeOrdersSql,
     "word_count" -> WordCounts.wordCountSql,
+    "word_count_salted" -> WordCounts.wordCountSaltedSql,
     "hdfs_word_count" -> WordCounts.hdfsWordCountSql,
     "persist_word_count" -> WordCounts.persistWordCountSql,
     "running_count" -> WordCounts.runningCountSql,
@@ -88,6 +93,7 @@ object SparkEntry {
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "embed_topk" -> Ann.embedTopKSql,
     "embed_ann_lsh" -> Ann.embedAnnLshSql,
+    "embed_ann_multiprobe" -> Ann.embedAnnMultiprobeSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,

@@ -23,6 +23,7 @@ object Ann {
   val K = 10
   val NumQueries = 10
   val BucketBits = 4 // 16 buckets; at 100 TB: more bits + multiple tables
+  val NumTables = 4 // multiprobe: hash tables over disjoint dim slices
 
   /** (vec_id, v double[], norm, bucket) — norms once per vector, never
     * inside the scoring join.
@@ -103,6 +104,81 @@ object Ann {
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** (vec_id, v, norm, tbl, bkt) — one row per hash table: table j
+    * sign-buckets dimensions [j·bits, (j+1)·bits). The ×NumTables row
+    * expansion carries only (ids, vector, bucket) — it is the standard
+    * multi-table LSH storage trade (L indexes for L× recall).
+    */
+  private def multiBuckets(df: DataFrame): DataFrame = {
+    val tables = (0 until NumTables).map { j =>
+      struct(lit(j).as("tbl"),
+        expr(Portable.signBucketExpr(BucketBits, oneBasedIndex = false,
+          offset = j * BucketBits)).as("bkt"))
+    }
+    df.select(col("vec_id"), col("v"), col("norm"),
+        explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("norm"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+  }
+
+  /** Multi-table sign-LSH ANN: [[NumTables]] independent hash tables,
+    * each bucketing a different dimension slice. A query near one
+    * hyperplane boundary (the single-probe failure mode) still collides
+    * with its true neighbors in the other tables; candidates are the
+    * UNION of per-table bucket matches, deduped, then re-ranked by exact
+    * cosine. Table 0 is exactly [[embedAnnLsh]]'s bucketing, so the
+    * candidate set is a strict superset of single-probe (recall can only
+    * go up — AnnSpec asserts strictly up at sf0.01).
+    *
+    * Scale: same bucket equi-join shape as single-probe ×NumTables; the
+    * corpus side still never shuffles (queries broadcast), and per-pair
+    * dedup + rank stay partial per q_id.
+    */
+  def embedAnnMultiprobe(t: Tables): DataFrame = {
+    val p = prepared(t)
+    val queries = multiBuckets(
+      p.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id"), col("v"), col("norm")))
+      .select(col("vec_id").as("q_id"), col("v"), col("norm"),
+        col("tbl"), col("bkt"))
+    val corpus = multiBuckets(
+      p.filter(col("vec_id") >= NumQueries)
+        .select(col("vec_id"), col("v"), col("norm")))
+    corpus.as("c")
+      .join(broadcast(queries.as("q")),
+        col("q.tbl") === col("c.tbl") && col("q.bkt") === col("c.bkt"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        cosine.as("cos_sim"))
+      .distinct() // a pair matching in several tables scores identically
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def embedAnnMultiprobeSql: String = {
+    val tableSelects = (0 until NumTables).map { j =>
+      val bucketExpr = Portable.signBucketExpr(BucketBits,
+        oneBasedIndex = true, offset = j * BucketBits)
+      s"SELECT vec_id, v, norm, $j tbl, $bucketExpr AS bkt FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
+       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
+       |           FROM embeddings),
+       |b AS ($tableSelects),
+       |scored AS (SELECT DISTINCT q.vec_id q_id, c.vec_id vec_id,
+       |    ${round6Sql("list_dot_product(q.v, c.v) / (q.norm * c.norm)")} cos_sim
+       |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |   AND q.vec_id < $NumQueries AND c.vec_id >= $NumQueries)
+       |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
   def embedAnnLshSql: String = {

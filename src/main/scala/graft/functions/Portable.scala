@@ -37,15 +37,17 @@ object Portable {
     s"transform(sequence(1, size($tokensCol) - ${n - 1}), " +
       s"i -> concat_ws(' ', slice($tokensCol, i, $n)))"
 
-  /** Sign-LSH bucket id from the first `bits` dimensions of a vector
-    * column named `v`: bit i set iff v[i] > 0. One generator for both
-    * engines — the only difference is array indexing base (Spark 0-,
-    * DuckDB 1-based), which this encapsulates so the four call sites
-    * (dedup + ANN, Spark + SQL) cannot drift.
+  /** Sign-LSH bucket id from `bits` dimensions of a vector column named
+    * `v`, starting at dimension `offset`: bit i set iff
+    * v[offset + i] > 0. One generator for both engines — the only
+    * difference is array indexing base (Spark 0-, DuckDB 1-based), which
+    * this encapsulates so the call sites (dedup + ANN single/multi-table,
+    * Spark + SQL) cannot drift. `offset` gives each hash table of a
+    * multi-table LSH index its own dimension slice.
     */
-  def signBucketExpr(bits: Int, oneBasedIndex: Boolean): String =
+  def signBucketExpr(bits: Int, oneBasedIndex: Boolean, offset: Int = 0): String =
     (0 until bits).map { i =>
-      val idx = if (oneBasedIndex) i + 1 else i
+      val idx = offset + i + (if (oneBasedIndex) 1 else 0)
       s"(CASE WHEN v[$idx] > 0 THEN ${1 << (bits - 1 - i)} ELSE 0 END)"
     }.mkString(" + ")
 }

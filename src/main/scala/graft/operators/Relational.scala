@@ -68,15 +68,24 @@ object Relational {
     * (AQE picks broadcast anyway when a filtered side happens to be
     * small — a size decision made at runtime, never forced).
     */
-  def q3Shipping(t: Tables): DataFrame = {
+  def q3Shipping(t: Tables): DataFrame =
+    q3Body(t.lineitem, t.orders, t.customer)
+
+  /** q3 plan body over explicit fact inputs — shared by [[q3Shipping]]
+    * (raw parquet scans, fact-fact join shuffles) and
+    * storage.Bucketing.q3Bucketed (pre-bucketed facts, zero-exchange
+    * join). One definition so the two entries cannot drift.
+    */
+  def q3Body(lineitem: DataFrame, orders: DataFrame,
+             customer: DataFrame): DataFrame = {
     val one = lit(1).cast("decimal(12,2)")
-    val cust = t.customer
+    val cust = customer
       .filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
-    val ord = t.orders
+    val ord = orders
       .filter(col("o_orderdate") < lit("1999-01-01 00:00:00"))
       .select("o_orderkey", "o_custkey", "o_orderdate")
-    t.lineitem
+    lineitem
       .filter(col("l_shipdate") > lit("1997-01-01 00:00:00"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))

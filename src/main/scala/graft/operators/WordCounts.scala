@@ -30,6 +30,21 @@ object WordCounts {
       |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
       |GROUP BY word ORDER BY cnt DESC, word""".stripMargin
 
+  /** [[wordCount]] through the salted two-phase aggregation
+    * (functions.Salting.saltedCount): counts per (word, salt-of-doc_id)
+    * first — a hot key ("the" at 100 TB: billions of rows on one
+    * reducer) spreads over n sub-keys/tasks — then merges per word.
+    * Identical result; one extra vocabulary-sized shuffle buys an n-way
+    * spread of every hot key. This is the shape to reach for when one
+    * aggregation key dominates; for uniform keys plain [[wordCount]]'s
+    * partial aggregation already collapses map-side and is cheaper.
+    */
+  def wordCountSalted(t: Tables): DataFrame =
+    graft.functions.Salting.saltedCount(tokens(t), "word", "doc_id")
+      .orderBy(col("cnt").desc, col("word"))
+
+  def wordCountSaltedSql: String = wordCountSql
+
   /** Per-source word counts — the file-dir streaming shape (ref:
     * HDFSWordCount.java): each `source` is a landing directory.
     */

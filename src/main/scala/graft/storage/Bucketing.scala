@@ -1,6 +1,7 @@
 package graft.storage
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
 /** Bucketed-storage path for repeated co-located joins.
   *
@@ -36,5 +37,56 @@ object Bucketing {
     val l = spark.table(leftTable)
     val r = spark.table(rightTable)
     l.join(r, l(leftKey) === r(rightKey))
+  }
+
+  /** Buckets for the q3 fact tables. Local-scale value; at 100 TB size
+    * so one bucket of lineitem fits an executor (~4096).
+    */
+  val Q3Buckets = 8
+
+  /** Write `df` bucketed as `table` unless this session's catalog
+    * already has it. A fresh session starts with an empty in-memory
+    * catalog while the warehouse FILES persist, so a leftover location
+    * from a previous run is removed first (Spark refuses to create a
+    * managed table over a non-empty location).
+    */
+  def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
+                     key: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+      writeBucketed(df, table, key, buckets)
+    }
+
+  /** TPC-H Q3 over pre-bucketed facts: lineitem and orders are written
+    * bucketed+sorted by their order key ONCE (first call per source dir
+    * per session tag), and the fact-fact join then runs with zero
+    * exchanges — the shuffle is amortized across every subsequent query
+    * on the same corpus. Same plan body as Relational.q3Shipping
+    * (one definition, cannot drift); BucketingSpec pins the no-Exchange
+    * property, the DuckDB oracle (identical to q3_shipping's) pins
+    * values.
+    */
+  def q3Bucketed(t: Tables): DataFrame = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(8)
+    val lTable = s"graft_b_lineitem_$tag"
+    val oTable = s"graft_b_orders_$tag"
+    ensureBucketed(t.spark,
+      t.lineitem.select("l_orderkey", "l_shipdate", "l_extendedprice",
+        "l_discount"),
+      lTable, "l_orderkey", Q3Buckets)
+    ensureBucketed(t.spark,
+      t.orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+      oTable, "o_orderkey", Q3Buckets)
+    graft.operators.Relational.q3Body(
+      t.spark.table(lTable), t.spark.table(oTable), t.customer)
   }
 }

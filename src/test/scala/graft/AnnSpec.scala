@@ -19,6 +19,24 @@ class AnnSpec extends SparkSpec {
     assert(plan.contains("Partial"), plan.linesIterator.take(12).mkString("\n"))
   }
 
+  test("multiprobe recall@10 strictly beats single-probe at sf0.01") {
+    // Single-probe misses true neighbors whose first-4-dim signs differ
+    // from the query's (the near-hyperplane failure mode). Multi-table
+    // probing must recover some of them: recall@10 vs the exact top-k
+    // strictly above single-probe, and the candidate set a superset
+    // (table 0 of the multi index IS the single-probe bucketing).
+    val t = Tables(spark, "/root/testdata/sf0.01")
+    def hits(rows: Array[org.apache.spark.sql.Row]): Set[(Long, Long)] =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Ann.embedTopK(t).collect())
+    val single = hits(Ann.embedAnnLsh(t).collect())
+    val multi = hits(Ann.embedAnnMultiprobe(t).collect())
+    val recallSingle = (single & exact).size
+    val recallMulti = (multi & exact).size
+    assert(recallMulti > recallSingle,
+      s"multiprobe recall $recallMulti not above single-probe $recallSingle (exact=${exact.size})")
+  }
+
   test("embed_ann_lsh never beats brute force and shares its top hit when buckets agree") {
     val exact = Ann.embedTopK(tables).collect()
       .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap

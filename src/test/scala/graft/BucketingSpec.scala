@@ -40,6 +40,30 @@ class BucketingSpec extends SparkSpec {
     assert(joined.count() == expected)
   }
 
+  test("q3_bucketed: zero exchanges, same rows as q3_shipping") {
+    // clean slate so the entry's own ensureBucketed path is exercised
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    dropTable(s"graft_b_lineitem_$tag")
+    dropTable(s"graft_b_orders_$tag")
+    val df = Bucketing.q3Bucketed(tables)
+    val got = df.collect().map(_.toSeq).toSeq
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed q3 must not shuffle:\n$plan")
+    val expected = graft.operators.Relational.q3Shipping(tables)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+
+  test("word_count_salted equals word_count, order included") {
+    val plain = graft.operators.WordCounts.wordCount(tables)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val salted = graft.operators.WordCounts.wordCountSalted(tables)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(salted == plain)
+  }
+
   test("salted count equals plain groupBy count") {
     val plain = tables.events.groupBy("event_type").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -107,6 +107,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("word_count_salted is a genuine two-phase aggregation over (word, salt)") {
+    val plan = physical(WordCounts.wordCountSalted(tables))
+    // phase 1 shuffles on (word, _salt) — the hot-key spread — phase 2 on word
+    assert(plan.contains("Exchange hashpartitioning(word"), plan)
+    assert(plan.contains("_salt"), plan)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges >= 2, s"expected both aggregation phases to shuffle:\n$plan")
+  }
+
+  test("top_ngrams global rank pre-truncates to top-k before the single-partition window") {
+    // rank <= k over a GLOBAL window is only scale-safe if upstream tasks
+    // pre-truncate: Catalyst rewrites the rank filter into
+    // TakeOrderedAndProject(limit=k) below the Window (each task keeps a
+    // local top-k heap, the driver merges k rows), so the final
+    // single-partition WindowExec sees exactly k rows — never the full
+    // distinct-shingle universe. Accept the WindowGroupLimit form too
+    // (what Spark emits for PARTITIONed rank limits).
+    val plan = physical(graft.textanalysis.TextAnalysis.topNgrams(tables))
+    val winIdx = plan.indexOf("Window [row_number")
+    val limIdx = plan.indexOf("TakeOrderedAndProject(limit=20")
+    val safe = (limIdx > winIdx && winIdx >= 0) || plan.contains("WindowGroupLimit")
+    assert(safe, s"window input is not pre-truncated:\n$plan")
+  }
+
   test("no LLM-pipeline plan collects or nests loops over the corpus") {
     for (df <- Seq(graft.dedup.Dedup.dedupNgramJaccard(tables),
       graft.dedup.Dedup.dedupEmbedding(tables),
