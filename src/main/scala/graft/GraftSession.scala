@@ -19,6 +19,13 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Streaming state on RocksDB: the default HDFS-backed provider
+      // keeps every key of every stateful operator on the executor HEAP
+      // (bounded by memory, the first casualty of a 100 TB keyspace);
+      // RocksDB spills state to local disk with an in-heap cache and is
+      // the provider every large stateful job runs in production.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       // testdata ns-precision timestamps: surfaced as long nanos, graft
       // converts explicitly (portable across engines).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

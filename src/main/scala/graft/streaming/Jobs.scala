@@ -240,6 +240,19 @@ object Jobs {
       * time-bounded to `horizon` so the join state is droppable — the
       * streaming analog of the batch band join, with the watermark
       * playing the corpus-boundary role. Append mode.
+      *
+      * Output is per-(pair, band), NOT distinct pairs: docs matching on
+      * several bands (identical docs match all [[NumBands]]) emit up to
+      * NumBands duplicate (doc_a, doc_b) rows — unlike the batch twin's
+      * `.distinct()`, which a streaming append sink cannot express
+      * without another stateful stage. Downstream consumers dedupe
+      * (cheap: candidate volume is LSH-bounded) or keep a ts column and
+      * `dropDuplicatesWithinWatermark("doc_a", "doc_b")`.
+      *
+      * The self-join subscribes to `docs` TWICE (one scan per side), so
+      * the source must be replayable — file dir, Kafka, MemoryStream. A
+      * non-replayable source like Sources.socketLines hands each scan a
+      * different slice and silently loses pairs.
       */
     def candidates(docs: DataFrame,
                    horizon: String = "60 seconds",

@@ -30,15 +30,26 @@ object Sinks {
     /** Total connections ever created — the pool-reuse observable. */
     def createdCount: Int = synchronized(created)
 
-    def acquire(): C = synchronized {
-      while (idle.isEmpty && created >= size) wait()
-      if (idle.isEmpty) {
-        created += 1
+    /** The factory runs OUTSIDE the pool monitor: the slot is reserved
+      * under the lock, the (possibly slow or hung) connection open happens
+      * unlocked, and a failed open rolls the slot back — so one stuck
+      * backend handshake can never block release()/discard()/other
+      * acquires on the executor.
+      */
+    def acquire(): C = {
+      var reused: Option[C] = None
+      synchronized {
+        while (idle.isEmpty && created >= size) wait()
+        if (idle.isEmpty) created += 1 // reserve the slot
+        else reused = Some(idle.pop())
+      }
+      reused.getOrElse(
         try factory()
         catch { // roll the slot back or a failed open leaks it forever
-          case e: Throwable => created -= 1; notifyAll(); throw e
-        }
-      } else idle.pop()
+          case e: Throwable =>
+            synchronized { created -= 1; notifyAll() }
+            throw e
+        })
     }
 
     def release(conn: C): Unit = synchronized {
@@ -47,11 +58,27 @@ object Sinks {
     }
 
     /** Drop a (possibly poisoned) connection instead of returning it,
-      * freeing its slot so a fresh one can be opened.
+      * freeing its slot so a fresh one can be opened. `close` releases
+      * the connection's real resources (socket, open txn) — without it a
+      * poisoned JDBC connection leaks until GC. The slot frees even if
+      * close throws.
       */
-    def discard(conn: C): Unit = synchronized {
-      created -= 1
-      notifyAll()
+    def discard(conn: C, close: C => Unit = (_: C) => ()): Unit =
+      try close(conn)
+      finally synchronized { created -= 1; notifyAll() }
+
+    /** Shutdown path: drain every idle connection and close it. Live
+      * (acquired) connections are the borrowers' to discard/release;
+      * their slots stay counted until they do.
+      */
+    def shutdown(close: C => Unit = (_: C) => ()): Unit = {
+      val drained = synchronized {
+        val out = List.newBuilder[C]
+        while (!idle.isEmpty) { out += idle.pop(); created -= 1 }
+        notifyAll()
+        out.result()
+      }
+      drained.foreach(c => try close(c) catch { case _: Throwable => () })
     }
   }
 
@@ -80,12 +107,16 @@ object Sinks {
     * @param poolSize max live connections per executor JVM
     * @param write   writes one row through a connection; receives the epoch
     *                id so backends can make retried epochs idempotent
+    * @param closeConn releases a connection's real resources when the pool
+    *                discards it after a failed task (default no-op for
+    *                handle-less backends)
     */
   final class PooledForeachWriter[T, C](
       poolId: String,
       factory: () => C,
       poolSize: Int,
-      write: (C, T, Long) => Unit
+      write: (C, T, Long) => Unit,
+      closeConn: C => Unit = (_: Any) => ()
   ) extends ForeachWriter[T] {
 
     @transient private var conn: C = _
@@ -103,8 +134,10 @@ object Sinks {
       if (conn != null) {
         val pool = ConnectionPools.getOrCreate(poolId, factory, poolSize)
         // a failed task may have poisoned the connection (half-written
-        // txn, broken socket) — never return it to the pool
-        if (errorOrNull == null) pool.release(conn) else pool.discard(conn)
+        // txn, broken socket) — never return it to the pool, and close
+        // it for real so its socket/txn doesn't leak until GC
+        if (errorOrNull == null) pool.release(conn)
+        else pool.discard(conn, closeConn)
       }
   }
 }

@@ -58,10 +58,53 @@ class SinksSpec extends SparkSpec {
     fail = false
     val a = pool.acquire()
     assert(a == "c1" && pool.createdCount == 1)
-    // discard (poisoned connection) frees the slot for a fresh one
-    pool.discard(a)
+    // discard (poisoned connection) frees the slot for a fresh one AND
+    // closes the dropped connection for real (socket/txn release)
+    var closed = List.empty[String]
+    pool.discard(a, c => closed ::= c)
+    assert(closed == List("c1"))
     assert(pool.createdCount == 0)
     assert(pool.acquire() == "c2")
+  }
+
+  test("ConnectionPool: slot is freed even when discard's close throws") {
+    var made = 0
+    val pool = new Sinks.ConnectionPool[String](() => { made += 1; s"c$made" }, 1)
+    val a = pool.acquire()
+    intercept[RuntimeException](pool.discard(a, _ => sys.error("close failed")))
+    assert(pool.createdCount == 0) // slot not leaked
+    assert(pool.acquire() == "c2")
+  }
+
+  test("ConnectionPool: acquire does not hold the monitor during a slow open") {
+    // one thread stuck in a hung factory() must not block another
+    // thread's release()/re-acquire of an existing connection
+    val opened = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    var n = 0
+    val pool = new Sinks.ConnectionPool[String](
+      () => synchronized { n += 1; val c = s"c$n"; if (n == 2) gate.await(); c },
+      2)
+    val a = pool.acquire() // fast first connection
+    val slow = new Thread(() => opened.put(pool.acquire())) // hangs in factory
+    slow.start()
+    Thread.sleep(50)
+    // with the old lock-holding acquire these would deadlock behind gate
+    pool.release(a)
+    assert(pool.acquire() == a)
+    gate.countDown()
+    assert(opened.poll(2, java.util.concurrent.TimeUnit.SECONDS) == "c2")
+    slow.join()
+  }
+
+  test("ConnectionPool: shutdown drains and closes idle connections") {
+    val pool = new Sinks.ConnectionPool[String](() => "c", 2)
+    val a = pool.acquire()
+    val b = pool.acquire()
+    pool.release(a); pool.release(b)
+    var closed = 0
+    pool.shutdown(_ => closed += 1)
+    assert(closed == 2 && pool.createdCount == 0)
   }
 
   test("PooledForeachWriter: per-partition pooled upserts reach the store") {

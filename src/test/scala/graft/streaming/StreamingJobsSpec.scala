@@ -108,6 +108,52 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SlidingCounts: window state survives checkpoint restart on RocksDB") {
+    import spark.implicits._
+    // the session must actually be on the RocksDB provider — the store
+    // every large stateful job runs in production (GraftSession.tuned)
+    assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+      .contains("RocksDBStateStoreProvider"))
+    val in = MemoryStream[(Timestamp, String)]
+    val checkpoint = tmp("graft-sliding-ckpt")
+    def run(buf: mutable.Buffer[(Long, String, Long)]) =
+      Jobs.SlidingCounts.counts(in.toDF().toDF("ts", "word"))
+        .writeStream.outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val rows = b.collect().map(r =>
+            (r.getTimestamp(0).getTime / 1000, r.getString(1), r.getLong(2)))
+          buf.synchronized { buf ++= rows }; ()
+        }.start()
+
+    val events = Seq(100L -> "tom", 105L -> "tom", 112L -> "leo")
+    val out1 = mutable.Buffer.empty[(Long, String, Long)]
+    val q1 = run(out1)
+    try {
+      in.addData(events.map { case (s, w) => (new Timestamp(s * 1000), w) })
+      q1.processAllAvailable()
+      // watermark (112 - 30 = 82) is before every window end: nothing
+      // emitted yet, ALL partial counts live only in the state store
+      assert(out1.synchronized(out1.isEmpty))
+    } finally q1.stop()
+
+    // restart from the same checkpoint; batch 1 is committed so its
+    // events are NOT reprocessed — the finalized windows can only come
+    // from recovered RocksDB state
+    in.addData(Seq((new Timestamp(10000 * 1000), "late")))
+    val out2 = mutable.Buffer.empty[(Long, String, Long)]
+    val q2 = run(out2)
+    try {
+      q2.processAllAvailable()
+      val got = out2.synchronized(out2.toSet)
+      val expected = events
+        .flatMap { case (s, w) => windowsOf(s).map(ws => (ws, w)) }
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+        .map { case ((ws, w), c) => (ws, w, c) }.toSet
+      assert(got == expected)
+    } finally q2.stop()
+  }
+
   test("BlacklistFilter: stream-static anti join drops blacklisted users") {
     import spark.implicits._
     val in = MemoryStream[(String, String)]
