@@ -40,6 +40,7 @@ object SparkEntry {
     "sliding_counts" -> q(Windows.slidingCounts),
     "window_hot_word" -> q(Windows.windowHotWord),
     "sessionize" -> q(Windows.sessionize),
+    "sessionize_split" -> q(Windows.sessionizeSplit),
     "event_stats" -> q(Windows.eventStats),
     // dedup family (LLM pipeline)
     "dedup_exact" -> q(Dedup.dedupExact),
@@ -85,6 +86,7 @@ object SparkEntry {
     "sliding_counts" -> Windows.slidingCountsSql,
     "window_hot_word" -> Windows.windowHotWordSql,
     "sessionize" -> Windows.sessionizeSql,
+    "sessionize_split" -> Windows.sessionizeSql,
     "event_stats" -> Windows.eventStatsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,

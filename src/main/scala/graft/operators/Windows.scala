@@ -131,6 +131,61 @@ object Windows {
       .orderBy(col("user_id"), col("session_idx"))
   }
 
+  /** Whale-safe [[sessionize]]: identical output, but the event-level
+    * sort partitions by (user_id, DAY) — a user with a billion events
+    * never serializes into one task; each task sorts at most one user-day.
+    *
+    * Phase 1 sessionizes within each (user, day) and collapses to one
+    * summary row per local session (start, end, count, exact decimal
+    * sum — kept decimal so the merge stays exact). Phase 2 stitches
+    * across day boundaries: a second gaps-and-islands per user over the
+    * SESSION summaries (merge when next.start - prev.end ≤ gap), which
+    * chains multi-day sessions transitively. Within a day local sessions
+    * are > gap apart by construction, so stitching only ever merges
+    * boundary-adjacent runs — the result is exactly the single-pass
+    * per-user sessionization (WindowsSpec asserts equality; the DuckDB
+    * oracle is [[sessionizeSql]], the same one sessionize uses).
+    *
+    * Phase 2 still partitions by bare user_id, but over per-session rows:
+    * a dense whale (bot hammering every few minutes) collapses ~50×
+    * per day before the per-user step. The adversarial residual — a user
+    * whose events are ALL > gap apart, one session per event — degrades
+    * to the unsplit shape in phase 2 only.
+    */
+  def sessionizeSplit(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t.events
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("value"))
+      .withColumn("day", expr("ts_sec div 86400"))
+    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val isNewLocal = when(
+      col("ts_sec") - lag(col("ts_sec"), 1).over(byUserDay) > SessionGapSec ||
+        lag(col("ts_sec"), 1).over(byUserDay).isNull, 1).otherwise(0)
+    val local = ev
+      .withColumn("is_new", isNewLocal)
+      .withColumn("l_idx", sum(col("is_new")).over(byUserDay))
+      .groupBy(col("user_id"), col("day"), col("l_idx"))
+      .agg(min(col("ts_sec")).as("s_start"),
+        max(col("ts_sec")).as("s_end"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("s_start"), col("s_end"))
+    val isNewSession = when(
+      col("s_start") - lag(col("s_end"), 1).over(byUser) > SessionGapSec ||
+        lag(col("s_end"), 1).over(byUser).isNull, 1).otherwise(0)
+    local
+      .withColumn("is_new", isNewSession)
+      .withColumn("session_idx", sum(col("is_new")).over(byUser).cast("long"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("s_start")).as("session_start"),
+        max(col("s_end")).as("session_end"),
+        sum(col("n")).cast("long").as("n_events"),
+        sum(col("sv")).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
   def sessionizeSql: String =
     s"""WITH ev AS (SELECT event_id, user_id,
        |              CAST(floor(epoch(ts)) AS BIGINT) ts_sec, value
