@@ -42,10 +42,15 @@ object SparkEntry {
     "sessionize" -> q(Windows.sessionize),
     "sessionize_split" -> q(Windows.sessionizeSplit),
     "event_stats" -> q(Windows.eventStats),
+    // rows-only driver check: quantile sketches are engine-specific, so
+    // there is deliberately no oracleSql entry (WindowsSpec pins values
+    // against the exact event_stats instead)
+    "event_stats_approx" -> q(t => Windows.eventStatsApprox(t)),
     // dedup family (LLM pipeline)
     "dedup_exact" -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(t => Dedup.dedupNgramJaccard(t)),
     "dedup_minhash" -> q(Dedup.dedupMinhash),
+    "dedup_minhash_verified" -> q(Dedup.dedupMinhashVerified),
     "dedup_simhash" -> q(Dedup.dedupSimhash),
     "dedup_embedding" -> q(Dedup.dedupEmbedding),
     // similarity search
@@ -91,6 +96,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "embed_topk" -> Ann.embedTopKSql,

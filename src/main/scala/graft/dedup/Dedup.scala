@@ -162,7 +162,14 @@ object Dedup {
     * only same-band collisions meet, and a downstream Jaccard verify
     * ([[dedupNgramJaccard]]'s formula) runs per candidate pair.
     */
-  def dedupMinhash(t: Tables): DataFrame = {
+  def dedupMinhash(t: Tables): DataFrame =
+    minhashCandidates(t).orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[dedupMinhash]] without the output sort — the distinct candidate
+    * pair set, for composition (corpus_clean_neardup, the verified-pair
+    * op) where a mid-plan global sort would be waste.
+    */
+  def minhashCandidates(t: Tables): DataFrame = {
     val sigCols = (0 until NumPerms).map(p =>
       min(md5(concat(lit(s"$p:"), col("s")))).as(s"h$p"))
     val sig = shingles(t).groupBy(col("doc_id"))
@@ -181,8 +188,59 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** THE scalable near-dup pipeline: minhash-LSH candidate generation,
+    * then EXACT Jaccard computed only on candidate pairs. The global
+    * posting-list join of [[dedupNgramJaccard]] disappears — shingle
+    * sets are semi-joined down to candidate docs (a vanishing fraction
+    * of a 100 TB corpus), so the verify stage's shuffles carry only
+    * candidate-doc (doc_id, shingle) pairs and each aggregation group
+    * is one candidate pair. Jaccard here is over the FULL shingle sets
+    * (no doc-freq cap needed: no posting-list join exists to protect).
+    *
+    * Output: candidate pairs whose true Jaccard clears [[JaccardMin]] —
+    * the production near-dup pair list; recall is bounded by LSH
+    * (DedupSpec pins candidates ⊇ true high-jaccard pairs at test sf).
+    */
+  def dedupMinhashVerified(t: Tables): DataFrame = {
+    val cand = minhashCandidates(t)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(t).join(candDocs, Seq("doc_id"), "left_semi")
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round6(col("common").cast("double")
+          / (col("sa.n") + col("sb.n") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardMin)
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  def dedupMinhashVerifiedSql: String =
+    s"""WITH $minhashBandsCtes,
+       |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
+       |         FROM bands x JOIN bands y
+       |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |          AND x.doc_id < y.doc_id),
+       |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
+       |common AS (SELECT doc_a, doc_b, COUNT(*) common
+       |           FROM cand c JOIN sh x ON x.doc_id = c.doc_a
+       |                       JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+       |           GROUP BY doc_a, doc_b)
+       |SELECT doc_a, doc_b,
+       |  ${round6Sql("common::DOUBLE / (sa.n + sb.n - common)")} AS jaccard
+       |FROM common JOIN sz sa ON doc_a = sa.doc_id
+       |            JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE ${round6Sql("common::DOUBLE / (sa.n + sb.n - common)")} >= $JaccardMin
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   /** CTE chain (`tok`, `sh`, `sig`, `bands`) behind [[dedupMinhashSql]],
     * shared with pipeline.CorpusClean's near-dup composite so the band

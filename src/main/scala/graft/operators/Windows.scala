@@ -98,6 +98,32 @@ object Windows {
        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** [[eventStats]] for HIGH-cardinality grouping keys: exact
+    * `percentile` materializes every group's values in one task, which
+    * works for 5 event types and falls over for 50 M user_ids —
+    * `approx_percentile` keeps a bounded mergeable sketch per group, so
+    * the aggregation stays partial (map-side) at any cardinality.
+    * Count/mean/min/max are computed exactly (same formulas as
+    * [[eventStats]]). No DuckDB oracle: quantile sketches are
+    * engine-specific, so the driver records the weaker rows-only check
+    * and WindowsSpec pins the sketch against the exact op's percentiles.
+    */
+  def eventStatsApprox(t: Tables, accuracy: Int = 10000): DataFrame = {
+    import graft.functions.Portable.round6
+    t.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(12,2)")).cast("double") / count(lit(1)))
+          .as("mean_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        round6(percentile_approx(col("value"), lit(0.5), lit(accuracy)))
+          .as("p50"),
+        round6(percentile_approx(col("value"), lit(0.95), lit(accuracy)))
+          .as("p95"))
+      .orderBy(col("event_type"))
+  }
+
   val SessionGapSec = 1800L // 30 min inactivity closes a session
 
   /** Per-user sessionization (gaps-and-islands): a session breaks after

@@ -57,7 +57,7 @@ object CorpusClean {
     * conservative LSH-dedup trade.)
     */
   def corpusCleanNearDup(t: Tables): DataFrame = {
-    val losers = graft.dedup.Dedup.dedupMinhash(t)
+    val losers = graft.dedup.Dedup.minhashCandidates(t)
       .select(col("doc_b").as("doc_id")).distinct()
     corpusClean(t)
       .join(losers, Seq("doc_id"), "left_anti")

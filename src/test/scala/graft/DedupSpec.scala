@@ -61,6 +61,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((9000L, 9001L)), s"got $pairs")
   }
 
+  test("minhash_verified = candidates filtered by true full-set jaccard") {
+    import org.apache.spark.sql.functions._
+    val cand = Dedup.dedupMinhash(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // spec-side truth: full shingle sets of candidate docs only (small)
+    val candDocs = cand.flatMap(p => Seq(p._1, p._2)).toSet
+    val sets: Map[Long, Set[String]] = tables.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= Dedup.ShingleSize)
+      .select(col("doc_id"), explode(expr(
+        graft.functions.Portable.shingleExpr(Dedup.ShingleSize))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .filter(p => candDocs(p._1))
+      .groupMapReduce(_._1)(p => Set(p._2))(_ ++ _)
+    def round6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = cand.filter { case (a, b) =>
+      val (sa, sb) = (sets(a), sets(b))
+      round6((sa & sb).size.toDouble / (sa ++ sb).size) >= Dedup.JaccardMin
+    }.toSet
+    val got = Dedup.dedupMinhashVerified(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"diff: ${(got -- expected) ++ (expected -- got)}")
+    assert(got.nonEmpty) // the planted near-dups survive verification
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val rows = Dedup.dedupExact(tables).collect()
     val docs = tables.documents.count()

@@ -10,6 +10,36 @@ class WindowsSpec extends SparkSpec {
     assert(split == single)
   }
 
+  test("event_stats_approx: exact moments, percentile sketch within tolerance") {
+    val exact = Windows.eventStats(tables).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = Windows.eventStatsApprox(tables).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1))       // n exact
+      assert(r.getDouble(2) == e.getDouble(2))   // mean exact (decimal sum)
+      assert(r.getDouble(3) == e.getDouble(3))   // min
+      assert(r.getDouble(4) == e.getDouble(4))   // max
+    }
+    // the sketch returns an OBSERVED value (exact `percentile`
+    // interpolates), so assert the principled property instead: the
+    // returned value's true rank is within 2% of the requested quantile
+    val byType = tables.events.select("event_type", "value").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)) }
+    def rankOf(tp: String, v: Double): Double = {
+      val vs = byType(tp); vs.count(_ <= v).toDouble / vs.length
+    }
+    approx.foreach { r =>
+      val tp = r.getString(0)
+      assert(math.abs(rankOf(tp, r.getDouble(5)) - 0.50) <= 0.02,
+        s"$tp p50 rank ${rankOf(tp, r.getDouble(5))}")
+      assert(math.abs(rankOf(tp, r.getDouble(6)) - 0.95) <= 0.02,
+        s"$tp p95 rank ${rankOf(tp, r.getDouble(6))}")
+    }
+  }
+
   test("sessionize_split: planted whale stitches across days; sort is per (user, day)") {
     import spark.implicits._
     val gap = Windows.SessionGapSec
