@@ -70,8 +70,20 @@ object SparkEntry {
     "corpus_clean_neardup" -> q(CorpusClean.corpusCleanNearDup)
   )
 
+  /** Queries whose driver check is deliberately rows-only: no portable
+    * DuckDB oracle exists (engine-specific sketches etc.). Every entry
+    * MUST name the ScalaTest spec that value-gates it instead;
+    * ContractSpec enforces that this set, `queries`, and `oracleSql`
+    * stay mutually consistent.
+    */
+  val rowsOnly: Map[String, String] = Map(
+    "event_stats_approx" ->
+      "WindowsSpec: exact moments match event_stats; sketch rank within 2%"
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omit for non-SQL-expressible ops — such
+    * keys must be declared in `rowsOnly` with their spec gate.
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing" -> Relational.q1PricingSql,

@@ -6,11 +6,25 @@ package graft
   */
 class ContractSpec extends SparkSpec {
 
-  test("every query has an oracle; every oracle has a query") {
-    assert(SparkEntry.queries.keySet == SparkEntry.oracleSql.keySet,
-      s"mismatch: ${SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet} " +
-        s"without oracle; ${SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet} " +
-        "without query")
+  test("every query has an oracle, or is a declared rows-only entry") {
+    val needOracle = SparkEntry.queries.keySet -- SparkEntry.rowsOnly.keySet
+    assert(needOracle == SparkEntry.oracleSql.keySet,
+      s"mismatch: ${needOracle diff SparkEntry.oracleSql.keySet} " +
+        s"without oracle; ${SparkEntry.oracleSql.keySet diff needOracle} " +
+        "without query (or both rows-only and oracle-checked)")
+  }
+
+  test("rows-only entries are real queries, oracle-free, and spec-gated") {
+    val ro = SparkEntry.rowsOnly
+    assert(ro.keySet.subsetOf(SparkEntry.queries.keySet),
+      s"rows-only keys not in queries: ${ro.keySet -- SparkEntry.queries.keySet}")
+    assert((ro.keySet intersect SparkEntry.oracleSql.keySet).isEmpty,
+      "a rows-only entry must not also claim an oracle: " +
+        (ro.keySet intersect SparkEntry.oracleSql.keySet))
+    ro.foreach { case (name, gate) =>
+      assert(gate.matches("^\\w+Spec: .+"),
+        s"$name must name its value-gating spec ('SomeSpec: what it pins'), got '$gate'")
+    }
   }
 
   test("entry() is live and returns rows at sf0.001") {
