@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.DotProduct
+import graft.functions.{CosineSim, DotProduct}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, ExpressionInfo}
@@ -26,6 +26,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         // is correct (getDouble over float elements would read garbage);
         // non-castable inputs fail analysis instead of crashing at runtime
         DotProduct(Cast(children.head, ArrayType(DoubleType)),
+          Cast(children(1), ArrayType(DoubleType)))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "cosine_sim(arrayA, arrayB) takes 2 arguments")
+        // same auto-cast discipline as vec_dot: array<float> embeddings
+        // are the common input, and getDouble over floats reads garbage
+        CosineSim(Cast(children.head, ArrayType(DoubleType)),
           Cast(children(1), ArrayType(DoubleType)))
       }))
   }

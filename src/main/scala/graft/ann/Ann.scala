@@ -37,10 +37,21 @@ object Ann {
   }
 
   // native codegen'd dot (graft.functions.DotProduct) — same sequential
-  // fold as the HOF form, minus the per-element lambda interpreter
+  // fold as the HOF form, minus the per-element lambda interpreter.
+  // Precomputed-norm form: right for the brute-force path, where every
+  // corpus vector scores against EVERY query (high fan-in — 1 FMA per
+  // element per pair instead of the fused form's 3).
   private val cosine: Column = round6(
     VectorFunctions.cosineFromNorms(
       col("q.v"), col("c.v"), col("q.norm"), col("c.norm")))
+
+  // fused one-pass cosine (graft.functions.CosineSim) — bit-identical
+  // to the composition above (FunctionsSpec pins it). Right for the
+  // bucketed paths, where a corpus vector meets only the queries that
+  // share its bucket (sparse fan-in): the norm column disappears from
+  // the probe payload and the scan needs no separate norm pass.
+  private val fusedCosine: Column = round6(
+    VectorFunctions.cosineSim(col("q.v"), col("c.v")))
 
   /** Brute-force cosine top-k: the tiny query side broadcasts (a
     * BroadcastNestedLoopJoin over ALL corpus rows — intentionally; that
@@ -90,14 +101,18 @@ object Ann {
     */
   def embedAnnLsh(t: Tables): DataFrame = {
     val p = prepared(t)
+    // no norm column: the fused CosineSim computes both norms in the
+    // same pass as the dot (bit-identical to the composition), so the
+    // probe payload is just (id, v, bucket) — Catalyst prunes the
+    // prepared norm away entirely
     val queries = p.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v"), col("norm"), col("bucket"))
+      .select(col("vec_id").as("q_id"), col("v"), col("bucket"))
     val corpus = p.filter(col("vec_id") >= NumQueries)
-      .select(col("vec_id"), col("v"), col("norm"), col("bucket"))
+      .select(col("vec_id"), col("v"), col("bucket"))
     corpus.as("c")
       .join(broadcast(queries.as("q")), col("q.bucket") === col("c.bucket"))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
-        cosine.as("cos_sim"))
+        fusedCosine.as("cos_sim"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))
           .orderBy(col("cos_sim").desc, col("vec_id"))))
@@ -106,7 +121,7 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  /** (vec_id, v, norm, tbl, bkt) — one row per hash table: table j
+  /** (vec_id, v, tbl, bkt) — one row per hash table: table j
     * sign-buckets dimensions [j·bits, (j+1)·bits). The ×NumTables row
     * expansion carries only (ids, vector, bucket) — it is the standard
     * multi-table LSH storage trade (L indexes for L× recall).
@@ -117,9 +132,8 @@ object Ann {
         expr(Portable.signBucketExpr(BucketBits, oneBasedIndex = false,
           offset = j * BucketBits)).as("bkt"))
     }
-    df.select(col("vec_id"), col("v"), col("norm"),
-        explode(array(tables: _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("norm"),
+    df.select(col("vec_id"), col("v"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("v"),
         col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
   }
 
@@ -140,17 +154,16 @@ object Ann {
     val p = prepared(t)
     val queries = multiBuckets(
       p.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id"), col("v"), col("norm")))
-      .select(col("vec_id").as("q_id"), col("v"), col("norm"),
-        col("tbl"), col("bkt"))
+        .select(col("vec_id"), col("v")))
+      .select(col("vec_id").as("q_id"), col("v"), col("tbl"), col("bkt"))
     val corpus = multiBuckets(
       p.filter(col("vec_id") >= NumQueries)
-        .select(col("vec_id"), col("v"), col("norm")))
+        .select(col("vec_id"), col("v")))
     corpus.as("c")
       .join(broadcast(queries.as("q")),
         col("q.tbl") === col("c.tbl") && col("q.bkt") === col("c.bkt"))
       .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
-        cosine.as("cos_sim"))
+        fusedCosine.as("cos_sim"))
       .distinct() // a pair matching in several tables scores identically
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("q_id"))

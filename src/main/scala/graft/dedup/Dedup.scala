@@ -365,26 +365,27 @@ object Dedup {
 
   /** Embedding-cosine near-dup pairs over sign-LSH buckets: bucket =
     * sign bits of the first [[EmbedBucketBits]] dimensions, pairs meet
-    * only within a bucket, kept when cosine ≥ [[CosineMin]]. Norms are
-    * computed once per vector BEFORE the join (sequential double fold —
-    * the portable summation order); cosine rounds to 6 dp. At 100 TB:
-    * more bucket bits (and multiple hash tables for recall) — the plan
-    * shape, a bucket-equi-join, is unchanged.
+    * only within a bucket, kept when cosine ≥ [[CosineMin]]. Cosine is
+    * the fused one-pass [[graft.functions.CosineSim]] (dot + both norms
+    * in one array traversal, sequential double folds — the portable
+    * summation order, bit-identical to the precomputed-norm composition
+    * so the DuckDB oracle is unchanged); pairs are sparse here (a vector
+    * meets only its bucket), which is exactly the fused form's sweet
+    * spot — no norm column in the self-join payload. Rounds to 6 dp.
+    * At 100 TB: more bucket bits (and multiple hash tables for recall) —
+    * the plan shape, a bucket-equi-join, is unchanged.
     */
   def dedupEmbedding(t: Tables): DataFrame = {
     val bucketExpr =
       graft.functions.Portable.signBucketExpr(EmbedBucketBits, oneBasedIndex = false)
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", VectorFunctions.norm(col("v")))
       .withColumn("bucket", expr(bucketExpr))
     e.as("x")
       .join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        // native codegen'd dot — same sequential fold as the HOF form
-        round6(VectorFunctions.cosineFromNorms(
-          col("x.v"), col("y.v"), col("x.norm"), col("y.norm")))
+        round6(VectorFunctions.cosineSim(col("x.v"), col("y.v")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= CosineMin)
       .orderBy(col("vec_a"), col("vec_b"))

@@ -21,6 +21,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(n == tables.embeddings.count()) // unit-norm vectors
   }
 
+  test("cosine_sim is callable from SQL and auto-casts float arrays") {
+    tables.embeddings.createOrReplaceTempView("emb")
+    // exact value on literals: 32 / (sqrt(14) * sqrt(77))
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS c")
+      .collect().head.getDouble(0)
+    assert(r == 32.0 / (math.sqrt(14.0) * math.sqrt(77.0)))
+    // self-cosine of any non-zero vector is 1 up to rounding; no
+    // explicit CAST — the registered builder casts array<float>
+    val n = spark.sql(
+      "SELECT cosine_sim(embedding, embedding) AS c FROM emb")
+      .filter("c > 0.999999 AND c < 1.000001").count()
+    assert(n == tables.embeddings.count())
+  }
+
   test("vec_dot auto-casts raw float arrays (the obvious SQL call is correct)") {
     tables.embeddings.createOrReplaceTempView("emb")
     // no explicit CAST: the registered builder casts array<float> →

@@ -36,4 +36,42 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.contains("lambdafunction"))
     assert(plan.contains("vec_dot"))
   }
+
+  test("CosineSim is bit-identical to the cosineFromNorms composition") {
+    val e = tables.embeddings.limit(50)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", VectorFunctions.norm(col("v")))
+    val pairs = e.as("x").crossJoin(e.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+    val both = pairs.select(
+      VectorFunctions.cosineSim(col("x.v"), col("y.v")).as("fused"),
+      VectorFunctions.cosineFromNorms(
+        col("x.v"), col("y.v"), col("x.norm"), col("y.norm")).as("composed"))
+    // exact ==, not tolerance: same folds, exactly-rounded sqrt/mul/div
+    // — the oracle-parity argument for swapping one in for the other
+    assert(both.filter(col("fused") =!= col("composed")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("CosineSim interpreted eval matches codegen and hand math") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.CosineSim
+    val at = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val a = Literal.create(Seq(1.0, 2.0, 3.0), at)
+    val b = Literal.create(Seq(4.0, 5.0, 6.0), at)
+    val expected = 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))
+    // interpreted path (eval); the codegen path is exercised by the
+    // DataFrame-level bit-identity test above
+    assert(CosineSim(a, b).eval(null) == expected)
+  }
+
+  test("bucketed ANN probe payload carries no precomputed norm column") {
+    // the fused-cosine paths should let Catalyst prune the norm away:
+    // no sqrt anywhere in the LSH plan
+    val plan = graft.ann.Ann.embedAnnLsh(tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"))
+    assert(!plan.toLowerCase.contains("sqrt"))
+  }
 }
