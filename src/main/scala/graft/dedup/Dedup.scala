@@ -96,6 +96,18 @@ object Dedup {
     * bounded, so the plan survives a corpus where one stop-shingle
     * covers 1% of 100 TB. Docs whose shingles are ALL boilerplate drop
     * out of the universe — correct: they share no distinctive content.
+    *
+    * 100 TB role: this is the exact SMALL-CORPUS tool (and the formula
+    * donor for the verify stage); [[dedupMinhashVerified]] is the
+    * production path at scale. Even capped, this op joins the ENTIRE
+    * inverted index — every doc pays O(shingles) shuffle and every
+    * co-occurring pair is scored — where verified-minhash touches full
+    * shingle sets only for the vanishing fraction of docs LSH already
+    * flagged. Recall relation (DedupSpec pins it at test sf): wherever
+    * the cap does not bite a pair's shingles, capped Jaccard = full
+    * Jaccard, so every verified-minhash pair also surfaces here —
+    * `dedup_minhash_verified ⊆ dedup_ngram_jaccard` — and this op
+    * additionally finds true pairs whose bands LSH happened to miss.
     */
   /** [[shingles]] minus boilerplate: shingles in more than `cap` docs
     * are dropped. The doc_freq aggregation and the semi join share the

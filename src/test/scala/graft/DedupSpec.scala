@@ -86,6 +86,23 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // the planted near-dups survive verification
   }
 
+  test("verified-minhash pairs are a subset of exact ngram-jaccard pairs") {
+    // the documented recall relation (Dedup.dedupNgramJaccard scaladoc):
+    // minhash_verified = LSH candidates ∩ {full-set jaccard ≥ min};
+    // ngram_jaccard = {capped-set jaccard ≥ min}. Where the doc-freq cap
+    // doesn't bite (true at test sf), capped = full jaccard, so every
+    // verified pair must also surface in the exhaustive exact op —
+    // ngram-jaccard is the exact tool, verified-minhash the production
+    // path whose misses are LSH misses only.
+    val verified = Dedup.dedupMinhashVerified(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.dedupNgramJaccard(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.nonEmpty)
+    assert((verified -- exact).isEmpty,
+      s"verified pairs missing from exact: ${verified -- exact}")
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val rows = Dedup.dedupExact(tables).collect()
     val docs = tables.documents.count()
