@@ -15,6 +15,44 @@ import java.util.concurrent.ConcurrentHashMap
   */
 object Sinks {
 
+  /** Parquet append sink for finalized (watermark-closed) streaming
+    * aggregates — the file twin of the reference's JDBC persistence
+    * (PersistWordCount.java:73-100), for [[Jobs.SlidingCounts]] /
+    * [[Jobs.SessionCounts]] or any append-mode stream.
+    *
+    * Exactly-once, concretely (Spark's file-sink commit protocol):
+    *
+    *   - The checkpoint's offset log pins each batch's exact source
+    *     range BEFORE processing; the sink's `_spark_metadata` log under
+    *     `outDir` records, per COMMITTED batch id, the manifest of files
+    *     that batch produced. A batch id already present in the sink log
+    *     is skipped on replay — that pair is the idempotence the
+    *     reference approximated with per-key upserts.
+    *   - A crash mid-batch can leave orphan part-files on disk, but they
+    *     are in no committed manifest. Readers that go through Spark
+    *     (`spark.read.parquet(outDir)` detects `_spark_metadata` and
+    *     reads ONLY manifested files) therefore see exactly-once output.
+    *     Raw directory listers (duckdb over `*.parquet`, `ls`) see
+    *     at-least-once until orphans are vacuumed — at 100 TB, schedule
+    *     manifest-aware compaction rather than trusting listings.
+    *   - Append mode + watermark means a row is written once, when its
+    *     window finalizes — so the parquet corpus is append-only and
+    *     partition-friendly; no file is ever rewritten (the reference
+    *     re-upserted every key every batch).
+    *
+    * Requires a replayable source (file dir, Kafka, MemoryStream) — a
+    * socket source cannot replay the uncommitted batch after a crash.
+    */
+  def parquetAppend(finalized: org.apache.spark.sql.DataFrame,
+                    outDir: String,
+                    checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    finalized.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+
   /** Bounded blocking pool, one per JVM per id — the semantics of the
     * reference's static synchronized LinkedList pool
     * (ConnectionPool.java:29: lazily built, acquire from head, return to
