@@ -56,7 +56,7 @@ object SparkEntry {
     // similarity search
     "embed_topk" -> q(Ann.embedTopK),
     "embed_ann_lsh" -> q(Ann.embedAnnLsh),
-    "embed_ann_multiprobe" -> q(Ann.embedAnnMultiprobe),
+    "embed_ann_multiprobe" -> q(t => Ann.embedAnnMultiprobe(t)),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),

@@ -137,24 +137,49 @@ object Ann {
         col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
   }
 
+  /** Query-side hamming-1 probe expansion: for each hash table, the
+    * query probes its own bucket AND the [[BucketBits]] buckets one
+    * sign-flip away. A query sitting ε from a hyperplane hashes to the
+    * wrong side of ONE bit with probability ~1/2 — exactly the bucket
+    * its hamming-1 neighbor probe covers. Expansion is QUERY-side only
+    * (the broadcast small side: queries × tables × (bits+1) rows); the
+    * corpus keeps one row per table, so corpus storage and the join
+    * shape are unchanged.
+    */
+  private def probeBuckets(df: DataFrame): DataFrame = {
+    val masks = 0 +: (0 until BucketBits).map(1 << _)
+    multiBuckets(df)
+      .select(col("vec_id"), col("v"), col("tbl"),
+        explode(array(masks.map(m =>
+          col("bkt").bitwiseXOR(lit(m))): _*)).as("bkt"))
+  }
+
   /** Multi-table sign-LSH ANN: [[NumTables]] independent hash tables,
-    * each bucketing a different dimension slice. A query near one
-    * hyperplane boundary (the single-probe failure mode) still collides
-    * with its true neighbors in the other tables; candidates are the
-    * UNION of per-table bucket matches, deduped, then re-ranked by exact
-    * cosine. Table 0 is exactly [[embedAnnLsh]]'s bucketing, so the
-    * candidate set is a strict superset of single-probe (recall can only
-    * go up — AnnSpec asserts strictly up at sf0.01).
+    * each bucketing a different dimension slice, PLUS within-table
+    * hamming-1 probing ([[probeBuckets]]) — the two standard multiprobe
+    * axes composed. A query near one hyperplane boundary (the
+    * single-probe failure mode) collides with its true neighbors in the
+    * other tables AND in the adjacent bucket of the same table;
+    * candidates are the UNION over all probes, deduped, then re-ranked
+    * by exact cosine. Table 0's own-bucket probe is exactly
+    * [[embedAnnLsh]]'s bucketing, so the candidate set is a strict
+    * superset of single-probe, and with `hamming1 = false` (the
+    * multi-table-only baseline) a subset of the default — recall can
+    * only go up along both axes; AnnSpec asserts both at sf0.01.
     *
     * Scale: same bucket equi-join shape as single-probe ×NumTables; the
-    * corpus side still never shuffles (queries broadcast), and per-pair
-    * dedup + rank stay partial per q_id.
+    * corpus side still never shuffles (queries broadcast — probe
+    * expansion multiplies only the broadcast side), and per-pair dedup +
+    * rank stay partial per q_id. The probe count (bits+1 per table) is
+    * the recall/cost dial: each probe scans ~corpus/2^bits more
+    * candidates, the classic multiprobe trade vs adding whole tables
+    * (which cost corpus storage, not probe fan-out).
     */
-  def embedAnnMultiprobe(t: Tables): DataFrame = {
+  def embedAnnMultiprobe(t: Tables, hamming1: Boolean = true): DataFrame = {
     val p = prepared(t)
-    val queries = multiBuckets(
-      p.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id"), col("v")))
+    val qside = p.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v"))
+    val queries = (if (hamming1) probeBuckets(qside) else multiBuckets(qside))
       .select(col("vec_id").as("q_id"), col("v"), col("tbl"), col("bkt"))
     val corpus = multiBuckets(
       p.filter(col("vec_id") >= NumQueries)
@@ -179,14 +204,20 @@ object Ann {
         oneBasedIndex = true, offset = j * BucketBits)
       s"SELECT vec_id, v, norm, $j tbl, $bucketExpr AS bkt FROM e"
     }.mkString(" UNION ALL ")
+    // query-side hamming-1 probe masks: own bucket (0) + one flip per bit
+    val masks = (0 +: (0 until BucketBits).map(1 << _).toList)
+      .map(m => s"($m)").mkString(",")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
        |           FROM embeddings),
        |b AS ($tableSelects),
+       |probes AS (SELECT vec_id, v, norm, tbl, xor(bkt, m.m) AS bkt
+       |           FROM b, (VALUES $masks) m(m)
+       |           WHERE vec_id < $NumQueries),
        |scored AS (SELECT DISTINCT q.vec_id q_id, c.vec_id vec_id,
        |    ${round6Sql("list_dot_product(q.v, c.v) / (q.norm * c.norm)")} cos_sim
-       |  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bkt = c.bkt
-       |   AND q.vec_id < $NumQueries AND c.vec_id >= $NumQueries)
+       |  FROM probes q JOIN b c ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |   AND c.vec_id >= $NumQueries)
        |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER
        |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank

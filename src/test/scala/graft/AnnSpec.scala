@@ -30,11 +30,26 @@ class AnnSpec extends SparkSpec {
       rows.map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = hits(Ann.embedTopK(t).collect())
     val single = hits(Ann.embedAnnLsh(t).collect())
+    val multiTable = hits(Ann.embedAnnMultiprobe(t, hamming1 = false).collect())
     val multi = hits(Ann.embedAnnMultiprobe(t).collect())
     val recallSingle = (single & exact).size
+    val recallMultiTable = (multiTable & exact).size
     val recallMulti = (multi & exact).size
-    assert(recallMulti > recallSingle,
-      s"multiprobe recall $recallMulti not above single-probe $recallSingle (exact=${exact.size})")
+    // axis 1: more tables strictly beat one table at this sf
+    assert(recallMultiTable > recallSingle,
+      s"multi-table recall $recallMultiTable not above single-probe $recallSingle (exact=${exact.size})")
+    // axis 2: hamming-1 probes only ever ADD candidates (mask 0 keeps
+    // every own-bucket probe), so recall is monotone along this axis too
+    assert(recallMulti >= recallMultiTable,
+      s"hamming-1 recall $recallMulti below multi-table baseline $recallMultiTable")
+  }
+
+  test("hamming-1 probing expands only the broadcast query side") {
+    val plan = Ann.embedAnnMultiprobe(tables).queryExecution.executedPlan.toString
+    // corpus still probed via broadcast hash join — probe fan-out must
+    // never push the corpus into a shuffle
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
   }
 
   test("embed_ann_lsh never beats brute force and shares its top hit when buckets agree") {
