@@ -172,30 +172,19 @@ object Windows {
     * per-user sessionization (WindowsSpec asserts equality; the DuckDB
     * oracle is [[sessionizeSql]], the same one sessionize uses).
     *
-    * Phase 2 still partitions by bare user_id, but over per-session rows:
-    * a dense whale (bot hammering every few minutes) collapses ~50×
-    * per day before the per-user step. The adversarial residual — a user
-    * whose events are ALL > gap apart, one session per event — degrades
-    * to the unsplit shape in phase 2 only.
+    * Phase 2 still partitions by bare user_id, but over per-session rows
+    * with a STRUCTURAL cap (see [[dailyLocalSessions]]): at most
+    * ⌊86400/gap⌋ + 1 rows per (user, day) regardless of event volume —
+    * 49 at the 30-min gap. Even the adversarial whale (every event > gap
+    * apart, one session per event) cannot widen a day beyond the cap; it
+    * can only add ACTIVE DAYS, so phase-2 per-user input grows with
+    * calendar time (≤ ~18k rows/user/year), never with event rate.
+    * WindowsSpec pins the cap on a planted 10k-single-event-session
+    * whale.
     */
   def sessionizeSplit(t: Tables): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = t.events
-      .select(col("event_id"), col("user_id"), col("ts_sec"), col("value"))
-      .withColumn("day", expr("ts_sec div 86400"))
-    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
-      .orderBy(col("ts_sec"), col("event_id"))
-    val isNewLocal = when(
-      col("ts_sec") - lag(col("ts_sec"), 1).over(byUserDay) > SessionGapSec ||
-        lag(col("ts_sec"), 1).over(byUserDay).isNull, 1).otherwise(0)
-    val local = ev
-      .withColumn("is_new", isNewLocal)
-      .withColumn("l_idx", sum(col("is_new")).over(byUserDay))
-      .groupBy(col("user_id"), col("day"), col("l_idx"))
-      .agg(min(col("ts_sec")).as("s_start"),
-        max(col("ts_sec")).as("s_end"),
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(12,2)")).as("sv"))
+    val local = dailyLocalSessions(t)
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("s_start"), col("s_end"))
     val isNewSession = when(
@@ -210,6 +199,33 @@ object Windows {
         sum(col("n")).cast("long").as("n_events"),
         sum(col("sv")).cast("double").as("sum_value"))
       .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  /** Phase 1 of [[sessionizeSplit]]: one summary row per (user, day,
+    * local session), sorted under (user_id, day) partitioning. The
+    * output obeys a structural cap: consecutive local sessions in a day
+    * are separated by > [[SessionGapSec]], so a (user, day) group emits
+    * at most ⌊86400/gap⌋ + 1 rows however many events the user fired
+    * that day — the invariant that bounds phase 2's per-user input.
+    */
+  private[graft] def dailyLocalSessions(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = t.events
+      .select(col("event_id"), col("user_id"), col("ts_sec"), col("value"))
+      .withColumn("day", expr("ts_sec div 86400"))
+    val byUserDay = Window.partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val isNewLocal = when(
+      col("ts_sec") - lag(col("ts_sec"), 1).over(byUserDay) > SessionGapSec ||
+        lag(col("ts_sec"), 1).over(byUserDay).isNull, 1).otherwise(0)
+    ev
+      .withColumn("is_new", isNewLocal)
+      .withColumn("l_idx", sum(col("is_new")).over(byUserDay))
+      .groupBy(col("user_id"), col("day"), col("l_idx"))
+      .agg(min(col("ts_sec")).as("s_start"),
+        max(col("ts_sec")).as("s_end"),
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).as("sv"))
   }
 
   def sessionizeSql: String =

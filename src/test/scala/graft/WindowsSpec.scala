@@ -80,4 +80,38 @@ class WindowsSpec extends SparkSpec {
     assert("hashpartitioning\\(user_id#\\d+L?, day#\\d+".r
       .findFirstIn(plan).isDefined, plan)
   }
+
+  test("sessionize_split adversarial whale: phase-2 input obeys the per-day cap") {
+    import spark.implicits._
+    val gap = Windows.SessionGapSec
+    // the residual VERDICT r4 flagged: a user whose events are ALL more
+    // than `gap` apart — every event its own session, so phase 1
+    // collapses NOTHING. 10_000 single-event sessions, every (gap+1) s.
+    val whale = (0 until 10000).map(i => (i.toLong * (gap + 1), 1L))
+    val normal = Seq((100L, 2L), (200L, 2L)) // one 2-event session
+    val rows = (whale ++ normal).zipWithIndex.map { case ((s, u), i) =>
+      (i.toLong, s * 1000000000L, u, 1.5)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_advwhale").toString
+    rows.toDF("event_id", "ts", "user_id", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val t = Tables(spark, dir)
+
+    // output stays exactly the single-pass answer: 10k one-event sessions
+    val split = Windows.sessionizeSplit(t).collect().map(_.toSeq).toSeq
+    assert(split == Windows.sessionize(t).collect().map(_.toSeq).toSeq)
+    assert(split.count(_.head == 1L) == 10000)
+    assert(split.filter(_.head == 1L).forall(_(4) == 1L)) // n_events = 1 each
+
+    // the structural cap: even this whale cannot widen a (user, day)
+    // group past floor(86400/gap) + 1 phase-2 rows — it spreads across
+    // ~208 days instead. Event volume can NEVER break the cap; only
+    // calendar time adds phase-2 rows per user.
+    val cap = 86400 / gap + 1
+    val perDay = Windows.dailyLocalSessions(t)
+      .groupBy("user_id", "day").count().collect()
+    assert(perDay.forall(_.getLong(2) <= cap),
+      s"a (user, day) exceeded the $cap-row cap: ${perDay.filter(_.getLong(2) > cap).toSeq}")
+    assert(perDay.filter(_.getLong(0) == 1L).length >= 200) // really spread out
+  }
 }
