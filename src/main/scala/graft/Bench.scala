@@ -8,6 +8,15 @@ object Bench {
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // WindowExec's "No Partition Defined ... single partition" warning
+    // fires for top_ngrams' final global rank and the q3/q18 output
+    // sorts. PlanSpec pins that the top_ngrams window input is already
+    // truncated to k rows by TakeOrderedAndProject below it, so the
+    // single-partition stage is k-row by construction — the warning is
+    // noise here and would misread as a perf bug in bench tails.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     // Full untimed warmup pass: every query's first execution pays
     // whole-stage-codegen compilation + JIT; timing the second run makes
     // the numbers attributable to the plans (steady-state varies ~2-4x
