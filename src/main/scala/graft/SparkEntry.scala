@@ -57,6 +57,7 @@ object SparkEntry {
     "embed_topk" -> q(Ann.embedTopK),
     "embed_ann_lsh" -> q(Ann.embedAnnLsh),
     "embed_ann_multiprobe" -> q(t => Ann.embedAnnMultiprobe(t)),
+    "embed_ann_ivf" -> q(Ann.embedAnnIvf),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
@@ -114,6 +115,7 @@ object SparkEntry {
     "embed_topk" -> Ann.embedTopKSql,
     "embed_ann_lsh" -> Ann.embedAnnLshSql,
     "embed_ann_multiprobe" -> Ann.embedAnnMultiprobeSql,
+    "embed_ann_ivf" -> Ann.embedAnnIvfSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,

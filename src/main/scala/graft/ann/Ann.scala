@@ -24,6 +24,8 @@ object Ann {
   val NumQueries = 10
   val BucketBits = 4 // 16 buckets; at 100 TB: more bits + multiple tables
   val NumTables = 4 // multiprobe: hash tables over disjoint dim slices
+  val IvfCentroids = 16 // coarse-quantizer cells; at 100 TB: ~sqrt(corpus)
+  val IvfNProbe = 4 // cells a query scans; the IVF recall/cost dial
 
   /** (vec_id, v double[], norm, bucket) — norms once per vector, never
     * inside the scoring join.
@@ -218,6 +220,97 @@ object Ann {
        |    ${round6Sql("list_dot_product(q.v, c.v) / (q.norm * c.norm)")} cos_sim
        |  FROM probes q JOIN b c ON q.tbl = c.tbl AND q.bkt = c.bkt
        |   AND c.vec_id >= $NumQueries)
+       |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    * the LSH family: the corpus is partitioned into [[IvfCentroids]]
+    * cells by nearest centroid; a query scans only its [[IvfNProbe]]
+    * nearest cells, re-ranked by exact cosine.
+    *
+    * Centroids are a deterministic sample (the [[IvfCentroids]] lowest
+    * corpus vec_ids) — a kmeans-free quantizer both engines can compute
+    * bit-identically; production swaps in Lloyd-iterated centroids and
+    * every plan below is unchanged (the quantizer is pluggable data,
+    * not plan structure).
+    *
+    * Scale (100 TB): the centroid table broadcasts everywhere it is
+    * used. The index build expands each corpus row ×centroids MAP-SIDE
+    * (broadcast nested-loop — intentional: assignment is by definition
+    * all-centroids-per-vector), and partial aggregation collapses the
+    * expansion back to one row per vector BEFORE its single shuffle —
+    * the index build's one corpus pass, persisted bucketed-by-cell in
+    * production so probing never reshuffles the corpus. Probing is a
+    * broadcast equi-join on cell id: queries × nprobe rows probe the
+    * cell-local corpus, ~nprobe/centroids of the data, and the top-k
+    * rank is partial per q_id. Unlike sign-LSH, cell population adapts
+    * to the data distribution — dense regions split across cells instead
+    * of piling into one hyperoctant.
+    */
+  def embedAnnIvf(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    val centroids = e
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + IvfCentroids)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val ccos = round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos")
+    // assignment: argmax over centroids as a lexicographic struct max —
+    // highest cosine, lowest cid on ties (matches the oracle's
+    // row_number ORDER BY ccos DESC, cid); map-side combine collapses
+    // the ×centroids expansion before the shuffle
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cid"), ccos)
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("ccos").as("cc"), (-col("cid")).as("nc"))).as("m"),
+        first(col("v")).as("v"))
+      .select(col("vec_id"), col("v"), (-col("m.nc")).as("cid"))
+    val qprobes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("v"), col("cid"), ccos)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("pr") <= IvfNProbe)
+      .select(col("q_id"), col("v"), col("cid"))
+    assigned.as("c")
+      .join(broadcast(qprobes.as("q")), col("q.cid") === col("c.cid"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        fusedCosine.as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def embedAnnIvfSql: String = {
+    val cos = (a: String, b: String) => round6Sql(
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |k AS (SELECT vec_id cid, v cv FROM e
+       |      WHERE vec_id >= $NumQueries
+       |        AND vec_id < ${NumQueries + IvfCentroids}),
+       |ac AS (SELECT c.vec_id, c.v, k.cid, ${cos("c.v", "k.cv")} ccos
+       |       FROM e c, k WHERE c.vec_id >= $NumQueries),
+       |a AS (SELECT vec_id, v, cid FROM (
+       |        SELECT *, row_number() OVER
+       |          (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn FROM ac)
+       |      WHERE rn = 1),
+       |qc AS (SELECT q.vec_id q_id, q.v, k.cid, ${cos("q.v", "k.cv")} ccos
+       |       FROM e q, k WHERE q.vec_id < $NumQueries),
+       |qp AS (SELECT q_id, v, cid FROM (
+       |        SELECT *, row_number() OVER
+       |          (PARTITION BY q_id ORDER BY ccos DESC, cid) rn FROM qc)
+       |      WHERE rn <= $IvfNProbe),
+       |scored AS (SELECT q.q_id, a.vec_id, ${cos("q.v", "a.v")} cos_sim
+       |           FROM qp q JOIN a ON q.cid = a.cid)
        |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER
        |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank

@@ -44,6 +44,37 @@ class AnnSpec extends SparkSpec {
       s"hamming-1 recall $recallMulti below multi-table baseline $recallMultiTable")
   }
 
+  test("embed_ann_ivf: cells partition the corpus; probes bound the scan") {
+    val rows = Ann.embedAnnIvf(tables).collect()
+    assert(rows.nonEmpty)
+    // k dense ranks per query, like every ANN entry
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= Ann.K)
+    }
+    // no IVF hit ever beats the exact best (candidates are a subset)
+    val topk = Ann.embedTopK(tables).collect()
+    val best = topk.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach(r => assert(r.getDouble(2) <= best(r.getLong(0)) + 1e-9))
+    // recall floor at sf0.001: scanning nprobe/centroids = 1/4 of the
+    // cells must still recover a solid share of the exact top-k
+    val exact = topk.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall@10 collapsed: $recall")
+  }
+
+  test("embed_ann_ivf index build collapses the centroid expansion map-side") {
+    val plan = Ann.embedAnnIvf(tables).queryExecution.executedPlan.toString
+    // partial aggregation must sit below the assignment shuffle: the
+    // x-centroids expansion never crosses the wire
+    assert(plan.contains("partial_max") || plan.contains("Partial"),
+      plan.linesIterator.take(15).mkString("\n"))
+    // probing stays a broadcast equi-join; the corpus never sort-merges
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("hamming-1 probing expands only the broadcast query side") {
     val plan = Ann.embedAnnMultiprobe(tables).queryExecution.executedPlan.toString
     // corpus still probed via broadcast hash join — probe fan-out must
