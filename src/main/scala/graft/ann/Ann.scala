@@ -251,25 +251,46 @@ object Ann {
     * to the data distribution — dense regions split across cells instead
     * of piling into one hyperoctant.
     */
-  def embedAnnIvf(t: Tables): DataFrame = {
-    val e = t.embeddings
+  /** The IVF coarse-quantizer table: (cid, cv) — the [[IvfCentroids]]
+    * lowest corpus vec_ids (deterministic, kmeans-free; see
+    * [[embedAnnIvf]]).
+    */
+  private[graft] def ivfCentroidTable(t: Tables): DataFrame =
+    t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val corpus = e.filter(col("vec_id") >= NumQueries)
-    val centroids = e
       .filter(col("vec_id") >= NumQueries &&
         col("vec_id") < NumQueries + IvfCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
+
+  /** The built IVF index: (vec_id, v, cid) — every corpus vector tagged
+    * with its nearest-centroid cell. Assignment is an argmax over
+    * centroids expressed as a lexicographic struct max — highest
+    * cosine, lowest cid on ties (matches the oracle's row_number
+    * ORDER BY ccos DESC, cid); map-side combine collapses the
+    * ×centroids expansion before the single build shuffle. Shared by
+    * the batch probe ([[embedAnnIvf]]) and the streaming probe
+    * (`streaming.Jobs.AnnProbeStream`) so the two cannot drift.
+    */
+  private[graft] def ivfIndex(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    val centroids = ivfCentroidTable(t)
     val ccos = round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos")
-    // assignment: argmax over centroids as a lexicographic struct max —
-    // highest cosine, lowest cid on ties (matches the oracle's
-    // row_number ORDER BY ccos DESC, cid); map-side combine collapses
-    // the ×centroids expansion before the shuffle
-    val assigned = corpus.crossJoin(broadcast(centroids))
+    corpus.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cid"), ccos)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos").as("cc"), (-col("cid")).as("nc"))).as("m"),
         first(col("v")).as("v"))
       .select(col("vec_id"), col("v"), (-col("m.nc")).as("cid"))
+  }
+
+  def embedAnnIvf(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = ivfCentroidTable(t)
+    val ccos = round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos")
+    val assigned = ivfIndex(t)
     val qprobes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v"))
       .crossJoin(broadcast(centroids))

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
@@ -270,6 +271,77 @@ object Jobs {
           col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
         .select(col("doc_a"), col("doc_b"))
     }
+  }
+
+  // ---------------------------------------------------------------------
+  // AnnProbeStream — ann.Ann.embedAnnIvf's probe phase on a live query
+  // stream: embedding lookups as they arrive, against the static IVF
+  // index. The serving half of the ANN story (the index is batch-built).
+  // ---------------------------------------------------------------------
+  object AnnProbeStream {
+
+    import graft.ann.Ann
+
+    /** Scored candidates for a (q_id, v: array<double>) query stream.
+      *
+      * Probe-cell selection is PER-ROW higher-order-function work — a
+      * stream cannot run the batch plan's row_number window before the
+      * sink, so the top-nprobe centroids come from sorting a per-row
+      * array of (−cos, cid) structs: identical rounding (portable
+      * round6) and tie-break (lowest cid) as the batch probe, so the
+      * selected cells are exactly [[Ann.embedAnnIvf]]'s
+      * (StreamingJobsSpec pins stream ≡ batch end to end). The
+      * centroid table collapses to one broadcast array row; each
+      * streamed query pays centroids × dim interpreted flops — fine,
+      * queries are the small side by definition.
+      *
+      * Candidate scoring is then a stateless stream-static equi-join
+      * on cell id against the built index — at scale the static side
+      * is the 100 TB corpus index bucketed by cid, so each micro-batch
+      * joins co-located and the stream side never holds state (no
+      * watermark needed: nothing aggregates before the sink).
+      */
+    def scored(queries: DataFrame, t: Tables): DataFrame = {
+      val centArray = Ann.ivfCentroidTable(t)
+        .withColumn("cnorm", graft.functions.VectorFunctions.norm(col("cv")))
+        .agg(collect_list(struct(col("cid"), col("cv"), col("cnorm")))
+          .as("cents"))
+      val dotVK = "aggregate(zip_with(v, k.cv, (p, q) -> p * q), " +
+        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+      val probeCells =
+        s"""transform(slice(array_sort(transform(cents, k -> named_struct(
+           |  'nc', -(floor(($dotVK / (qnorm * k.cnorm)) * 1000000.0 + 0.5)
+           |          / 1000000.0),
+           |  'cid', k.cid))), 1, ${Ann.IvfNProbe}), p -> p.cid)""".stripMargin
+      queries
+        .crossJoin(centArray) // one-row static side: broadcast by size
+        .withColumn("qnorm", graft.functions.VectorFunctions.norm(col("v")))
+        .select(col("q_id"), col("v"), explode(expr(probeCells)).as("cid"))
+        .join(Ann.ivfIndex(t)
+          .select(col("vec_id"), col("v").as("cv2"), col("cid")), Seq("cid"))
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.Portable.round6(
+            graft.functions.VectorFunctions.cosineSim(col("v"), col("cv2")))
+            .as("cos_sim"))
+    }
+
+    /** Full serving job: scored candidates → foreachBatch top-k rank
+      * (the same batch-API escape hatch as [[TopKPerCategory]] — a
+      * global per-query rank is not expressible pre-sink on a stream).
+      */
+    def start(queries: DataFrame, t: Tables, k: Int, checkpointDir: String)
+             (sink: (DataFrame, Long) => Unit): StreamingQuery =
+      scored(queries, t).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy(col("q_id"))
+            .orderBy(col("cos_sim").desc, col("vec_id"))
+          sink(batch.withColumn("rank", row_number().over(w))
+            .filter(col("rank") <= k), id)
+        }
+        .start()
   }
 
   // ---------------------------------------------------------------------

@@ -211,6 +211,36 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AnnProbeStream: streamed queries get exactly the batch IVF answers") {
+    import spark.implicits._
+    import graft.ann.Ann
+    // feed the REAL query vectors (vec_id < NumQueries) through the
+    // stream and require the end-to-end result — probe cells, scoring,
+    // rank — to equal the batch embed_ann_ivf rows bit for bit
+    val queryVecs = tables.embeddings
+      .filter(col("vec_id") < Ann.NumQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = mutable.Buffer.empty[(Long, Long, Double, Int)]
+    val q = Jobs.AnnProbeStream.start(
+      in.toDF().toDF("q_id", "v"), tables, Ann.K,
+      tmp("graft-annprobe-ckpt")) { (ranked, _) =>
+      out.synchronized {
+        out ++= ranked.as[(Long, Long, Double, Int)].collect()
+      }
+    }
+    try {
+      in.addData(queryVecs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Ann.embedAnnIvf(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(out.synchronized(out.toSet) == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("TopKPerCategory: foreachBatch ranks finalized windows per category") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, String, String)]
