@@ -322,6 +322,38 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intake integration: CorpusCleanStream→parquetAppend equals batch corpus_clean") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.md5
+    // the full live-intake path over the REAL documents table: quality
+    // gate + watermarked dedup, persisted through the exactly-once file
+    // sink, must ship the same corpus as the batch capstone. Compared on
+    // (text_hash → quality): the stream's keeper within an exact-dup
+    // cluster is first-arrival (batch: min doc_id), but dup texts are
+    // identical so hash set and per-hash quality must agree exactly.
+    val docs = tables.documents.select("doc_id", "text").collect()
+      .map(r => (new Timestamp(r.getLong(0) * 1000), r.getLong(0), r.getString(1)))
+      .sortBy(_._2).toSeq
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val outDir = tmp("graft-intake-out")
+    val q = Sinks.parquetAppend(
+      Jobs.CorpusCleanStream.clean(in.toDF().toDF("ts", "doc_id", "text")),
+      outDir, tmp("graft-intake-ckpt"))
+    try {
+      in.addData(docs)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.read.parquet(outDir)
+      .select("text_hash", "quality").as[(String, Double)].collect().toMap
+    val batch = graft.pipeline.CorpusClean.corpusClean(tables)
+      .join(tables.documents.select(col("doc_id"),
+        md5(col("text")).as("text_hash")), Seq("doc_id"))
+      .select("text_hash", "quality").as[(String, Double)].collect().toMap
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("SessionCounts: gap-merged session windows emit exact aggregates") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, String)]
