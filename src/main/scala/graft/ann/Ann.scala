@@ -262,28 +262,77 @@ object Ann {
         col("vec_id") < NumQueries + IvfCentroids)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
 
-  /** The built IVF index: (vec_id, v, cid) — every corpus vector tagged
-    * with its nearest-centroid cell. Assignment is an argmax over
-    * centroids expressed as a lexicographic struct max — highest
-    * cosine, lowest cid on ties (matches the oracle's row_number
-    * ORDER BY ccos DESC, cid); map-side combine collapses the
-    * ×centroids expansion before the single build shuffle. Shared by
-    * the batch probe ([[embedAnnIvf]]) and the streaming probe
-    * (`streaming.Jobs.AnnProbeStream`) so the two cannot drift.
+  /** Nearest-centroid assignment of `vecs` (vec_id, v) to `cents`
+    * (cid, cv): (vec_id, v, cid, ccos). Argmax over centroids expressed
+    * as a lexicographic struct max — highest cosine, lowest cid on ties
+    * (matches the oracle's row_number ORDER BY ccos DESC, cid);
+    * map-side combine collapses the ×centroids expansion before the
+    * single shuffle.
     */
-  private[graft] def ivfIndex(t: Tables): DataFrame = {
-    val e = t.embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val corpus = e.filter(col("vec_id") >= NumQueries)
-    val centroids = ivfCentroidTable(t)
+  private def assignTo(vecs: DataFrame, cents: DataFrame): DataFrame = {
     val ccos = round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos")
-    corpus.crossJoin(broadcast(centroids))
+    vecs.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("v"), col("cid"), ccos)
       .groupBy(col("vec_id"))
       .agg(max(struct(col("ccos").as("cc"), (-col("cid")).as("nc"))).as("m"),
         first(col("v")).as("v"))
-      .select(col("vec_id"), col("v"), (-col("m.nc")).as("cid"))
+      .select(col("vec_id"), col("v"), (-col("m.nc")).as("cid"),
+        col("m.cc").as("ccos"))
   }
+
+  private def corpusVecs(t: Tables): DataFrame =
+    t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") >= NumQueries)
+
+  /** The built IVF index: (vec_id, v, cid) — every corpus vector tagged
+    * with its nearest-centroid cell. Shared by the batch probe
+    * ([[embedAnnIvf]]) and the streaming probe
+    * (`streaming.Jobs.AnnProbeStream`) so the two cannot drift.
+    */
+  private[graft] def ivfIndex(t: Tables): DataFrame =
+    assignTo(corpusVecs(t), ivfCentroidTable(t))
+      .select(col("vec_id"), col("v"), col("cid"))
+
+  /** Lloyd refinement of the IVF quantizer: iterate assign → per-cell
+    * element-wise mean. This is the production `fit` step the shipped
+    * [[embedAnnIvf]] entry deliberately does NOT use — distributed
+    * double summation makes kmeans means partition-order-sensitive, so
+    * fitted centroids are not oracle-portable; the entry stays on the
+    * deterministic sample quantizer and a deployment feeds fitted
+    * centroids in as data (the plans take ANY (cid, cv) table).
+    *
+    * Scale: per iteration, one ×centroids map-side assignment collapsed
+    * by partial agg (as the index build), then the mean shuffle carries
+    * (cid, pos, x) triples — dim × corpus rows of 3 scalars, with
+    * map-side partial sums making the per-(cid, pos) groups tiny. Empty
+    * cells keep their previous centroid (coalesce), so the quantizer
+    * never loses cells. AnnSpec asserts the refinement strictly improves
+    * mean assignment cosine over the sample quantizer at test sf.
+    */
+  def ivfFit(t: Tables, iters: Int = 2): DataFrame = {
+    val corpus = corpusVecs(t)
+    var cents = ivfCentroidTable(t)
+    for (_ <- 0 until iters) {
+      val means = assignTo(corpus, cents)
+        .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+          .as("cv"))
+      cents = cents.select(col("cid"), col("cv").as("old_cv"))
+        .join(means, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("cv"), col("old_cv")).as("cv"))
+    }
+    cents
+  }
+
+  /** Mean best-assignment cosine of the corpus under quantizer `cents` —
+    * the quantization-quality scalar [[ivfFit]] optimizes (1 row).
+    */
+  private[graft] def quantizerQuality(t: Tables, cents: DataFrame): DataFrame =
+    assignTo(corpusVecs(t), cents).agg(avg(col("ccos")).as("mean_ccos"))
 
   def embedAnnIvf(t: Tables): DataFrame = {
     val e = t.embeddings

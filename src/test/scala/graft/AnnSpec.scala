@@ -65,6 +65,18 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@10 collapsed: $recall")
   }
 
+  test("ivfFit: Lloyd refinement strictly improves quantization quality") {
+    val sample = Ann.quantizerQuality(tables,
+      Ann.ivfCentroidTable(tables)).collect().head.getDouble(0)
+    val fitted = Ann.quantizerQuality(tables,
+      Ann.ivfFit(tables, iters = 2)).collect().head.getDouble(0)
+    assert(fitted > sample,
+      s"fit did not improve mean assignment cosine: $fitted vs $sample")
+    // the quantizer never loses cells: empty cells coalesce to their
+    // previous centroid
+    assert(Ann.ivfFit(tables, iters = 2).count() == Ann.IvfCentroids)
+  }
+
   test("embed_ann_ivf index build collapses the centroid expansion map-side") {
     val plan = Ann.embedAnnIvf(tables).queryExecution.executedPlan.toString
     // partial aggregation must sit below the assignment shuffle: the
