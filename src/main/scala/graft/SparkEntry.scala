@@ -58,6 +58,7 @@ object SparkEntry {
     "embed_ann_lsh" -> q(Ann.embedAnnLsh),
     "embed_ann_multiprobe" -> q(t => Ann.embedAnnMultiprobe(t)),
     "embed_ann_ivf" -> q(Ann.embedAnnIvf),
+    "embed_ann_pq" -> q(Ann.embedAnnPq),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
@@ -116,6 +117,7 @@ object SparkEntry {
     "embed_ann_lsh" -> Ann.embedAnnLshSql,
     "embed_ann_multiprobe" -> Ann.embedAnnMultiprobeSql,
     "embed_ann_ivf" -> Ann.embedAnnIvfSql,
+    "embed_ann_pq" -> Ann.embedAnnPqSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,

@@ -26,6 +26,10 @@ object Ann {
   val NumTables = 4 // multiprobe: hash tables over disjoint dim slices
   val IvfCentroids = 16 // coarse-quantizer cells; at 100 TB: ~sqrt(corpus)
   val IvfNProbe = 4 // cells a query scans; the IVF recall/cost dial
+  val PqSubspaces = 8 // product-quantization sub-vector count
+  val PqSubDim = 8 // 64 dims / 8 subspaces
+  val PqCodes = 16 // codewords per subspace (sample quantizer, as IVF)
+  val PqShortlist = 50 // ADC survivors re-ranked by exact cosine
 
   /** (vec_id, v double[], norm, bucket) — norms once per vector, never
     * inside the scoring join.
@@ -381,6 +385,162 @@ object Ann {
        |      WHERE rn <= $IvfNProbe),
        |scored AS (SELECT q.q_id, a.vec_id, ${cos("q.v", "a.v")} cos_sim
        |           FROM qp q JOIN a ON q.cid = a.cid)
+       |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank
+       |  FROM scored)
+       |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** The PQ codebook: (s, k, c, h) — for each subspace s, [[PqCodes]]
+    * codewords sliced from the same deterministic sample vectors the
+    * IVF quantizer uses; h = ‖c‖²/2 precomputed for the L2-argmin
+    * encoding score `dot(v_s, c) − h`.
+    */
+  private def pqCodebook(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") >= NumQueries &&
+        col("vec_id") < NumQueries + PqCodes)
+    val subs = (0 until PqSubspaces).map(s =>
+      struct(lit(s).as("s"),
+        slice(col("v"), s * PqSubDim + 1, PqSubDim).as("c")))
+    e.select((col("vec_id") - NumQueries).as("k"),
+        explode(array(subs: _*)).as("sc"))
+      .select(col("sc.s").as("s"), col("k"), col("sc.c").as("c"))
+      .withColumn("h",
+        VectorFunctions.dot(col("c"), col("c")) * lit(0.5))
+  }
+
+  /** (vec_id, s, sub_v) — every vector of `vecs` split into its
+    * [[PqSubspaces]] sub-vectors (map-side explode, no shuffle).
+    */
+  private def subVectors(vecs: DataFrame): DataFrame = {
+    val subs = (0 until PqSubspaces).map(s =>
+      struct(lit(s).as("s"),
+        slice(col("v"), s * PqSubDim + 1, PqSubDim).as("sub_v")))
+    vecs.select(col("vec_id"), explode(array(subs: _*)).as("sc"))
+      .select(col("vec_id"), col("sc.s").as("s"), col("sc.sub_v").as("sub_v"))
+  }
+
+  /** Product-quantization ANN — the MEMORY-bound scan path: each corpus
+    * vector is stored as [[PqSubspaces]] byte-sized codes (nearest
+    * codeword per sub-vector, L2 criterion), ~128× smaller than the
+    * raw doubles. A query builds a (subspace × codeword) lookup table
+    * of partial dots, scores EVERY corpus vector by summing its codes'
+    * table entries (asymmetric distance computation — PQ is exhaustive
+    * by design; what it compresses is the scan, not the candidate set),
+    * keeps the [[PqShortlist]] best, and re-ranks the shortlist by
+    * exact cosine over the full vectors.
+    *
+    * Portability: every score that feeds an argmax/rank crosses round6
+    * with an explicit tie-break, and the 4-part ADC sum is written as
+    * ((p0+p1)+p2)+p3 via per-subspace pivots — a groupBy SUM of doubles
+    * would be partition-order-sensitive and break the oracle.
+    *
+    * Scale (100 TB): encoding is the IVF-build shape (map-side
+    * ×codewords expansion, partial argmax collapse, one shuffle — done
+    * once, persisted). The ADC scan shuffles (q_id, vec_id, pivot)
+    * rows collapsed map-side to one per (query, vector); the shortlist
+    * rank is the embedTopK partial-WindowGroupLimit shape. Compose with
+    * [[embedAnnIvf]] (IVF-PQ: codes scanned only inside probed cells)
+    * when even the compressed scan is too wide — both stages share this
+    * machinery.
+    */
+  def embedAnnPq(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cb = pqCodebook(t)
+    // encode: nearest codeword per (corpus vector, subspace) — argmax of
+    // round6(dot − h) with lowest-k tie-break, collapsed map-side
+    val encoded = subVectors(e.filter(col("vec_id") >= NumQueries))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("vec_id"), col("s"), col("k"),
+        round6(VectorFunctions.dot(col("sub_v"), col("c")) - col("h"))
+          .as("score"))
+      .groupBy(col("vec_id"), col("s"))
+      .agg(max(struct(col("score").as("sc"), (-col("k")).as("nk"))).as("m"))
+      .select(col("vec_id"), col("s"), (-col("m.nk")).as("code"))
+    // query LUT: partial dot per (query, subspace, codeword)
+    val lut = subVectors(e.filter(col("vec_id") < NumQueries))
+      .join(broadcast(cb), Seq("s"))
+      .select(col("vec_id").as("q_id"), col("s"), col("k"),
+        round6(VectorFunctions.dot(col("sub_v"), col("c"))).as("part"))
+    // ADC: per (query, corpus vector), sum the 4 looked-up parts in a
+    // FIXED order via per-subspace pivots
+    val pivots = (0 until PqSubspaces).map(s =>
+      max(when(col("s") === s, col("part"))).as(s"p$s"))
+    val approxSum = (0 until PqSubspaces)
+      .map(s => col(s"p$s")).reduce(_ + _)
+    val approx = encoded
+      .join(broadcast(lut),
+        encoded("s") === lut("s") && encoded("code") === lut("k"))
+      .select(col("q_id"), col("vec_id"), encoded("s"), col("part"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(pivots.head, pivots.tail: _*)
+      .select(col("q_id"), col("vec_id"), round6(approxSum).as("approx"))
+    // shortlist by ADC score, then exact re-rank over full vectors
+    val shortlist = approx
+      .withColumn("sr", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("sr") <= PqShortlist)
+      .select(col("q_id"), col("vec_id"))
+    shortlist
+      .join(e.select(col("vec_id"), col("v")), Seq("vec_id"))
+      .join(broadcast(e.select(col("vec_id").as("q_id"), col("v").as("qv"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round6(VectorFunctions.cosineSim(col("qv"), col("v"))).as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  def embedAnnPqSql: String = {
+    val subsVals = (0 until PqSubspaces).map(s => s"($s)").mkString(",")
+    def sliceOf(v: String) =
+      s"$v[ss.s*$PqSubDim+1 : ss.s*$PqSubDim+$PqSubDim]"
+    val pivotCols = (0 until PqSubspaces)
+      .map(s => s"max(CASE WHEN s = $s THEN part END) p$s").mkString(", ")
+    val approxSum = (0 until PqSubspaces).map(s => s"p$s").mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |ss(s) AS (VALUES $subsVals),
+       |cb AS (SELECT ss.s, (vec_id - $NumQueries) k, ${sliceOf("v")} c
+       |       FROM e, ss WHERE vec_id >= $NumQueries
+       |         AND vec_id < ${NumQueries + PqCodes}),
+       |cbh AS (SELECT s, k, c, list_dot_product(c, c) * 0.5 h FROM cb),
+       |csub AS (SELECT vec_id, ss.s, ${sliceOf("v")} sub_v
+       |         FROM e, ss WHERE vec_id >= $NumQueries),
+       |enc0 AS (SELECT c.vec_id, c.s, b.k,
+       |    ${round6Sql("list_dot_product(c.sub_v, b.c) - b.h")} score
+       |  FROM csub c JOIN cbh b ON b.s = c.s),
+       |enc AS (SELECT vec_id, s, k code FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY vec_id, s ORDER BY score DESC, k) rn FROM enc0)
+       |  WHERE rn = 1),
+       |qsub AS (SELECT vec_id q_id, ss.s, ${sliceOf("v")} sub_v
+       |         FROM e, ss WHERE vec_id < $NumQueries),
+       |lut AS (SELECT q.q_id, q.s, b.k,
+       |    ${round6Sql("list_dot_product(q.sub_v, b.c)")} part
+       |  FROM qsub q JOIN cbh b ON b.s = q.s),
+       |parts AS (SELECT l.q_id, x.vec_id, x.s, l.part
+       |          FROM enc x JOIN lut l ON l.s = x.s AND l.k = x.code),
+       |pv AS (SELECT q_id, vec_id, $pivotCols
+       |       FROM parts GROUP BY q_id, vec_id),
+       |approx AS (SELECT q_id, vec_id,
+       |    ${round6Sql(approxSum)} approx FROM pv),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT *, row_number() OVER
+       |      (PARTITION BY q_id ORDER BY approx DESC, vec_id) sr
+       |    FROM approx) WHERE sr <= $PqShortlist),
+       |scored AS (SELECT s.q_id, s.vec_id,
+       |    ${round6Sql("list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))")} cos_sim
+       |  FROM short s JOIN e c ON c.vec_id = s.vec_id
+       |               JOIN e q ON q.vec_id = s.q_id)
        |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER
        |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank

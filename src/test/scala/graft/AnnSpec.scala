@@ -65,6 +65,26 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@10 collapsed: $recall")
   }
 
+  test("embed_ann_pq: ADC shortlist re-rank recovers most exact neighbors") {
+    val rows = Ann.embedAnnPq(tables).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+      assert(rs.length <= Ann.K)
+    }
+    val topk = Ann.embedTopK(tables).collect()
+    // re-ranked cosines are exact, so no PQ hit beats the exact best
+    val best = topk.filter(_.getInt(3) == 1)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach(r => assert(r.getDouble(2) <= best(r.getLong(0)) + 1e-9))
+    // a 50-deep shortlist from 16-codeword × 4-subspace codes must
+    // recover a large share of the exact top-10
+    val exact = topk.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"PQ recall@10 collapsed: $recall")
+  }
+
   test("ivfFit: Lloyd refinement strictly improves quantization quality") {
     val sample = Ann.quantizerQuality(tables,
       Ann.ivfCentroidTable(tables)).collect().head.getDouble(0)
