@@ -59,6 +59,7 @@ object SparkEntry {
     "embed_ann_multiprobe" -> q(t => Ann.embedAnnMultiprobe(t)),
     "embed_ann_ivf" -> q(Ann.embedAnnIvf),
     "embed_ann_pq" -> q(Ann.embedAnnPq),
+    "embed_ann_ivf_pq" -> q(Ann.embedAnnIvfPq),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
@@ -118,6 +119,7 @@ object SparkEntry {
     "embed_ann_multiprobe" -> Ann.embedAnnMultiprobeSql,
     "embed_ann_ivf" -> Ann.embedAnnIvfSql,
     "embed_ann_pq" -> Ann.embedAnnPqSql,
+    "embed_ann_ivf_pq" -> Ann.embedAnnIvfPqSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,

@@ -447,39 +447,54 @@ object Ann {
     * when even the compressed scan is too wide — both stages share this
     * machinery.
     */
-  def embedAnnPq(t: Tables): DataFrame = {
+  /** The PQ code index: (vec_id, s, code) — nearest codeword per
+    * (corpus vector, subspace); argmax of round6(dot − h) with
+    * lowest-k tie-break, collapsed map-side before its one shuffle.
+    * Shared by [[embedAnnPq]] and [[embedAnnIvfPq]].
+    */
+  private[graft] def pqEncoded(t: Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cb = pqCodebook(t)
-    // encode: nearest codeword per (corpus vector, subspace) — argmax of
-    // round6(dot − h) with lowest-k tie-break, collapsed map-side
-    val encoded = subVectors(e.filter(col("vec_id") >= NumQueries))
-      .join(broadcast(cb), Seq("s"))
+    subVectors(e.filter(col("vec_id") >= NumQueries))
+      .join(broadcast(pqCodebook(t)), Seq("s"))
       .select(col("vec_id"), col("s"), col("k"),
         round6(VectorFunctions.dot(col("sub_v"), col("c")) - col("h"))
           .as("score"))
       .groupBy(col("vec_id"), col("s"))
       .agg(max(struct(col("score").as("sc"), (-col("k")).as("nk"))).as("m"))
       .select(col("vec_id"), col("s"), (-col("m.nk")).as("code"))
-    // query LUT: partial dot per (query, subspace, codeword)
-    val lut = subVectors(e.filter(col("vec_id") < NumQueries))
-      .join(broadcast(cb), Seq("s"))
+  }
+
+  /** The query-side ADC lookup table: (q_id, s, k, part) — partial dot
+    * per (query, subspace, codeword). Tiny: queries × subspaces × codes.
+    */
+  private[graft] def pqLut(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    subVectors(e.filter(col("vec_id") < NumQueries))
+      .join(broadcast(pqCodebook(t)), Seq("s"))
       .select(col("vec_id").as("q_id"), col("s"), col("k"),
         round6(VectorFunctions.dot(col("sub_v"), col("c"))).as("part"))
-    // ADC: per (query, corpus vector), sum the 4 looked-up parts in a
-    // FIXED order via per-subspace pivots
+  }
+
+  /** Shared ADC tail: `parts` (q_id, vec_id, s, part) → fixed-order
+    * pivot sum → per-query [[PqShortlist]] by approximate score →
+    * exact-cosine re-rank of the shortlist → top [[K]].
+    */
+  private def adcTail(parts: DataFrame, t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // sum the looked-up parts in a FIXED order via per-subspace pivots —
+    // a groupBy SUM of doubles would be partition-order-sensitive and
+    // break the oracle
     val pivots = (0 until PqSubspaces).map(s =>
       max(when(col("s") === s, col("part"))).as(s"p$s"))
     val approxSum = (0 until PqSubspaces)
       .map(s => col(s"p$s")).reduce(_ + _)
-    val approx = encoded
-      .join(broadcast(lut),
-        encoded("s") === lut("s") && encoded("code") === lut("k"))
-      .select(col("q_id"), col("vec_id"), encoded("s"), col("part"))
+    val approx = parts
       .groupBy(col("q_id"), col("vec_id"))
       .agg(pivots.head, pivots.tail: _*)
       .select(col("q_id"), col("vec_id"), round6(approxSum).as("approx"))
-    // shortlist by ADC score, then exact re-rank over full vectors
     val shortlist = approx
       .withColumn("sr", row_number().over(
         Window.partitionBy(col("q_id"))
@@ -500,15 +515,63 @@ object Ann {
       .orderBy(col("q_id"), col("rank"))
   }
 
-  def embedAnnPqSql: String = {
+  def embedAnnPq(t: Tables): DataFrame = {
+    val encoded = pqEncoded(t)
+    val lut = pqLut(t)
+    val parts = encoded
+      .join(broadcast(lut),
+        encoded("s") === lut("s") && encoded("code") === lut("k"))
+      .select(col("q_id"), col("vec_id"), encoded("s"), col("part"))
+    adcTail(parts, t)
+  }
+
+  /** IVF-PQ — the full production composition: the IVF coarse quantizer
+    * bounds WHICH vectors are scanned (a query's [[IvfNProbe]] cells,
+    * ~nprobe/centroids of the corpus) and PQ codes compress WHAT the
+    * scan reads (~64× smaller than raw vectors). Candidate codes come
+    * from joining the cell index to the probed (q_id, cid) pairs —
+    * map-side, both probe sides broadcast — then the standard ADC tail:
+    * fixed-order pivot sum, shortlist, exact re-rank. Recall is bounded
+    * by the IVF probe (a cell miss cannot be recovered by PQ), so
+    * AnnSpec asserts ivf_pq ⊆ ivf cells-wise semantics via recall
+    * floors rather than equality.
+    */
+  def embedAnnIvfPq(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = ivfCentroidTable(t)
+    val ccos = round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos")
+    val probePairs = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("cid"), ccos)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("pr") <= IvfNProbe)
+      .select(col("q_id"), col("cid"))
+    val cellCodes = ivfIndex(t).select(col("vec_id"), col("cid"))
+      .join(pqEncoded(t), Seq("vec_id"))
+    val lut = pqLut(t)
+    val parts = cellCodes
+      .join(broadcast(probePairs), Seq("cid"))
+      .as("x")
+      .join(broadcast(lut).as("l"),
+        col("x.q_id") === col("l.q_id") && col("x.s") === col("l.s") &&
+          col("x.code") === col("l.k"))
+      .select(col("x.q_id").as("q_id"), col("x.vec_id").as("vec_id"),
+        col("x.s").as("s"), col("l.part").as("part"))
+    adcTail(parts, t)
+  }
+
+  /** PQ code/LUT CTE chain (`ss cb cbh csub enc0 enc qsub lut`) —
+    * DuckDB twins of [[pqCodebook]]/[[pqEncoded]]/[[pqLut]]; shared by
+    * the PQ and IVF-PQ oracles so the code definitions cannot drift.
+    */
+  private def pqCodeCtes: String = {
     val subsVals = (0 until PqSubspaces).map(s => s"($s)").mkString(",")
     def sliceOf(v: String) =
       s"$v[ss.s*$PqSubDim+1 : ss.s*$PqSubDim+$PqSubDim]"
-    val pivotCols = (0 until PqSubspaces)
-      .map(s => s"max(CASE WHEN s = $s THEN part END) p$s").mkString(", ")
-    val approxSum = (0 until PqSubspaces).map(s => s"p$s").mkString(" + ")
-    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       |ss(s) AS (VALUES $subsVals),
+    s"""ss(s) AS (VALUES $subsVals),
        |cb AS (SELECT ss.s, (vec_id - $NumQueries) k, ${sliceOf("v")} c
        |       FROM e, ss WHERE vec_id >= $NumQueries
        |         AND vec_id < ${NumQueries + PqCodes}),
@@ -526,10 +589,17 @@ object Ann {
        |         FROM e, ss WHERE vec_id < $NumQueries),
        |lut AS (SELECT q.q_id, q.s, b.k,
        |    ${round6Sql("list_dot_product(q.sub_v, b.c)")} part
-       |  FROM qsub q JOIN cbh b ON b.s = q.s),
-       |parts AS (SELECT l.q_id, x.vec_id, x.s, l.part
-       |          FROM enc x JOIN lut l ON l.s = x.s AND l.k = x.code),
-       |pv AS (SELECT q_id, vec_id, $pivotCols
+       |  FROM qsub q JOIN cbh b ON b.s = q.s)""".stripMargin
+  }
+
+  /** ADC tail CTEs + final select over a `parts` CTE — DuckDB twin of
+    * [[adcTail]], shared by the PQ and IVF-PQ oracles.
+    */
+  private def adcTailSql: String = {
+    val pivotCols = (0 until PqSubspaces)
+      .map(s => s"max(CASE WHEN s = $s THEN part END) p$s").mkString(", ")
+    val approxSum = (0 until PqSubspaces).map(s => s"p$s").mkString(" + ")
+    s"""pv AS (SELECT q_id, vec_id, $pivotCols
        |       FROM parts GROUP BY q_id, vec_id),
        |approx AS (SELECT q_id, vec_id,
        |    ${round6Sql(approxSum)} approx FROM pv),
@@ -546,6 +616,41 @@ object Ann {
        |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank
        |  FROM scored)
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
+  }
+
+  def embedAnnPqSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |$pqCodeCtes,
+       |parts AS (SELECT l.q_id, x.vec_id, x.s, l.part
+       |          FROM enc x JOIN lut l ON l.s = x.s AND l.k = x.code),
+       |$adcTailSql""".stripMargin
+
+  def embedAnnIvfPqSql: String = {
+    val cos = (a: String, b: String) => round6Sql(
+      s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b)))")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |ivk AS (SELECT vec_id cid, v cv FROM e
+       |        WHERE vec_id >= $NumQueries
+       |          AND vec_id < ${NumQueries + IvfCentroids}),
+       |ac AS (SELECT c.vec_id, ivk.cid, ${cos("c.v", "ivk.cv")} ccos
+       |       FROM e c, ivk WHERE c.vec_id >= $NumQueries),
+       |a AS (SELECT vec_id, cid FROM (
+       |        SELECT *, row_number() OVER
+       |          (PARTITION BY vec_id ORDER BY ccos DESC, cid) rn FROM ac)
+       |      WHERE rn = 1),
+       |qc AS (SELECT q.vec_id q_id, ivk.cid, ${cos("q.v", "ivk.cv")} ccos
+       |       FROM e q, ivk WHERE q.vec_id < $NumQueries),
+       |qp AS (SELECT q_id, cid FROM (
+       |        SELECT *, row_number() OVER
+       |          (PARTITION BY q_id ORDER BY ccos DESC, cid) rn FROM qc)
+       |      WHERE rn <= $IvfNProbe),
+       |$pqCodeCtes,
+       |parts AS (SELECT qp.q_id, x.vec_id, x.s, l.part
+       |          FROM enc x JOIN a ON a.vec_id = x.vec_id
+       |                     JOIN qp ON qp.cid = a.cid
+       |                     JOIN lut l ON l.q_id = qp.q_id
+       |                              AND l.s = x.s AND l.k = x.code),
+       |$adcTailSql""".stripMargin
   }
 
   def embedAnnLshSql: String = {

@@ -85,6 +85,27 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ recall@10 collapsed: $recall")
   }
 
+  test("embed_ann_ivf_pq: probe-bounded ADC stays inside the probed cells") {
+    val rows = Ann.embedAnnIvfPq(tables).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length))
+    }
+    // candidates ⊆ the probed IVF cells: every hit must also be an IVF
+    // candidate, so no ivf_pq hit can beat the plain-IVF best for its
+    // query (PQ only narrows the scan, never widens it)
+    val ivfBest = Ann.embedAnnIvf(tables).collect()
+      .filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach(r =>
+      assert(r.getDouble(2) <= ivfBest(r.getLong(0)) + 1e-9))
+    // and the composition still finds a usable share of the exact top-k
+    val exact = Ann.embedTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.25, s"IVF-PQ recall@10 collapsed: $recall")
+  }
+
   test("ivfFit: Lloyd refinement strictly improves quantization quality") {
     val sample = Ann.quantizerQuality(tables,
       Ann.ivfCentroidTable(tables)).collect().head.getDouble(0)
