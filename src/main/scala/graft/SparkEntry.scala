@@ -60,6 +60,7 @@ object SparkEntry {
     "embed_ann_ivf" -> q(Ann.embedAnnIvf),
     "embed_ann_pq" -> q(Ann.embedAnnPq),
     "embed_ann_ivf_pq" -> q(Ann.embedAnnIvfPq),
+    "embed_ann_ivf_part" -> q(Ann.embedAnnIvfPartitioned),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
@@ -120,6 +121,7 @@ object SparkEntry {
     "embed_ann_ivf" -> Ann.embedAnnIvfSql,
     "embed_ann_pq" -> Ann.embedAnnPqSql,
     "embed_ann_ivf_pq" -> Ann.embedAnnIvfPqSql,
+    "embed_ann_ivf_part" -> Ann.embedAnnIvfSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,

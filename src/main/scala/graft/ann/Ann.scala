@@ -392,6 +392,54 @@ object Ann {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
+  /** [[embedAnnIvf]] over a PERSISTED cell-partitioned index — the
+    * production storage shape. The built index is written ONCE as
+    * parquet partitioned by cid (the build shuffle is paid at write,
+    * like storage.Bucketing's q3 facts); probing then joins the probed
+    * (q_id, cid) pairs against the partitioned files, and Spark's
+    * dynamic partition pruning turns the broadcast probe side into a
+    * runtime partition filter — the scan READS only the ~nprobe/
+    * centroids probed cell directories, not the whole index (AnnSpec
+    * pins `dynamicpruning` in the scan's partition filters and result
+    * equality with the recomputed entry; the DuckDB oracle is
+    * [[embedAnnIvfSql]] verbatim).
+    */
+  def embedAnnIvfPartitioned(t: Tables): DataFrame = {
+    val spark = t.spark
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(8)
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"graft_ivf_part_$tag").toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      ivfIndex(t).write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val idx = spark.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val centroids = ivfCentroidTable(t)
+    val ccos = round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos")
+    val qprobes = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("q_id"), col("v"), col("cid"), ccos)
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))))
+      .filter(col("pr") <= IvfNProbe)
+      .select(col("q_id"), col("v"), col("cid"))
+    idx.as("c")
+      .join(broadcast(qprobes.as("q")), col("q.cid") === col("c.cid"))
+      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
+        fusedCosine.as("cos_sim"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** The PQ codebook: (s, k, c, h) — for each subspace s, [[PqCodes]]
     * codewords sliced from the same deterministic sample vectors the
     * IVF quantizer uses; h = ‖c‖²/2 precomputed for the L2-argmin

@@ -106,6 +106,20 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.25, s"IVF-PQ recall@10 collapsed: $recall")
   }
 
+  test("partitioned IVF index: probes prune to the probed cells only") {
+    // identical answers to the recomputed entry (same oracle SQL)
+    val part = Ann.embedAnnIvfPartitioned(tables).collect().map(_.toSeq).toSeq
+    val live = Ann.embedAnnIvf(tables).collect().map(_.toSeq).toSeq
+    assert(part == live)
+    // the 100 TB property: the index scan carries a dynamic-partition-
+    // pruning filter from the broadcast probe side, so only probed cell
+    // directories are read — never the whole index
+    val plan = Ann.embedAnnIvfPartitioned(tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      plan.linesIterator.take(20).mkString("\n"))
+  }
+
   test("ivfFit: Lloyd refinement strictly improves quantization quality") {
     val sample = Ann.quantizerQuality(tables,
       Ann.ivfCentroidTable(tables)).collect().head.getDouble(0)
