@@ -445,7 +445,7 @@ object Ann {
     * IVF quantizer uses; h = ‖c‖²/2 precomputed for the L2-argmin
     * encoding score `dot(v_s, c) − h`.
     */
-  private def pqCodebook(t: Tables): DataFrame = {
+  private[graft] def pqCodebook(t: Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .filter(col("vec_id") >= NumQueries &&
@@ -529,7 +529,7 @@ object Ann {
     * pivot sum → per-query [[PqShortlist]] by approximate score →
     * exact-cosine re-rank of the shortlist → top [[K]].
     */
-  private def adcTail(parts: DataFrame, t: Tables): DataFrame = {
+  private[graft] def adcTail(parts: DataFrame, t: Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     // sum the looked-up parts in a FIXED order via per-subspace pivots —

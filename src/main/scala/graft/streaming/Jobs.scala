@@ -345,6 +345,52 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // PqProbeStream — ann.Ann.embedAnnPq's probe phase on a live query
+  // stream: the compressed-scan serving path next to AnnProbeStream's
+  // cell-probed one.
+  // ---------------------------------------------------------------------
+  object PqProbeStream {
+
+    import graft.ann.Ann
+
+    /** ADC parts for a (q_id, v: array<double>) query stream: each
+      * streamed query explodes against the broadcast PQ codebook
+      * (subspaces × codewords rows — per-row work, the LUT the batch op
+      * builds), and the parts join the static code index stream-static
+      * on (subspace, codeword). No stream state, no watermark: nothing
+      * aggregates before the sink. At scale the static side is the
+      * compressed code table — the 100 TB scan this path exists for.
+      */
+    def parts(queries: DataFrame, t: Tables): DataFrame =
+      queries
+        .crossJoin(broadcast(Ann.pqCodebook(t).select(
+          col("s"), col("k"), col("c"))))
+        .select(col("q_id"), col("s"), col("k"),
+          graft.functions.Portable.round6(
+            graft.functions.VectorFunctions.dot(
+              expr(s"slice(v, s * ${Ann.PqSubDim} + 1, ${Ann.PqSubDim})"),
+              col("c"))).as("part"))
+        .as("l")
+        .join(Ann.pqEncoded(t).as("x"),
+          col("l.s") === col("x.s") && col("l.k") === col("x.code"))
+        .select(col("q_id"), col("vec_id"), col("l.s").as("s"), col("part"))
+
+    /** Full serving job: streamed parts → foreachBatch ADC tail (the
+      * batch op's exact pivot-sum, shortlist, and exact re-rank —
+      * StreamingJobsSpec pins stream ≡ batch bit for bit).
+      */
+    def start(queries: DataFrame, t: Tables, checkpointDir: String)
+             (sink: (DataFrame, Long) => Unit): StreamingQuery =
+      parts(queries, t).writeStream
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          sink(Ann.adcTail(batch, t), id)
+        }
+        .start()
+  }
+
+  // ---------------------------------------------------------------------
   // TopKPerCategory — ref: Top3HotProduct.java:139-196: window counts,
   // then per-RDD HiveContext SQL row_number rank ≤ 3.
   // ---------------------------------------------------------------------

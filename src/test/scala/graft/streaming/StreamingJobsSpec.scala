@@ -241,6 +241,33 @@ class StreamingJobsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("PqProbeStream: streamed queries get exactly the batch PQ answers") {
+    import spark.implicits._
+    import graft.ann.Ann
+    val queryVecs = tables.embeddings
+      .filter(col("vec_id") < Ann.NumQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val out = mutable.Buffer.empty[(Long, Long, Double, Int)]
+    val q = Jobs.PqProbeStream.start(
+      in.toDF().toDF("q_id", "v"), tables,
+      tmp("graft-pqprobe-ckpt")) { (ranked, _) =>
+      out.synchronized {
+        out ++= ranked.as[(Long, Long, Double, Int)].collect()
+      }
+    }
+    try {
+      in.addData(queryVecs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val batch = Ann.embedAnnPq(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSet
+    assert(out.synchronized(out.toSet) == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("TopKPerCategory: foreachBatch ranks finalized windows per category") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, String, String)]
