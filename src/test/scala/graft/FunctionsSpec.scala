@@ -74,4 +74,11 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("cosine_sim"))
     assert(!plan.toLowerCase.contains("sqrt"))
   }
+
+  test("dedup_embedding self-join payload carries no precomputed norm either") {
+    val plan = graft.dedup.Dedup.dedupEmbedding(tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("cosine_sim"))
+    assert(!plan.toLowerCase.contains("sqrt"))
+  }
 }
