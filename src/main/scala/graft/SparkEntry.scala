@@ -61,6 +61,7 @@ object SparkEntry {
     "embed_ann_pq" -> q(Ann.embedAnnPq),
     "embed_ann_ivf_pq" -> q(Ann.embedAnnIvfPq),
     "embed_ann_ivf_part" -> q(Ann.embedAnnIvfPartitioned),
+    "embed_ann_ivf_pq_res" -> q(Ann.embedAnnIvfPqResidual),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
@@ -122,6 +123,7 @@ object SparkEntry {
     "embed_ann_pq" -> Ann.embedAnnPqSql,
     "embed_ann_ivf_pq" -> Ann.embedAnnIvfPqSql,
     "embed_ann_ivf_part" -> Ann.embedAnnIvfSql,
+    "embed_ann_ivf_pq_res" -> Ann.embedAnnIvfPqResidualSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
