@@ -231,30 +231,6 @@ object Ann {
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
 
-  /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
-    * the LSH family: the corpus is partitioned into [[IvfCentroids]]
-    * cells by nearest centroid; a query scans only its [[IvfNProbe]]
-    * nearest cells, re-ranked by exact cosine.
-    *
-    * Centroids are a deterministic sample (the [[IvfCentroids]] lowest
-    * corpus vec_ids) — a kmeans-free quantizer both engines can compute
-    * bit-identically; production swaps in Lloyd-iterated centroids and
-    * every plan below is unchanged (the quantizer is pluggable data,
-    * not plan structure).
-    *
-    * Scale (100 TB): the centroid table broadcasts everywhere it is
-    * used. The index build expands each corpus row ×centroids MAP-SIDE
-    * (broadcast nested-loop — intentional: assignment is by definition
-    * all-centroids-per-vector), and partial aggregation collapses the
-    * expansion back to one row per vector BEFORE its single shuffle —
-    * the index build's one corpus pass, persisted bucketed-by-cell in
-    * production so probing never reshuffles the corpus. Probing is a
-    * broadcast equi-join on cell id: queries × nprobe rows probe the
-    * cell-local corpus, ~nprobe/centroids of the data, and the top-k
-    * rank is partial per q_id. Unlike sign-LSH, cell population adapts
-    * to the data distribution — dense regions split across cells instead
-    * of piling into one hyperoctant.
-    */
   /** The IVF coarse-quantizer table: (cid, cv) — the [[IvfCentroids]]
     * lowest corpus vec_ids (deterministic, kmeans-free; see
     * [[embedAnnIvf]]).
@@ -338,12 +314,16 @@ object Ann {
   private[graft] def quantizerQuality(t: Tables, cents: DataFrame): DataFrame =
     assignTo(corpusVecs(t), cents).agg(avg(col("ccos")).as("mean_ccos"))
 
-  def embedAnnIvf(t: Tables): DataFrame = {
+  /** Probe an (vec_id, v, cid) index DataFrame with the standard query
+    * probes — the shared serving plan behind [[embedAnnIvf]] (live
+    * index), [[embedAnnIvfPartitioned]] (persisted index), and the
+    * streaming-ingested index (`streaming.Jobs.IndexIngestStream`).
+    */
+  private[graft] def probeIndex(t: Tables, assigned: DataFrame): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val centroids = ivfCentroidTable(t)
     val ccos = round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos")
-    val assigned = ivfIndex(t)
     val qprobes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v"))
       .crossJoin(broadcast(centroids))
@@ -363,6 +343,34 @@ object Ann {
       .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
       .orderBy(col("q_id"), col("rank"))
   }
+
+  /** IVF (inverted-file) ANN — the coarse-quantizer scale path next to
+    * the LSH family: the corpus is partitioned into [[IvfCentroids]]
+    * cells by nearest centroid; a query scans only its [[IvfNProbe]]
+    * nearest cells, re-ranked by exact cosine.
+    *
+    * Centroids are a deterministic sample (the [[IvfCentroids]] lowest
+    * corpus vec_ids) — a kmeans-free quantizer both engines can compute
+    * bit-identically; production swaps in Lloyd-iterated centroids
+    * ([[ivfFit]]) and every plan is unchanged (the quantizer is
+    * pluggable data, not plan structure).
+    *
+    * Scale (100 TB): the centroid table broadcasts everywhere it is
+    * used. The index build ([[ivfIndex]]) expands each corpus row
+    * ×centroids MAP-SIDE (broadcast nested-loop — intentional:
+    * assignment is by definition all-centroids-per-vector), and partial
+    * aggregation collapses the expansion back to one row per vector
+    * BEFORE its single shuffle — the index build's one corpus pass,
+    * persisted cell-partitioned in production
+    * ([[embedAnnIvfPartitioned]]) so probing never reshuffles the
+    * corpus. Probing ([[probeIndex]]) is a broadcast equi-join on cell
+    * id: queries × nprobe rows probe the cell-local corpus,
+    * ~nprobe/centroids of the data, and the top-k rank is partial per
+    * q_id. Unlike sign-LSH, cell population adapts to the data
+    * distribution — dense regions split across cells instead of piling
+    * into one hyperoctant.
+    */
+  def embedAnnIvf(t: Tables): DataFrame = probeIndex(t, ivfIndex(t))
 
   def embedAnnIvfSql: String = {
     val cos = (a: String, b: String) => round6Sql(
@@ -414,30 +422,8 @@ object Ann {
       s"graft_ivf_part_$tag").toString
     if (!new java.io.File(dir, "_SUCCESS").exists())
       ivfIndex(t).write.mode("overwrite").partitionBy("cid").parquet(dir)
-    val idx = spark.read.parquet(dir)
-      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
-    val e = t.embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val centroids = ivfCentroidTable(t)
-    val ccos = round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos")
-    val qprobes = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v"))
-      .crossJoin(broadcast(centroids))
-      .select(col("q_id"), col("v"), col("cid"), ccos)
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("ccos").desc, col("cid"))))
-      .filter(col("pr") <= IvfNProbe)
-      .select(col("q_id"), col("v"), col("cid"))
-    idx.as("c")
-      .join(broadcast(qprobes.as("q")), col("q.cid") === col("c.cid"))
-      .select(col("q.q_id").as("q_id"), col("c.vec_id").as("vec_id"),
-        fusedCosine.as("cos_sim"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(col("q_id"))
-          .orderBy(col("cos_sim").desc, col("vec_id"))))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("vec_id"), col("cos_sim"), col("rank"))
-      .orderBy(col("q_id"), col("rank"))
+    probeIndex(t, spark.read.parquet(dir)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid")))
   }
 
   /** The PQ codebook: (s, k, c, h) — for each subspace s, [[PqCodes]]

@@ -345,6 +345,61 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // IndexIngestStream — the write half of the ANN serving story: new
+  // corpus vectors land as a stream, get cell-assigned per row, and
+  // append into the SAME cell-partitioned parquet layout the batch
+  // probes (embed_ann_ivf_part) read — a living index.
+  // ---------------------------------------------------------------------
+  object IndexIngestStream {
+
+    import graft.ann.Ann
+
+    /** (vec_id, v) stream → (vec_id, v, cid): per-row nearest-centroid
+      * assignment against the broadcast centroid array. Same
+      * HOF-sort-take-1 trick as [[AnnProbeStream]] (a stream cannot run
+      * the batch build's argmax aggregation pre-sink), with the batch
+      * assignment's exact rounding and lowest-cid tie-break — so a
+      * vector ingested live lands in the SAME cell the batch build
+      * would put it in (StreamingJobsSpec pins index equality).
+      */
+    def assigned(vectors: DataFrame, t: Tables): DataFrame = {
+      val centArray = Ann.ivfCentroidTable(t)
+        .withColumn("cnorm", graft.functions.VectorFunctions.norm(col("cv")))
+        .agg(collect_list(struct(col("cid"), col("cv"), col("cnorm")))
+          .as("cents"))
+      val dotVK = "aggregate(zip_with(v, k.cv, (p, q) -> p * q), " +
+        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+      val cellOf =
+        s"""array_sort(transform(cents, k -> named_struct(
+           |  'nc', -(floor(($dotVK / (qnorm * k.cnorm)) * 1000000.0 + 0.5)
+           |          / 1000000.0),
+           |  'cid', k.cid)))[0].cid""".stripMargin
+      vectors
+        .crossJoin(centArray)
+        .withColumn("qnorm", graft.functions.VectorFunctions.norm(col("v")))
+        .select(col("vec_id"), col("v"), expr(cellOf).as("cid"))
+    }
+
+    /** Append the assigned stream into a cell-partitioned parquet index
+      * dir — the same layout (and exactly-once `_spark_metadata`
+      * discipline, see [[Sinks.parquetAppend]]) that
+      * `Ann.embedAnnIvfPartitioned`'s probe side reads with dynamic
+      * partition pruning. Ingest is stateless per row; the index grows
+      * per committed batch with no compaction debt beyond the file
+      * counts a production table service would compact anyway.
+      */
+    def start(vectors: DataFrame, t: Tables, indexDir: String,
+              checkpointDir: String): StreamingQuery =
+      assigned(vectors, t).writeStream
+        .outputMode(OutputMode.Append())
+        .partitionBy("cid")
+        .format("parquet")
+        .option("path", indexDir)
+        .option("checkpointLocation", checkpointDir)
+        .start()
+  }
+
+  // ---------------------------------------------------------------------
   // PqProbeStream — ann.Ann.embedAnnPq's probe phase on a live query
   // stream: the compressed-scan serving path next to AnnProbeStream's
   // cell-probed one.

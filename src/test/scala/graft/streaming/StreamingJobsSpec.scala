@@ -241,6 +241,39 @@ class StreamingJobsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("IndexIngestStream: live-ingested index equals the batch build, serves probes") {
+    import spark.implicits._
+    import graft.ann.Ann
+    val corpusVecs = tables.embeddings
+      .filter(col("vec_id") >= Ann.NumQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val indexDir = tmp("graft-ingest-idx")
+    val q = Jobs.IndexIngestStream.start(
+      in.toDF().toDF("vec_id", "v"), tables, indexDir,
+      tmp("graft-ingest-ckpt"))
+    try {
+      in.addData(corpusVecs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def readIdx = spark.read.parquet(indexDir)
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    // every live-ingested vector landed in the SAME cell the batch
+    // build assigns (per-row HOF pick ≡ batch argmax, incl. tie-break)
+    val streamed = readIdx.select("vec_id", "cid")
+      .as[(Long, Long)].collect().toMap
+    val batch = Ann.ivfIndex(tables).select("vec_id", "cid")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == batch)
+    // and the batch probe served from the streamed index returns
+    // exactly the live entry's answers
+    val probed = Ann.probeIndex(tables, readIdx).collect().map(_.toSeq).toSeq
+    val live = Ann.embedAnnIvf(tables).collect().map(_.toSeq).toSeq
+    assert(probed == live)
+  }
+
   test("PqProbeStream: streamed queries get exactly the batch PQ answers") {
     import spark.implicits._
     import graft.ann.Ann
