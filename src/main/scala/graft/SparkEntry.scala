@@ -51,6 +51,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> q(t => Dedup.dedupNgramJaccard(t)),
     "dedup_minhash" -> q(Dedup.dedupMinhash),
     "dedup_minhash_verified" -> q(Dedup.dedupMinhashVerified),
+    "dedup_minhash_verified_mat" -> q(Dedup.dedupMinhashVerifiedMat),
     "dedup_simhash" -> q(Dedup.dedupSimhash),
     "dedup_embedding" -> q(Dedup.dedupEmbedding),
     // similarity search
@@ -114,6 +115,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
+    "dedup_minhash_verified_mat" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "embed_topk" -> Ann.embedTopKSql,

@@ -181,10 +181,13 @@ object Dedup {
     * pair set, for composition (corpus_clean_neardup, the verified-pair
     * op) where a mid-plan global sort would be waste.
     */
-  def minhashCandidates(t: Tables): DataFrame = {
+  def minhashCandidates(t: Tables): DataFrame =
+    minhashCandidatesFrom(shingles(t))
+
+  private def minhashCandidatesFrom(sh: DataFrame): DataFrame = {
     val sigCols = (0 until NumPerms).map(p =>
       min(md5(concat(lit(s"$p:"), col("s")))).as(s"h$p"))
-    val sig = shingles(t).groupBy(col("doc_id"))
+    val sig = sh.groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
     val bandStructs = (0 until NumBands).map(b =>
       struct(lit(b).as("band_idx"),
@@ -215,11 +218,47 @@ object Dedup {
     * the production near-dup pair list; recall is bounded by LSH
     * (DedupSpec pins candidates ⊇ true high-jaccard pairs at test sf).
     */
-  def dedupMinhashVerified(t: Tables): DataFrame = {
-    val cand = minhashCandidates(t)
+  def dedupMinhashVerified(t: Tables): DataFrame =
+    dedupMinhashVerifiedFrom(shingles(t))
+
+  /** [[dedupMinhashVerified]] over a MATERIALIZED shingle table: the
+    * tokenize + distinct pass is written to warehouse parquet once per
+    * corpus (the storage-amortization pattern of `storage.Bucketing`'s
+    * q3 facts) and every downstream consumer — signatures, sizes, both
+    * verify sides — reads the materialized store instead of re-scanning
+    * and re-tokenizing `documents`. The live plan re-derives the
+    * shingle subtree ~6× from the raw table (Catalyst does not reuse
+    * non-exchange subtrees across joins); at 100 TB those are ~6 full
+    * tokenization passes this entry does not pay. Same oracle as the
+    * live entry — DedupSpec pins result equality and that the
+    * materialized plan never touches documents.parquet.
+    */
+  def dedupMinhashVerifiedMat(t: Tables): DataFrame =
+    dedupMinhashVerifiedFrom(shinglesMaterialized(t))
+
+  /** Ensure-write [[shingles]] to a per-corpus warehouse parquet dir,
+    * read it back. First call pays the tokenize + distinct + write;
+    * every later call (any entry, same session or later ones sharing
+    * the warehouse) is a plain columnar scan.
+    */
+  private def shinglesMaterialized(t: Tables): DataFrame = {
+    val spark = t.spark
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      .take(8)
+    val dir = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"graft_shingles_$tag").toString
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      shingles(t).write.mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+  }
+
+  private def dedupMinhashVerifiedFrom(shAll: DataFrame): DataFrame = {
+    val cand = minhashCandidatesFrom(shAll)
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingles(t).join(candDocs, Seq("doc_id"), "left_semi")
+    val sh = shAll.join(candDocs, Seq("doc_id"), "left_semi")
     val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     cand
       .join(sh.as("x"), col("doc_a") === col("x.doc_id"))

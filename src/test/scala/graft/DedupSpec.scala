@@ -103,6 +103,20 @@ class DedupSpec extends SparkSpec {
       s"verified pairs missing from exact: ${verified -- exact}")
   }
 
+  test("materialized-shingle verify equals the live plan, never rescans documents") {
+    val live = Dedup.dedupMinhashVerified(tables).collect().map(_.toSeq).toSeq
+    val mat = Dedup.dedupMinhashVerifiedMat(tables).collect().map(_.toSeq).toSeq
+    assert(mat == live)
+    // storage amortization actually happened: every shingle consumer
+    // reads the materialized store; the raw documents table is gone
+    // from the plan entirely
+    val plan = Dedup.dedupMinhashVerifiedMat(tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      plan.linesIterator.filter(_.contains("documents")).take(3).mkString("\n"))
+    assert(plan.contains("graft_shingles_"))
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val rows = Dedup.dedupExact(tables).collect()
     val docs = tables.documents.count()
