@@ -274,6 +274,42 @@ class StreamingJobsSpec extends SparkSpec {
     assert(probed == live)
   }
 
+  test("IndexMaintenance: compaction collapses ingest files, answers unchanged") {
+    import spark.implicits._
+    import graft.ann.Ann
+    import graft.storage.IndexMaintenance
+    val corpusVecs = tables.embeddings
+      .filter(col("vec_id") >= Ann.NumQueries)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val in = MemoryStream[(Long, Seq[Double])]
+    val indexDir = tmp("graft-compact-idx")
+    val q = Jobs.IndexIngestStream.start(
+      in.toDF().toDF("vec_id", "v"), tables, indexDir,
+      tmp("graft-compact-ckpt"))
+    try {
+      // several micro-batches → several files per cell (the debt)
+      corpusVecs.grouped(100).foreach { batch =>
+        in.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val before = IndexMaintenance.filesPerCell(indexDir)
+    assert(before.values.exists(_ > 1),
+      s"ingest produced no multi-file cells to compact: $before")
+
+    val compactDir = tmp("graft-compact-out")
+    val compacted = IndexMaintenance.compactCells(spark, indexDir, compactDir)
+    val after = IndexMaintenance.filesPerCell(compactDir)
+    assert(after.keySet == before.keySet) // no cell lost
+    assert(after.values.forall(_ == 1), s"cells not compacted: $after")
+    // probes over the compacted generation still give the live answers
+    val probed = Ann.probeIndex(tables, compacted
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid")))
+      .collect().map(_.toSeq).toSeq
+    assert(probed == Ann.embedAnnIvf(tables).collect().map(_.toSeq).toSeq)
+  }
+
   test("PqProbeStream: streamed queries get exactly the batch PQ answers") {
     import spark.implicits._
     import graft.ann.Ann
