@@ -413,16 +413,15 @@ object Ann {
     * [[embedAnnIvfSql]] verbatim).
     */
   def embedAnnIvfPartitioned(t: Tables): DataFrame = {
-    val spark = t.spark
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(t.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(8)
-    val dir = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      s"graft_ivf_part_$tag").toString
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      ivfIndex(t).write.mode("overwrite").partitionBy("cid").parquet(dir)
-    probeIndex(t, spark.read.parquet(dir)
+    // cache key covers the embeddings file inventory + the quantizer
+    // constants, so a regenerated corpus or retuned index invalidates
+    // the persisted copy instead of serving stale cells
+    val idx = graft.storage.Materialize.ensureParquet(t.spark,
+      "graft_ivf_part",
+      graft.storage.Materialize.corpusTag(t, "embeddings",
+        s"c=$IvfCentroids,q=$NumQueries"),
+      ivfIndex(t), partitionCols = Seq("cid"))
+    probeIndex(t, idx
       .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid")))
   }
 
@@ -486,7 +485,7 @@ object Ann {
 
   /** Product-quantization ANN — the MEMORY-bound scan path: each corpus
     * vector is stored as [[PqSubspaces]] byte-sized codes (nearest
-    * codeword per sub-vector, L2 criterion), ~128× smaller than the
+    * codeword per sub-vector, L2 criterion), ~64× smaller than the
     * raw doubles. A query builds a (subspace × codeword) lookup table
     * of partial dots, scores EVERY corpus vector by summing its codes'
     * table entries (asymmetric distance computation — PQ is exhaustive
@@ -532,11 +531,18 @@ object Ann {
   private[graft] def pqLut(t: Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    subVectors(e.filter(col("vec_id") < NumQueries))
+    pqLutFrom(t, e.filter(col("vec_id") < NumQueries))
+  }
+
+  /** LUT over ANY (vec_id, v) frame — including a streaming one
+    * (`streaming.Jobs.PqProbeStream` feeds live queries through the
+    * same definition, so stream and batch LUTs cannot drift).
+    */
+  private[graft] def pqLutFrom(t: Tables, vecs: DataFrame): DataFrame =
+    subVectors(vecs)
       .join(broadcast(pqCodebook(t)), Seq("s"))
       .select(col("vec_id").as("q_id"), col("s"), col("k"),
         round6(VectorFunctions.dot(col("sub_v"), col("c"))).as("part"))
-  }
 
   /** Shared ADC tail: `parts` (q_id, vec_id, s, part [, base]) →
     * fixed-order pivot sum (prefixed by the per-cell `base` term when

@@ -239,20 +239,15 @@ object Dedup {
   /** Ensure-write [[shingles]] to a per-corpus warehouse parquet dir,
     * read it back. First call pays the tokenize + distinct + write;
     * every later call (any entry, same session or later ones sharing
-    * the warehouse) is a plain columnar scan.
+    * the warehouse) is a plain columnar scan. The cache key includes
+    * the documents table's file inventory and [[ShingleSize]], so a
+    * regenerated corpus or changed shingling invalidates it instead of
+    * serving stale shingles (storage.Materialize).
     */
-  private def shinglesMaterialized(t: Tables): DataFrame = {
-    val spark = t.spark
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(t.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(8)
-    val dir = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      s"graft_shingles_$tag").toString
-    if (!new java.io.File(dir, "_SUCCESS").exists())
-      shingles(t).write.mode("overwrite").parquet(dir)
-    spark.read.parquet(dir)
-  }
+  private def shinglesMaterialized(t: Tables): DataFrame =
+    graft.storage.Materialize.ensureParquet(t.spark, "graft_shingles",
+      graft.storage.Materialize.corpusTag(t, "documents", s"sh=$ShingleSize"),
+      shingles(t))
 
   private def dedupMinhashVerifiedFrom(shAll: DataFrame): DataFrame = {
     val cand = minhashCandidatesFrom(shAll)

@@ -25,6 +25,11 @@ object IndexMaintenance {
     */
   def compactCells(spark: SparkSession, srcDir: String, dstDir: String,
                    partCol: String = "cid"): DataFrame = {
+    require(
+      new java.io.File(srcDir).getCanonicalPath !=
+        new java.io.File(dstDir).getCanonicalPath,
+      "compactCells never compacts in place: the source's _spark_metadata " +
+        "manifest would be broken — compact into a new generation")
     spark.read.parquet(srcDir)
       .repartition(col(partCol))
       .write.mode("overwrite").partitionBy(partCol).parquet(dstDir)

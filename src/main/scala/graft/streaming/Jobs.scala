@@ -278,6 +278,42 @@ object Jobs {
   // stream: embedding lookups as they arrive, against the static IVF
   // index. The serving half of the ANN story (the index is batch-built).
   // ---------------------------------------------------------------------
+  /** Shared per-row centroid machinery for the streaming ANN jobs: the
+    * centroid table collapsed to one broadcastable array row, and the
+    * HOF expression ranking centroids per row by round6 cosine with the
+    * lowest-cid tie-break — ONE definition, so the probe side
+    * ([[AnnProbeStream]]) and the ingest side ([[IndexIngestStream]])
+    * cannot drift from each other or from the batch argmax they must
+    * reproduce bit-for-bit.
+    */
+  private object CentroidHof {
+
+    /** One-row (cents: array<struct<cid, cv, cnorm>>) frame, persisted:
+      * stream-static plans re-execute the static side every micro-batch,
+      * and this one is identical across batches.
+      */
+    def centArray(t: Tables): DataFrame =
+      graft.ann.Ann.ivfCentroidTable(t)
+        .withColumn("cnorm", graft.functions.VectorFunctions.norm(col("cv")))
+        .agg(collect_list(struct(col("cid"), col("cv"), col("cnorm")))
+          .as("cents"))
+        .persist()
+
+    /** Centroid structs sorted best-first for a row with columns
+      * (v, qnorm, cents): ascending (−round6(cos), cid) — exactly the
+      * batch row_number ORDER BY ccos DESC, cid pick. The literal
+      * `floor(x * 1000000.0 + 0.5) / 1000000.0` is Portable.round6.
+      */
+    val rankedStructs: String = {
+      val dotVK = "aggregate(zip_with(v, k.cv, (p, q) -> p * q), " +
+        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
+      s"""array_sort(transform(cents, k -> named_struct(
+         |  'nc', -(floor(($dotVK / (qnorm * k.cnorm)) * 1000000.0 + 0.5)
+         |          / 1000000.0),
+         |  'cid', k.cid)))""".stripMargin
+    }
+  }
+
   object AnnProbeStream {
 
     import graft.ann.Ann
@@ -302,23 +338,19 @@ object Jobs {
       * watermark needed: nothing aggregates before the sink).
       */
     def scored(queries: DataFrame, t: Tables): DataFrame = {
-      val centArray = Ann.ivfCentroidTable(t)
-        .withColumn("cnorm", graft.functions.VectorFunctions.norm(col("cv")))
-        .agg(collect_list(struct(col("cid"), col("cv"), col("cnorm")))
-          .as("cents"))
-      val dotVK = "aggregate(zip_with(v, k.cv, (p, q) -> p * q), " +
-        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
       val probeCells =
-        s"""transform(slice(array_sort(transform(cents, k -> named_struct(
-           |  'nc', -(floor(($dotVK / (qnorm * k.cnorm)) * 1000000.0 + 0.5)
-           |          / 1000000.0),
-           |  'cid', k.cid))), 1, ${Ann.IvfNProbe}), p -> p.cid)""".stripMargin
+        s"transform(slice(${CentroidHof.rankedStructs}, 1, ${Ann.IvfNProbe})," +
+          " p -> p.cid)"
+      // the static index is identical every micro-batch — persist it
+      // for the life of the serving job (stream-static re-executes the
+      // static plan per trigger otherwise)
+      val idx = Ann.ivfIndex(t)
+        .select(col("vec_id"), col("v").as("cv2"), col("cid")).persist()
       queries
-        .crossJoin(centArray) // one-row static side: broadcast by size
+        .crossJoin(CentroidHof.centArray(t)) // one-row broadcast side
         .withColumn("qnorm", graft.functions.VectorFunctions.norm(col("v")))
         .select(col("q_id"), col("v"), explode(expr(probeCells)).as("cid"))
-        .join(Ann.ivfIndex(t)
-          .select(col("vec_id"), col("v").as("cv2"), col("cid")), Seq("cid"))
+        .join(idx, Seq("cid"))
         .select(col("q_id"), col("vec_id"),
           graft.functions.Portable.round6(
             graft.functions.VectorFunctions.cosineSim(col("v"), col("cv2")))
@@ -352,8 +384,6 @@ object Jobs {
   // ---------------------------------------------------------------------
   object IndexIngestStream {
 
-    import graft.ann.Ann
-
     /** (vec_id, v) stream → (vec_id, v, cid): per-row nearest-centroid
       * assignment against the broadcast centroid array. Same
       * HOF-sort-take-1 trick as [[AnnProbeStream]] (a stream cannot run
@@ -362,23 +392,12 @@ object Jobs {
       * vector ingested live lands in the SAME cell the batch build
       * would put it in (StreamingJobsSpec pins index equality).
       */
-    def assigned(vectors: DataFrame, t: Tables): DataFrame = {
-      val centArray = Ann.ivfCentroidTable(t)
-        .withColumn("cnorm", graft.functions.VectorFunctions.norm(col("cv")))
-        .agg(collect_list(struct(col("cid"), col("cv"), col("cnorm")))
-          .as("cents"))
-      val dotVK = "aggregate(zip_with(v, k.cv, (p, q) -> p * q), " +
-        "CAST(0 AS DOUBLE), (acc, z) -> acc + z)"
-      val cellOf =
-        s"""array_sort(transform(cents, k -> named_struct(
-           |  'nc', -(floor(($dotVK / (qnorm * k.cnorm)) * 1000000.0 + 0.5)
-           |          / 1000000.0),
-           |  'cid', k.cid)))[0].cid""".stripMargin
+    def assigned(vectors: DataFrame, t: Tables): DataFrame =
       vectors
-        .crossJoin(centArray)
+        .crossJoin(CentroidHof.centArray(t))
         .withColumn("qnorm", graft.functions.VectorFunctions.norm(col("v")))
-        .select(col("vec_id"), col("v"), expr(cellOf).as("cid"))
-    }
+        .select(col("vec_id"), col("v"),
+          expr(s"${CentroidHof.rankedStructs}[0].cid").as("cid"))
 
     /** Append the assigned stream into a cell-partitioned parquet index
       * dir — the same layout (and exactly-once `_spark_metadata`
@@ -408,27 +427,24 @@ object Jobs {
 
     import graft.ann.Ann
 
-    /** ADC parts for a (q_id, v: array<double>) query stream: each
-      * streamed query explodes against the broadcast PQ codebook
-      * (subspaces × codewords rows — per-row work, the LUT the batch op
-      * builds), and the parts join the static code index stream-static
+    /** ADC parts for a (q_id, v: array<double>) query stream: the
+      * streamed queries go through the BATCH LUT definition
+      * (`Ann.pqLutFrom` — one definition, stream and batch cannot
+      * drift), then the parts join the static code index stream-static
       * on (subspace, codeword). No stream state, no watermark: nothing
       * aggregates before the sink. At scale the static side is the
       * compressed code table — the 100 TB scan this path exists for.
       */
-    def parts(queries: DataFrame, t: Tables): DataFrame =
-      queries
-        .crossJoin(broadcast(Ann.pqCodebook(t).select(
-          col("s"), col("k"), col("c"))))
-        .select(col("q_id"), col("s"), col("k"),
-          graft.functions.Portable.round6(
-            graft.functions.VectorFunctions.dot(
-              expr(s"slice(v, s * ${Ann.PqSubDim} + 1, ${Ann.PqSubDim})"),
-              col("c"))).as("part"))
+    def parts(queries: DataFrame, t: Tables): DataFrame = {
+      // the code index is identical every micro-batch — persist it for
+      // the life of the serving job
+      val codes = Ann.pqEncoded(t).persist()
+      Ann.pqLutFrom(t, queries.select(col("q_id").as("vec_id"), col("v")))
         .as("l")
-        .join(Ann.pqEncoded(t).as("x"),
+        .join(codes.as("x"),
           col("l.s") === col("x.s") && col("l.k") === col("x.code"))
         .select(col("q_id"), col("vec_id"), col("l.s").as("s"), col("part"))
+    }
 
     /** Full serving job: streamed parts → foreachBatch ADC tail (the
       * batch op's exact pivot-sum, shortlist, and exact re-rank —

@@ -77,7 +77,7 @@ class AnnSpec extends SparkSpec {
     val best = topk.filter(_.getInt(3) == 1)
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
     rows.foreach(r => assert(r.getDouble(2) <= best(r.getLong(0)) + 1e-9))
-    // a 50-deep shortlist from 16-codeword × 4-subspace codes must
+    // a 50-deep shortlist from 16-codeword × 8-subspace codes must
     // recover a large share of the exact top-10
     val exact = topk.map(r => (r.getLong(0), r.getLong(1))).toSet
     val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
