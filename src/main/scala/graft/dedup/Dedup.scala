@@ -69,8 +69,11 @@ object Dedup {
     t.documents
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .where(size(col("ts")) >= ShingleSize)
-      .select(col("doc_id"), explode(expr(
-        graft.functions.Portable.shingleExpr(ShingleSize))).as("s"))
+      // native codegen'd shingling (graft.functions.WordShingles) —
+      // byte-identical to the HOF form, keeps the projection inside
+      // whole-stage codegen
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingles(col("ts"), ShingleSize)).as("s"))
       .distinct()
 
   /** DuckDB twin of [[shingles]] as a CTE body. */

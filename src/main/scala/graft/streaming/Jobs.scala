@@ -227,8 +227,8 @@ object Jobs {
       docs
         .withColumn("ts_toks", split(col("text"), " "))
         .where(size(col("ts_toks")) >= ShingleSize)
-        .withColumn("sh", expr(
-          graft.functions.Portable.shingleExpr(ShingleSize, "ts_toks")))
+        .withColumn("sh", graft.functions.TextFunctions.shingles(
+          col("ts_toks"), ShingleSize))
         .select(col("ts") +: col("doc_id") +: sigCols: _*)
         .select(col("ts"), col("doc_id"),
           explode(array(bandStructs: _*)).as("bk"))

@@ -134,8 +134,8 @@ object TextAnalysis {
     val sh = t.documents
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .where(size(col("ts")) >= 3)
-      .select(col("doc_id"),
-        explode(expr(graft.functions.Portable.shingleExpr(3))).as("ngram"))
+      .select(col("doc_id"), explode(
+        graft.functions.TextFunctions.shingles(col("ts"), 3)).as("ngram"))
       .distinct()
     sh.groupBy(col("ngram"))
       .agg(count(lit(1)).as("doc_freq"))
@@ -165,8 +165,8 @@ object TextAnalysis {
       .select(col("doc_id"), md5(col("text")).as("full_md5"),
         split(col("text"), " ").as("ts"))
       .where(size(col("ts")) >= 3)
-      .select(col("doc_id"), col("full_md5"),
-        explode(expr(graft.functions.Portable.shingleExpr(3))).as("s"))
+      .select(col("doc_id"), col("full_md5"), explode(
+        graft.functions.TextFunctions.shingles(col("ts"), 3)).as("s"))
       .groupBy(col("doc_id"), col("full_md5"))
       .agg(min(md5(col("s"))).as("min_shingle_md5"))
       .select(col("doc_id"), col("min_shingle_md5"), col("full_md5"))

@@ -75,6 +75,37 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sqrt"))
   }
 
+  test("WordShingles is byte-identical to the HOF shingle form") {
+    val docs = tables.documents
+      .select(col("doc_id"), split(col("text"), " ").as("ts"))
+      .where(size(col("ts")) >= 3)
+    val both = docs.select(
+      graft.functions.TextFunctions.shingles(col("ts"), 3).as("native"),
+      expr(graft.functions.Portable.shingleExpr(3)).as("hof"))
+    // exact array equality on every document — the swap-in argument
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("WordShingles edge cases: short input empty, exact window count") {
+    import spark.implicits._
+    val rows = Seq("a b c d", "a b", "x").toDF("text")
+      .select(graft.functions.TextFunctions.shingles(
+        split(col("text"), " "), 3).as("sh"))
+      .as[Seq[String]].collect()
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq.empty) // size < n: empty, no phantom windows
+    assert(rows(2) == Seq.empty)
+  }
+
+  test("shingle projection stays in whole-stage codegen (no HOF lambda)") {
+    val plan = graft.dedup.Dedup.dedupMinhash(tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("lambdafunction"),
+      plan.linesIterator.filter(_.contains("lambda")).take(3).mkString("\n"))
+    assert(plan.contains("word_shingles"))
+  }
+
   test("dedup_embedding self-join payload carries no precomputed norm either") {
     val plan = graft.dedup.Dedup.dedupEmbedding(tables)
       .queryExecution.executedPlan.toString
