@@ -327,40 +327,57 @@ object Dedup {
     * billions of documents. Shuffles: (doc, token) counts, then
     * (chunk-key, id).
     */
-  def dedupSimhash(t: Tables): DataFrame = {
+  /** Hex-digit parse of an md5 column named `h` into a BIGINT — the
+    * first [[SimhashBits]]/4 digits. Shared by the batch aggregation
+    * and the streaming per-row signature so they cannot drift.
+    */
+  private[graft] def simhashHvExpr: String = {
     val nHex = SimhashBits / 4
-    val tok = t.documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
     def hexDigit(i: Int) = // parse one hex digit of the materialized hash
       s"(ascii(substring(h, $i, 1)) - 48 - 39 * " +
         s"(CASE WHEN ascii(substring(h, $i, 1)) >= 97 THEN 1 ELSE 0 END))"
-    val hv = (1 to nHex).map(i => s"${hexDigit(i)} * ${1L << (4 * (nHex - i))}L")
+    (1 to nHex).map(i => s"${hexDigit(i)} * ${1L << (4 * (nHex - i))}L")
       .mkString(" + ")
+  }
+
+  /** (doc_id, simhash) — the 48-bit count-weighted signature per doc. */
+  private[graft] def simhashSignatures(t: Tables): DataFrame = {
+    val tok = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
     val sumCols = (0 until SimhashBits).map(i => expr(
       s"sum(cnt * (CASE WHEN (hv div ${1L << i}L) % 2 = 1 THEN 1 ELSE -1 END)) AS s$i"))
     val sums = tok
       .withColumn("h", md5(col("w"))) // hash once, parse the digits
-      .withColumn("hv", expr(hv))
+      .withColumn("hv", expr(simhashHvExpr))
       .groupBy(col("doc_id"))
       .agg(sumCols.head, sumCols.tail: _*)
     val simhash = (0 until SimhashBits).map(i =>
       s"(CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END)").mkString(" + ")
-    val sig = sums.select(col("doc_id"),
-      expr(s"CAST($simhash AS BIGINT)").as("simhash"))
+    sums.select(col("doc_id"), expr(s"CAST($simhash AS BIGINT)").as("simhash"))
+  }
+
+  /** Chunk-pair band structs over a `simhash` column — 6 bands of two
+    * 12-bit chunks (pigeonhole: hamming ≤ 1 pairs share ≥ 1 band).
+    * Shared by the batch join and the streaming twin.
+    */
+  private[graft] def simhashBandStructs: Seq[org.apache.spark.sql.Column] = {
     val chunkVals = 1L << SimhashChunkBits
     def chunkOf(i: Int) =
       s"((simhash div ${1L << (SimhashChunkBits * i)}L) % ${chunkVals}L)"
     val chunkPairs = for {
       i <- 0 until SimhashChunks; j <- (i + 1) until SimhashChunks
     } yield (i, j)
-    val bandStructs = chunkPairs.zipWithIndex.map { case ((i, j), idx) =>
+    chunkPairs.zipWithIndex.map { case ((i, j), idx) =>
       struct(lit(idx).as("band_idx"),
         expr(s"${chunkOf(i)} * ${chunkVals}L + ${chunkOf(j)}").as("band_key"))
     }
-    val bands = sig
+  }
+
+  def dedupSimhash(t: Tables): DataFrame = {
+    val bands = simhashSignatures(t)
       .select(col("doc_id"), col("simhash"),
-        explode(array(bandStructs: _*)).as("bk"))
+        explode(array(simhashBandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.band_idx"), col("bk.band_key"))
     bands.as("x")

@@ -462,6 +462,72 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // SimhashCandidates — dedup.Dedup.dedupSimhash in the streaming model:
+  // hamming-close near-dup pairs over a live document stream. Completes
+  // the streaming dedup matrix next to StreamingDedup (exact) and
+  // MinhashCandidates (jaccard-LSH).
+  // ---------------------------------------------------------------------
+  object SimhashCandidates {
+
+    import graft.dedup.Dedup.{HammingMax, SimhashBits}
+
+    /** Per-ROW 48-bit simhash — no aggregation, so the downstream
+      * stream-stream band join stays legal. The batch op's per-(doc,
+      * token) count-weighted bit sums collapse to per-OCCURRENCE ±1
+      * sums (cnt × sign ≡ sign summed per occurrence), which one HOF
+      * fold over the token array computes with an array-of-48 state;
+      * the hex parse is the batch `simhashHvExpr` verbatim, so per-row
+      * signatures equal the batch groupBy signatures exactly
+      * (StreamingJobsSpec pins it).
+      */
+    def signatures(docs: DataFrame): DataFrame =
+      docs
+        .withColumn("ts_toks", split(col("text"), " "))
+        .withColumn("hvs", expr(
+          s"transform(transform(ts_toks, w -> md5(w)), h -> ${
+            graft.dedup.Dedup.simhashHvExpr})"))
+        .withColumn("sums", expr(
+          s"""aggregate(hvs, array_repeat(0L, $SimhashBits),
+             | (acc, hv) -> zip_with(acc,
+             |   transform(sequence(0, ${SimhashBits - 1}),
+             |     i -> CASE WHEN (hv div CAST(pow(2, i) AS BIGINT)) % 2 = 1
+             |          THEN 1L ELSE -1L END),
+             |   (a, b) -> a + b))""".stripMargin))
+        .withColumn("simhash", expr(
+          s"""aggregate(zip_with(sums, sequence(0, ${SimhashBits - 1}),
+             |  (s, i) -> IF(s > 0, CAST(pow(2, i) AS BIGINT), 0L)),
+             |  0L, (a, z) -> a + z)""".stripMargin))
+        .select(col("ts"), col("doc_id"), col("simhash"))
+
+    /** Hamming ≤ [[HammingMax]] pairs from a (ts, doc_id, text) stream:
+      * watermarked stream-stream self-join on the batch op's chunk-pair
+      * band keys, time-bounded to `horizon` (same caveats as
+      * [[MinhashCandidates]]: per-(pair, band) output, replayable
+      * source required).
+      */
+    def candidates(docs: DataFrame,
+                   horizon: String = "60 seconds",
+                   watermarkLag: String = "30 seconds"): DataFrame = {
+      def bands(side: String) =
+        signatures(docs).withWatermark("ts", watermarkLag)
+          .select(col("ts"), col("doc_id"), col("simhash"),
+            explode(array(graft.dedup.Dedup.simhashBandStructs: _*)).as("bk"))
+          .select(col("ts").as(s"ts_$side"), col("doc_id").as(s"doc_$side"),
+            col("simhash").as(s"sh_$side"),
+            col("bk.band_idx").as(s"bi_$side"),
+            col("bk.band_key").as(s"bk_$side"))
+      bands("a").join(bands("b"),
+        col("bi_a") === col("bi_b") && col("bk_a") === col("bk_b") &&
+          col("doc_a") < col("doc_b") &&
+          col("ts_b") >= col("ts_a") - expr(s"INTERVAL $horizon") &&
+          col("ts_b") <= col("ts_a") + expr(s"INTERVAL $horizon"))
+        .select(col("doc_a"), col("doc_b"),
+          expr("bit_count(sh_a ^ sh_b)").cast("int").as("hamming"))
+        .filter(col("hamming") <= HammingMax)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // TopKPerCategory — ref: Top3HotProduct.java:139-196: window counts,
   // then per-RDD HiveContext SQL row_number rank ≤ 3.
   // ---------------------------------------------------------------------

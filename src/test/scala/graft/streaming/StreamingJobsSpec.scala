@@ -495,6 +495,41 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SimhashCandidates per-row signature equals the batch aggregated one") {
+    import spark.implicits._
+    // per-occurrence ±1 HOF fold must equal the batch per-(doc, token)
+    // count-weighted groupBy — pin the claim on real corpus docs
+    val docs = tables.documents.limit(50)
+      .select(current_timestamp().as("ts"), col("doc_id"), col("text"))
+    val streamed = Jobs.SimhashCandidates.signatures(docs)
+      .select("doc_id", "simhash").as[(Long, Long)].collect().toMap
+    val batch = graft.dedup.Dedup.simhashSignatures(tables)
+      .as[(Long, Long)].collect().toMap
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (id, sig) => assert(batch(id) == sig, s"doc $id") }
+  }
+
+  test("SimhashCandidates: stream-stream band join surfaces hamming-close docs") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val cand = Jobs.SimhashCandidates.candidates(
+      in.toDF().toDF("ts", "doc_id", "text"))
+    val q = cand.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sh_cand").start()
+    try {
+      val t = (s: Long) => new Timestamp(s * 1000)
+      val dup = "the quick brown fox jumps over the lazy dog again and again"
+      val other = "completely different words with no overlap whatsoever here now"
+      in.addData(Seq((t(10), 1L, dup), (t(20), 2L, dup), (t(25), 3L, other)))
+      q.processAllAvailable()
+      in.addData(Seq((t(10000), 99L, "x y z"))) // advance watermark
+      q.processAllAvailable()
+      val pairs = spark.table("sh_cand").as[(Long, Long, Int)].collect()
+        .map(r => (r._1, r._2)).toSet
+      assert(pairs == Set((1L, 2L))) // identical docs (hamming 0) pair up
+    } finally q.stop()
+  }
+
   test("MinhashCandidates per-row signature equals the batch aggregated one") {
     import spark.implicits._
     // min over md5s is duplicate-insensitive, so the per-row array_min
