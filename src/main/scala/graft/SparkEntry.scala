@@ -49,11 +49,15 @@ object SparkEntry {
     // dedup family (LLM pipeline)
     "dedup_exact" -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(t => Dedup.dedupNgramJaccard(t)),
+    "dedup_ngram_jaccard_mat" -> q(Dedup.dedupNgramJaccardMat),
     "dedup_minhash" -> q(Dedup.dedupMinhash),
     "dedup_minhash_verified" -> q(Dedup.dedupMinhashVerified),
     "dedup_minhash_verified_mat" -> q(Dedup.dedupMinhashVerifiedMat),
+    "dedup_clusters" -> q(Dedup.nearDupClusters),
     "dedup_simhash" -> q(Dedup.dedupSimhash),
+    "dedup_simhash_mat" -> q(Dedup.dedupSimhashMat),
     "dedup_embedding" -> q(Dedup.dedupEmbedding),
+    "embed_dedup_clusters" -> q(Dedup.embedDedupClusters),
     // similarity search
     "embed_topk" -> q(Ann.embedTopK),
     "embed_ann_lsh" -> q(Ann.embedAnnLsh),
@@ -68,12 +72,14 @@ object SparkEntry {
     "lang_id" -> q(TextAnalysis.langId),
     "quality_score" -> q(TextAnalysis.qualityScore),
     "doc_fingerprint" -> q(TextAnalysis.docFingerprint),
+    "lm_bigram_score" -> q(TextAnalysis.lmBigramScore),
     "top_ngrams" -> q(t => TextAnalysis.topNgrams(t)),
     // multimodal
     "multimodal_meta" -> q(Multimodal.multimodalMeta),
     // composite pipeline
     "corpus_clean" -> q(CorpusClean.corpusClean),
-    "corpus_clean_neardup" -> q(CorpusClean.corpusCleanNearDup)
+    "corpus_clean_neardup" -> q(CorpusClean.corpusCleanNearDup),
+    "corpus_clean_clustered" -> q(CorpusClean.corpusCleanClustered)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -113,11 +119,15 @@ object SparkEntry {
     "event_stats" -> Windows.eventStatsSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
+    "dedup_ngram_jaccard_mat" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
     "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_minhash_verified_mat" -> Dedup.dedupMinhashVerifiedSql,
+    "dedup_clusters" -> Dedup.nearDupClustersSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
+    "dedup_simhash_mat" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "embed_dedup_clusters" -> Dedup.embedDedupClustersSql,
     "embed_topk" -> Ann.embedTopKSql,
     "embed_ann_lsh" -> Ann.embedAnnLshSql,
     "embed_ann_multiprobe" -> Ann.embedAnnMultiprobeSql,
@@ -130,9 +140,11 @@ object SparkEntry {
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
+    "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
     "top_ngrams" -> TextAnalysis.topNgramsSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql,
-    "corpus_clean_neardup" -> CorpusClean.corpusCleanNearDupSql
+    "corpus_clean_neardup" -> CorpusClean.corpusCleanNearDupSql,
+    "corpus_clean_clustered" -> CorpusClean.corpusCleanClusteredSql
   )
 }

@@ -475,7 +475,7 @@ object Ann {
   /** (vec_id, s, sub_v) — every vector of `vecs` split into its
     * [[PqSubspaces]] sub-vectors (map-side explode, no shuffle).
     */
-  private def subVectors(vecs: DataFrame): DataFrame = {
+  private[graft] def subVectors(vecs: DataFrame): DataFrame = {
     val subs = (0 until PqSubspaces).map(s =>
       struct(lit(s).as("s"),
         slice(col("v"), s * PqSubDim + 1, PqSubDim).as("sub_v")))

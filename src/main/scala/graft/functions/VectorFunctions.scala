@@ -87,7 +87,10 @@ case class DotProduct(left: Expression, right: Expression)
   * BIT-IDENTICAL to the `vec_dot(a,b) / (sqrt(vec_dot(a,a)) *
   * sqrt(vec_dot(b,b)))` composition (FunctionsSpec pins it). Oracle
   * parity (SURVEY §6) is therefore preserved wherever it replaces
-  * `cosineFromNorms`.
+  * `cosineFromNorms`. For unequal lengths the contract still holds:
+  * the dot runs over the shared prefix (as `zip_with`/`vec_dot` do)
+  * while each norm covers its OWN array's full length — the tail
+  * loops below mirror `vec_dot(a,a)` / `vec_dot(b,b)` exactly.
   *
   * When to use which (100 TB note): on a high-fan-in pair join where
   * each vector scores against MANY partners (e.g. brute-force top-k),
@@ -125,7 +128,9 @@ case class CosineSim(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val na = x.numElements()
+    val nb = y.numElements()
+    val n = math.min(na, nb)
     var dot = 0.0
     var na2 = 0.0
     var nb2 = 0.0
@@ -138,6 +143,10 @@ case class CosineSim(left: Expression, right: Expression)
       nb2 += yv * yv
       i += 1
     }
+    i = n
+    while (i < na) { val xv = x.getDouble(i); na2 += xv * xv; i += 1 }
+    i = n
+    while (i < nb) { val yv = y.getDouble(i); nb2 += yv * yv; i += 1 }
     dot / (math.sqrt(na2) * math.sqrt(nb2))
   }
 
@@ -150,8 +159,12 @@ case class CosineSim(left: Expression, right: Expression)
       val nb2 = ctx.freshName("nb2")
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
+      val la = ctx.freshName("la")
+      val lb = ctx.freshName("lb")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $la = $a.numElements();
+         |int $lb = $b.numElements();
+         |int $n = java.lang.Math.min($la, $lb);
          |double $dot = 0.0;
          |double $na2 = 0.0;
          |double $nb2 = 0.0;
@@ -160,6 +173,14 @@ case class CosineSim(left: Expression, right: Expression)
          |  double $yv = $b.getDouble($i);
          |  $dot += $xv * $yv;
          |  $na2 += $xv * $xv;
+         |  $nb2 += $yv * $yv;
+         |}
+         |for (int $i = $n; $i < $la; $i++) {
+         |  double $xv = $a.getDouble($i);
+         |  $na2 += $xv * $xv;
+         |}
+         |for (int $i = $n; $i < $lb; $i++) {
+         |  double $yv = $b.getDouble($i);
          |  $nb2 += $yv * $yv;
          |}
          |${ev.value} = $dot / (java.lang.Math.sqrt($na2) * java.lang.Math.sqrt($nb2));

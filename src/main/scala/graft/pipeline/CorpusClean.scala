@@ -64,6 +64,27 @@ object CorpusClean {
       .orderBy(col("doc_id"))
   }
 
+  /** Chain-correct near-dup removal: [[corpusClean]] minus every doc
+    * that belongs to a verified near-dup CLUSTER but is not its keeper
+    * (dedup.Dedup.nearDupClusters — connected components of the
+    * verified-pair graph, keeper = min id). Where [[corpusCleanNearDup]]
+    * conservatively drops every `doc_b` of a candidate pair — on a
+    * chain A~B~C both B and C go — this keeps exactly one doc per
+    * transitive cluster. (If a cluster's keeper itself failed the
+    * exact-dup or quality gate, the cluster contributes nothing: the
+    * keeper rule is graph-global, not survivor-relative — same
+    * definition in both engines, noted here because it is a semantic
+    * choice, not an accident.)
+    */
+  def corpusCleanClustered(t: Tables): DataFrame = {
+    val nonKeepers = graft.dedup.Dedup.nearDupClusters(t)
+      .filter(col("doc_id") =!= col("keeper_id"))
+      .select(col("doc_id"))
+    corpusClean(t)
+      .join(nonKeepers, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** `ctok`/`agg`/`q`/`k` CTEs — names disjoint from Dedup's minhash
     * CTEs so the two chains compose in [[corpusCleanNearDupSql]].
     */
@@ -99,4 +120,12 @@ object CorpusClean {
        |$cleanCtes
        |${cleanSelect(
         "\n  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)")}""".stripMargin
+
+  def corpusCleanClusteredSql: String =
+    s"""WITH RECURSIVE ${graft.dedup.Dedup.verifiedPairCtes},
+       |${graft.dedup.Dedup.clusterLabCtes},
+       |$cleanCtes
+       |${cleanSelect(
+        "\n  AND NOT EXISTS (SELECT 1 FROM lab l WHERE l.doc_id = d.doc_id" +
+          " AND l.keeper_id <> l.doc_id)")}""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.storage
 
 import graft.Tables
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Shared ensure-write machinery for per-corpus warehouse caches (the
@@ -17,14 +18,18 @@ object Materialize {
 
   /** Cache tag for `table` under `t.dir` given `config` (constants the
     * cached content depends on — bake in everything that changes the
-    * bytes).
+    * bytes). Inventory listing goes through the Hadoop FileSystem for
+    * `t.dir`, so the tag is corpus-change-sensitive on remote storage
+    * (hdfs://, s3a://) as well as local paths.
     */
   def corpusTag(t: Tables, table: String, config: String): String = {
-    val src = new java.io.File(t.dir, s"$table.parquet")
-    val inventory = Option(src.listFiles())
-      .map(_.sortBy(_.getName)
-        .map(f => s"${f.getName}:${f.length}:${f.lastModified}").mkString(","))
-      .getOrElse(s"${src.length}:${src.lastModified}") // single-file table
+    val src = new Path(t.dir, s"$table.parquet")
+    val fs = src.getFileSystem(t.spark.sessionState.newHadoopConf())
+    val inventory =
+      try fs.listStatus(src).sortBy(_.getPath.getName)
+        .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+        .mkString(",")
+      catch { case _: java.io.FileNotFoundException => "absent" }
     val key = s"${t.dir}|$table|$inventory|$config"
     java.security.MessageDigest.getInstance("MD5")
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
@@ -33,18 +38,31 @@ object Materialize {
   /** Write `df` as parquet under the session warehouse at
     * `<prefix>_<tag>` unless already present; return the read-back
     * frame. `partitionCols` forwards to `partitionBy`.
+    *
+    * Publication is write-to-temp + single FS rename, so concurrent
+    * callers sharing one warehouse (parallel suites, bench + test)
+    * never observe a partially-written cache dir: either the rename
+    * lands the complete directory, or it fails because another caller
+    * already published and this caller's temp dir is discarded. (If a
+    * racing rename on a dir-into-dir filesystem nests the temp dir
+    * inside the winner's, its dot-prefixed name keeps Spark's file
+    * index from ever reading it; the delete below reaps it.)
     */
   def ensureParquet(spark: SparkSession, prefix: String, tag: String,
                     df: => DataFrame,
                     partitionCols: Seq[String] = Nil): DataFrame = {
-    val dir = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
-      s"${prefix}_$tag").toString
-    if (!new java.io.File(dir, "_SUCCESS").exists()) {
+    val dst = new Path(
+      new Path(spark.conf.get("spark.sql.warehouse.dir")), s"${prefix}_$tag")
+    val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(new Path(dst, "_SUCCESS"))) {
+      val tmp = new Path(dst.getParent,
+        s".${dst.getName}.inprogress-${java.util.UUID.randomUUID()}")
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(dir)
+        .parquet(tmp.toString)
+      if (fs.exists(dst) || !fs.rename(tmp, dst)) fs.delete(tmp, true)
+      fs.delete(new Path(dst, tmp.getName), true) // reap a nested loser
     }
-    spark.read.parquet(dir)
+    spark.read.parquet(dst.toString)
   }
 }

@@ -180,4 +180,113 @@ object TextAnalysis {
       |       FROM tok, unnest(generate_series(1, len(ts) - 2)) t(i))
       |SELECT doc_id, min(md5(s)) AS min_shingle_md5, full_md5
       |FROM sh GROUP BY doc_id, full_md5 ORDER BY doc_id""".stripMargin
+
+  /** Bigram language-model fluency score per document — the LM-based
+    * quality filter of CCNet-style pipelines (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", 2020): train a cheap LM on the corpus, score each document
+    * by how well the model predicts it, filter the tail. Here the LM
+    * is an add-one-smoothed bigram model trained on the corpus itself:
+    * p(w₂|w₁) = (c(w₁,w₂) + 1) / (c(w₁) + V), and a document's score
+    * is its mean bigram probability.
+    *
+    * Two deliberate portability choices (SURVEY §6):
+    * - PROBABILITY space, not log space: libm `ln` is not exactly
+    *   rounded and differs in the last ulp across engines, so a
+    *   log-perplexity would not hash-match. Mean probability is a
+    *   monotone-equivalent fluency signal per position and every op in
+    *   it (integer counts, one double division, exactly-rounded) is
+    *   bit-identical.
+    * - The per-doc mean crosses a FIXED-POINT integer: each p is
+    *   floored to 1e-12 units (identical double → identical BIGINT),
+    *   summed as integers (exact, ORDER-INDEPENDENT — a double sum
+    *   over a group is partition-order-sensitive and would break the
+    *   oracle), divided back out in a fixed sequence.
+    *
+    * Scale (100 TB): the model tables are corpus-global aggregations
+    * on token keys (map-side partial counts collapse the hot-word
+    * skew); scoring is two lookup equi-joins — the model sides are
+    * vocabulary-sized (≪ corpus, broadcastable in practice; at
+    * web-corpus bigram cardinality AQE picks the shuffle join and the
+    * per-doc aggregation stays partial). Documents with < 2 tokens
+    * have no bigrams and drop out — same rule both engines.
+    */
+  /** Per-row bigram explosion of any (..., text) frame — carries every
+    * column of `df` plus (w1, w2) per bigram occurrence. Shared by the
+    * batch op and the streaming twin (streaming.Jobs.LmScoreStream) so
+    * the bigram definition cannot drift.
+    */
+  private[graft] def bigramsOf(df: DataFrame): DataFrame =
+    df.withColumn("lm_ts_toks", split(col("text"), " "))
+      .where(size(col("lm_ts_toks")) >= 2)
+      .withColumn("bg", explode(expr(
+        """zip_with(slice(lm_ts_toks, 1, size(lm_ts_toks) - 1),
+          |  slice(lm_ts_toks, 2, size(lm_ts_toks) - 1),
+          |  (a, b) -> named_struct('w1', a, 'w2', b))""".stripMargin)))
+      .withColumn("w1", col("bg.w1")).withColumn("w2", col("bg.w2"))
+      .drop("lm_ts_toks", "bg", "text")
+
+  /** (w1, w2, c12) — corpus bigram counts, the model's numerator table. */
+  private[graft] def lmModelBig(t: Tables): DataFrame =
+    bigramsOf(t.documents.select(col("doc_id"), col("text")))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+
+  /** (w1, c1) — corpus unigram counts, the smoothing denominator. */
+  private[graft] def lmModelUni(t: Tables): DataFrame =
+    t.documents.select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+
+  /** One-row (v) — corpus vocabulary size. */
+  private[graft] def lmVocab(t: Tables): DataFrame =
+    t.documents.select(explode(split(col("text"), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+
+  /** (doc_id/..., w1, w2) scored: `p12` = the smoothed bigram
+    * probability in 1e-12 fixed-point units. `coalesce` handles
+    * model-unseen bigrams/prefixes (a STREAMED doc may contain them;
+    * batch corpus docs never do, so the batch plan is unaffected).
+    */
+  private[graft] def lmScoredBigrams(bi: DataFrame, big: DataFrame,
+                                     uni: DataFrame, vocab: DataFrame): DataFrame =
+    bi.join(big, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("p12", floor(
+        (expr("CAST(coalesce(c12, 0) + 1 AS DOUBLE)")
+          / expr("CAST(coalesce(c1, 0) + v AS DOUBLE)")) * lit(1e12)
+          + lit(0.5)).cast("long"))
+
+  /** (n_bigrams, sp) → the rounded mean-probability column. */
+  private[graft] def lmScoreExpr: org.apache.spark.sql.Column =
+    round6((col("sp").cast("double") / col("n_bigrams").cast("double"))
+      / lit(1e12)).as("lm_score")
+
+  def lmBigramScore(t: Tables): DataFrame = {
+    val bi = bigramsOf(t.documents.select(col("doc_id"), col("text")))
+    lmScoredBigrams(bi, lmModelBig(t), lmModelUni(t), lmVocab(t))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p12")).as("sp"))
+      .select(col("doc_id"), col("n_bigrams"), lmScoreExpr)
+      .orderBy(col("doc_id"))
+  }
+
+  def lmBigramScoreSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+       |             WHERE len(string_split(text, ' ')) >= 2),
+       |bi AS (SELECT doc_id, ts[i] w1, ts[i+1] w2
+       |       FROM tok, unnest(generate_series(1, len(ts) - 1)) t(i)),
+       |alltok AS (SELECT unnest(string_split(text, ' ')) w FROM documents),
+       |uni AS (SELECT w, COUNT(*) c1 FROM alltok GROUP BY w),
+       |vocab AS (SELECT COUNT(DISTINCT w) v FROM alltok),
+       |p AS (SELECT doc_id,
+       |        CAST(floor((CAST(c12 + 1 AS DOUBLE) / CAST(c1 + v AS DOUBLE))
+       |               * 1000000000000.0 + 0.5) AS BIGINT) p12
+       |      FROM bi
+       |      JOIN (SELECT w1, w2, COUNT(*) c12 FROM bi GROUP BY w1, w2) big
+       |        USING (w1, w2)
+       |      JOIN uni ON bi.w1 = uni.w
+       |      CROSS JOIN vocab)
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       |  ${round6Sql("(CAST(SUM(p12) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000000000.0")} AS lm_score
+       |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

@@ -117,6 +117,75 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("graft_shingles_"))
   }
 
+  test("materialized-shingle ngram-jaccard equals the live plan, never rescans documents") {
+    val live = Dedup.dedupNgramJaccard(tables).collect().map(_.toSeq).toSeq
+    val mat = Dedup.dedupNgramJaccardMat(tables).collect().map(_.toSeq).toSeq
+    assert(mat == live)
+    val plan = Dedup.dedupNgramJaccardMat(tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      plan.linesIterator.filter(_.contains("documents")).take(3).mkString("\n"))
+    assert(plan.contains("graft_shingles_"))
+  }
+
+  test("materialized-signature simhash equals the live plan, never re-tokenizes") {
+    val live = Dedup.dedupSimhash(tables).collect().map(_.toSeq).toSeq
+    val mat = Dedup.dedupSimhashMat(tables).collect().map(_.toSeq).toSeq
+    assert(mat == live)
+    // the signature store replaces the whole tokenize + 48-sum subtree:
+    // neither the raw documents table nor any aggregation over tokens
+    // appears — just the store scan and the band self-join
+    val plan = Dedup.dedupSimhashMat(tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      plan.linesIterator.filter(_.contains("documents")).take(3).mkString("\n"))
+    assert(plan.contains("graft_simhash_"))
+  }
+
+  test("cluster keepers label planted chains transitively, one keeper per component") {
+    import spark.implicits._
+    // components: a 3-chain {1,2,3}, a pair {10,11}, a 4-chain
+    // {20,21,22,23} — chains exercise multi-round propagation (node 23
+    // only learns label 20 after 3 rounds)
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("doc_a", "doc_b")
+    val rows = Dedup.clusterKeepers(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (10L, 10L, 2L), (11L, 10L, 2L),
+      (20L, 20L, 4L), (21L, 20L, 4L), (22L, 20L, 4L), (23L, 20L, 4L)))
+  }
+
+  test("cluster keepers converge on a planted 200-node path graph") {
+    import spark.implicits._
+    // Adversarial diameter: a path 0–1–2–…–199. Plain min-label
+    // propagation needs 199 rounds (> MaxClusterIters) and its
+    // self-referencing loop grows the logical plan exponentially with
+    // rounds — this graph OOMed PLANNING before the pointer jump +
+    // localCheckpoint landed. With lbl ← lbl(lbl) each round, chains
+    // collapse exponentially: convergence well inside the cap, plan
+    // size constant per round.
+    val n = 200L
+    val edges = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val rows = Dedup.clusterKeepers(edges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == n)
+    assert(rows.forall { case (_, keeper, size) => keeper == 0L && size == n })
+  }
+
+  test("dedup_clusters: every verified pair lands in one cluster under its min id") {
+    val pairs = Dedup.dedupMinhashVerified(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val label = Dedup.nearDupClusters(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(label(a) == label(b), s"pair ($a,$b) split across clusters")
+      assert(label(a) <= a && label(a) <= b) // keeper is the component min
+    }
+  }
+
   test("exact dedup keeps one keeper per distinct text") {
     val rows = Dedup.dedupExact(tables).collect()
     val docs = tables.documents.count()

@@ -66,6 +66,27 @@ class FunctionsSpec extends SparkSpec {
     assert(CosineSim(a, b).eval(null) == expected)
   }
 
+  test("CosineSim unequal lengths: norms cover each full array (≡ composition)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import graft.functions.{CosineSim, DotProduct}
+    val at = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType)
+    val a = Literal.create(Seq(1.0, 2.0, 3.0, 4.0), at)
+    val b = Literal.create(Seq(5.0, 6.0), at)
+    // the documented contract: vec_dot(a,b) / (sqrt(vec_dot(a,a)) * sqrt(vec_dot(b,b)))
+    val composed = DotProduct(a, b).eval(null).asInstanceOf[Double] /
+      (math.sqrt(DotProduct(a, a).eval(null).asInstanceOf[Double]) *
+        math.sqrt(DotProduct(b, b).eval(null).asInstanceOf[Double]))
+    assert(CosineSim(a, b).eval(null) == composed)
+    assert(CosineSim(b, a).eval(null) == composed)
+    // and via the DataFrame/codegen path too
+    val df = spark.range(1).select(
+      graft.functions.VectorFunctions.cosineSim(
+        array(lit(1.0), lit(2.0), lit(3.0), lit(4.0)),
+        array(lit(5.0), lit(6.0))).as("c"))
+    assert(df.head.getDouble(0) == composed)
+  }
+
   test("bucketed ANN probe payload carries no precomputed norm column") {
     // the fused-cosine paths should let Catalyst prune the norm away:
     // no sqrt anywhere in the LSH plan

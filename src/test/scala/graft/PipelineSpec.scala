@@ -18,6 +18,24 @@ class PipelineSpec extends SparkSpec {
     assert(got.size < base.size, "near-dup stage removed nothing")
   }
 
+  test("corpus_clean_clustered = corpus_clean minus cluster non-keepers, exactly") {
+    val base = CorpusClean.corpusClean(tables).collect()
+      .map(_.getLong(0)).toSet
+    val nonKeepers = Dedup.nearDupClusters(tables).collect()
+      .filter(r => r.getLong(0) != r.getLong(1)).map(_.getLong(0)).toSet
+    val got = CorpusClean.corpusCleanClustered(tables).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == (base -- nonKeepers))
+    assert(got.size < base.size, "cluster stage removed nothing")
+    // chain correctness: at most one survivor per cluster
+    val cluster = Dedup.nearDupClusters(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perCluster = got.toSeq.flatMap(cluster.get).groupBy(identity)
+    perCluster.foreach { case (k, docs) =>
+      assert(docs.size <= 1, s"cluster $k kept ${docs.size} docs")
+    }
+  }
+
   test("near-dup removal is one anti join over the clean plan") {
     val plan = CorpusClean.corpusCleanNearDup(tables)
       .queryExecution.executedPlan.toString

@@ -84,7 +84,8 @@ class PlanSpec extends SparkSpec {
   test("dedup document scans prune to doc_id + text") {
     for (df <- Seq(graft.dedup.Dedup.dedupMinhash(tables),
       graft.dedup.Dedup.dedupSimhash(tables),
-      graft.textanalysis.TextAnalysis.docFingerprint(tables))) {
+      graft.textanalysis.TextAnalysis.docFingerprint(tables),
+      graft.textanalysis.TextAnalysis.lmBigramScore(tables))) {
       val plan = physical(df)
       // lang/source/n_chars must not reach the scan
       assert(!plan.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),

@@ -495,6 +495,59 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CorpusNearDupGate: streamed intake over the corpus ≡ batch candidates + self") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val gate = Jobs.CorpusNearDupGate.matches(
+      in.toDF().toDF("ts", "doc_id", "text"), tables)
+    val q = gate.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gate").start()
+    try {
+      val docs = tables.documents
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      in.addData(docs.map { case (id, tx) => (new Timestamp(1000L), id, tx) }.toSeq)
+      q.processAllAvailable()
+      val got = spark.table("gate").select("doc_id", "corpus_doc")
+        .as[(Long, Long)].collect().toSet
+      // every shingle-able doc collides with itself on every band
+      docs.filter(_._2.split(" ").length >= 3).foreach { case (id, _) =>
+        assert(got.contains((id, id)), s"doc $id missed its own bands")
+      }
+      // cross matches are exactly the batch band-join candidates (both
+      // directions: the gate joins stream x corpus unordered)
+      val batch = graft.dedup.Dedup.dedupMinhash(tables).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.filter { case (a, b) => a != b } ==
+        batch.flatMap { case (a, b) => Seq((a, b), (b, a)) })
+    } finally q.stop()
+  }
+
+  test("LmScoreStream: streamed intake scores ≡ batch lm_bigram_score exactly") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val scored = Jobs.LmScoreStream.scores(
+      in.toDF().toDF("ts", "doc_id", "text"), tables)
+    val q = scored.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("lm_stream").start()
+    try {
+      val docs = tables.documents
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      in.addData(docs.map { case (id, tx) => (new Timestamp(1000L), id, tx) }.toSeq)
+      q.processAllAvailable()
+      // advance the watermark so the (ts, doc_id) groups finalize
+      in.addData(Seq((new Timestamp(10000L * 1000), -1L, "x y")))
+      q.processAllAvailable()
+      val streamed = spark.table("lm_stream")
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("n_bigrams"), col("lm_score"))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      val batch = graft.textanalysis.TextAnalysis.lmBigramScore(tables)
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(batch.nonEmpty)
+      assert(streamed == batch) // fixed-point sums: EXACT equality, not ≈
+    } finally q.stop()
+  }
+
   test("SimhashCandidates per-row signature equals the batch aggregated one") {
     import spark.implicits._
     // per-occurrence ±1 HOF fold must equal the batch per-(doc, token)
