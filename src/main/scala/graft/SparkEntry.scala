@@ -50,7 +50,9 @@ object SparkEntry {
     "dedup_exact" -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(t => Dedup.dedupNgramJaccard(t)),
     "dedup_ngram_jaccard_mat" -> q(Dedup.dedupNgramJaccardMat),
+    "dedup_ngram_jaccard_bucketed" -> q(Dedup.dedupNgramJaccardBucketed),
     "dedup_minhash" -> q(Dedup.dedupMinhash),
+    "dedup_minhash_bucketed" -> q(Dedup.dedupMinhashBucketed),
     "dedup_minhash_verified" -> q(Dedup.dedupMinhashVerified),
     "dedup_minhash_verified_mat" -> q(Dedup.dedupMinhashVerifiedMat),
     "dedup_clusters" -> q(Dedup.nearDupClusters),
@@ -120,7 +122,9 @@ object SparkEntry {
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_ngram_jaccard_mat" -> Dedup.dedupNgramJaccardSql,
+    "dedup_ngram_jaccard_bucketed" -> Dedup.dedupNgramJaccardSql,
     "dedup_minhash" -> Dedup.dedupMinhashSql,
+    "dedup_minhash_bucketed" -> Dedup.dedupMinhashSql,
     "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_minhash_verified_mat" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_clusters" -> Dedup.nearDupClustersSql,

@@ -285,6 +285,86 @@ object Dedup {
       graft.storage.Materialize.corpusTag(t, "documents", s"sh=$ShingleSize"),
       shingles(t))
 
+  /** Buckets for the shingle / band stores. Local-scale value; at
+    * 100 TB size so one bucket's posting lists fit an executor
+    * (thousands — the write repartitions by the bucket key anyway).
+    */
+  val DedupStoreBuckets = 8
+
+  /** [[shingles]] as a BUCKETED managed table keyed by the shingle
+    * string — the storage layout the inverted-index consumers want:
+    * the doc-freq cap aggregation, the rare-shingle semi-join, and the
+    * posting-list self-join all cluster on `s`, so over this store
+    * every one of them runs with ZERO exchange (DedupSpec pins it).
+    * The one shuffle the live plan pays per consumer is paid once, at
+    * write, and amortized across every later query on the corpus —
+    * the `storage.Bucketing` q3 pattern applied to the dedup path.
+    */
+  private def shinglesBucketed(t: Tables): DataFrame = {
+    val tag = graft.storage.Materialize.corpusTag(
+      t, "documents", s"sh=$ShingleSize|b=$DedupStoreBuckets")
+    val table = s"graft_shingles_b_$tag"
+    // repartition on the bucket key before the bucketed write:
+    // repartition and bucketBy share the Murmur3 hash, so each task
+    // holds exactly one bucket's rows → ONE file per bucket, which is
+    // the layout Spark trusts sortBy metadata for (multi-file buckets
+    // re-sort at read)
+    graft.storage.Bucketing.ensureBucketed(
+      t.spark, shingles(t).repartition(DedupStoreBuckets, col("s")),
+      table, "s", DedupStoreBuckets)
+    t.spark.table(table)
+  }
+
+  /** [[dedupNgramJaccard]] over the BUCKETED shingle store: identical
+    * rows (same oracle SQL), but the inverted-index phase — doc-freq
+    * cap, semi-join, posting-list self-join — is exchange-free; the
+    * only shuffles left are the per-pair and per-doc aggregations whose
+    * keys genuinely differ from the storage key.
+    */
+  def dedupNgramJaccardBucketed(t: Tables): DataFrame =
+    dedupNgramJaccardFrom(shinglesBucketed(t), ShingleDocFreqCap)
+
+  /** The LSH band table as a BUCKETED managed table keyed by
+    * (band_idx, band_key) — exactly [[minhashCandidatesFrom]]'s
+    * self-join clustering, so candidate generation over the store is
+    * exchange-free (DedupSpec pins it). Bucketing on the full key pair
+    * rather than band_key alone matters operationally: a subset-key
+    * bucketing would still satisfy the join's distribution, but
+    * Spark's DisableUnnecessaryBucketedScan heuristic only recognizes
+    * exact-requirement bucketings and silently falls back to a
+    * shuffled scan. The signature aggregation (one shuffle on doc_id)
+    * is paid once at write; band recomputation — re-thresholding, the
+    * streaming intake gate, the cluster loop's edge derivation — reads
+    * 3 hashed columns.
+    */
+  private[graft] def bandsBucketed(t: Tables): DataFrame = {
+    val tag = graft.storage.Materialize.corpusTag(
+      t, "documents",
+      s"sh=$ShingleSize|p=$NumPerms|nb=$NumBands|b=$DedupStoreBuckets")
+    val table = s"graft_bands_b_$tag"
+    graft.storage.Bucketing.ensureBucketedMulti(
+      t.spark,
+      bandsFrom(shinglesMaterialized(t))
+        .repartition(DedupStoreBuckets, col("band_idx"), col("band_key")),
+      table, Seq("band_idx", "band_key"), DedupStoreBuckets)
+    t.spark.table(table)
+  }
+
+  /** [[dedupMinhash]] with candidates generated over the bucketed band
+    * store — exchange-free self-join; same oracle as the live entry.
+    */
+  def dedupMinhashBucketed(t: Tables): DataFrame = {
+    val bands = bandsBucketed(t)
+    bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private def dedupMinhashVerifiedFrom(shAll: DataFrame): DataFrame =
     verifiedPairsFrom(shAll).orderBy(col("doc_a"), col("doc_b"))
 

@@ -44,6 +44,41 @@ object Bucketing {
     */
   val Q3Buckets = 8
 
+  /** [[writeBucketed]] for a composite bucket key: bucket AND sort by
+    * the full column list (bucket columns must exactly match the
+    * consumer's clustering — Spark's bucketed-scan heuristic does not
+    * credit subset-key bucketings).
+    */
+  def writeBucketedMulti(df: DataFrame, table: String, keys: Seq[String],
+                         buckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** [[ensureBucketed]] for a composite bucket key. */
+  def ensureBucketedMulti(spark: SparkSession, df: => DataFrame,
+                          table: String, keys: Seq[String],
+                          buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table)) {
+      clearLeftoverLocation(spark, table)
+      writeBucketedMulti(df, table, keys, buckets)
+    }
+
+  private def clearLeftoverLocation(spark: SparkSession,
+                                    table: String): Unit = {
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    if (loc.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(loc)
+    }
+  }
+
   /** Write `df` bucketed as `table` unless this session's catalog
     * already has it. A fresh session starts with an empty in-memory
     * catalog while the warehouse FILES persist, so a leftover location
@@ -53,14 +88,7 @@ object Bucketing {
   def ensureBucketed(spark: SparkSession, df: => DataFrame, table: String,
                      key: String, buckets: Int): Unit =
     if (!spark.catalog.tableExists(table)) {
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(loc)
-      }
+      clearLeftoverLocation(spark, table)
       writeBucketed(df, table, key, buckets)
     }
 

@@ -142,6 +142,52 @@ class DedupSpec extends SparkSpec {
     assert(plan.contains("graft_simhash_"))
   }
 
+  test("bucketed shingle store: inverted-index phase exchange-free, rows equal live") {
+    val live = Dedup.dedupNgramJaccard(tables).collect().map(_.toSeq).toSeq
+    val b = Dedup.dedupNgramJaccardBucketed(tables).collect().map(_.toSeq).toSeq
+    assert(b == live)
+    val plan = Dedup.dedupNgramJaccardBucketed(tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_shingles_b_"))
+    // the store is bucketed by the shingle key: doc-freq cap, rare
+    // semi-join and posting-list self-join all cluster on s with NO
+    // exchange — the only shuffles left key on docs/pairs
+    assert(!plan.contains("Exchange hashpartitioning(s#"),
+      plan.linesIterator.filter(_.contains("hashpartitioning(s#"))
+        .take(3).mkString("\n"))
+    // ...and that exchange is exactly what the live plan pays
+    val livePlan = Dedup.dedupNgramJaccard(tables)
+      .queryExecution.executedPlan.toString
+    assert(livePlan.contains("Exchange hashpartitioning(s#"))
+  }
+
+  test("bucketed band store: candidate self-join exchange-free, rows equal live") {
+    val live = Dedup.dedupMinhash(tables).collect().map(_.toSeq).toSeq
+    val b = Dedup.dedupMinhashBucketed(tables).collect().map(_.toSeq).toSeq
+    assert(b == live)
+    assert(Dedup.dedupMinhashBucketed(tables)
+      .queryExecution.executedPlan.toString.contains("graft_bands_b_"))
+    // At test sf the band table fits a broadcast, which would hide the
+    // partitioning story — disable it and look at the shuffle-join
+    // shape both plans fall back to: bucketed on band_key (a subset of
+    // the (band_idx, band_key) join keys) co-locates both sides, so
+    // the store variant joins with NO exchange keyed on the bands
+    // while the live plan must shuffle both sides.
+    val spark = tables.spark
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = Dedup.dedupMinhashBucketed(tables)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(band_"),
+        plan.linesIterator.filter(_.contains("hashpartitioning(band_"))
+          .take(3).mkString("\n"))
+      val livePlan = Dedup.dedupMinhash(tables)
+        .queryExecution.executedPlan.toString
+      assert(livePlan.contains("Exchange hashpartitioning(band_"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("cluster keepers label planted chains transitively, one keeper per component") {
     import spark.implicits._
     // components: a 3-chain {1,2,3}, a pair {10,11}, a 4-chain
