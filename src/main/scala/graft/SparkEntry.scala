@@ -69,6 +69,7 @@ object SparkEntry {
     "embed_ann_ivf_pq" -> q(Ann.embedAnnIvfPq),
     "embed_ann_ivf_part" -> q(Ann.embedAnnIvfPartitioned),
     "embed_ann_ivf_pq_res" -> q(Ann.embedAnnIvfPqResidual),
+    "embed_ann_opq_pq" -> q(graft.ann.Opq.embedAnnOpqPq),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
@@ -92,7 +93,11 @@ object SparkEntry {
     */
   val rowsOnly: Map[String, String] = Map(
     "event_stats_approx" ->
-      "WindowsSpec: exact moments match event_stats; sketch rank within 2%"
+      "WindowsSpec: exact moments match event_stats; sketch rank within 2%",
+    "embed_ann_opq_pq" ->
+      ("AnnSpec: identity rotation reproduces embed_ann_pq exactly; " +
+        "fitted rotation strictly beats identity recall on planted " +
+        "anisotropic data; recall floor on the real corpus")
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -433,7 +433,7 @@ object Ann {
   /** Sub-vector codebook from a (k, v) sample: one (s, k, c, h) row per
     * subspace × codeword; h = ‖c‖²/2 for the L2-argmin encoding score.
     */
-  private def codebookFrom(sample: DataFrame): DataFrame = {
+  private[graft] def codebookFrom(sample: DataFrame): DataFrame = {
     val subs = (0 until PqSubspaces).map(s =>
       struct(lit(s).as("s"),
         slice(col("v"), s * PqSubDim + 1, PqSubDim).as("c")))
@@ -515,15 +515,23 @@ object Ann {
   private[graft] def pqEncoded(t: Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    subVectors(e.filter(col("vec_id") >= NumQueries))
-      .join(broadcast(pqCodebook(t)), Seq("s"))
+    pqEncodedWith(e.filter(col("vec_id") >= NumQueries), pqCodebook(t))
+  }
+
+  /** [[pqEncoded]] over ANY (vec_id, v) corpus frame and codebook —
+    * the rotated-space OPQ pipeline ([[Opq.embedAnnOpqPq]]) encodes
+    * through the same definition, so encode criteria cannot drift.
+    */
+  private[graft] def pqEncodedWith(corpus: DataFrame,
+                                   codebook: DataFrame): DataFrame =
+    subVectors(corpus)
+      .join(broadcast(codebook), Seq("s"))
       .select(col("vec_id"), col("s"), col("k"),
         round6(VectorFunctions.dot(col("sub_v"), col("c")) - col("h"))
           .as("score"))
       .groupBy(col("vec_id"), col("s"))
       .agg(max(struct(col("score").as("sc"), (-col("k")).as("nk"))).as("m"))
       .select(col("vec_id"), col("s"), (-col("m.nk")).as("code"))
-  }
 
   /** The query-side ADC lookup table: (q_id, s, k, part) — partial dot
     * per (query, subspace, codeword). Tiny: queries × subspaces × codes.
@@ -539,8 +547,13 @@ object Ann {
     * same definition, so stream and batch LUTs cannot drift).
     */
   private[graft] def pqLutFrom(t: Tables, vecs: DataFrame): DataFrame =
+    pqLutWith(vecs, pqCodebook(t))
+
+  /** LUT over any (vec_id, v) frame against any codebook. */
+  private[graft] def pqLutWith(vecs: DataFrame,
+                               codebook: DataFrame): DataFrame =
     subVectors(vecs)
-      .join(broadcast(pqCodebook(t)), Seq("s"))
+      .join(broadcast(codebook), Seq("s"))
       .select(col("vec_id").as("q_id"), col("s"), col("k"),
         round6(VectorFunctions.dot(col("sub_v"), col("c"))).as("part"))
 
@@ -551,9 +564,20 @@ object Ann {
     * shortlist → top [[K]].
     */
   private[graft] def adcTail(parts: DataFrame, t: Tables,
-                             withBase: Boolean = false): DataFrame = {
-    val e = t.embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+                             withBase: Boolean = false): DataFrame =
+    adcTailWith(parts,
+      t.embeddings
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      withBase)
+
+  /** [[adcTail]] with the exact re-rank frame as a parameter: the
+    * shortlist comes from whatever approximate space `parts` was built
+    * in (raw PQ, residual PQ, rotated OPQ), but the final cosine is
+    * ALWAYS over `e`'s vectors — pass the original embeddings and the
+    * output scores stay comparable across every ANN variant.
+    */
+  private[graft] def adcTailWith(parts: DataFrame, e: DataFrame,
+                                 withBase: Boolean = false): DataFrame = {
     // sum the looked-up parts in a FIXED order via per-subspace pivots —
     // a groupBy SUM of doubles would be partition-order-sensitive and
     // break the oracle
