@@ -285,6 +285,13 @@ object Dedup {
       graft.storage.Materialize.corpusTag(t, "documents", s"sh=$ShingleSize"),
       shingles(t))
 
+  /** The materialized corpus shingle store, for stream-static verify
+    * joins (streaming.Jobs.ClusterAssignStream computes exact Jaccard
+    * between arriving docs and their band-matched corpus docs).
+    */
+  private[graft] def corpusShingleStore(t: Tables): DataFrame =
+    shinglesMaterialized(t)
+
   /** Buckets for the shingle / band stores. Local-scale value; at
     * 100 TB size so one bucket's posting lists fit an executor
     * (thousands — the write repartitions by the bucket key anyway).

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.Row
@@ -217,23 +217,33 @@ object Jobs {
       * computed entirely in codegen'd higher-order functions. Emits one
       * row per (doc, band).
       */
-    def bandKeys(docs: DataFrame): DataFrame = {
+    def bandKeys(docs: DataFrame): DataFrame = bandKeysCarrying(docs)
+
+    /** [[bandKeys]] carrying extra per-row columns computed over the
+      * shingled frame (each has `sh`, the per-row shingle array, in
+      * scope) — ClusterAssignStream keeps the distinct shingle set
+      * alongside the band keys without a second source subscription.
+      */
+    private[streaming] def bandKeysCarrying(
+        docs: DataFrame, carry: (String, Column)*): DataFrame = {
       val sigCols = (0 until NumPerms).map(p => expr(
         s"array_min(transform(sh, s -> md5(concat('$p:', s))))").as(s"h$p"))
       val bandStructs = (0 until NumBands).map(b =>
         struct(lit(b).as("band_idx"),
           md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}")))
             .as("band_key")))
+      val carried = carry.map { case (n, c) => c.as(n) }
+      val carriedRefs = carry.map { case (n, _) => col(n) }
       docs
         .withColumn("ts_toks", split(col("text"), " "))
         .where(size(col("ts_toks")) >= ShingleSize)
         .withColumn("sh", graft.functions.TextFunctions.shingles(
           col("ts_toks"), ShingleSize))
-        .select(col("ts") +: col("doc_id") +: sigCols: _*)
-        .select(col("ts"), col("doc_id"),
-          explode(array(bandStructs: _*)).as("bk"))
-        .select(col("ts"), col("doc_id"),
-          col("bk.band_idx"), col("bk.band_key"))
+        .select(col("ts") +: col("doc_id") +: (carried ++ sigCols): _*)
+        .select(col("ts") +: col("doc_id") +: carriedRefs :+
+          explode(array(bandStructs: _*)).as("bk"): _*)
+        .select(col("ts") +: col("doc_id") +: carriedRefs :+
+          col("bk.band_idx") :+ col("bk.band_key"): _*)
     }
 
     /** Candidate near-dup pairs from a (ts, doc_id, text) stream: both
@@ -311,6 +321,169 @@ object Jobs {
       MinhashCandidates.bandKeys(docs)
         .join(corpus, Seq("band_idx", "band_key"))
         .select(col("ts"), col("doc_id"), col("corpus_doc"), col("band_idx"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // ClusterAssignStream — incremental cluster maintenance: the streaming
+  // half of dedup_clusters. A newly-arriving doc is band-probed against
+  // the corpus store (CorpusNearDupGate's join), VERIFIED by exact
+  // shingle Jaccard against each matched corpus doc (dedup_minhash_
+  // verified's criterion, per arriving doc), and assigned a keeper in a
+  // flatMapGroupsWithState state store: the min keeper among its
+  // verified clusters, or itself when nothing verifies.
+  // ---------------------------------------------------------------------
+  object ClusterAssignStream {
+
+    /** One verify-join row headed for the state store: a doc's presence
+      * (corpusDoc None) or one (matched corpus doc, common shingle)
+      * hit. `nA` = the arriving doc's distinct shingle count; `keeper`/
+      * `nB` describe the matched corpus doc's cluster and set size.
+      */
+    private[streaming] case class AssignRow(
+        ts: java.sql.Timestamp, docId: Long, nA: Int,
+        corpusDoc: Option[Long], s: Option[String],
+        keeper: Option[Long], nB: Option[Int])
+
+    /** Per-doc accumulator: matched corpus docs with their keeper, set
+      * size and the distinct common shingles seen so far (a Seq, kept
+      * distinct on merge — multi-band duplicate matches collapse here,
+      * where the batch twin uses `.distinct()`).
+      */
+    private[streaming] case class CorpusAcc(
+        keeper: Long, nB: Int, common: Seq[String])
+    private[streaming] case class AssignState(
+        tsMs: Long, nA: Int, matches: Map[Long, CorpusAcc])
+
+    /** Keeper assignments for a (ts, doc_id, text) intake stream:
+      * (doc_id, keeper_id, n_verified). Semantics (StreamingJobsSpec
+      * pins them on the corpus's own docs): a doc's verified partners
+      * are the corpus docs sharing an LSH band whose EXACT shingle
+      * Jaccard clears [[graft.dedup.Dedup.JaccardMin]] — identical
+      * criterion to the batch `dedup_minhash_verified` — and its keeper
+      * is the min cluster keeper among them ([[graft.dedup.Dedup
+      * .nearDupClusters]] labels, a corpus doc outside every cluster
+      * being its own keeper), or the doc's own id when nothing
+      * verifies. Replaying the corpus through the gate therefore
+      * reproduces the batch cluster labels exactly.
+      *
+      * A new doc bridging TWO clusters joins the min-keeper one — the
+      * incremental assignment cannot merge existing clusters; the
+      * periodic batch `dedup_clusters` recompute is the compaction that
+      * does (the IndexMaintenance generation story, applied to
+      * clusters).
+      *
+      * Shape: per-row HOF band keys + shingle set (one source
+      * subscription), stateless stream-static joins against the THREE
+      * memoized corpus tables (bands, shingles, keepers), then ONE
+      * stateful operator — a doc-keyed state store (the reference's
+      * updateStateByKey heritage) that accumulates verify hits and
+      * emits the assignment when the event-time timeout passes the
+      * doc's ts + watermark lag. State per doc is bounded by (LSH
+      * matches × shingles); identical-doc whales are bounded by the
+      * band-collision fan-out, same as the batch verify stage.
+      */
+    def assignments(docs: DataFrame, t: Tables,
+                    watermarkLag: String = "30 seconds"): Dataset[(Long, Long, Int)] = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val lagMs = watermarkLag.trim.split("\\s+") match {
+        case Array(n, u) =>
+          val unit = u.toLowerCase.stripSuffix("s")
+          n.toLong * (unit match {
+            case "millisecond" => 1L
+            case "second" => 1000L
+            case "minute" => 60000L
+            case "hour" => 3600000L
+            case other => throw new IllegalArgumentException(
+              s"unsupported watermark lag unit: $other")
+          })
+        case _ => throw new IllegalArgumentException(
+          s"watermark lag must be '<n> <unit>', got '$watermarkLag'")
+      }
+      val corpusBands = StaticCache.of(t, "corpusBands") {
+        graft.dedup.Dedup.corpusBands(t)
+          .select(col("doc_id").as("corpus_doc"),
+            col("band_idx"), col("band_key"))
+      }
+      val corpusSh = StaticCache.of(t, "corpusShingles") {
+        graft.dedup.Dedup.corpusShingleStore(t)
+          .select(col("doc_id").as("corpus_doc"), col("s"))
+      }
+      val corpusSizes = StaticCache.of(t, "corpusShingleSizes") {
+        graft.dedup.Dedup.corpusShingleStore(t)
+          .groupBy(col("doc_id").as("corpus_doc"))
+          .agg(count(lit(1)).cast("int").as("n_b"))
+      }
+      val keepers = StaticCache.of(t, "corpusKeepers") {
+        graft.dedup.Dedup.nearDupClusters(t)
+          .select(col("doc_id").as("corpus_doc"),
+            col("keeper_id").as("cluster_keeper"))
+      }
+      val rows = MinhashCandidates
+        .bandKeysCarrying(docs,
+          "sh_set" -> array_distinct(col("sh")),
+          "n_a" -> size(array_distinct(col("sh"))))
+        .withWatermark("ts", watermarkLag)
+        // band probe; LEFT so a no-match doc still reaches the store
+        .join(corpusBands, Seq("band_idx", "band_key"), "left")
+        // one row per shingle for matched rows; exactly one null-s row
+        // for unmatched ones (explode of a single-null array)
+        .select(col("ts"), col("doc_id"), col("n_a"), col("corpus_doc"),
+          explode(when(col("corpus_doc").isNull, array(lit(null)))
+            .otherwise(col("sh_set"))).as("s"))
+        // which of the doc's shingles the matched corpus doc shares —
+        // LEFT again: a band match with zero common shingles must not
+        // erase the doc's presence row
+        .join(corpusSh.select(col("corpus_doc"), col("s"),
+          lit(true).as("hit")), Seq("corpus_doc", "s"), "left")
+        .join(corpusSizes, Seq("corpus_doc"), "left")
+        .join(keepers, Seq("corpus_doc"), "left")
+        .select(col("ts"), col("doc_id").as("docId"), col("n_a").as("nA"),
+          when(col("hit"), col("corpus_doc")).as("corpusDoc"),
+          when(col("hit"), col("s")).as("s"),
+          when(col("hit"),
+            coalesce(col("cluster_keeper"), col("corpus_doc"))).as("keeper"),
+          when(col("hit"), col("n_b")).as("nB"))
+        .as[AssignRow]
+      rows
+        .groupByKey(_.docId)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (docId: Long, batch: Iterator[AssignRow],
+           state: GroupState[AssignState]) => {
+            if (state.hasTimedOut) {
+              val st = state.get
+              state.remove()
+              val verified = st.matches.filter { case (_, acc) =>
+                val common = acc.common.size
+                common.toDouble / (st.nA + acc.nB - common) >=
+                  graft.dedup.Dedup.JaccardMin - 1e-12
+              }
+              val keeper =
+                if (verified.isEmpty) docId
+                else verified.valuesIterator.map(_.keeper).min
+              Iterator((docId, keeper, verified.size))
+            } else {
+              var st = state.getOption.getOrElse(AssignState(0L, 0, Map.empty))
+              batch.foreach { r =>
+                st = st.copy(tsMs = math.max(st.tsMs, r.ts.getTime),
+                  nA = math.max(st.nA, r.nA))
+                for (cd <- r.corpusDoc; sh <- r.s) {
+                  val acc = st.matches.getOrElse(cd,
+                    CorpusAcc(r.keeper.getOrElse(cd), r.nB.getOrElse(0), Nil))
+                  if (!acc.common.contains(sh))
+                    st = st.copy(matches = st.matches
+                      .updated(cd, acc.copy(common = acc.common :+ sh)))
+                  else st = st.copy(matches = st.matches.updated(cd, acc))
+                }
+              }
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.tsMs + lagMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          })
     }
   }
 

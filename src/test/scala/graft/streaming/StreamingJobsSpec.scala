@@ -495,6 +495,50 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ClusterAssignStream: corpus replay reproduces batch cluster labels; novel docs self-assign") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val assigns = Jobs.ClusterAssignStream.assignments(
+      in.toDF().toDF("ts", "doc_id", "text"), tables)
+      .toDF("doc_id", "keeper_id", "n_verified")
+    val q = assigns.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("assigns").start()
+    try {
+      val docs = tables.documents
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      in.addData(docs.map { case (id, tx) => (new Timestamp(1000L), id, tx) }.toSeq)
+      q.processAllAvailable()
+      // a novel doc (id beyond the corpus, unrelated text) plus late
+      // events that push the watermark past every pending timeout
+      in.addData(Seq((new Timestamp(40000L), 900001L,
+        "zyx wvu tsr qpo nml kji hgf edc ba")))
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(200000L), 900002L,
+        "another unrelated closer paragraph entirely")))
+      q.processAllAvailable()
+      val got = spark.table("assigns")
+        .select("doc_id", "keeper_id").as[(Long, Long)].collect().toMap
+      val batch = graft.dedup.Dedup.nearDupClusters(tables).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every clustered corpus doc must stream to its batch keeper: its
+      // verified partners are exactly its cluster edges (plus itself),
+      // and their keepers all equal the component min
+      batch.foreach { case (id, keeper) =>
+        assert(got.get(id).contains(keeper),
+          s"doc $id streamed to ${got.get(id)}, batch keeper $keeper")
+      }
+      // unclustered corpus docs self-assign (self-match verifies at
+      // jaccard 1.0, and the self cluster's keeper is the doc itself)
+      val shingleable = docs.filter(_._2.split(" ").length >= 3).map(_._1)
+      shingleable.filterNot(batch.contains).foreach { id =>
+        assert(got.get(id).contains(id),
+          s"unclustered doc $id streamed to ${got.get(id)}")
+      }
+      // the novel doc matches nothing in the corpus store
+      assert(got.get(900001L).contains(900001L))
+    } finally q.stop()
+  }
+
   test("CorpusNearDupGate: streamed intake over the corpus ≡ batch candidates + self") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, String)]
