@@ -606,35 +606,20 @@ object Dedup {
     * billions of documents. Shuffles: (doc, token) counts, then
     * (chunk-key, id).
     */
-  /** Hex-digit parse of an md5 column named `h` into a BIGINT — the
-    * first [[SimhashBits]]/4 digits. Shared by the batch aggregation
-    * and the streaming per-row signature so they cannot drift.
+  /** (doc_id, simhash) — the 48-bit count-weighted signature per doc,
+    * computed PER ROW by the native [[graft.functions.SimHash48]]
+    * expression (per-occurrence ±1 sums ≡ the count-weighted
+    * per-(doc, token) groupBy — the DuckDB oracle still computes the
+    * count-weighted SQL form, pinning the equivalence bit-for-bit).
+    * The earlier implementation tokenized, shuffled (doc, token)
+    * counts and ran a 48-column aggregation; the signature now never
+    * leaves the scan projection — zero shuffle at any corpus size,
+    * and whole-stage codegen end to end.
     */
-  private[graft] def simhashHvExpr: String = {
-    val nHex = SimhashBits / 4
-    def hexDigit(i: Int) = // parse one hex digit of the materialized hash
-      s"(ascii(substring(h, $i, 1)) - 48 - 39 * " +
-        s"(CASE WHEN ascii(substring(h, $i, 1)) >= 97 THEN 1 ELSE 0 END))"
-    (1 to nHex).map(i => s"${hexDigit(i)} * ${1L << (4 * (nHex - i))}L")
-      .mkString(" + ")
-  }
-
-  /** (doc_id, simhash) — the 48-bit count-weighted signature per doc. */
-  private[graft] def simhashSignatures(t: Tables): DataFrame = {
-    val tok = t.documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-    val sumCols = (0 until SimhashBits).map(i => expr(
-      s"sum(cnt * (CASE WHEN (hv div ${1L << i}L) % 2 = 1 THEN 1 ELSE -1 END)) AS s$i"))
-    val sums = tok
-      .withColumn("h", md5(col("w"))) // hash once, parse the digits
-      .withColumn("hv", expr(simhashHvExpr))
-      .groupBy(col("doc_id"))
-      .agg(sumCols.head, sumCols.tail: _*)
-    val simhash = (0 until SimhashBits).map(i =>
-      s"(CASE WHEN s$i > 0 THEN ${1L << i}L ELSE 0L END)").mkString(" + ")
-    sums.select(col("doc_id"), expr(s"CAST($simhash AS BIGINT)").as("simhash"))
-  }
+  private[graft] def simhashSignatures(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"),
+      graft.functions.TextFunctions.simhash48(split(col("text"), " "))
+        .as("simhash"))
 
   /** Chunk-pair band structs over a `simhash` column — 6 bands of two
     * 12-bit chunks (pigeonhole: hamming ≤ 1 pairs share ≥ 1 band).

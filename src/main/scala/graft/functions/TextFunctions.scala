@@ -96,6 +96,91 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Native 48-bit SimHash over an `array<string>` token column: for each
+  * token occurrence, parse the first 12 hex digits of its md5 (= first
+  * 6 digest bytes, big-endian) as a 48-bit value, add ±1 per bit
+  * position, and pack `sign(sum) > 0` bits into a BIGINT.
+  *
+  * Per-OCCURRENCE ±1 sums equal the count-weighted per-(doc, token)
+  * groupBy sums (`cnt × sign ≡ sign summed per occurrence`), so this
+  * per-row expression replaces the batch pipeline's tokenize →
+  * (doc, token) count shuffle → 48-column aggregation with ZERO
+  * shuffle — the signature never leaves the scan projection — and the
+  * DuckDB oracle (which still computes the count-weighted SQL form)
+  * pins the equivalence bit-for-bit. The earlier HOF fold
+  * (aggregate/zip_with over a 48-element state array) computed the
+  * same thing through interpreted lambdas; this is the same loop,
+  * generated (FunctionsSpec pins equality with both forms).
+  */
+case class SimHash48(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash48 requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "simhash48"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash48.compute(input.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.SimHash48.compute($arr);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}
+
+object SimHash48 {
+
+  val Bits = 48
+
+  /** The whole signature in one tight loop — called from both the
+    * interpreted and the generated path (a static call keeps the
+    * expression inside WholeStageCodegen without inlining the digest
+    * machinery into generated Java).
+    */
+  def compute(tokens: ArrayData): Long = {
+    val sums = new Array[Int](Bits)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val tok = tokens.getUTF8String(t)
+      md.reset()
+      val digest = md.digest(tok.getBytes)
+      // first 6 bytes big-endian = first 12 hex digits of the hex form
+      var hv = 0L
+      var b = 0
+      while (b < 6) {
+        hv = (hv << 8) | (digest(b) & 0xffL)
+        b += 1
+      }
+      var i = 0
+      while (i < Bits) {
+        if (((hv >>> i) & 1L) == 1L) sums(i) += 1 else sums(i) -= 1
+        i += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var i = 0
+    while (i < Bits) {
+      if (sums(i) > 0) out |= 1L << i
+      i += 1
+    }
+    out
+  }
+}
+
 /** Column-API surface for the native text expressions. */
 object TextFunctions {
 
@@ -104,4 +189,10 @@ object TextFunctions {
     */
   def shingles(tokens: Column, n: Int): Column =
     Bridge.column(WordShingles(Bridge.expression(tokens), n))
+
+  /** 48-bit simhash of a token-array column (codegen'd; equals the
+    * count-weighted groupBy signature exactly).
+    */
+  def simhash48(tokens: Column): Column =
+    Bridge.column(SimHash48(Bridge.expression(tokens)))
 }

@@ -744,32 +744,16 @@ object Jobs {
     import graft.dedup.Dedup.{HammingMax, SimhashBits}
 
     /** Per-ROW 48-bit simhash — no aggregation, so the downstream
-      * stream-stream band join stays legal. The batch op's per-(doc,
-      * token) count-weighted bit sums collapse to per-OCCURRENCE ±1
-      * sums (cnt × sign ≡ sign summed per occurrence), which one HOF
-      * fold over the token array computes with an array-of-48 state;
-      * the hex parse is the batch `simhashHvExpr` verbatim, so per-row
-      * signatures equal the batch groupBy signatures exactly
-      * (StreamingJobsSpec pins it).
+      * stream-stream band join stays legal. Shares the native
+      * [[graft.functions.SimHash48]] expression with the batch
+      * signature (one definition, cannot drift); per-occurrence ±1
+      * sums ≡ the count-weighted groupBy form, which the batch DuckDB
+      * oracle still computes and pins.
       */
     def signatures(docs: DataFrame): DataFrame =
-      docs
-        .withColumn("ts_toks", split(col("text"), " "))
-        .withColumn("hvs", expr(
-          s"transform(transform(ts_toks, w -> md5(w)), h -> ${
-            graft.dedup.Dedup.simhashHvExpr})"))
-        .withColumn("sums", expr(
-          s"""aggregate(hvs, array_repeat(0L, $SimhashBits),
-             | (acc, hv) -> zip_with(acc,
-             |   transform(sequence(0, ${SimhashBits - 1}),
-             |     i -> CASE WHEN (hv div CAST(pow(2, i) AS BIGINT)) % 2 = 1
-             |          THEN 1L ELSE -1L END),
-             |   (a, b) -> a + b))""".stripMargin))
-        .withColumn("simhash", expr(
-          s"""aggregate(zip_with(sums, sequence(0, ${SimhashBits - 1}),
-             |  (s, i) -> IF(s > 0, CAST(pow(2, i) AS BIGINT), 0L)),
-             |  0L, (a, z) -> a + z)""".stripMargin))
-        .select(col("ts"), col("doc_id"), col("simhash"))
+      docs.select(col("ts"), col("doc_id"),
+        graft.functions.TextFunctions.simhash48(split(col("text"), " "))
+          .as("simhash"))
 
     /** Hamming ≤ [[HammingMax]] pairs from a (ts, doc_id, text) stream:
       * watermarked stream-stream self-join on the batch op's chunk-pair
