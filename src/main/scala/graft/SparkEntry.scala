@@ -56,7 +56,7 @@ object SparkEntry {
     "dedup_minhash_verified" -> q(Dedup.dedupMinhashVerified),
     "dedup_minhash_verified_mat" -> q(Dedup.dedupMinhashVerifiedMat),
     "dedup_clusters" -> q(Dedup.nearDupClusters),
-    "dedup_simhash" -> q(Dedup.dedupSimhash),
+    "dedup_simhash" -> q(t => Dedup.dedupSimhash(t)),
     "dedup_simhash_mat" -> q(Dedup.dedupSimhashMat),
     "dedup_embedding" -> q(Dedup.dedupEmbedding),
     "embed_dedup_clusters" -> q(Dedup.embedDedupClusters),

@@ -43,6 +43,25 @@ object Dedup {
     */
   val ShingleDocFreqCap = 100
 
+  /** Max documents an LSH band key (minhash or simhash) may hold before
+    * the key is dropped from candidate generation — the band-join twin
+    * of [[ShingleDocFreqCap]]. A band key shared by B docs emits
+    * B(B−1)/2 candidate pairs, so without the cap a template-document
+    * flood (10M near-copies of one boilerplate page in a 100 TB crawl)
+    * collides on every band and generates ~5×10¹³ pairs on a single
+    * key — O(B²) row GENERATION, which AQE skew-splitting cannot undo.
+    * With the cap, per-key work is O(cap²) and a flooded key is dropped
+    * outright: a >cap-way band collision is template boilerplate, the
+    * same verdict the shingle cap passes on stop-phrases. Exact copies
+    * never reach this join at all — candidate generation runs over
+    * [[keeperDocs]] (one representative per md5(text) group), because
+    * exact duplicates are [[dedupExact]]'s job and carrying them into
+    * LSH is pure waste. DedupSpec plants both floods and pins the
+    * bounded candidate counts; the cap is part of the operator
+    * definition in BOTH engines, so the DuckDB oracles carry it too.
+    */
+  val BandDocFreqCap = 100
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup: group by md5(text), keeper = min doc_id. The shuffle
@@ -59,14 +78,47 @@ object Dedup {
       |  MIN(doc_id) AS keeper_id
       |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin
 
+  /** `documents` reduced to one representative per exact-duplicate
+    * group ([[dedupExact]]'s keeper rule: min doc_id per md5(text)).
+    * Candidate generation for every LSH family runs over THIS frame:
+    * exact copies collide on every band by construction, so admitting
+    * them to a band join plants exactly the quadratic flood
+    * [[BandDocFreqCap]] exists to stop — and their dedup is already
+    * complete after the O(n) exact pass. The shuffle here carries
+    * (hash, id), never text.
+    */
+  private[graft] def keeperDocs(t: Tables): DataFrame = {
+    val keep = t.documents
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    t.documents.join(keep, Seq("doc_id"), "left_semi")
+  }
+
+  /** DuckDB twin of [[keeperDocs]] as CTEs: `kdocs` is the keeper-only
+    * documents relation (same columns the shingle/simhash CTEs read).
+    */
+  private def keeperDocsCtes: String =
+    """keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      |kdocs AS (SELECT d.doc_id, d.text FROM documents d
+      |          JOIN keep k ON d.doc_id = k.doc_id)""".stripMargin
+
   // ------------------------------------------------------------- shingles
 
   /** Distinct word 3-shingles per doc — the unit of all shingle-based
     * dedup. Per-row transform (codegen'd higher-order functions), then a
     * distinct on (doc_id, shingle).
     */
-  private def shingles(t: Tables): DataFrame =
-    t.documents
+  private def shingles(t: Tables): DataFrame = shinglesOf(t.documents)
+
+  /** Keeper-only shingles — the shingle frame every LSH band path
+    * builds on (see [[keeperDocs]]).
+    */
+  private def keeperShingles(t: Tables): DataFrame =
+    shinglesOf(keeperDocs(t))
+
+  private def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("ts"))
       .where(size(col("ts")) >= ShingleSize)
       // native codegen'd shingling (graft.functions.WordShingles) —
@@ -76,12 +128,15 @@ object Dedup {
         graft.functions.TextFunctions.shingles(col("ts"), ShingleSize)).as("s"))
       .distinct()
 
+  /** DuckDB twin of [[shinglesOf]] as a CTE body over `docsRel`. */
+  private def shinglesSqlOver(docsRel: String): String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') ts FROM $docsRel
+       |        WHERE len(string_split(text, ' ')) >= 3),
+       |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
+       |       FROM tok, unnest(generate_series(1, len(ts) - 2)) t(i))""".stripMargin
+
   /** DuckDB twin of [[shingles]] as a CTE body. */
-  private def shinglesSql: String =
-    """tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
-      |        WHERE len(string_split(text, ' ')) >= 3),
-      |sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS s
-      |       FROM tok, unnest(generate_series(1, len(ts) - 2)) t(i))""".stripMargin
+  private def shinglesSql: String = shinglesSqlOver("documents")
 
   // ------------------------------------------------------ ngram jaccard
 
@@ -195,16 +250,25 @@ object Dedup {
     * (band-key, doc_id): at 100 TB the O(n²) comparison never happens —
     * only same-band collisions meet, and a downstream Jaccard verify
     * ([[dedupNgramJaccard]]'s formula) runs per candidate pair.
+    *
+    * Flood protection (both engines' definitions): candidates are
+    * generated over [[keeperDocs]] — exact copies never reach the band
+    * join — and band keys holding more than [[BandDocFreqCap]] docs are
+    * dropped before the self-join, so per-key work is O(cap²) no matter
+    * how many near-copies of a template document the corpus holds.
     */
   def dedupMinhash(t: Tables): DataFrame =
     minhashCandidates(t).orderBy(col("doc_a"), col("doc_b"))
 
   /** [[dedupMinhash]] without the output sort — the distinct candidate
     * pair set, for composition (corpus_clean_neardup, the verified-pair
-    * op) where a mid-plan global sort would be waste.
+    * op) where a mid-plan global sort would be waste. `bandCap` is
+    * exposed so DedupSpec can pin the planted-flood blowup the default
+    * cap prevents.
     */
-  def minhashCandidates(t: Tables): DataFrame =
-    minhashCandidatesFrom(shingles(t))
+  def minhashCandidates(t: Tables,
+                        bandCap: Int = BandDocFreqCap): DataFrame =
+    minhashCandidatesFrom(keeperShingles(t), bandCap)
 
   /** (doc_id, band_idx, band_key) over a shingle frame — the LSH band
     * table behind the self-join, exposed for stream-static composition
@@ -224,14 +288,33 @@ object Dedup {
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
   }
 
-  /** [[bandsFrom]] over the materialized shingle store — the corpus
-    * side of the streaming intake gate.
+  /** [[bandsFrom]] over the materialized KEEPER shingle store, with the
+    * band-frequency cap applied — the corpus side of the streaming
+    * intake gate. Capping the static side alone preserves gate ≡ batch
+    * parity: a pair joins iff the key survives on the corpus side, which
+    * is the same per-key predicate the batch join applies to both sides.
     */
   private[graft] def corpusBands(t: Tables): DataFrame =
-    bandsFrom(shinglesMaterialized(t))
+    cappedBandsFrom(bandsFrom(keeperShinglesMaterialized(t)), BandDocFreqCap)
 
-  private def minhashCandidatesFrom(sh: DataFrame): DataFrame = {
-    val bands = bandsFrom(sh)
+  /** `bands` minus every (band_idx, band_key) held by more than `cap`
+    * docs — [[cappedShinglesFrom]]'s pattern on the band table. The
+    * frequency aggregation and the semi-join share the band-key hash
+    * partitioning: one logical shuffle (zero over the bucketed store).
+    */
+  private[graft] def cappedBandsFrom(bands: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) bands
+    else {
+      val ok = bands.groupBy(col("band_idx"), col("band_key"))
+        .agg(count(lit(1)).as("doc_freq"))
+        .filter(col("doc_freq") <= cap)
+        .select(col("band_idx"), col("band_key"))
+      bands.join(ok, Seq("band_idx", "band_key"), "left_semi")
+    }
+
+  private def minhashCandidatesFrom(
+      sh: DataFrame, bandCap: Int = BandDocFreqCap): DataFrame = {
+    val bands = cappedBandsFrom(bandsFrom(sh), bandCap)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -255,7 +338,7 @@ object Dedup {
     * (DedupSpec pins candidates ⊇ true high-jaccard pairs at test sf).
     */
   def dedupMinhashVerified(t: Tables): DataFrame =
-    dedupMinhashVerifiedFrom(shingles(t))
+    dedupMinhashVerifiedFrom(keeperShingles(t))
 
   /** [[dedupMinhashVerified]] over a MATERIALIZED shingle table: the
     * tokenize + distinct pass is written to warehouse parquet once per
@@ -270,7 +353,7 @@ object Dedup {
     * materialized plan never touches documents.parquet.
     */
   def dedupMinhashVerifiedMat(t: Tables): DataFrame =
-    dedupMinhashVerifiedFrom(shinglesMaterialized(t))
+    dedupMinhashVerifiedFrom(keeperShinglesMaterialized(t))
 
   /** Ensure-write [[shingles]] to a per-corpus warehouse parquet dir,
     * read it back. First call pays the tokenize + distinct + write;
@@ -285,12 +368,26 @@ object Dedup {
       graft.storage.Materialize.corpusTag(t, "documents", s"sh=$ShingleSize"),
       shingles(t))
 
-  /** The materialized corpus shingle store, for stream-static verify
-    * joins (streaming.Jobs.ClusterAssignStream computes exact Jaccard
-    * between arriving docs and their band-matched corpus docs).
+  /** [[shinglesMaterialized]] for the KEEPER shingle frame — the store
+    * the minhash/LSH family reads. Separate prefix: the full store
+    * serves the exhaustive inverted-index path ([[dedupNgramJaccardMat]]),
+    * this one the candidate/verify path, and on a dupe-free corpus the
+    * two hold identical rows. Materializing keepers (not live-filtering
+    * the full store) keeps the `_mat` entries' pinned property — no
+    * documents.parquet scan at query time — intact: the md5 keeper
+    * reduction happens once, at store build.
+    */
+  private def keeperShinglesMaterialized(t: Tables): DataFrame =
+    graft.storage.Materialize.ensureParquet(t.spark, "graft_shingles_keep",
+      graft.storage.Materialize.corpusTag(t, "documents", s"sh=$ShingleSize|keep"),
+      keeperShingles(t))
+
+  /** The materialized corpus (keeper) shingle store, for stream-static
+    * verify joins (streaming.Jobs.ClusterAssignStream computes exact
+    * Jaccard between arriving docs and their band-matched corpus docs).
     */
   private[graft] def corpusShingleStore(t: Tables): DataFrame =
-    shinglesMaterialized(t)
+    keeperShinglesMaterialized(t)
 
   /** Buckets for the shingle / band stores. Local-scale value; at
     * 100 TB size so one bucket's posting lists fit an executor
@@ -347,11 +444,11 @@ object Dedup {
   private[graft] def bandsBucketed(t: Tables): DataFrame = {
     val tag = graft.storage.Materialize.corpusTag(
       t, "documents",
-      s"sh=$ShingleSize|p=$NumPerms|nb=$NumBands|b=$DedupStoreBuckets")
+      s"sh=$ShingleSize|p=$NumPerms|nb=$NumBands|b=$DedupStoreBuckets|keep")
     val table = s"graft_bands_b_$tag"
     graft.storage.Bucketing.ensureBucketedMulti(
       t.spark,
-      bandsFrom(shinglesMaterialized(t))
+      bandsFrom(keeperShinglesMaterialized(t))
         .repartition(DedupStoreBuckets, col("band_idx"), col("band_key")),
       table, Seq("band_idx", "band_key"), DedupStoreBuckets)
     t.spark.table(table)
@@ -359,9 +456,12 @@ object Dedup {
 
   /** [[dedupMinhash]] with candidates generated over the bucketed band
     * store — exchange-free self-join; same oracle as the live entry.
+    * The [[BandDocFreqCap]] frequency filter runs over the store too,
+    * and stays exchange-free: the store is bucketed on exactly the
+    * (band_idx, band_key) the aggregation and semi-join cluster on.
     */
   def dedupMinhashBucketed(t: Tables): DataFrame = {
-    val bands = bandsBucketed(t)
+    val bands = cappedBandsFrom(bandsBucketed(t), BandDocFreqCap)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -456,7 +556,7 @@ object Dedup {
     */
   def nearDupClusters(t: Tables): DataFrame =
     clustersCache.computeIfAbsent((t, "text"), _ =>
-      clusterKeepers(verifiedPairsFrom(shinglesMaterialized(t))
+      clusterKeepers(verifiedPairsFrom(keeperShinglesMaterialized(t))
         .select(col("doc_a"), col("doc_b"))))
 
   /** [[nearDupClusters]] for the EMBEDDING near-dup graph: connected
@@ -570,9 +670,11 @@ object Dedup {
        |  COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
-  /** CTE chain (`tok`, `sh`, `sig`, `bands`) behind [[dedupMinhashSql]],
-    * shared with pipeline.CorpusClean's near-dup composite so the band
-    * definition cannot drift between the two oracles.
+  /** CTE chain (`keep`, `kdocs`, `tok`, `sh`, `sig`, `bands`) behind
+    * [[dedupMinhashSql]], shared with pipeline.CorpusClean's near-dup
+    * composite so the band definition cannot drift between the two
+    * oracles. Mirrors the Spark plan exactly: shingles over keeper docs
+    * only, and `bands` filtered to keys at or under [[BandDocFreqCap]].
     */
   def minhashBandsCtes: String = {
     val mins = (0 until NumPerms)
@@ -580,9 +682,16 @@ object Dedup {
     val bands = (0 until NumBands).map(b =>
       s"SELECT doc_id, $b band_idx, md5(h${2 * b} || '|' || h${2 * b + 1}) band_key FROM sig")
       .mkString(" UNION ALL ")
-    s"""$shinglesSql,
+    s"""$keeperDocsCtes,
+       |${shinglesSqlOver("kdocs")},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-       |bands AS ($bands)""".stripMargin
+       |bands0 AS ($bands),
+       |bandok AS (SELECT band_idx, band_key FROM bands0
+       |           GROUP BY band_idx, band_key
+       |           HAVING COUNT(*) <= $BandDocFreqCap),
+       |bands AS (SELECT b.doc_id, b.band_idx, b.band_key FROM bands0 b
+       |          JOIN bandok o ON b.band_idx = o.band_idx
+       |                       AND b.band_key = o.band_key)""".stripMargin
   }
 
   def dedupMinhashSql: String =
@@ -617,7 +726,10 @@ object Dedup {
     * and whole-stage codegen end to end.
     */
   private[graft] def simhashSignatures(t: Tables): DataFrame =
-    t.documents.select(col("doc_id"),
+    simhashSignaturesOf(t.documents)
+
+  private def simhashSignaturesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
       graft.functions.TextFunctions.simhash48(split(col("text"), " "))
         .as("simhash"))
 
@@ -651,24 +763,26 @@ object Dedup {
   def dedupSimhashMat(t: Tables): DataFrame =
     dedupSimhashFrom(simhashSignaturesMaterialized(t))
 
-  /** Ensure-write [[simhashSignatures]] to a per-corpus warehouse
-    * parquet dir (cache keyed on the documents file inventory and
-    * [[SimhashBits]] — storage.Materialize), read it back.
+  /** Ensure-write the KEEPER [[simhashSignatures]] to a per-corpus
+    * warehouse parquet dir (cache keyed on the documents file inventory
+    * and [[SimhashBits]] — storage.Materialize), read it back.
     */
   private def simhashSignaturesMaterialized(t: Tables): DataFrame =
     graft.storage.Materialize.ensureParquet(t.spark, "graft_simhash",
-      graft.storage.Materialize.corpusTag(t, "documents", s"bits=$SimhashBits"),
-      simhashSignatures(t))
+      graft.storage.Materialize.corpusTag(
+        t, "documents", s"bits=$SimhashBits|keep"),
+      simhashSignaturesOf(keeperDocs(t)))
 
-  def dedupSimhash(t: Tables): DataFrame =
-    dedupSimhashFrom(simhashSignatures(t))
+  def dedupSimhash(t: Tables, bandCap: Int = BandDocFreqCap): DataFrame =
+    dedupSimhashFrom(simhashSignaturesOf(keeperDocs(t)), bandCap)
 
-  private def dedupSimhashFrom(sig: DataFrame): DataFrame = {
-    val bands = sig
+  private def dedupSimhashFrom(
+      sig: DataFrame, bandCap: Int = BandDocFreqCap): DataFrame = {
+    val bands = cappedBandsFrom(sig
       .select(col("doc_id"), col("simhash"),
         explode(array(simhashBandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
-        col("bk.band_idx"), col("bk.band_key"))
+        col("bk.band_idx"), col("bk.band_key")), bandCap)
     bands.as("x")
       .join(bands.as("y"),
         col("x.band_idx") === col("y.band_idx") &&
@@ -697,16 +811,23 @@ object Dedup {
     val chunkVals = 1L << SimhashChunkBits
     def chunkOf(c: String) =
       s"((simhash // (${chunkVals} ** b.$c)::BIGINT) % ${chunkVals})"
-    s"""WITH tok AS (SELECT doc_id, w, COUNT(*) cnt FROM
-       |  (SELECT doc_id, unnest(string_split(text, ' ')) w FROM documents)
+    s"""WITH $keeperDocsCtes,
+       |tok AS (SELECT doc_id, w, COUNT(*) cnt FROM
+       |  (SELECT doc_id, unnest(string_split(text, ' ')) w FROM kdocs)
        |  GROUP BY doc_id, w),
        |hvt AS (SELECT doc_id, cnt, $hv AS hv FROM tok),
        |sums AS (SELECT doc_id, $sums FROM hvt GROUP BY doc_id),
        |sig AS (SELECT doc_id, ($simhash)::BIGINT simhash FROM sums),
-       |bands AS (SELECT doc_id, simhash, b.i * 4 + b.j band_idx,
+       |bands0 AS (SELECT doc_id, simhash, b.i * 4 + b.j band_idx,
        |    ${chunkOf("i")} * ${chunkVals}
        |      + ${chunkOf("j")} band_key
-       |  FROM sig, (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) b(i, j))
+       |  FROM sig, (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) b(i, j)),
+       |bandok AS (SELECT band_idx, band_key FROM bands0
+       |           GROUP BY band_idx, band_key
+       |           HAVING COUNT(*) <= $BandDocFreqCap),
+       |bands AS (SELECT b.doc_id, b.simhash, b.band_idx, b.band_key
+       |          FROM bands0 b JOIN bandok o ON b.band_idx = o.band_idx
+       |                                     AND b.band_key = o.band_key)
        |SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b,
        |  bit_count(xor(x.simhash, y.simhash))::INT hamming
        |FROM bands x JOIN bands y

@@ -25,6 +25,16 @@ object Portable {
   def round6Sql(e: String): String =
     s"floor(($e) * 1000000::DOUBLE + 0.5::DOUBLE) / 1000000::DOUBLE"
 
+  /** [[round6]] as plain JVM double arithmetic — the identical IEEE
+    * operation sequence for code outside Catalyst (streaming state
+    * logic, spec-side oracles). A threshold compared after THIS rounding
+    * is bit-identical to the batch Column form; comparing the raw ratio
+    * instead silently shifts the boundary by up to 5e-7
+    * (streaming.Jobs.ClusterAssignStream's verify gate pins this).
+    */
+  def round6Double(x: Double): Double =
+    math.floor(x * 1000000.0 + 0.5) / 1000000.0
+
   /** Word-shingle generator over a token-array column named `ts`:
     * `transform(sequence(...), i -> concat_ws(...))`. The caller must
     * pre-filter `size(ts) >= n` — Spark's `sequence(1, k)` DESCENDS for

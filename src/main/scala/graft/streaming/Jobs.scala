@@ -355,6 +355,18 @@ object Jobs {
     private[streaming] case class AssignState(
         tsMs: Long, nA: Int, matches: Map[Long, CorpusAcc])
 
+    /** The verify gate — IDENTICAL to the batch criterion
+      * (dedup.Dedup's `round6(common / (nA + nB − common)) >= JaccardMin`,
+      * Portable.round6's IEEE sequence): a ratio inside [0.7999995, 0.8)
+      * rounds UP to the threshold and verifies in BOTH engines. An
+      * epsilon compare on the raw ratio (the previous form) rejected
+      * that window in the stream only — a planted boundary pair would
+      * have diverged from batch (StreamingJobsSpec pins the alignment).
+      */
+    private[streaming] def verifies(common: Int, nA: Int, nB: Int): Boolean =
+      graft.functions.Portable.round6Double(
+        common.toDouble / (nA + nB - common)) >= graft.dedup.Dedup.JaccardMin
+
     /** Keeper assignments for a (ts, doc_id, text) intake stream:
       * (doc_id, keeper_id, n_verified). Semantics (StreamingJobsSpec
       * pins them on the corpus's own docs): a doc's verified partners
@@ -456,9 +468,7 @@ object Jobs {
               val st = state.get
               state.remove()
               val verified = st.matches.filter { case (_, acc) =>
-                val common = acc.common.size
-                common.toDouble / (st.nA + acc.nB - common) >=
-                  graft.dedup.Dedup.JaccardMin - 1e-12
+                verifies(acc.common.size, st.nA, acc.nB)
               }
               val keeper =
                 if (verified.isEmpty) docId

@@ -61,6 +61,81 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((9000L, 9001L)), s"got $pairs")
   }
 
+  test("exact-copy flood never reaches the band join: keepers collapse it") {
+    import spark.implicits._
+    // 1000 EXACT copies of one template — at 100 TB this is the
+    // boilerplate page crawled 10M times. Exact copies collide on every
+    // band, so admitting them would emit C(1000,2) pairs per band;
+    // candidate generation over exact-dedup keepers sees ONE of them.
+    val docs = (0 until 1000).map { i =>
+      (i.toLong, "terms of service apply to all users of this site")
+    } ++ Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_exactflood").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val cand = Dedup.minhashCandidates(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the flood contributes nothing (its dedup already happened in the
+    // O(n) exact pass); the genuine near-dup pair still surfaces
+    assert(cand.forall { case (a, b) => a >= 9000L && b >= 9000L },
+      s"flood pairs leaked into LSH: ${cand.take(5)}")
+    assert(cand.contains((9000L, 9001L)), s"got $cand")
+    assert(Dedup.dedupExact(t)
+      .filter(org.apache.spark.sql.functions.col("n_copies") === 1000L)
+      .count() == 1L) // and the exact op owns the flood
+  }
+
+  test("band-frequency cap bounds a near-identical template flood") {
+    import spark.implicits._
+    // 1000 DISTINCT near-copies: shared 30-word template + one unique
+    // trailing token each. Most docs share full minhash signatures
+    // (the unique tail contributes 1 of ~29 shingles), so without the
+    // cap one band key holds ~900 docs → O(B²) candidate generation.
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 1000).map { i =>
+      (i.toLong, s"$base uniq$i")
+    } ++ Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_bandflood").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val uncapped = Dedup.minhashCandidates(t, bandCap = Int.MaxValue).count()
+    assert(uncapped > 100000L, s"expected quadratic blowup, got $uncapped")
+    val capped = Dedup.minhashCandidates(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // per surviving key the join is at most C(cap, 2); the flood's
+    // dominant keys are dropped outright (the shingle-cap verdict:
+    // a >cap-way band collision is template boilerplate)
+    val bound = Dedup.NumBands.toLong *
+      Dedup.BandDocFreqCap.toLong * Dedup.BandDocFreqCap.toLong
+    assert(capped.size.toLong <= bound,
+      s"capped candidates ${capped.size} exceed O(cap²) bound $bound")
+    assert(capped.contains((9000L, 9001L)), s"planted pair lost: $capped")
+  }
+
+  test("band-frequency cap bounds a simhash template flood") {
+    import spark.implicits._
+    // same flood shape for the simhash path: near-copies have identical
+    // 48-bit signatures (one token out of 31 flips no bit sign), so all
+    // 6 chunk-pair bands collide 1000-ways without the cap
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 1000).map(i => (i.toLong, s"$base uniq$i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_simflood").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val uncapped = Dedup.dedupSimhash(t, bandCap = Int.MaxValue).count()
+    assert(uncapped > 50000L, s"expected quadratic blowup, got $uncapped")
+    val capped = Dedup.dedupSimhash(t).count()
+    val bound = 6L * Dedup.BandDocFreqCap.toLong * Dedup.BandDocFreqCap.toLong
+    assert(capped <= bound, s"capped simhash pairs $capped exceed $bound")
+  }
+
   test("minhash_verified = candidates filtered by true full-set jaccard") {
     import org.apache.spark.sql.functions._
     val cand = Dedup.dedupMinhash(tables).collect()

@@ -539,6 +539,29 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ClusterAssignStream verify gate ≡ batch round6 threshold at the boundary") {
+    import Jobs.ClusterAssignStream.verifies
+    // A raw Jaccard in [0.7999995, 0.8) rounds UP to the threshold at
+    // 6 dp — the batch engines (Spark round6 Column, DuckDB round6Sql)
+    // both verify it. The previous raw-epsilon stream compare
+    // (x >= 0.8 - 1e-12) rejected this window in the stream only.
+    assert(verifies(1599999, 1799999, 1800000)) // 1599999/2000000 = 0.7999995
+    assert(!verifies(1599998, 1799999, 1799999)) // 0.799999 stays below
+    assert(verifies(4, 5, 4))   // exactly 0.8
+    assert(!verifies(3, 4, 4))  // 0.6
+    // and the stream predicate is bit-identical to the batch Column form
+    val cases = Seq((1599999, 1799999, 1800000), (1599998, 1799999, 1799999),
+      (4, 5, 4), (3, 4, 4), (7, 8, 9), (9, 10, 10))
+    cases.foreach { case (c, na, nb) =>
+      val batch = spark.range(1).select(
+        (graft.functions.Portable.round6(
+          lit(c.toDouble) / lit((na + nb - c).toDouble)) >=
+          lit(graft.dedup.Dedup.JaccardMin)).as("v"))
+        .collect()(0).getBoolean(0)
+      assert(batch == verifies(c, na, nb), s"diverged on ($c, $na, $nb)")
+    }
+  }
+
   test("CorpusNearDupGate: streamed intake over the corpus ≡ batch candidates + self") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, String)]
