@@ -18,23 +18,36 @@ object Bench {
       "org.apache.spark.sql.execution.window.WindowExec",
       org.apache.logging.log4j.Level.ERROR)
     // Full untimed warmup pass: every query's first execution pays
-    // whole-stage-codegen compilation + JIT; timing the second run makes
+    // whole-stage-codegen compilation + JIT; timing later runs makes
     // the numbers attributable to the plans (steady-state varies ~2-4x
     // less than first-run on this corpus size).
     SparkEntry.queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink executes the FULL plan (orderBy, projections) —
-      // count() would let Spark skip work that can't change row counts
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+    // Median of 3 INTERLEAVED timed passes. A single timed run can
+    // record a GC pause or JIT recompile as an 8x outlier and ship it
+    // as the official per-round number (a 1.97s query was once recorded
+    // at 12.5s); the median tolerates one bad run per query, and
+    // interleaving whole passes (run all queries, then repeat) keeps a
+    // slow JVM phase from poisoning all three samples of one query.
+    val Passes = 3
+    val samples = (0 until Passes).map { _ =>
+      SparkEntry.queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // noop sink executes the FULL plan (orderBy, projections) —
+        // count() would let Spark skip work that can't change row counts
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+        name -> (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
     }
+    val results = SparkEntry.queries.keys.map { name =>
+      val ts = samples.map(_(name)).sorted
+      name -> ts(Passes / 2)
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

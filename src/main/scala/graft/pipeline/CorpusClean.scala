@@ -50,10 +50,16 @@ object CorpusClean {
   }
 
   /** Near-dup-free corpus: [[corpusClean]] minus every doc that is the
-    * higher id of a minhash LSH candidate pair. (Dropping all `doc_b`s
+    * higher id of a minhash LSH candidate pair. The two dedup stages
+    * compose cleanly with keeper-routed candidate generation
+    * (dedup.Dedup.minhashCandidates runs over one representative per
+    * md5(text) group): EXACT copies are removed by step 1's rn=1
+    * keeper window, and the band join only ever meets the per-text
+    * representatives — so no work is duplicated between the stages and
+    * a copy flood cannot reach the self-join. (Dropping all `doc_b`s
     * keeps exactly each cluster's lowest id when the cluster is fully
-    * connected — true for exact/near copies, which collide on every
-    * band; chain-shaped clusters may drop an extra member, the standard
+    * connected — true for near-copies, which collide on every band;
+    * chain-shaped clusters may drop an extra member, the standard
     * conservative LSH-dedup trade.)
     */
   def corpusCleanNearDup(t: Tables): DataFrame = {

@@ -102,11 +102,15 @@ object Bucketing {
     * values.
     */
   def q3Bucketed(t: Tables): DataFrame = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(t.dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      .take(8)
-    val lTable = s"graft_b_lineitem_$tag"
-    val oTable = s"graft_b_orders_$tag"
+    // Inventory-keyed cache tags (Materialize.corpusTag hashes the
+    // source table's file names + lengths + mtimes, not just the path):
+    // a corpus regenerated at the same path mid-session produces NEW
+    // bucketed tables instead of silently serving stale buckets — the
+    // staleness mode the dedup/ANN stores already guard against.
+    val lTable = s"graft_b_lineitem_${Materialize.corpusTag(
+      t, "lineitem", s"q3|b=$Q3Buckets")}"
+    val oTable = s"graft_b_orders_${Materialize.corpusTag(
+      t, "orders", s"q3|b=$Q3Buckets")}"
     ensureBucketed(t.spark,
       t.lineitem.select("l_orderkey", "l_shipdate", "l_extendedprice",
         "l_discount"),

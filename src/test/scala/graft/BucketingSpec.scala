@@ -42,16 +42,47 @@ class BucketingSpec extends SparkSpec {
 
   test("q3_bucketed: zero exchanges, same rows as q3_shipping") {
     // clean slate so the entry's own ensureBucketed path is exercised
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    dropTable(s"graft_b_lineitem_$tag")
-    dropTable(s"graft_b_orders_$tag")
+    dropTable("graft_b_lineitem_" + graft.storage.Materialize.corpusTag(
+      tables, "lineitem", s"q3|b=${Bucketing.Q3Buckets}"))
+    dropTable("graft_b_orders_" + graft.storage.Materialize.corpusTag(
+      tables, "orders", s"q3|b=${Bucketing.Q3Buckets}"))
     val df = Bucketing.q3Bucketed(tables)
     val got = df.collect().map(_.toSeq).toSeq
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange hashpartitioning"),
       s"bucketed q3 must not shuffle:\n$plan")
     val expected = graft.operators.Relational.q3Shipping(tables)
+      .collect().map(_.toSeq).toSeq
+    assert(got == expected)
+  }
+
+  test("q3_bucketed cache tag tracks the source file inventory, not the path") {
+    // A corpus REGENERATED at the same path must produce new bucketed
+    // tables — a path-keyed tag would silently serve the stale buckets
+    // (the staleness mode Materialize.corpusTag exists to close).
+    val dir = java.nio.file.Files.createTempDirectory("graft_q3stale").toString
+    Seq("lineitem", "orders", "customer").foreach { tb =>
+      spark.read.parquet(s"$sfDir/$tb.parquet")
+        .write.mode("overwrite").parquet(s"$dir/$tb.parquet")
+    }
+    val t = Tables(spark, dir)
+    def lineitemTables(p: String): Set[String] =
+      "graft_b_lineitem_[0-9a-f]+".r.findAllIn(p).toSet
+    val r1 = Bucketing.q3Bucketed(t)
+    r1.collect()
+    val tables1 = lineitemTables(r1.queryExecution.executedPlan.toString)
+    assert(tables1.size == 1)
+    // regenerate lineitem at the SAME path: same rows, new file inventory
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val r2 = Bucketing.q3Bucketed(t)
+    val got = r2.collect().map(_.toSeq).toSeq
+    val tables2 = lineitemTables(r2.queryExecution.executedPlan.toString)
+    assert(tables2.size == 1)
+    assert(tables1 != tables2,
+      s"stale bucketed table $tables1 served after source rewrite")
+    // and the rebuilt table is correct
+    val expected = graft.operators.Relational.q3Shipping(t)
       .collect().map(_.toSeq).toSeq
     assert(got == expected)
   }

@@ -710,6 +710,45 @@ class StreamingJobsSpec extends SparkSpec {
     assert(Sources.rateWords(spark, 1, Seq("a", "b")).isStreaming)
   }
 
+  test("Sources.kafkaTopic: record schema ≡ kafkaShaped; guarded jar enablement") {
+    import spark.implicits._
+    // The real Kafka source hands (topic: string, key: binary,
+    // value: binary) records; kafkaRecords normalizes them to the
+    // EXACT schema kafkaShaped emits, so every downstream job is
+    // source-agnostic: swapping the shim for a broker is one jar plus
+    // one builder call, zero pipeline changes.
+    val raw = Seq(
+      ("t1", "k1".getBytes("UTF-8"), "hello world hello".getBytes("UTF-8")),
+      ("t2", "k2".getBytes("UTF-8"), "spark".getBytes("UTF-8")))
+      .toDF("topic", "key", "value")
+    val fromKafka = Sources.kafkaRecords(raw)
+    val fromShim = Sources.kafkaShaped(
+      Seq("t1\tk1\thello world hello", "t2\tk2\tspark").toDF("value"))
+    assert(fromKafka.schema == fromShim.schema,
+      s"${fromKafka.schema} vs ${fromShim.schema}")
+    assert(fromKafka.as[(String, String, String)].collect().toSet ==
+      fromShim.as[(String, String, String)].collect().toSet)
+    // and a downstream job sees identical results over either shape
+    val wcKafka = Sources.words(fromKafka.select("value"))
+      .groupBy("word").count().as[(String, Long)].collect().toMap
+    val wcShim = Sources.words(fromShim.select("value"))
+      .groupBy("word").count().as[(String, Long)].collect().toMap
+    assert(wcKafka == wcShim && wcKafka("hello") == 2L)
+    // zero-egress image: connector absent → the builder refuses with
+    // the one-jar enablement instruction instead of a provider error
+    if (!Sources.kafkaAvailable) {
+      val e = intercept[IllegalArgumentException] {
+        Sources.kafkaTopic(spark, "broker:9092", "events")
+      }
+      assert(e.getMessage.contains("spark-sql-kafka-0-10"))
+    } else {
+      // connector present (a real deployment): the builder constructs
+      // a streaming frame with the shared record schema
+      val df = Sources.kafkaTopic(spark, "broker:9092", "events")
+      assert(df.isStreaming && df.schema == fromShim.schema)
+    }
+  }
+
   test("Sources.socketLines: end-to-end against a local server socket") {
     import spark.implicits._
     val server = new java.net.ServerSocket(0) // ephemeral port
