@@ -59,6 +59,8 @@ object SparkEntry {
     "dedup_simhash" -> q(t => Dedup.dedupSimhash(t)),
     "dedup_simhash_mat" -> q(Dedup.dedupSimhashMat),
     "dedup_embedding" -> q(Dedup.dedupEmbedding),
+    "dedup_embedding_mt" -> q(Dedup.dedupEmbeddingMultitable),
+    "doc_boilerplate_frac" -> q(Dedup.docBoilerplateFrac),
     "embed_dedup_clusters" -> q(Dedup.embedDedupClusters),
     // similarity search
     "embed_topk" -> q(Ann.embedTopK),
@@ -76,6 +78,7 @@ object SparkEntry {
     "quality_score" -> q(TextAnalysis.qualityScore),
     "doc_fingerprint" -> q(TextAnalysis.docFingerprint),
     "lm_bigram_score" -> q(TextAnalysis.lmBigramScore),
+    "quality_repetition" -> q(TextAnalysis.qualityRepetition),
     "top_ngrams" -> q(t => TextAnalysis.topNgrams(t)),
     // multimodal
     "multimodal_meta" -> q(Multimodal.multimodalMeta),
@@ -136,6 +139,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_simhash_mat" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
+    "dedup_embedding_mt" -> Dedup.dedupEmbeddingMultitableSql,
+    "doc_boilerplate_frac" -> Dedup.docBoilerplateFracSql,
     "embed_dedup_clusters" -> Dedup.embedDedupClustersSql,
     "embed_topk" -> Ann.embedTopKSql,
     "embed_ann_lsh" -> Ann.embedAnnLshSql,
@@ -150,6 +155,7 @@ object SparkEntry {
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
+    "quality_repetition" -> TextAnalysis.qualityRepetitionSql,
     "top_ngrams" -> TextAnalysis.topNgramsSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql,

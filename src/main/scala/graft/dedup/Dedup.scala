@@ -241,6 +241,49 @@ object Dedup {
        |WHERE ${round6Sql("common::DOUBLE / (sa.n + sb.n - common)")} >= $JaccardMin
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // -------------------------------------------------- boilerplate frac
+
+  /** Per-document BOILERPLATE fraction — the diagnostic the shingle
+    * doc-freq cap acts on, surfaced per doc: of a doc's distinct
+    * shingles, what fraction appear in at least [[BoilerplateMinDocs]]
+    * documents corpus-wide? High-fraction docs are templates, license
+    * pages, navigation chrome — the text a pipeline strips or
+    * down-weights BEFORE near-dup detection (and the reason the
+    * inverted-index and band joins need their frequency caps at all).
+    *
+    * Plan shape: the shingle doc-freq aggregation [[dedupNgramJaccard]]
+    * already pays, then a per-doc mean of an indicator — shuffles carry
+    * (shingle, doc_id) then (doc_id, counts); text never travels. Docs
+    * with no shingles (< [[ShingleSize]] tokens) drop out, same rule
+    * both engines.
+    */
+  val BoilerplateMinDocs = 2
+
+  def docBoilerplateFrac(t: Tables): DataFrame = {
+    val sh = shingles(t)
+    val freq = sh.groupBy(col("s")).agg(count(lit(1)).as("doc_freq"))
+    sh.join(freq, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("doc_freq") >= BoilerplateMinDocs, 1L).otherwise(0L))
+          .as("n_shared"))
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+        round6(col("n_shared").cast("double") / col("n_shingles"))
+          .as("boilerplate_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docBoilerplateFracSql: String =
+    s"""WITH $shinglesSql,
+       |freq AS (SELECT s, COUNT(*) doc_freq FROM sh GROUP BY s),
+       |agg AS (SELECT doc_id, COUNT(*) n_shingles,
+       |          SUM(CASE WHEN doc_freq >= $BoilerplateMinDocs
+       |                   THEN 1 ELSE 0 END)::BIGINT n_shared
+       |        FROM sh JOIN freq USING (s) GROUP BY doc_id)
+       |SELECT doc_id, n_shingles, n_shared,
+       |  ${round6Sql("n_shared::DOUBLE / n_shingles")} AS boilerplate_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------------- minhash
 
   /** MinHash + LSH candidate pairs. Signature = 8 portable "permutations"
@@ -870,6 +913,73 @@ object Dedup {
         round6(VectorFunctions.cosineSim(col("x.v"), col("y.v")))
           .as("cos_sim"))
       .filter(col("cos_sim") >= CosineMin)
+  }
+
+  /** Hash tables for [[dedupEmbeddingMultitable]] — each table buckets
+    * on a DISJOINT [[EmbedBucketBits]]-dim sign slice (offsets 0, 2,
+    * 4). OR-amplification: a pair is a candidate if ANY table agrees,
+    * so recall over near-neighbors rises from p to 1−(1−p)^tables
+    * while each table's join stays a bucket equi-join. This is the
+    * production recall dial the single-table entry's scaladoc promises
+    * ("multiple hash tables for recall") realized as an operator.
+    */
+  val EmbedNumTables = 3
+
+  /** [[dedupEmbedding]] with [[EmbedNumTables]] OR'd hash tables:
+    * candidates = distinct pairs sharing any (table, bucket), then one
+    * exact-cosine verify per pair. Table 0's slice equals the
+    * single-table bucketing, so single-table pairs are a SUBSET of
+    * these (DedupSpec pins it) — strictly better recall for ~tables×
+    * the candidate-generation work, the standard LSH trade. Vectors do
+    * not travel through the band join: pairs are distinct'd first,
+    * then the two vectors are fetched by id for the verify — at 100 TB
+    * the (table, bucket, id) shuffle dominates and carries 3 ints.
+    */
+  def dedupEmbeddingMultitable(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val tbls = (0 until EmbedNumTables).map { j =>
+      struct(lit(j).as("tbl"), expr(graft.functions.Portable.signBucketExpr(
+        EmbedBucketBits, oneBasedIndex = false,
+        offset = j * EmbedBucketBits)).as("bucket"))
+    }
+    val b = e
+      .select(col("vec_id"), explode(array(tbls: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val cand = b.as("x")
+      .join(b.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round6(VectorFunctions.cosineSim(col("va"), col("vb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= CosineMin)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def dedupEmbeddingMultitableSql: String = {
+    val tableSelects = (0 until EmbedNumTables).map { j =>
+      val bucketExpr = graft.functions.Portable.signBucketExpr(
+        EmbedBucketBits, oneBasedIndex = true, offset = j * EmbedBucketBits)
+      s"SELECT vec_id, $j tbl, $bucketExpr bucket FROM e"
+    }.mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |b AS ($tableSelects),
+       |cand AS (SELECT DISTINCT x.vec_id vec_a, y.vec_id vec_b
+       |         FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |          AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b,
+       |  ${round6Sql("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))")} AS cos_sim
+       |FROM cand JOIN e ea ON vec_a = ea.vec_id
+       |          JOIN e eb ON vec_b = eb.vec_id
+       |WHERE ${round6Sql("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))")} >= $CosineMin
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   /** `e`/`b`/`ver` CTEs for the embedding near-dup pairs (ver aliases

@@ -121,6 +121,67 @@ object TextAnalysis {
        |  ${qualityExprSql("n_chars", "n_tok", "n_distinct")} AS quality
        |FROM agg ORDER BY doc_id""".stripMargin
 
+  /** Repetition-frac thresholds for [[qualityRepetition]]'s keep flag.
+    * Gopher-inspired (Rae et al. 2021 use character fractions of the
+    * top/duplicated 2-grams; these are the token-count analogs, which
+    * keep the formula integer-exact across engines): a doc whose single
+    * most frequent bigram covers more than 20% of its bigram stream, or
+    * whose repeated bigrams cover more than 40%, is template/spam text.
+    */
+  val TopBigramFracMax = 0.2
+  val DupBigramFracMax = 0.4
+
+  /** Per-document REPETITION profile — the dedup-adjacent quality gate
+    * exact/near-dup ops don't cover: a document that is boilerplate
+    * repeated against ITSELF ("buy now buy now buy now ...") is unique
+    * corpus-wide yet worthless for training. Emits per doc the bigram
+    * stream size, the top-bigram fraction, the duplicated-bigram
+    * fraction (occurrences beyond each bigram's first), and keep =
+    * both under [[TopBigramFracMax]]/[[DupBigramFracMax]].
+    *
+    * Shares [[bigramsOf]] with the LM scorer so the bigram definition
+    * cannot drift. Scale: one (doc, bigram) shuffle with map-side
+    * partial counts, then a per-doc aggregation — the same two-phase
+    * shape as word_count; docs with < 2 tokens have no bigrams and
+    * drop out (same rule both engines).
+    */
+  def qualityRepetition(t: Tables): DataFrame = {
+    val perBigram = bigramsOf(t.documents.select(col("doc_id"), col("text")))
+      .groupBy(col("doc_id"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    perBigram.groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round6(col("top_cnt").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        round6((col("n_bigrams") - col("n_distinct")).cast("double")
+          / col("n_bigrams")).as("dup_bigram_frac"))
+      .withColumn("keep",
+        (col("top_bigram_frac") <= TopBigramFracMax &&
+          col("dup_bigram_frac") <= DupBigramFracMax).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityRepetitionSql: String =
+    s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+       |             WHERE len(string_split(text, ' ')) >= 2),
+       |bg AS (SELECT doc_id, ts[i] w1, ts[i+1] w2
+       |       FROM tok, unnest(generate_series(1, len(ts) - 1)) t(i)),
+       |pb AS (SELECT doc_id, w1, w2, COUNT(*) cnt FROM bg
+       |       GROUP BY doc_id, w1, w2),
+       |agg AS (SELECT doc_id, SUM(cnt)::BIGINT n_bigrams,
+       |          COUNT(*) n_distinct, MAX(cnt) top_cnt
+       |        FROM pb GROUP BY doc_id)
+       |SELECT doc_id, n_bigrams,
+       |  ${round6Sql("top_cnt::DOUBLE / n_bigrams")} AS top_bigram_frac,
+       |  ${round6Sql("(n_bigrams - n_distinct)::DOUBLE / n_bigrams")} AS dup_bigram_frac,
+       |  CASE WHEN ${round6Sql("top_cnt::DOUBLE / n_bigrams")} <= $TopBigramFracMax
+       |        AND ${round6Sql("(n_bigrams - n_distinct)::DOUBLE / n_bigrams")} <= $DupBigramFracMax
+       |       THEN 1 ELSE 0 END AS keep
+       |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Corpus n-gram statistics: the top 3-grams by document frequency —
     * the profile pass a pipeline runs to find boilerplate/stop-phrases
     * worth stripping before dedup. Document frequency (distinct docs per

@@ -327,4 +327,42 @@ class DedupSpec extends SparkSpec {
       assert(c >= Dedup.CosineMin && c <= 1.0 + 1e-9)
     }
   }
+
+  test("multi-table embedding dedup: single-table pairs are a strict subset path") {
+    // table 0 buckets on the same dim slice as the single-table entry,
+    // so OR-amplification can only ADD candidates: every single-table
+    // pair must reappear, with the identical verified cosine
+    val single = Dedup.dedupEmbedding(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val multi = Dedup.dedupEmbeddingMultitable(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(single.nonEmpty)
+    single.foreach { case (pair, cos) =>
+      assert(multi.get(pair).contains(cos),
+        s"single-table pair $pair lost or re-scored: ${multi.get(pair)}")
+    }
+    // and the extra tables actually widen recall at this sf
+    assert(multi.size >= single.size)
+  }
+
+  test("doc_boilerplate_frac: planted template docs score high, unique docs zero") {
+    import spark.implicits._
+    val boiler = "all rights reserved by this site"
+    val docs = (0 until 5).map(i => (i.toLong, s"$boiler unique$i")) ++
+      Seq((100L, "entirely singular content nothing shared here"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_boiler").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = Dedup.docBoilerplateFrac(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    // template docs: 5 shingles, 4 fully shared ("all rights reserved",
+    // "rights reserved by", "reserved by this", "by this site"); the
+    // "this site uniqueN" tail shingles are doc-local
+    (0 until 5).foreach { i =>
+      val (n, shared, frac) = rows(i.toLong)
+      assert(n == 5L && shared == 4L && frac == 0.8, s"doc $i: $n/$shared/$frac")
+    }
+    assert(rows(100L) == ((4L, 0L, 0.0)))
+  }
 }

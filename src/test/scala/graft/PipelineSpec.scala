@@ -36,6 +36,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quality_repetition flags planted self-repetitive docs, keeps normal text") {
+    import spark.implicits._
+    import graft.textanalysis.TextAnalysis
+    val docs = Seq(
+      // "buy now" × 12: top bigram ("now buy"/"buy now") covers ~half
+      // the stream; dup fraction near 1 — both gates trip
+      (1L, Seq.fill(12)("buy now").mkString(" ")),
+      // all-distinct bigrams: fractions at their floors — keeps
+      (2L, "the quick brown fox jumps over a lazy dog"),
+      (3L, "one two")) // single bigram: top frac 1.0 — trips
+    val dir = java.nio.file.Files.createTempDirectory("graft_rep").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.qualityRepetition(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getInt(4))).toMap
+    // doc 1: 23 bigrams, "buy now" ×12, "now buy" ×11 → top 12/23,
+    // dup (23-2)/23; both over threshold → keep 0
+    assert(rows(1L)._1 == 23L)
+    assert(rows(1L)._2 == math.floor(12.0 / 23 * 1e6 + 0.5) / 1e6)
+    assert(rows(1L)._4 == 0)
+    // doc 2: 8 distinct bigrams of 8 → top 1/8 = 0.125, dup 0 → keep 1
+    assert(rows(2L) == ((8L, 0.125, 0.0, 1)))
+    // doc 3: one bigram → top frac 1.0 → keep 0
+    assert(rows(3L) == ((1L, 1.0, 0.0, 0)))
+  }
+
   test("near-dup removal is one anti join over the clean plan") {
     val plan = CorpusClean.corpusCleanNearDup(tables)
       .queryExecution.executedPlan.toString

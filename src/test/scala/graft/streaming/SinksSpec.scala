@@ -107,6 +107,29 @@ class SinksSpec extends SparkSpec {
     assert(closed == 2 && pool.createdCount == 0)
   }
 
+  test("jdbcWriter: guarded one-jar enablement; builds against a present class") {
+    // the zero-egress image ships no database drivers — the builder
+    // must refuse up front with the enablement instruction, not fail
+    // inside an executor task with a DriverManager lookup error
+    assert(!Sinks.jdbcAvailable("com.mysql.cj.jdbc.Driver"))
+    val e = intercept[IllegalArgumentException] {
+      Sinks.jdbcWriter[(String, Long)](
+        "jdbc:mysql://db:3306/graft", "com.mysql.cj.jdbc.Driver",
+        "INSERT INTO wordcount(word, cnt) VALUES (?, ?) " +
+          "ON DUPLICATE KEY UPDATE cnt = VALUES(cnt)",
+        (ps, row, _) => { ps.setString(1, row._1); ps.setLong(2, row._2) })
+    }
+    assert(e.getMessage.contains("driver jar"))
+    // with the class present the builder constructs lazily — the
+    // connection is only opened per-partition in open(), so a writer
+    // can be built and serialized with no live backend
+    val w = Sinks.jdbcWriter[(String, Long)](
+      "jdbc:fake://nowhere", "java.lang.String",
+      "INSERT INTO t VALUES (?, ?)",
+      (ps, row, _) => { ps.setString(1, row._1); ps.setLong(2, row._2) })
+    assert(w != null)
+  }
+
   test("PooledForeachWriter: per-partition pooled upserts reach the store") {
     import spark.implicits._
     TestStore.reset()
