@@ -79,6 +79,7 @@ object SparkEntry {
     "doc_fingerprint" -> q(TextAnalysis.docFingerprint),
     "lm_bigram_score" -> q(TextAnalysis.lmBigramScore),
     "quality_repetition" -> q(TextAnalysis.qualityRepetition),
+    "tfidf_top_terms" -> q(TextAnalysis.tfidfTopTerms),
     "top_ngrams" -> q(t => TextAnalysis.topNgrams(t)),
     // multimodal
     "multimodal_meta" -> q(Multimodal.multimodalMeta),
@@ -156,6 +157,7 @@ object SparkEntry {
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,
     "quality_repetition" -> TextAnalysis.qualityRepetitionSql,
+    "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "top_ngrams" -> TextAnalysis.topNgramsSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql,

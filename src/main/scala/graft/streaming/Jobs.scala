@@ -179,6 +179,55 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // RepetitionGateStream — textanalysis.TextAnalysis.qualityRepetition
+  // on a live document stream: the self-repetition spam gate of the
+  // intake path (quality, REPETITION, dedup, fluency).
+  // ---------------------------------------------------------------------
+  object RepetitionGateStream {
+
+    /** (ts, doc_id, n_bigrams, top_bigram_frac, dup_bigram_frac, keep)
+      * for a (ts, doc_id, text) stream. A document's repetition profile
+      * depends on nothing but its own text, and a doc arrives as ONE
+      * row — so unlike the batch twin's (doc, bigram) aggregation this
+      * is completely STATELESS: codegen'd per-row higher-order
+      * functions build the bigram array and count within it. Identical
+      * integers into the identical round6 division ⇒ stream ≡ batch
+      * EXACTLY (StreamingJobsSpec pins it on the corpus's own docs).
+      *
+      * Per-row cost is O(distinct × total) bigrams (the `filter` count
+      * inside `transform`) — linear-ish for real text, and bounded by
+      * one document; cap document length upstream if the intake may
+      * carry multi-MB texts.
+      */
+    def profile(docs: DataFrame): DataFrame =
+      docs
+        .withColumn("rg_ts", split(col("text"), " "))
+        .where(size(col("rg_ts")) >= 2)
+        .withColumn("bgs", expr(
+          """zip_with(slice(rg_ts, 1, size(rg_ts) - 1),
+            |  slice(rg_ts, 2, size(rg_ts) - 1),
+            |  (a, b) -> concat(a, ' ', b))""".stripMargin))
+        .select(col("ts"), col("doc_id"),
+          size(col("bgs")).cast("long").as("n_bigrams"),
+          expr("size(array_distinct(bgs))").cast("long").as("n_distinct"),
+          expr("array_max(transform(array_distinct(bgs)," +
+            " b -> size(filter(bgs, x -> x = b))))")
+            .cast("long").as("top_cnt"))
+        .select(col("ts"), col("doc_id"), col("n_bigrams"),
+          graft.functions.Portable.round6(
+            col("top_cnt").cast("double") / col("n_bigrams"))
+            .as("top_bigram_frac"),
+          graft.functions.Portable.round6(
+            (col("n_bigrams") - col("n_distinct")).cast("double")
+              / col("n_bigrams")).as("dup_bigram_frac"))
+        .withColumn("keep",
+          (col("top_bigram_frac") <=
+            graft.textanalysis.TextAnalysis.TopBigramFracMax &&
+            col("dup_bigram_frac") <=
+              graft.textanalysis.TextAnalysis.DupBigramFracMax).cast("int"))
+  }
+
+  // ---------------------------------------------------------------------
   // SessionCounts — streaming twin of operators.Windows.sessionize:
   // native session windows (gap-merged), state bounded by the watermark.
   // ---------------------------------------------------------------------

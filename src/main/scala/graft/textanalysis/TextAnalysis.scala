@@ -217,6 +217,56 @@ object TextAnalysis {
       |    row_number() OVER (ORDER BY doc_freq DESC, ngram) rank FROM df)
       |WHERE rank <= 20""".stripMargin
 
+  /** Top-k characteristic terms per document by rarity-weighted
+    * frequency — the keyword/topic extraction pass of a corpus
+    * pipeline. Score = round6(tf / df): term frequency in the doc over
+    * corpus document frequency. This is the LOG-FREE tf-idf variant,
+    * deliberately: libm `ln`/`log` is not bit-portable across engines
+    * (the lm_bigram_score precedent), while tf and df are exact
+    * integers and one rounded division hashes identically everywhere.
+    * Same rarity ordering for fixed tf (monotone in 1/df), same
+    * frequency ordering for fixed df. Rank ties break by term
+    * (deterministic both engines).
+    *
+    * Scale: (doc, term) shuffle with map-side partial counts, a
+    * vocab-keyed df aggregation, one equi-join on term (AQE handles
+    * stop-word skew; the df side is vocab-sized), and a per-doc top-k
+    * window over ≤ vocab-per-doc rows.
+    */
+  val TfidfTopK = 3
+
+  def tfidfTopTerms(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round6(col("tf").cast("double") / col("df")).as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= TfidfTopK)
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  def tfidfTopTermsSql: String =
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) term
+       |             FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) tf FROM tok
+       |       GROUP BY doc_id, term),
+       |dfreq AS (SELECT term, COUNT(*) df FROM tf GROUP BY term),
+       |scored AS (SELECT doc_id, term, tf, df,
+       |    ${round6Sql("tf::DOUBLE / df")} score
+       |  FROM tf JOIN dfreq USING (term))
+       |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER
+       |    (PARTITION BY doc_id ORDER BY score DESC, term) rank
+       |  FROM scored)
+       |WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin
+
   /** Winnowing-style fingerprint: the minimum md5 over a doc's word
     * 3-shingles (stable under local edits — the basis of near-dup
     * clustering) plus the exact md5 of the full text.

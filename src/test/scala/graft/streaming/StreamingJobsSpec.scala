@@ -539,6 +539,36 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("RepetitionGateStream: per-row profile ≡ batch quality_repetition exactly") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val gated = Jobs.RepetitionGateStream.profile(
+      in.toDF().toDF("ts", "doc_id", "text"))
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rep_gate").start()
+    try {
+      val docs = tables.documents
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      // plus a planted spam doc the gate must reject
+      in.addData(docs.map { case (id, tx) => (new Timestamp(1000L), id, tx) }.toSeq
+        :+ ((new Timestamp(1000L), 900001L,
+          Seq.fill(12)("buy now").mkString(" "))))
+      q.processAllAvailable()
+      val streamed = spark.table("rep_gate")
+        .select("doc_id", "n_bigrams", "top_bigram_frac", "dup_bigram_frac",
+          "keep")
+        .as[(Long, Long, Double, Double, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val batch = graft.textanalysis.TextAnalysis.qualityRepetition(tables)
+        .as[(Long, Long, Double, Double, Int)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      assert(batch.nonEmpty)
+      // identical integers → identical round6 divisions: EXACT equality
+      assert(streamed.view.filterKeys(_ != 900001L).toMap == batch)
+      assert(streamed(900001L)._4 == 0) // the spam doc is gated out
+    } finally q.stop()
+  }
+
   test("ClusterAssignStream verify gate ≡ batch round6 threshold at the boundary") {
     import Jobs.ClusterAssignStream.verifies
     // A raw Jaccard in [0.7999995, 0.8) rounds UP to the threshold at
