@@ -97,11 +97,7 @@ object SparkEntry {
     */
   val rowsOnly: Map[String, String] = Map(
     "event_stats_approx" ->
-      "WindowsSpec: exact moments match event_stats; sketch rank within 2%",
-    "embed_ann_opq_pq" ->
-      ("AnnSpec: identity rotation reproduces embed_ann_pq exactly; " +
-        "fitted rotation strictly beats identity recall on planted " +
-        "anisotropic data; recall floor on the real corpus")
+      "WindowsSpec: exact moments match event_stats; sketch rank within 2%"
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -151,6 +147,9 @@ object SparkEntry {
     "embed_ann_ivf_pq" -> Ann.embedAnnIvfPqSql,
     "embed_ann_ivf_part" -> Ann.embedAnnIvfSql,
     "embed_ann_ivf_pq_res" -> Ann.embedAnnIvfPqResidualSql,
+    // inlines the per-corpus fitted rotation — Verify runs the query
+    // (which fits + persists it) before dumping this SQL
+    "embed_ann_opq_pq" -> graft.ann.Opq.embedAnnOpqPqSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,

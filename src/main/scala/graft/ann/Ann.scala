@@ -662,7 +662,7 @@ object Ann {
     * DuckDB twins of [[pqCodebook]]/[[pqEncoded]]/[[pqLut]]; shared by
     * the PQ and IVF-PQ oracles so the code definitions cannot drift.
     */
-  private def pqCodeCtes: String = {
+  private[graft] def pqCodeCtes: String = {
     val subsVals = (0 until PqSubspaces).map(s => s"($s)").mkString(",")
     def sliceOf(v: String) =
       s"$v[ss.s*$PqSubDim+1 : ss.s*$PqSubDim+$PqSubDim]"
@@ -692,7 +692,13 @@ object Ann {
     */
   private def adcTailSql: String = adcTailSqlWith(withBase = false)
 
-  private def adcTailSqlWith(withBase: Boolean): String = {
+  /** `rerankRel` names the relation the exact-cosine re-rank reads —
+    * `e` for the raw-space oracles; the OPQ oracle passes its
+    * UN-rotated relation so shortlists from rotated space are scored
+    * over original vectors ([[adcTailWith]]'s contract).
+    */
+  private[graft] def adcTailSqlWith(withBase: Boolean,
+                                    rerankRel: String = "e"): String = {
     val pivotCols = ((0 until PqSubspaces)
       .map(s => s"max(CASE WHEN s = $s THEN part END) p$s") ++
       (if (withBase) Seq("max(base) base") else Nil)).mkString(", ")
@@ -708,8 +714,8 @@ object Ann {
        |    FROM approx) WHERE sr <= $PqShortlist),
        |scored AS (SELECT s.q_id, s.vec_id,
        |    ${round6Sql("list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))")} cos_sim
-       |  FROM short s JOIN e c ON c.vec_id = s.vec_id
-       |               JOIN e q ON q.vec_id = s.q_id)
+       |  FROM short s JOIN $rerankRel c ON c.vec_id = s.vec_id
+       |               JOIN $rerankRel q ON q.vec_id = s.q_id)
        |SELECT q_id, vec_id, cos_sim, CAST(rank AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER
        |    (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) rank

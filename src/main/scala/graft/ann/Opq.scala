@@ -236,29 +236,94 @@ object Opq {
     Ann.adcTailWith(parts, eAll)
   }
 
-  /** Fitted rotation per corpus, memoized: the moments pass runs once
-    * per (session, dir) — repeated calls (bench warmup + timed pass,
-    * Verify) reuse the small driver-side matrix, not re-reduce the
-    * corpus.
+  /** Fitted rotation per corpus, memoized: the store read-back runs
+    * once per (session, dir) — repeated calls (bench warmup + timed
+    * pass, Verify) reuse the small driver-side matrix.
     */
   private val rotations =
     new java.util.concurrent.ConcurrentHashMap[graft.Tables, Array[Array[Double]]]()
 
+  /** The most recently fitted (or store-loaded) rotation — what
+    * [[embedAnnOpqPqSql]] inlines as literals. Verify runs every query
+    * BEFORE dumping oracle_sql.json, so by dump time this holds the
+    * rotation of exactly the corpus the oracle will run against.
+    */
+  @volatile private var lastFitted: Option[Array[Array[Double]]] = None
+
+  /** The fitted rotation as per-corpus warehouse parquet (r_idx, rv) —
+    * the [[Ann.ivfFit]] lesson applied: the FIT is partition-order
+    * double sums (not portable), but once persisted it is DATA, and
+    * both engines consuming the same doubles makes the whole rotated
+    * pipeline oracle-checkable. The Spark side reads the store back
+    * rather than trusting its in-memory fit, so a store written by an
+    * earlier JVM (different reduce order ⇒ possibly different last-ulp
+    * moments) still agrees bit-for-bit with the oracle literals.
+    */
+  private def fittedRotation(t: graft.Tables): Array[Array[Double]] =
+    rotations.computeIfAbsent(t, _ => {
+      val d = Ann.PqSubspaces * Ann.PqSubDim
+      val store = graft.storage.Materialize.ensureParquet(
+        t.spark, "graft_opq_rot",
+        graft.storage.Materialize.corpusTag(
+          t, "embeddings", s"d=$d|m=${Ann.PqSubspaces}"), {
+          val e = t.embeddings.select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          val r = rotationFor(e.filter(col("vec_id") >= Ann.NumQueries), d)
+          val sp = t.spark
+          import sp.implicits._
+          r.toIndexedSeq.zipWithIndex
+            .map { case (row, i) => (i, row.toSeq) }.toDF("r_idx", "rv")
+        })
+      val m = store.collect() // 64 rows — a fit artifact, not a query path
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).map(_._2)
+      lastFitted = Some(m)
+      m
+    })
+
   /** `embed_ann_opq_pq` — OPQ-rotated product-quantization ANN, the
     * production composition of [[rotationFor]] + the PQ machinery.
-    * Declared rows-only (SparkEntry.rowsOnly): the fitted rotation is
-    * partition-order double sums, not oracle-portable — AnnSpec
-    * value-gates it instead (identity-rotation ≡ embed_ann_pq exactly;
-    * fitted rotation strictly beats identity recall on planted
-    * anisotropic data; sanity + recall floor on the real corpus).
+    * Oracle-green since r8: the rotation is persisted per corpus and
+    * read back ([[fittedRotation]]), and the oracle inlines the same
+    * doubles as literals — rotate, codebook, encode, LUT, ADC and the
+    * original-space re-rank are then the already-portable PQ formulas.
+    * AnnSpec additionally pins: identity-rotation ≡ embed_ann_pq
+    * exactly; fitted rotation strictly beats identity recall on
+    * planted anisotropic data; recall floor on the real corpus.
     */
   def embedAnnOpqPq(t: graft.Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    pqTopKWith(e, fittedRotation(t))
+  }
+
+  /** DuckDB twin of [[embedAnnOpqPq]]: the last-fitted rotation as a
+    * VALUES literal (Double.toString round-trips exactly; DuckDB
+    * parses decimal to the same nearest double), a rotate CTE (one
+    * list_dot_product per rotation row, re-assembled in r_idx order —
+    * the same sequential-fold dot as the Spark side), then the shared
+    * PQ CTE chain in rotated space with the exact re-rank joined back
+    * to the UN-rotated `e0`. Falls back to the identity rotation if no
+    * fit has run in this JVM (never the case in the Verify flow, which
+    * runs every query before dumping oracle_sql.json).
+    */
+  def embedAnnOpqPqSql: String = {
     val d = Ann.PqSubspaces * Ann.PqSubDim
-    val r = rotations.computeIfAbsent(t,
-      _ => rotationFor(e.filter(col("vec_id") >= Ann.NumQueries), d))
-    pqTopKWith(e, r)
+    val r = lastFitted.getOrElse(
+      Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0))
+    val rows = r.zipWithIndex.map { case (row, i) =>
+      s"($i, [${row.map(_.toString).mkString(", ")}])"
+    }.mkString(",\n  ")
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |rotm(r_idx, rv) AS (VALUES
+       |  $rows),
+       |e AS (SELECT vec_id, list(dp ORDER BY r_idx) v FROM (
+       |    SELECT e0.vec_id, r.r_idx, list_dot_product(e0.v, r.rv) dp
+       |    FROM e0, rotm r) GROUP BY vec_id),
+       |${Ann.pqCodeCtes},
+       |parts AS (SELECT l.q_id, x.vec_id, x.s, l.part
+       |          FROM enc x JOIN lut l ON l.s = x.s AND l.k = x.code),
+       |${Ann.adcTailSqlWith(withBase = false, rerankRel = "e0")}""".stripMargin
   }
 
   /** Mean squared L2 quantization error of `vecs` under the standard

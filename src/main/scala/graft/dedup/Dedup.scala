@@ -44,21 +44,25 @@ object Dedup {
   val ShingleDocFreqCap = 100
 
   /** Max documents an LSH band key (minhash or simhash) may hold before
-    * the key is dropped from candidate generation — the band-join twin
-    * of [[ShingleDocFreqCap]]. A band key shared by B docs emits
-    * B(B−1)/2 candidate pairs, so without the cap a template-document
-    * flood (10M near-copies of one boilerplate page in a 100 TB crawl)
-    * collides on every band and generates ~5×10¹³ pairs on a single
-    * key — O(B²) row GENERATION, which AQE skew-splitting cannot undo.
-    * With the cap, per-key work is O(cap²) and a flooded key is dropped
-    * outright: a >cap-way band collision is template boilerplate, the
-    * same verdict the shingle cap passes on stop-phrases. Exact copies
-    * never reach this join at all — candidate generation runs over
-    * [[keeperDocs]] (one representative per md5(text) group), because
-    * exact duplicates are [[dedupExact]]'s job and carrying them into
-    * LSH is pure waste. DedupSpec plants both floods and pins the
-    * bounded candidate counts; the cap is part of the operator
-    * definition in BOTH engines, so the DuckDB oracles carry it too.
+    * the key switches from clique to STAR candidate generation — the
+    * band-join twin of [[ShingleDocFreqCap]]. A band key shared by B
+    * docs emits B(B−1)/2 candidate pairs, so without the cap a
+    * template-document flood (10M near-copies of one boilerplate page
+    * in a 100 TB crawl) collides on every band and generates ~5×10¹³
+    * pairs on a single key — O(B²) row GENERATION, which AQE
+    * skew-splitting cannot undo. Keys at or under the cap keep the full
+    * pair clique (O(cap²) per key); a FLOODED key instead pairs every
+    * member with the key's MIN doc_id only — O(B) pairs — so the flood
+    * still collapses toward one keeper through verify + clustering
+    * instead of escaping dedup entirely (dropping the key outright, the
+    * previous rule, retained every flood member: exactly the content
+    * the cap exists for). Exact copies never reach this join at all —
+    * candidate generation runs over [[keeperDocs]] (one representative
+    * per md5(text) group), because exact duplicates are [[dedupExact]]'s
+    * job and carrying them into LSH is pure waste. DedupSpec plants
+    * both floods and pins bounded candidate counts AND the collapse;
+    * the rule is part of the operator definition in BOTH engines, so
+    * the DuckDB oracles carry it too.
     */
   val BandDocFreqCap = 100
 
@@ -87,13 +91,28 @@ object Dedup {
     * complete after the O(n) exact pass. The shuffle here carries
     * (hash, id), never text.
     */
-  private[graft] def keeperDocs(t: Tables): DataFrame = {
-    val keep = t.documents
-      .groupBy(md5(col("text")).as("text_hash"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    t.documents.join(keep, Seq("doc_id"), "left_semi")
-  }
+  private[graft] def keeperDocs(t: Tables): DataFrame =
+    t.documents.join(keeperIdsMaterialized(t), Seq("doc_id"), "left_semi")
+
+  /** The keeper doc_id list materialized once per corpus (tiny: one
+    * BIGINT per distinct text). Every LIVE LSH plan re-derives
+    * [[keeperDocs]] in several subtrees (Catalyst reuses exchanges, not
+    * arbitrary subtrees), and in r7 each re-derivation re-ran the full
+    * md5(text) groupBy — the source of the dedup_simhash /
+    * dedup_minhash_verified bench regressions. With the id list on
+    * warehouse parquet the reduction is paid once per corpus and each
+    * subtree pays a semi-join on doc_id instead: auto-broadcast at
+    * test sf, a plain (id, id) shuffle join at 100 TB where the list
+    * is corpus-cardinality — still far cheaper than re-hashing the
+    * text. No broadcast hint on purpose: let size decide.
+    */
+  private def keeperIdsMaterialized(t: Tables): DataFrame =
+    graft.storage.Materialize.ensureParquet(t.spark, "graft_keeper_ids",
+      graft.storage.Materialize.corpusTag(t, "documents", "keep-ids"),
+      t.documents
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id")))
 
   /** DuckDB twin of [[keeperDocs]] as CTEs: `kdocs` is the keeper-only
     * documents relation (same columns the shingle/simhash CTEs read).
@@ -331,41 +350,81 @@ object Dedup {
       .select(col("doc_id"), col("bk.band_idx"), col("bk.band_key"))
   }
 
-  /** [[bandsFrom]] over the materialized KEEPER shingle store, with the
-    * band-frequency cap applied — the corpus side of the streaming
-    * intake gate. Capping the static side alone preserves gate ≡ batch
-    * parity: a pair joins iff the key survives on the corpus side, which
-    * is the same per-key predicate the batch join applies to both sides.
+  /** [[bandsFrom]] over the materialized KEEPER shingle store, reduced
+    * to the rows the streaming intake gate probes — the corpus side of
+    * the stream-static band join. Keys at or under [[BandDocFreqCap]]
+    * keep every row; a FLOODED key keeps only its min-doc row, so an
+    * arriving flood member matches exactly the keeper the batch star
+    * pairs it with ([[bandCandidatePairs]]) — gate ≡ batch parity by
+    * construction. Boundary note (documented, intentional): frequencies
+    * are counted over the CORPUS side only, so a genuinely NEW intake
+    * doc probing a key held by exactly cap corpus docs joins all cap of
+    * them, where a batch over corpus+doc would count cap+1 and star-route
+    * the key. One spurious clique probe at the boundary, never O(B²):
+    * the static side itself is always capped at cap rows per key.
     */
-  private[graft] def corpusBands(t: Tables): DataFrame =
-    cappedBandsFrom(bandsFrom(keeperShinglesMaterialized(t)), BandDocFreqCap)
+  private[graft] def corpusBands(t: Tables): DataFrame = {
+    val s = bandStats(bandsFrom(keeperShinglesMaterialized(t)), Nil)
+    s.filter(col("f") <= BandDocFreqCap || col("doc_id") === col("m.doc_id"))
+      .select(col("doc_id"), col("band_idx"), col("band_key"))
+  }
 
-  /** `bands` minus every (band_idx, band_key) held by more than `cap`
-    * docs — [[cappedShinglesFrom]]'s pattern on the band table. The
-    * frequency aggregation and the semi-join share the band-key hash
-    * partitioning: one logical shuffle (zero over the bucketed store).
+  /** Per-row band statistics: `f` = docs holding this (band_idx,
+    * band_key), `m` = the key's min row as a struct of (doc_id ±
+    * payload columns). ONE window over the band-key partitioning —
+    * cheaper than the aggregate + semi-join pair it replaces, and
+    * exchange-free over a store bucketed on exactly these keys.
     */
-  private[graft] def cappedBandsFrom(bands: DataFrame, cap: Int): DataFrame =
-    if (cap == Int.MaxValue) bands
-    else {
-      val ok = bands.groupBy(col("band_idx"), col("band_key"))
-        .agg(count(lit(1)).as("doc_freq"))
-        .filter(col("doc_freq") <= cap)
-        .select(col("band_idx"), col("band_key"))
-      bands.join(ok, Seq("band_idx", "band_key"), "left_semi")
+  private def bandStats(bands: DataFrame, payload: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    bands
+      .withColumn("f", count(lit(1)).over(w))
+      .withColumn("m",
+        min(struct((col("doc_id") +: payload.map(col)): _*)).over(w))
+  }
+
+  /** Candidate pairs from a band table under the flood rule ([[
+    * BandDocFreqCap]] scaladoc): keys with at most `cap` docs emit the
+    * full clique (x.doc_id < y.doc_id); flooded keys emit STAR pairs
+    * (key-min doc, member) only — O(B) rows, and the flood still
+    * collapses toward one keeper downstream. `payload` columns ride
+    * along as `<p>_a`/`<p>_b` (simhash needs both signatures for the
+    * hamming check). Output is distinct.
+    */
+  private def bandCandidatePairs(bands: DataFrame, cap: Int,
+                                 payload: Seq[String] = Nil): DataFrame = {
+    def pairCols(a: String => Column, b: String => Column) =
+      a("doc_id").as("doc_a") +: b("doc_id").as("doc_b") +:
+        payload.flatMap(p => Seq(a(p).as(s"${p}_a"), b(p).as(s"${p}_b")))
+    if (cap == Int.MaxValue) {
+      // uncapped escape hatch (DedupSpec demonstrates the blowup)
+      bands.as("x")
+        .join(bands.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(pairCols(c => col(s"x.$c"), c => col(s"y.$c")): _*)
+        .distinct()
+    } else {
+      val s = bandStats(bands, payload)
+      val small = s.filter(col("f") <= cap)
+      val clique = small.as("x")
+        .join(small.as("y"),
+          col("x.band_idx") === col("y.band_idx") &&
+            col("x.band_key") === col("y.band_key") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(pairCols(c => col(s"x.$c"), c => col(s"y.$c")): _*)
+      val star = s
+        .filter(col("f") > cap && col("doc_id") =!= col("m.doc_id"))
+        .select(pairCols(c => col(s"m.$c"), c => col(c)): _*)
+      clique.union(star).distinct()
     }
+  }
 
   private def minhashCandidatesFrom(
-      sh: DataFrame, bandCap: Int = BandDocFreqCap): DataFrame = {
-    val bands = cappedBandsFrom(bandsFrom(sh), bandCap)
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-  }
+      sh: DataFrame, bandCap: Int = BandDocFreqCap): DataFrame =
+    bandCandidatePairs(bandsFrom(sh), bandCap)
 
   /** THE scalable near-dup pipeline: minhash-LSH candidate generation,
     * then EXACT Jaccard computed only on candidate pairs. The global
@@ -499,21 +558,13 @@ object Dedup {
 
   /** [[dedupMinhash]] with candidates generated over the bucketed band
     * store — exchange-free self-join; same oracle as the live entry.
-    * The [[BandDocFreqCap]] frequency filter runs over the store too,
-    * and stays exchange-free: the store is bucketed on exactly the
-    * (band_idx, band_key) the aggregation and semi-join cluster on.
+    * The [[BandDocFreqCap]] flood rule runs over the store too, and
+    * stays exchange-free: the store is bucketed on exactly the
+    * (band_idx, band_key) the stats window and clique join cluster on.
     */
-  def dedupMinhashBucketed(t: Tables): DataFrame = {
-    val bands = cappedBandsFrom(bandsBucketed(t), BandDocFreqCap)
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+  def dedupMinhashBucketed(t: Tables): DataFrame =
+    bandCandidatePairs(bandsBucketed(t), BandDocFreqCap)
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   private def dedupMinhashVerifiedFrom(shAll: DataFrame): DataFrame =
     verifiedPairsFrom(shAll).orderBy(col("doc_a"), col("doc_b"))
@@ -549,10 +600,6 @@ object Dedup {
     */
   private[graft] def verifiedPairCtes: String =
     s"""$minhashBandsCtes,
-       |cand AS (SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
-       |         FROM bands x JOIN bands y
-       |           ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       |          AND x.doc_id < y.doc_id),
        |sz AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY doc_id),
        |common AS (SELECT doc_a, doc_b, COUNT(*) common
        |           FROM cand c JOIN sh x ON x.doc_id = c.doc_a
@@ -713,11 +760,13 @@ object Dedup {
        |  COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
-  /** CTE chain (`keep`, `kdocs`, `tok`, `sh`, `sig`, `bands`) behind
-    * [[dedupMinhashSql]], shared with pipeline.CorpusClean's near-dup
-    * composite so the band definition cannot drift between the two
-    * oracles. Mirrors the Spark plan exactly: shingles over keeper docs
-    * only, and `bands` filtered to keys at or under [[BandDocFreqCap]].
+  /** CTE chain (`keep`, `kdocs`, `tok`, `sh`, `sig`, `bands0`, `bstat`,
+    * `cand`) behind [[dedupMinhashSql]], shared with pipeline
+    * .CorpusClean's near-dup composite so the candidate definition
+    * cannot drift between the two oracles. Mirrors the Spark plan
+    * exactly: shingles over keeper docs only, then the flood rule of
+    * [[bandCandidatePairs]] — clique pairs for keys at or under
+    * [[BandDocFreqCap]], star pairs (key min doc, member) above it.
     */
   def minhashBandsCtes: String = {
     val mins = (0 until NumPerms)
@@ -729,20 +778,26 @@ object Dedup {
        |${shinglesSqlOver("kdocs")},
        |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
        |bands0 AS ($bands),
-       |bandok AS (SELECT band_idx, band_key FROM bands0
-       |           GROUP BY band_idx, band_key
-       |           HAVING COUNT(*) <= $BandDocFreqCap),
-       |bands AS (SELECT b.doc_id, b.band_idx, b.band_key FROM bands0 b
-       |          JOIN bandok o ON b.band_idx = o.band_idx
-       |                       AND b.band_key = o.band_key)""".stripMargin
+       |bstat AS (SELECT band_idx, band_key, COUNT(*) f, MIN(doc_id) m
+       |          FROM bands0 GROUP BY band_idx, band_key),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT x.doc_id doc_a, y.doc_id doc_b
+       |  FROM bands0 x JOIN bands0 y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id
+       |  JOIN bstat st ON st.band_idx = x.band_idx
+       |               AND st.band_key = x.band_key
+       |  WHERE st.f <= $BandDocFreqCap
+       |  UNION ALL
+       |  SELECT st.m, b.doc_id
+       |  FROM bands0 b JOIN bstat st ON st.band_idx = b.band_idx
+       |                             AND st.band_key = b.band_key
+       |  WHERE st.f > $BandDocFreqCap AND b.doc_id <> st.m) u)""".stripMargin
   }
 
   def dedupMinhashSql: String =
     s"""WITH $minhashBandsCtes
-       |SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b
-       |FROM bands x JOIN bands y
-       |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       | AND x.doc_id < y.doc_id
+       |SELECT doc_a, doc_b FROM cand
        |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------------- simhash
@@ -821,18 +876,14 @@ object Dedup {
 
   private def dedupSimhashFrom(
       sig: DataFrame, bandCap: Int = BandDocFreqCap): DataFrame = {
-    val bands = cappedBandsFrom(sig
+    val bands = sig
       .select(col("doc_id"), col("simhash"),
         explode(array(simhashBandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("simhash"),
-        col("bk.band_idx"), col("bk.band_key")), bandCap)
-    bands.as("x")
-      .join(bands.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        expr("bit_count(x.simhash ^ y.simhash)").cast("int").as("hamming"))
+        col("bk.band_idx"), col("bk.band_key"))
+    bandCandidatePairs(bands, bandCap, payload = Seq("simhash"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(simhash_a ^ simhash_b)").cast("int").as("hamming"))
       .filter(col("hamming") <= HammingMax)
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
@@ -865,18 +916,25 @@ object Dedup {
        |    ${chunkOf("i")} * ${chunkVals}
        |      + ${chunkOf("j")} band_key
        |  FROM sig, (VALUES (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)) b(i, j)),
-       |bandok AS (SELECT band_idx, band_key FROM bands0
-       |           GROUP BY band_idx, band_key
-       |           HAVING COUNT(*) <= $BandDocFreqCap),
-       |bands AS (SELECT b.doc_id, b.simhash, b.band_idx, b.band_key
-       |          FROM bands0 b JOIN bandok o ON b.band_idx = o.band_idx
-       |                                     AND b.band_key = o.band_key)
-       |SELECT DISTINCT x.doc_id doc_a, y.doc_id doc_b,
-       |  bit_count(xor(x.simhash, y.simhash))::INT hamming
-       |FROM bands x JOIN bands y
-       |  ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       | AND x.doc_id < y.doc_id
-       |WHERE bit_count(xor(x.simhash, y.simhash)) <= $HammingMax
+       |bstat AS (SELECT band_idx, band_key, COUNT(*) f, MIN(doc_id) m
+       |          FROM bands0 GROUP BY band_idx, band_key),
+       |pairs0 AS (
+       |  SELECT x.doc_id doc_a, y.doc_id doc_b, x.simhash sa, y.simhash sb
+       |  FROM bands0 x JOIN bands0 y
+       |    ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+       |   AND x.doc_id < y.doc_id
+       |  JOIN bstat st ON st.band_idx = x.band_idx
+       |               AND st.band_key = x.band_key
+       |  WHERE st.f <= $BandDocFreqCap
+       |  UNION ALL
+       |  SELECT st.m, b.doc_id, sm.simhash, b.simhash
+       |  FROM bands0 b JOIN bstat st ON st.band_idx = b.band_idx
+       |                             AND st.band_key = b.band_key
+       |                JOIN sig sm ON sm.doc_id = st.m
+       |  WHERE st.f > $BandDocFreqCap AND b.doc_id <> st.m)
+       |SELECT DISTINCT doc_a, doc_b, bit_count(xor(sa, sb))::INT hamming
+       |FROM pairs0
+       |WHERE bit_count(xor(sa, sb)) <= $HammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 

@@ -119,10 +119,7 @@ object CorpusClean {
 
   def corpusCleanNearDupSql: String =
     s"""WITH ${graft.dedup.Dedup.minhashBandsCtes},
-       |losers AS (SELECT DISTINCT y.doc_id AS doc_id
-       |           FROM bands x JOIN bands y
-       |             ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-       |            AND x.doc_id < y.doc_id),
+       |losers AS (SELECT DISTINCT doc_b AS doc_id FROM cand),
        |$cleanCtes
        |${cleanSelect(
         "\n  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)")}""".stripMargin

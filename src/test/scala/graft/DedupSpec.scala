@@ -108,14 +108,24 @@ class DedupSpec extends SparkSpec {
     assert(uncapped > 100000L, s"expected quadratic blowup, got $uncapped")
     val capped = Dedup.minhashCandidates(t).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    // per surviving key the join is at most C(cap, 2); the flood's
-    // dominant keys are dropped outright (the shingle-cap verdict:
-    // a >cap-way band collision is template boilerplate)
+    // per small key the clique is at most C(cap, 2); a flooded key
+    // emits STAR pairs (key min doc, member) — O(B) rows, so total
+    // candidates are linear in the flood, never quadratic
+    val n = 1002L
     val bound = Dedup.NumBands.toLong *
-      Dedup.BandDocFreqCap.toLong * Dedup.BandDocFreqCap.toLong
+      (Dedup.BandDocFreqCap.toLong * Dedup.BandDocFreqCap.toLong + n)
     assert(capped.size.toLong <= bound,
-      s"capped candidates ${capped.size} exceed O(cap²) bound $bound")
+      s"capped candidates ${capped.size} exceed clique+star bound $bound")
     assert(capped.contains((9000L, 9001L)), s"planted pair lost: $capped")
+    // ...and the flood COLLAPSES instead of escaping dedup: nearly every
+    // flood member is the doc_b of some candidate pair (the r7 drop-the-
+    // key rule retained all of them — exactly the content the cap is
+    // motivated by)
+    val floodCaught = capped.collect {
+      case (_, b) if b < 1000L => b
+    }
+    assert(floodCaught.size >= 900,
+      s"flood escaped the star rule: only ${floodCaught.size}/1000 caught")
   }
 
   test("band-frequency cap bounds a simhash template flood") {
@@ -131,9 +141,18 @@ class DedupSpec extends SparkSpec {
     val t = Tables(spark, dir)
     val uncapped = Dedup.dedupSimhash(t, bandCap = Int.MaxValue).count()
     assert(uncapped > 50000L, s"expected quadratic blowup, got $uncapped")
-    val capped = Dedup.dedupSimhash(t).count()
-    val bound = 6L * Dedup.BandDocFreqCap.toLong * Dedup.BandDocFreqCap.toLong
-    assert(capped <= bound, s"capped simhash pairs $capped exceed $bound")
+    val capped = Dedup.dedupSimhash(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val n = 1000L
+    val bound = 6L *
+      (Dedup.BandDocFreqCap.toLong * Dedup.BandDocFreqCap.toLong + n)
+    assert(capped.size.toLong <= bound,
+      s"capped simhash pairs ${capped.size} exceed clique+star bound $bound")
+    // near-identical docs share the signature (hamming 0), so the star
+    // pairs survive the hamming gate and the flood collapses
+    val caught = capped.map(_._2)
+    assert(caught.size >= 900,
+      s"simhash flood escaped the star rule: only ${caught.size}/1000 caught")
   }
 
   test("minhash_verified = candidates filtered by true full-set jaccard") {
