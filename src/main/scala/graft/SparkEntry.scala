@@ -60,6 +60,8 @@ object SparkEntry {
     "dedup_simhash_mat" -> q(Dedup.dedupSimhashMat),
     "dedup_embedding" -> q(Dedup.dedupEmbedding),
     "dedup_embedding_mt" -> q(Dedup.dedupEmbeddingMultitable),
+    "dedup_embedding_mp" -> q(Dedup.dedupEmbeddingMultiprobe),
+    "dedup_containment" -> q(Dedup.dedupContainment),
     "doc_boilerplate_frac" -> q(Dedup.docBoilerplateFrac),
     "embed_dedup_clusters" -> q(Dedup.embedDedupClusters),
     // similarity search
@@ -137,6 +139,8 @@ object SparkEntry {
     "dedup_simhash_mat" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,
     "dedup_embedding_mt" -> Dedup.dedupEmbeddingMultitableSql,
+    "dedup_embedding_mp" -> Dedup.dedupEmbeddingMultiprobeSql,
+    "dedup_containment" -> Dedup.dedupContainmentSql,
     "doc_boilerplate_frac" -> Dedup.docBoilerplateFracSql,
     "embed_dedup_clusters" -> Dedup.embedDedupClustersSql,
     "embed_topk" -> Ann.embedTopKSql,

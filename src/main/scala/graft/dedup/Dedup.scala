@@ -260,6 +260,69 @@ object Dedup {
        |WHERE ${round6Sql("common::DOUBLE / (sa.n + sb.n - common)")} >= $JaccardMin
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---------------------------------------------------- containment
+
+  /** Containment threshold for [[dedupContainment]] and the minimum
+    * capped-shingle count for a doc to participate: containment over a
+    * 1-shingle doc is always 1.0 — meaningless — so both docs must
+    * carry at least [[ContainmentMinShingles]] distinctive shingles.
+    */
+  val ContainmentMin = 0.9
+  val ContainmentMinShingles = 5
+
+  /** ASYMMETRIC near-dup pairs: containment = |A∩B| / min(|A|,|B|) —
+    * the duplication mode symmetric Jaccard at 0.8 structurally
+    * misses. A doc quoted verbatim inside a 10× larger doc has
+    * Jaccard ≈ 0.1 (the union is dominated by the big doc) but
+    * containment 1.0; in a training corpus this partial-inclusion
+    * shape (quotes, syndicated snippets, aggregator pages) is the MOST
+    * COMMON duplication mode, so a pipeline that only runs the
+    * symmetric ops ships the duplicated text anyway.
+    *
+    * Candidate generation deliberately uses the capped INVERTED INDEX
+    * ([[dedupNgramJaccard]]'s machinery), not minhash LSH: band keys
+    * hash the doc's WHOLE signature, so a small doc buried in a large
+    * one almost never shares a band — the posting-list join, which
+    * fires on any single shared rare shingle, is the structure that
+    * sees inclusion. Same O(cap²)-per-shingle bound; runs over the
+    * materialized shingle store (the production layout — the verify
+    * formula is the only new work).
+    */
+  def dedupContainment(t: Tables): DataFrame =
+    dedupContainmentFrom(shinglesMaterialized(t))
+
+  private def dedupContainmentFrom(shAll: DataFrame): DataFrame = {
+    val sh = cappedShinglesFrom(shAll, ShingleDocFreqCap)
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= ContainmentMinShingles)
+    ngramCandidatesFrom(sh)
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        col("sa.n").as("n_a"), col("sb.n").as("n_b"),
+        round6(col("common").cast("double")
+          / least(col("sa.n"), col("sb.n"))).as("containment"))
+      .filter(col("containment") >= ContainmentMin)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def dedupContainmentSql: String =
+    s"""WITH $shinglesSql,
+       |shc AS (SELECT doc_id, s FROM sh WHERE s IN
+       |          (SELECT s FROM sh GROUP BY s
+       |           HAVING COUNT(*) <= $ShingleDocFreqCap)),
+       |sz AS (SELECT doc_id, COUNT(*) n FROM shc GROUP BY doc_id
+       |       HAVING COUNT(*) >= $ContainmentMinShingles),
+       |pairs AS (SELECT x.doc_id doc_a, y.doc_id doc_b, COUNT(*) common
+       |          FROM shc x JOIN shc y ON x.s = y.s AND x.doc_id < y.doc_id
+       |          GROUP BY x.doc_id, y.doc_id)
+       |SELECT doc_a, doc_b, sa.n n_a, sb.n n_b,
+       |  ${round6Sql("common::DOUBLE / LEAST(sa.n, sb.n)")} AS containment
+       |FROM pairs JOIN sz sa ON doc_a = sa.doc_id
+       |           JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE ${round6Sql("common::DOUBLE / LEAST(sa.n, sb.n)")} >= $ContainmentMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------- boilerplate frac
 
   /** Per-document BOILERPLATE fraction — the diagnostic the shingle
@@ -1019,6 +1082,72 @@ object Dedup {
         round6(VectorFunctions.cosineSim(col("va"), col("vb"))).as("cos_sim"))
       .filter(col("cos_sim") >= CosineMin)
       .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** [[dedupEmbeddingMultitable]] PLUS within-table hamming-1 probing —
+    * `embed_ann_multiprobe`'s query-side expansion applied to the dedup
+    * self-join. One side of each table's join additionally probes every
+    * bucket differing in one sign bit, so a near-dup pair split across
+    * a sign boundary (cosine ≥ threshold but one boundary dimension
+    * flips) still meets; pairs are a SUPERSET of the multi-table
+    * entry's (DedupSpec pins it, mask 0 reproduces them) at
+    * (1 + bits)× the one side's candidate fan-out. Only ids travel
+    * through the expanded join; the exact-cosine verify is unchanged.
+    */
+  def dedupEmbeddingMultiprobe(t: Tables): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val tbls = (0 until EmbedNumTables).map { j =>
+      struct(lit(j).as("tbl"), expr(graft.functions.Portable.signBucketExpr(
+        EmbedBucketBits, oneBasedIndex = false,
+        offset = j * EmbedBucketBits)).as("bucket"))
+    }
+    val b = e
+      .select(col("vec_id"), explode(array(tbls: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        col("tb.bucket").as("bucket"))
+    val masks = lit(0) +: (0 until EmbedBucketBits).map(i => lit(1 << i))
+    val probes = b
+      .select(col("vec_id"), col("tbl"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*))
+          .as("bucket"))
+    val cand = probes.as("x")
+      .join(b.as("y"),
+        col("x.tbl") === col("y.tbl") &&
+          col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round6(VectorFunctions.cosineSim(col("va"), col("vb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= CosineMin)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  def dedupEmbeddingMultiprobeSql: String = {
+    val tableSelects = (0 until EmbedNumTables).map { j =>
+      val bucketExpr = graft.functions.Portable.signBucketExpr(
+        EmbedBucketBits, oneBasedIndex = true, offset = j * EmbedBucketBits)
+      s"SELECT vec_id, $j tbl, $bucketExpr bucket FROM e"
+    }.mkString(" UNION ALL ")
+    val maskVals = (0 +: (0 until EmbedBucketBits).map(1 << _))
+      .map(m => s"($m)").mkString(",")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |b AS ($tableSelects),
+       |pr AS (SELECT vec_id, tbl, xor(bucket, m.mask) bucket
+       |       FROM b, (VALUES $maskVals) m(mask)),
+       |cand AS (SELECT DISTINCT x.vec_id vec_a, y.vec_id vec_b
+       |         FROM pr x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
+       |          AND x.vec_id < y.vec_id)
+       |SELECT vec_a, vec_b,
+       |  ${round6Sql("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))")} AS cos_sim
+       |FROM cand JOIN e ea ON vec_a = ea.vec_id
+       |          JOIN e eb ON vec_b = eb.vec_id
+       |WHERE ${round6Sql("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))")} >= $CosineMin
+       |ORDER BY vec_a, vec_b""".stripMargin
   }
 
   def dedupEmbeddingMultitableSql: String = {

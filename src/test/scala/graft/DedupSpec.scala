@@ -364,6 +364,60 @@ class DedupSpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  test("containment catches a doc quoted inside a 10x larger doc that jaccard misses") {
+    import spark.implicits._
+    // doc 1 = a 10-token passage; doc 2 = 100 tokens quoting it verbatim.
+    // Jaccard ≈ 8/98 — far below 0.8, invisible to every symmetric op —
+    // but containment = 1.0: every shingle of the quote is in the host.
+    val quote = (0 until 10).map(i => s"q$i").mkString(" ")
+    val host = ((0 until 45).map(i => s"h$i") ++ quote.split(" ") ++
+      (45 until 90).map(i => s"h$i")).mkString(" ")
+    val docs = Seq((1L, quote), (2L, host),
+      (50L, "solitary content sharing nothing with anyone at all"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_contain").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val got = Dedup.dedupContainment(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(got == Set((1L, 2L, 1.0)), s"got $got")
+    // the motivating gap: the symmetric op does NOT see this pair
+    val jac = Dedup.dedupNgramJaccard(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)), s"jaccard unexpectedly caught it: $jac")
+  }
+
+  test("containment ignores docs below the minimum shingle count") {
+    import spark.implicits._
+    // two 3-token docs share their single shingle — containment would be
+    // 1.0 but is meaningless; the min-shingle guard drops them
+    val docs = Seq((1L, "tiny shared shingle"), (2L, "tiny shared shingle x"),
+      (10L, (0 until 20).map(i => s"a$i").mkString(" ")),
+      (11L, (0 until 20).map(i => s"a$i").mkString(" ") + " tail"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_containmin").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupContainment(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((10L, 11L)), s"got $got")
+  }
+
+  test("multiprobe embedding dedup: multi-table pairs are a subset, cosines identical") {
+    // mask 0 reproduces every multi-table candidate, so hamming-1
+    // probing can only ADD pairs; the verify stage is shared, so any
+    // pair present in both carries the identical cosine
+    val mt = Dedup.dedupEmbeddingMultitable(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val mp = Dedup.dedupEmbeddingMultiprobe(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(mt.nonEmpty)
+    mt.foreach { case (pair, cos) =>
+      assert(mp.get(pair).contains(cos),
+        s"multi-table pair $pair lost or re-scored: ${mp.get(pair)}")
+    }
+    assert(mp.size >= mt.size)
+  }
+
   test("doc_boilerplate_frac: planted template docs score high, unique docs zero") {
     import spark.implicits._
     val boiler = "all rights reserved by this site"
