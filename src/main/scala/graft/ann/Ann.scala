@@ -290,9 +290,18 @@ object Ann {
     * never loses cells. AnnSpec asserts the refinement strictly improves
     * mean assignment cosine over the sample quantizer at test sf.
     */
-  def ivfFit(t: Tables, iters: Int = 2): DataFrame = {
-    val corpus = corpusVecs(t)
-    var cents = ivfCentroidTable(t)
+  def ivfFit(t: Tables, iters: Int = 2): DataFrame =
+    ivfFitFrom(corpusVecs(t), ivfCentroidTable(t), iters)
+
+  /** [[ivfFit]] from ANY (vec_id, v) corpus and ANY starting (cid, cv)
+    * quantizer — the refresh path: `storage.IndexMaintenance.recenter`
+    * re-fits a generation's centroids over the vectors that generation
+    * actually holds (original build + streamed arrivals), warm-started
+    * from the generation's own centroids.
+    */
+  private[graft] def ivfFitFrom(corpus: DataFrame, cents0: DataFrame,
+                                iters: Int): DataFrame = {
+    var cents = cents0
     for (_ <- 0 until iters) {
       val means = assignTo(corpus, cents)
         .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
@@ -312,17 +321,36 @@ object Ann {
     * the quantization-quality scalar [[ivfFit]] optimizes (1 row).
     */
   private[graft] def quantizerQuality(t: Tables, cents: DataFrame): DataFrame =
-    assignTo(corpusVecs(t), cents).agg(avg(col("ccos")).as("mean_ccos"))
+    quantizerQualityOf(corpusVecs(t), cents)
+
+  /** [[quantizerQuality]] over any (vec_id, v) frame. */
+  private[graft] def quantizerQualityOf(vecs: DataFrame,
+                                        cents: DataFrame): DataFrame =
+    assignTo(vecs, cents).agg(avg(col("ccos")).as("mean_ccos"))
+
+  /** (vec_id, v, cid) index rows for any corpus under any quantizer —
+    * the generation-build primitive behind `IndexMaintenance.recenter`.
+    */
+  private[graft] def assignIndex(vecs: DataFrame,
+                                 cents: DataFrame): DataFrame =
+    assignTo(vecs, cents).select(col("vec_id"), col("v"), col("cid"))
 
   /** Probe an (vec_id, v, cid) index DataFrame with the standard query
     * probes — the shared serving plan behind [[embedAnnIvf]] (live
     * index), [[embedAnnIvfPartitioned]] (persisted index), and the
     * streaming-ingested index (`streaming.Jobs.IndexIngestStream`).
     */
-  private[graft] def probeIndex(t: Tables, assigned: DataFrame): DataFrame = {
+  private[graft] def probeIndex(t: Tables, assigned: DataFrame): DataFrame =
+    probeIndexWith(t, assigned, ivfCentroidTable(t))
+
+  /** [[probeIndex]] under an explicit quantizer — serving a re-centered
+    * generation probes with THAT generation's centroids, so cell choice
+    * and cell content cannot disagree.
+    */
+  private[graft] def probeIndexWith(t: Tables, assigned: DataFrame,
+                                    centroids: DataFrame): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val centroids = ivfCentroidTable(t)
     val ccos = round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos")
     val qprobes = e.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("v"))

@@ -50,6 +50,105 @@ object IndexMaintenance {
     spark.read.parquet(dstDir)
   }
 
+  // ------------------------------------------------------- generations
+
+  /** Generation-rooted index layout — the swap protocol the compaction
+    * scaladoc promises, made concrete:
+    *
+    * {{{
+    *   <root>/gen=<n>/index/   cell-partitioned (vec_id, v, cid) parquet
+    *   <root>/gen=<n>/cents/   the generation's (cid, cv) quantizer
+    * }}}
+    *
+    * A generation is COMMITTED iff both `_SUCCESS` markers exist;
+    * `cents` is written last, so a reader never resolves a generation
+    * whose index is still in flight. There is no pointer file to swap:
+    * "current" is simply the highest committed generation — publishing
+    * is one directory write, atomic at the `_SUCCESS` rename, and a
+    * reader that resolved a generation PATH before a publish keeps
+    * reading exactly that data (old generations are immutable until
+    * [[retireOld]]). This is the table-service generation story for
+    * both compaction and re-centering.
+    */
+  def committedGenerations(root: String,
+                           conf: Configuration = new Configuration()): Seq[Long] = {
+    val r = new Path(root)
+    val fs = r.getFileSystem(conf)
+    if (!fs.exists(r)) Nil
+    else fs.listStatus(r).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toLong)
+      .filter { n =>
+        fs.exists(new Path(r, s"gen=$n/index/_SUCCESS")) &&
+          fs.exists(new Path(r, s"gen=$n/cents/_SUCCESS"))
+      }
+      .sorted
+  }
+
+  def currentGeneration(root: String,
+                        conf: Configuration = new Configuration()): Option[Long] =
+    committedGenerations(root, conf).lastOption
+
+  def indexPath(root: String, n: Long): String = s"$root/gen=$n/index"
+  def centsPath(root: String, n: Long): String = s"$root/gen=$n/cents"
+
+  /** Write (index, cents) as the next generation under `root` and
+    * return its number. The index lands one file per cell (the
+    * compacted layout — publishing IS compaction); cents commit last.
+    */
+  def publishGeneration(spark: SparkSession, root: String,
+                        index: DataFrame, cents: DataFrame): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val n = committedGenerations(root, conf).lastOption.getOrElse(-1L) + 1
+    index.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(indexPath(root, n))
+    cents.coalesce(1).write.mode("overwrite").parquet(centsPath(root, n))
+    n
+  }
+
+  /** Periodic IVF re-centering — the batch compaction of quantizer
+    * drift, closing the loop `streaming.Jobs.IndexIngestStream` opens:
+    * arrivals are cell-assigned against the GENERATION'S centroids, so
+    * as the ingested distribution drifts, cells stop fitting the data
+    * they hold. This reads the current generation's vectors (original
+    * build + every streamed arrival), Lloyd-refines starting from the
+    * generation's own centroids ([[graft.ann.Ann.ivfFitFrom]] — warm
+    * start, `iters` passes), re-assigns every vector, and publishes the
+    * result as the NEXT generation. Never in place: probes that
+    * resolved the old generation keep their answers mid-swap (AnnSpec
+    * pins it), and the old directory retires only via [[retireOld]].
+    *
+    * Scale: the fit is the index build's own shape (broadcast
+    * ×centroids assignment collapsed map-side, then a (cid, pos, x)
+    * mean shuffle) run `iters`+1 times over the generation — the
+    * periodic cost a production index service schedules, not a
+    * query-path cost.
+    */
+  def recenter(spark: SparkSession, root: String, iters: Int = 2): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = currentGeneration(root, conf).getOrElse(
+      throw new IllegalStateException(s"no committed generation under $root"))
+    val vecs = spark.read.parquet(indexPath(root, cur))
+      .select(col("vec_id"), col("v"))
+    val cents0 = spark.read.parquet(centsPath(root, cur))
+    val cents = graft.ann.Ann.ivfFitFrom(vecs, cents0, iters)
+    publishGeneration(spark, root,
+      graft.ann.Ann.assignIndex(vecs, cents), cents)
+  }
+
+  /** Delete all but the newest `keep` committed generations; returns
+    * the retired generation numbers. Run once downstream readers have
+    * drained off the old paths.
+    */
+  def retireOld(root: String, keep: Int = 2,
+                conf: Configuration = new Configuration()): Seq[Long] = {
+    val gens = committedGenerations(root, conf)
+    val retire = gens.dropRight(keep)
+    val fs = new Path(root).getFileSystem(conf)
+    retire.foreach(n => fs.delete(new Path(s"$root/gen=$n"), true))
+    retire
+  }
+
   /** Data files (not metadata) per partition-value directory under an
     * index dir — the observable compaction reduces. `conf` supplies
     * FileSystem bindings for remote schemes; the default reaches the

@@ -136,6 +136,58 @@ class AnnSpec extends SparkSpec {
     assert(res >= exact.size / 4, s"residual recall $res below floor")
   }
 
+  test("IVF generations: drifted ingest re-centers into a new generation; old probes stable") {
+    import spark.implicits._
+    import graft.storage.IndexMaintenance
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_gen").toString
+    // generation 0: the batch build under the sample quantizer
+    val g0 = IndexMaintenance.publishGeneration(spark, root,
+      Ann.ivfIndex(tables), Ann.ivfCentroidTable(tables))
+    assert(g0 == 0L)
+    def readIdx(n: Long) = spark.read
+      .parquet(IndexMaintenance.indexPath(root, n))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    // drifted ingest: a tight 60-vector cluster around one direction the
+    // sample centroids don't represent, cell-assigned against the gen-0
+    // quantizer (IndexIngestStream's rule) and appended into gen 0
+    val drifted = (0 until 60).map { i =>
+      (100000L + i,
+        Seq.tabulate(64)(j => (if (j < 4) 5.0 else 0.05) + 0.01 * ((i + j) % 7)))
+    }.toDF("vec_id", "v")
+    val cents0 = spark.read.parquet(IndexMaintenance.centsPath(root, 0))
+    Ann.assignIndex(drifted, cents0)
+      .write.mode("append").partitionBy("cid")
+      .parquet(IndexMaintenance.indexPath(root, 0))
+    // probes served off the RESOLVED gen-0 path, before any swap
+    val before = Ann.probeIndexWith(tables, readIdx(0), cents0)
+      .collect().map(_.toSeq).toSeq
+    // re-center: fit over gen 0's vectors (corpus + drift), publish gen 1
+    val allVecs = readIdx(0).select(col("vec_id"), col("v"))
+    val q0 = Ann.quantizerQualityOf(allVecs, cents0)
+      .collect().head.getDouble(0)
+    val g1 = IndexMaintenance.recenter(spark, root)
+    assert(g1 == 1L)
+    assert(IndexMaintenance.currentGeneration(root).contains(1L))
+    val cents1 = spark.read.parquet(IndexMaintenance.centsPath(root, 1))
+    val q1 = Ann.quantizerQualityOf(allVecs, cents1)
+      .collect().head.getDouble(0)
+    assert(q1 > q0,
+      s"re-centering did not improve quantization quality: $q1 vs $q0")
+    // mid-swap stability: the old generation is untouched — a reader
+    // that resolved gen 0 before the publish gets identical answers
+    val after = Ann.probeIndexWith(tables, readIdx(0), cents0)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // the new generation holds every vector, one file per cell
+    assert(readIdx(1).count() == allVecs.count())
+    assert(IndexMaintenance
+      .filesPerCell(IndexMaintenance.indexPath(root, 1)).values.forall(_ == 1))
+    // retirement keeps the newest generation only
+    assert(IndexMaintenance.retireOld(root, keep = 1) == Seq(0L))
+    assert(IndexMaintenance.committedGenerations(root) == Seq(1L))
+  }
+
   test("ivfFit: Lloyd refinement strictly improves quantization quality") {
     val sample = Ann.quantizerQuality(tables,
       Ann.ivfCentroidTable(tables)).collect().head.getDouble(0)
