@@ -171,7 +171,11 @@ object Sinks {
       s"JDBC driver $driverClass not on classpath: add the driver jar " +
         "(e.g. mysql-connector-j for MySQL) — no code changes needed")
     new PooledForeachWriter[T, java.sql.Connection](
-      poolId = s"jdbc|$url|$upsertSql",
+      // the pool id folds in EVERYTHING that shapes a connection or the
+      // pool itself: two writers differing only in credentials (props),
+      // driver, or pool size must not silently share the first-created
+      // pool (SinksSpec pins the separation)
+      poolId = s"jdbc|$url|$driverClass|$poolSize|${props.hashCode}|$upsertSql",
       factory = () => {
         Class.forName(driverClass) // register with DriverManager on executors
         java.sql.DriverManager.getConnection(url, props)
@@ -199,7 +203,7 @@ object Sinks {
     *                handle-less backends)
     */
   final class PooledForeachWriter[T, C](
-      poolId: String,
+      val poolId: String,
       factory: () => C,
       poolSize: Int,
       write: (C, T, Long) => Unit,

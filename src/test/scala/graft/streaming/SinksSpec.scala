@@ -130,6 +130,72 @@ class SinksSpec extends SparkSpec {
     assert(w != null)
   }
 
+  test("jdbcWriter: pool identity separates writers differing in driver, size, or props") {
+    // two sinks to the same url with different credentials or pool
+    // sizes must NOT share one pool — the first-created pool's config
+    // would silently win for both
+    def w(size: Int, user: String) = {
+      val p = new java.util.Properties
+      p.setProperty("user", user)
+      Sinks.jdbcWriter[(String, Long)](
+        "jdbc:fake://nowhere", "java.lang.String",
+        "INSERT INTO t VALUES (?, ?)",
+        (ps, row, _) => { ps.setString(1, row._1); ps.setLong(2, row._2) },
+        poolSize = size, props = p)
+    }
+    assert(w(10, "alice").poolId == w(10, "alice").poolId)
+    assert(w(10, "alice").poolId != w(10, "bob").poolId)
+    assert(w(10, "alice").poolId != w(5, "alice").poolId)
+  }
+
+  test("epoch-fenced upserts: a replayed epoch never double-counts") {
+    // The exactly-once JDBC recipe jdbcWriter's bind contract exists
+    // for: write per-epoch DELTAS keyed (key, epoch) with
+    // insert-or-ignore semantics, so a retried epoch (task crash after
+    // a partial write, before the commit) re-applies idempotently.
+    // Backend = an in-memory (key, epoch) -> delta store with
+    // putIfAbsent upsert — the JDK ships no JDBC driver, so this drives
+    // the same PooledForeachWriter lifecycle Spark drives (open/process/
+    // close per attempt) against the store the SQL would hit.
+    val rows = new java.util.concurrent.ConcurrentHashMap[(String, Long), Long]()
+    class Conn { var poisoned = false }
+    Sinks.ConnectionPools.remove("epoch-store")
+    def writer = new Sinks.PooledForeachWriter[(String, Long), Conn](
+      poolId = "epoch-store",
+      factory = () => new Conn,
+      poolSize = 2,
+      write = (c, row, epoch) => {
+        require(!c.poisoned)
+        rows.putIfAbsent((row._1, epoch), row._2); ()
+      })
+    def total(word: String): Long = {
+      import scala.jdk.CollectionConverters._
+      rows.asScala.collect { case ((w, _), v) if w == word => v }.sum
+    }
+    // epoch 0 commits cleanly
+    val w0 = writer
+    assert(w0.open(0, 0L)); w0.process(("a", 2L)); w0.process(("b", 1L))
+    w0.close(null)
+    // epoch 1, attempt 1: writes one row, then the task dies — Spark
+    // calls close(error); the connection is discarded, the partial
+    // write stays (no backend txn)
+    val w1 = writer
+    assert(w1.open(0, 1L)); w1.process(("a", 1L))
+    w1.close(new RuntimeException("executor lost"))
+    // epoch 1, attempt 2 (the replay): re-processes the FULL epoch
+    val w2 = writer
+    assert(w2.open(0, 1L)); w2.process(("a", 1L)); w2.process(("c", 4L))
+    w2.close(null)
+    // fencing holds: a's epoch-1 delta applied once despite two attempts
+    assert(total("a") == 3L, s"double-counted: ${total("a")}")
+    assert(total("b") == 1L && total("c") == 4L)
+    // and a THIRD replay of a fully-committed epoch is a no-op
+    val w3 = writer
+    assert(w3.open(0, 1L)); w3.process(("a", 1L)); w3.process(("c", 4L))
+    w3.close(null)
+    assert(total("a") == 3L && total("c") == 4L)
+  }
+
   test("PooledForeachWriter: per-partition pooled upserts reach the store") {
     import spark.implicits._
     TestStore.reset()
