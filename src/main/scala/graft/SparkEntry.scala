@@ -55,6 +55,7 @@ object SparkEntry {
     "dedup_minhash_bucketed" -> q(Dedup.dedupMinhashBucketed),
     "dedup_minhash_verified" -> q(Dedup.dedupMinhashVerified),
     "dedup_minhash_verified_mat" -> q(Dedup.dedupMinhashVerifiedMat),
+    "dedup_minhash_verified_salted" -> q(Dedup.dedupMinhashVerifiedSalted),
     "dedup_clusters" -> q(Dedup.nearDupClusters),
     "dedup_simhash" -> q(t => Dedup.dedupSimhash(t)),
     "dedup_simhash_mat" -> q(Dedup.dedupSimhashMat),
@@ -62,6 +63,7 @@ object SparkEntry {
     "dedup_embedding_mt" -> q(Dedup.dedupEmbeddingMultitable),
     "dedup_embedding_mp" -> q(Dedup.dedupEmbeddingMultiprobe),
     "dedup_containment" -> q(Dedup.dedupContainment),
+    "dedup_decontaminate" -> q(Dedup.dedupDecontaminate),
     "doc_boilerplate_frac" -> q(Dedup.docBoilerplateFrac),
     "embed_dedup_clusters" -> q(Dedup.embedDedupClusters),
     // similarity search
@@ -134,6 +136,7 @@ object SparkEntry {
     "dedup_minhash_bucketed" -> Dedup.dedupMinhashSql,
     "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_minhash_verified_mat" -> Dedup.dedupMinhashVerifiedSql,
+    "dedup_minhash_verified_salted" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_clusters" -> Dedup.nearDupClustersSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_simhash_mat" -> Dedup.dedupSimhashSql,
@@ -141,6 +144,7 @@ object SparkEntry {
     "dedup_embedding_mt" -> Dedup.dedupEmbeddingMultitableSql,
     "dedup_embedding_mp" -> Dedup.dedupEmbeddingMultiprobeSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
+    "dedup_decontaminate" -> Dedup.dedupDecontaminateSql,
     "doc_boilerplate_frac" -> Dedup.docBoilerplateFracSql,
     "embed_dedup_clusters" -> Dedup.embedDedupClustersSql,
     "embed_topk" -> Ann.embedTopKSql,

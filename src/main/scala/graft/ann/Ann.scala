@@ -453,6 +453,23 @@ object Ann {
       .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid")))
   }
 
+  /** ANN twin of `dedup.Dedup.reapStaleStores`: reap the persisted IVF
+    * index and OPQ rotation caches orphaned by corpus/constant churn.
+    * Same operational contract — run after consumers drain.
+    */
+  def reapStaleStores(t: Tables): Seq[String] = {
+    import graft.storage.Materialize
+    val d = PqSubspaces * PqSubDim
+    Seq(
+      "graft_ivf_part" -> Materialize.corpusTag(
+        t, "embeddings", s"c=$IvfCentroids,q=$NumQueries"),
+      "graft_opq_rot" -> Materialize.corpusTag(
+        t, "embeddings", s"d=$d|m=$PqSubspaces")
+    ).flatMap { case (prefix, tag) =>
+      Materialize.reapStale(t.spark, prefix, Set(tag))
+    }
+  }
+
   /** The PQ codebook: (s, k, c, h) — for each subspace s, [[PqCodes]]
     * codewords sliced from the same deterministic sample vectors the
     * IVF quantizer uses; h = ‖c‖²/2 precomputed for the L2-argmin
@@ -493,7 +510,7 @@ object Ann {
     * DISJOINT from the IVF centroids (a centroid's own residual is the
     * zero vector — useless as a codeword).
     */
-  private def pqResidualCodebook(t: Tables): DataFrame = {
+  private[graft] def pqResidualCodebook(t: Tables): DataFrame = {
     val lo = NumQueries + IvfCentroids
     codebookFrom(residualCorpus(t)
       .filter(col("vec_id") >= lo && col("vec_id") < lo + PqCodes)
@@ -787,18 +804,28 @@ object Ann {
   def embedAnnIvfPqResidual(t: Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val cents = ivfCentroidTable(t)
     val cb = pqResidualCodebook(t)
-    val encoded = subVectors(residualCorpus(t).select(col("vec_id"), col("v")))
-      .join(broadcast(cb), Seq("s"))
-      .select(col("vec_id"), col("s"), col("k"),
-        round6(VectorFunctions.dot(col("sub_v"), col("c")) - col("h"))
-          .as("score"))
-      .groupBy(col("vec_id"), col("s"))
-      .agg(max(struct(col("score").as("sc"), (-col("k")).as("nk"))).as("m"))
-      .select(col("vec_id"), col("s"), (-col("m.nk")).as("code"))
-    val qv = e.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v"))
+    probeIvfPqResidualWith(
+      e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("v")),
+      ivfIndex(t).select(col("vec_id"), col("cid")),
+      ivfCentroidTable(t), cb,
+      pqEncodedWith(residualCorpus(t).select(col("vec_id"), col("v")), cb),
+      e)
+  }
+
+  /** [[embedAnnIvfPqResidual]]'s probe phase over EXPLICIT artifacts —
+    * (queries, cell index, quantizer, residual codebook, codes, re-rank
+    * vectors) — so the same composition serves both the live entry and
+    * a persisted index GENERATION ([[probeIvfPqGeneration]]): resolve
+    * all four index artifacts from one committed generation and the
+    * quantizer can never disagree with the codes encoded against it.
+    * `e` must hold the query vectors and every shortlist-able vector
+    * (the exact re-rank reads both sides from it).
+    */
+  private[graft] def probeIvfPqResidualWith(
+      qv: DataFrame, cellIndex: DataFrame, cents: DataFrame,
+      cb: DataFrame, encoded: DataFrame, e: DataFrame): DataFrame = {
     val probes = qv.crossJoin(broadcast(cents))
       .select(col("q_id"), col("cid"),
         round6(VectorFunctions.cosineSim(col("v"), col("cv"))).as("ccos"),
@@ -811,7 +838,7 @@ object Ann {
       .join(broadcast(cb), Seq("s"))
       .select(col("vec_id").as("q_id"), col("s"), col("k"),
         round6(VectorFunctions.dot(col("sub_v"), col("c"))).as("part"))
-    val parts = ivfIndex(t).select(col("vec_id"), col("cid"))
+    val parts = cellIndex
       .join(encoded, Seq("vec_id"))
       .join(broadcast(probes), Seq("cid"))
       .as("x")
@@ -820,7 +847,65 @@ object Ann {
           col("x.code") === col("l.k"))
       .select(col("x.q_id").as("q_id"), col("x.vec_id").as("vec_id"),
         col("x.s").as("s"), col("l.part").as("part"), col("x.base").as("base"))
-    adcTail(parts, t, withBase = true)
+    adcTailWith(parts, e, withBase = true)
+  }
+
+  /** Residual codebook over an EXPLICIT (vec_id, v, cid) assignment and
+    * its quantizer — the fit [[graft.storage.IndexMaintenance
+    * .recenterPq]] runs when a re-center swaps the centroids: the old
+    * codebook quantized residuals against centroids that no longer
+    * exist, so it must be refit with the quantizer, never kept.
+    * Codewords are the [[PqCodes]] lowest-id vectors with a NONZERO
+    * residual (deterministic; a zero residual — a vector sitting on its
+    * own centroid — is useless as a codeword). The global row_number
+    * window runs over [[PqCodes]] rows post-limit, never the corpus.
+    */
+  private[graft] def residualCodebookFrom(assigned: DataFrame,
+                                          cents: DataFrame): DataFrame = {
+    val res = assigned.join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("v"))
+    val sample = res
+      .filter(expr("exists(v, x -> abs(x) > 0d)"))
+      .orderBy(col("vec_id")).limit(PqCodes)
+      .withColumn("k",
+        (row_number().over(Window.orderBy(col("vec_id"))) - 1).cast("long"))
+    codebookFrom(sample.select(col("k"), col("v")))
+  }
+
+  /** IVF-PQ-residual serving off the CURRENT committed PQ generation
+    * under `root` (layout: [[graft.storage.IndexMaintenance]]). All
+    * four artifacts — cell index, quantizer, residual codebook, codes —
+    * resolve from the SAME generation, so a concurrent re-center can
+    * never mix old codes with new centroids; a probe that resolved
+    * generation n keeps reading exactly n until it re-resolves
+    * (generations are immutable until retired). Queries come from `t`;
+    * the exact re-rank reads the generation's stored vectors, so
+    * stream-ingested vectors that exist only in the index are rankable.
+    */
+  def probeIvfPqGeneration(t: Tables, root: String,
+                           gen: Option[Long] = None): DataFrame = {
+    import graft.storage.IndexMaintenance
+    val spark = t.spark
+    val n = gen.orElse(IndexMaintenance.currentPqGeneration(root,
+      spark.sessionState.newHadoopConf())).getOrElse(
+      throw new IllegalStateException(s"no committed PQ generation under $root"))
+    val idx = spark.read.parquet(IndexMaintenance.indexPath(root, n))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val qv = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v"))
+    val e = qv.select(col("q_id").as("vec_id"), col("v"))
+      .union(idx.select(col("vec_id"), col("v")))
+    probeIvfPqResidualWith(
+      qv,
+      idx.select(col("vec_id"), col("cid")),
+      spark.read.parquet(IndexMaintenance.centsPath(root, n)),
+      spark.read.parquet(IndexMaintenance.pqBookPath(root, n)),
+      spark.read.parquet(IndexMaintenance.pqCodesPath(root, n))
+        .select(col("vec_id"), col("s"), col("code")),
+      e)
   }
 
   def embedAnnIvfPqResidualSql: String = {

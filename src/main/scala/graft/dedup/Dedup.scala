@@ -34,7 +34,29 @@ object Dedup {
   val HammingMax = 1
   val JaccardMin = 0.8
   val CosineMin = 0.35
+  /** MINIMUM sign-LSH width for the embedding dedup family — the width
+    * actually used at test scale factors (the adaptive ladder below
+    * only widens past ~2k vectors). See [[EmbedBucketTarget]].
+    */
   val EmbedBucketBits = 2
+
+  /** Per-table dimension-slice width for the embedding dedup family:
+    * each hash table owns [[EmbedBucketBitsMax]] dims and the ADAPTIVE
+    * width reduces its full-slice bucket by right-shift, so widening
+    * with corpus growth never re-slices tables. The r8 10× scale bench
+    * measured fixed-width buckets at ~100× cost for 10× vectors
+    * (dedup_embedding_mp 4.7s → 469s) — occupancy n/2^bits makes a
+    * constant width quadratic; bits must track log2(n).
+    */
+  val EmbedBucketBitsMax = 8
+
+  /** Target bucket occupancy: bits = clamp(minBits, maxBits,
+    * floor(log2(n / target))) via the portable integer CASE ladder
+    * ([[graft.functions.Portable.bucketBitsSql]]) — computed FROM THE
+    * DATA identically in both engines, so the oracle stays exact at
+    * every corpus size and no fit artifact or config needs shipping.
+    */
+  val EmbedBucketTarget = 256
   /** Max documents a shingle may appear in before it is treated as
     * boilerplate and dropped from [[dedupNgramJaccard]]'s index. Bounds
     * the posting-list self-join at O(cap²) per shingle: without it one
@@ -323,6 +345,73 @@ object Dedup {
        |WHERE ${round6Sql("common::DOUBLE / LEAST(sa.n, sb.n)")} >= $ContainmentMin
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ----------------------------------------------------- decontamination
+
+  /** The eval slice [[dedupDecontaminate]] screens: `source = src0`
+    * plays the held-out benchmark; everything else is the training
+    * corpus. At 100 TB the eval side is a benchmark suite (tiny); the
+    * asymmetry is the point — see the directional threshold below.
+    */
+  val EvalSource = "src0"
+  val ContaminationMin = 0.9
+
+  /** Train/test DECONTAMINATION — the leakage check an LLM pipeline
+    * runs before training: which held-out (eval) documents appear,
+    * verbatim or nearly, inside any training document? The criterion is
+    * DIRECTIONAL, unlike [[dedupContainment]]'s min-based one:
+    * contamination = |eval ∩ train| / |eval| — the fraction of the EVAL
+    * doc's distinctive shingles the training doc carries. A benchmark
+    * question embedded in a big crawl page contaminates regardless of
+    * how much else that page contains, and a train doc quoting only
+    * half the eval doc does not (half the answer isn't the answer key).
+    *
+    * Same capped-inverted-index shape as the containment op: the
+    * cross-slice posting join fires on any shared rare shingle, and the
+    * doc-freq cap bounds the per-shingle fan-out. At 100 TB the eval
+    * side is tiny (a benchmark suite), so the posting join is
+    * effectively a semi-probe of the train index — the decision shape
+    * this op exists for.
+    */
+  def dedupDecontaminate(t: Tables): DataFrame = {
+    val sh = cappedShinglesFrom(shinglesMaterialized(t), ShingleDocFreqCap)
+      .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val ev = sh.filter(col("source") === EvalSource)
+      .select(col("doc_id").as("eval_doc"), col("s"))
+    val tr = sh.filter(col("source") =!= EvalSource)
+      .select(col("doc_id").as("train_doc"), col("s"))
+    val nEval = ev.groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_eval"))
+      .filter(col("n_eval") >= ContainmentMinShingles)
+    ev.join(tr, Seq("s"))
+      .groupBy(col("eval_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("common"))
+      .join(nEval, Seq("eval_doc"))
+      .select(col("eval_doc"), col("train_doc"), col("n_eval"),
+        round6(col("common").cast("double") / col("n_eval"))
+          .as("contamination"))
+      .filter(col("contamination") >= ContaminationMin)
+      .orderBy(col("eval_doc"), col("train_doc"))
+  }
+
+  def dedupDecontaminateSql: String =
+    s"""WITH $shinglesSql,
+       |shc AS (SELECT sh.doc_id, sh.s, d.source FROM sh
+       |        JOIN documents d ON d.doc_id = sh.doc_id
+       |        WHERE sh.s IN (SELECT s FROM sh GROUP BY s
+       |                       HAVING COUNT(*) <= $ShingleDocFreqCap)),
+       |ev AS (SELECT doc_id eval_doc, s FROM shc WHERE source = '$EvalSource'),
+       |tr AS (SELECT doc_id train_doc, s FROM shc WHERE source <> '$EvalSource'),
+       |ne AS (SELECT eval_doc, COUNT(*) n_eval FROM ev GROUP BY eval_doc
+       |       HAVING COUNT(*) >= $ContainmentMinShingles),
+       |pairs AS (SELECT eval_doc, train_doc, COUNT(*) common
+       |          FROM ev JOIN tr ON ev.s = tr.s
+       |          GROUP BY eval_doc, train_doc)
+       |SELECT eval_doc, train_doc, n_eval,
+       |  ${round6Sql("common::DOUBLE / n_eval")} AS contamination
+       |FROM pairs JOIN ne USING (eval_doc)
+       |WHERE ${round6Sql("common::DOUBLE / n_eval")} >= $ContaminationMin
+       |ORDER BY eval_doc, train_doc""".stripMargin
+
   // -------------------------------------------------- boilerplate frac
 
   /** Per-document BOILERPLATE fraction — the diagnostic the shingle
@@ -520,6 +609,91 @@ object Dedup {
   def dedupMinhashVerifiedMat(t: Tables): DataFrame =
     dedupMinhashVerifiedFrom(keeperShinglesMaterialized(t))
 
+  /** Pair-degree above which a candidate doc is a WHALE in the verify
+    * stage. Star routing makes whales STRUCTURAL, not accidental: a
+    * flooded band key pairs every member with ONE keeper
+    * ([[bandCandidatePairs]]), so that keeper's pair degree equals the
+    * flood size. At 100 TB a 10M-near-copy template makes its keeper a
+    * doc in ~10M candidate pairs, and the verify join — keyed on the
+    * pair's doc id — lands ALL of them, times the keeper's shingle
+    * count, in a single task (~10M × 10k rows). AQE skew-split cannot
+    * save it: the blowup happens inside the task as join fan-out, not
+    * as oversized shuffle input.
+    */
+  val WhaleDegree = 32
+
+  /** Salt fan-out for whale docs in [[verifiedPairsSaltedFrom]]: a
+    * whale's verify work spreads across this many tasks. Local-scale
+    * value; at 100 TB size it so (flood / salts) × shingles rows fit a
+    * task comfortably (thousands).
+    */
+  val VerifySalts = 8
+
+  /** [[dedupMinhashVerified]] with WHALE-SALTED verify joins — the
+    * at-scale twin of the verified entry, identical rows (same oracle:
+    * salting is engine-internal). Docs whose candidate-pair degree
+    * exceeds `whaleDegree` get their shingle rows replicated across
+    * `salts` salt values, and each pair probes the single salt chosen
+    * by hashing its PARTNER doc id — so a flood keeper's pairs scatter
+    * uniformly over `salts` tasks instead of one, while non-whale docs
+    * pay nothing (salt 0 both sides, no replication). The whale list is
+    * tiny by construction (degree > cap only happens through star
+    * routing or dense true-dup neighborhoods) and broadcasts.
+    */
+  def dedupMinhashVerifiedSalted(t: Tables): DataFrame =
+    verifiedPairsSaltedFrom(keeperShinglesMaterialized(t))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private[graft] def verifiedPairsSaltedFrom(
+      shAll: DataFrame,
+      whaleDegree: Int = WhaleDegree,
+      salts: Int = VerifySalts): DataFrame = {
+    val cand = minhashCandidatesFrom(shAll)
+    val ends = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id")))
+    val candDocs = ends.distinct()
+    val whales = ends.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+      .filter(col("deg") > whaleDegree)
+      .select(col("doc_id"), lit(true).as("w"))
+    val sh = shAll.join(candDocs, Seq("doc_id"), "left_semi")
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // whale shingle rows exist once per salt; everyone else salt 0 only
+    val shS = sh
+      .join(broadcast(whales), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("s"),
+        explode(when(col("w").isNotNull, sequence(lit(0), lit(salts - 1)))
+          .otherwise(array(lit(0)))).as("salt"))
+    // a pair probes exactly ONE salt per side, chosen by the partner id:
+    // deterministic, uniform over a whale's pairs, engine-internal
+    // (Murmur3 hash never crosses the oracle boundary — only row
+    // placement depends on it, never row values)
+    val candS = cand
+      .join(broadcast(whales.select(col("doc_id").as("doc_a"),
+        col("w").as("wa"))), Seq("doc_a"), "left")
+      .join(broadcast(whales.select(col("doc_id").as("doc_b"),
+        col("w").as("wb"))), Seq("doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        when(col("wa").isNotNull, pmod(hash(col("doc_b")), lit(salts)))
+          .otherwise(lit(0)).as("salt_a"),
+        when(col("wb").isNotNull, pmod(hash(col("doc_a")), lit(salts)))
+          .otherwise(lit(0)).as("salt_b"))
+    candS
+      .join(shS.as("x"),
+        col("doc_a") === col("x.doc_id") && col("salt_a") === col("x.salt"))
+      .join(shS.as("y"),
+        col("doc_b") === col("y.doc_id") && col("salt_b") === col("y.salt")
+          && col("x.s") === col("y.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round6(col("common").cast("double")
+          / (col("sa.n") + col("sb.n") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= JaccardMin)
+  }
+
   /** Ensure-write [[shingles]] to a per-corpus warehouse parquet dir,
     * read it back. First call pays the tokenize + distinct + write;
     * every later call (any entry, same session or later ones sharing
@@ -553,6 +727,39 @@ object Dedup {
     */
   private[graft] def corpusShingleStore(t: Tables): DataFrame =
     keeperShinglesMaterialized(t)
+
+  /** The corpus side of the STREAMING containment gate
+    * (streaming.Jobs.ContainmentGate): the capped posting list over the
+    * FULL shingle store ([[dedupContainment]]'s index — containment
+    * compares all docs, not keepers) with each corpus doc's capped
+    * shingle count attached. (s, corpus_doc, n_b); only docs carrying
+    * at least [[ContainmentMinShingles]] capped shingles participate,
+    * same rule as the batch op.
+    */
+  private[graft] def containmentCorpusPosting(t: Tables): DataFrame = {
+    val sh = cappedShinglesFrom(shinglesMaterialized(t), ShingleDocFreqCap)
+    val sz = sh.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("int").as("n_b"))
+      .filter(col("n_b") >= ContainmentMinShingles)
+    sh.join(sz, Seq("doc_id"))
+      .select(col("s"), col("doc_id").as("corpus_doc"), col("n_b"))
+  }
+
+  /** Shingles the corpus holds in MORE than [[ShingleDocFreqCap]] docs —
+    * the boilerplate vocabulary an arriving doc's shingles are checked
+    * against ([[containmentCorpusPosting]]'s complement). Small by
+    * construction: a shingle enters only by appearing in >cap docs, so
+    * the list is bounded by corpus-shingle-mass / cap. Boundary note
+    * (same rule as [[corpusBands]], documented there): frequencies count
+    * the CORPUS side only, so a new intake doc's own occurrence never
+    * pushes a shingle over the cap — one-doc drift at exactly freq=cap,
+    * never unbounded.
+    */
+  private[graft] def floodedShingleVocab(t: Tables): DataFrame =
+    shinglesMaterialized(t).groupBy(col("s"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > ShingleDocFreqCap)
+      .select(col("s"))
 
   /** Buckets for the shingle / band stores. Local-scale value; at
     * 100 TB size so one bucket's posting lists fit an executor
@@ -628,6 +835,45 @@ object Dedup {
   def dedupMinhashBucketed(t: Tables): DataFrame =
     bandCandidatePairs(bandsBucketed(t), BandDocFreqCap)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Reap dedup warehouse stores orphaned by tag churn (ADVICE r7: the
+    * r8 `|keep` retag left the pre-keeper `graft_shingles_keep` /
+    * `graft_simhash` / `graft_bands_b` copies unreachable on disk).
+    * Parquet caches go through [[graft.storage.Materialize.reapStale]];
+    * stale BUCKETED stores are managed catalog tables, so they reap via
+    * DROP TABLE (which deletes the managed location). Returns reaped
+    * names. Run after consumers drain, never on the query path.
+    */
+  def reapStaleStores(t: Tables): Seq[String] = {
+    import graft.storage.Materialize
+    val parquetKeep = Map(
+      "graft_keeper_ids" -> Materialize.corpusTag(t, "documents", "keep-ids"),
+      "graft_shingles" -> Materialize.corpusTag(t, "documents", s"sh=$ShingleSize"),
+      "graft_shingles_keep" ->
+        Materialize.corpusTag(t, "documents", s"sh=$ShingleSize|keep"),
+      "graft_simhash" ->
+        Materialize.corpusTag(t, "documents", s"bits=$SimhashBits|keep"))
+    val reapedDirs = parquetKeep.toSeq.flatMap { case (prefix, tag) =>
+      Materialize.reapStale(t.spark, prefix, Set(tag))
+    }
+    val bucketKeep = Map(
+      "graft_shingles_b" -> Materialize.corpusTag(
+        t, "documents", s"sh=$ShingleSize|b=$DedupStoreBuckets"),
+      "graft_bands_b" -> Materialize.corpusTag(
+        t, "documents",
+        s"sh=$ShingleSize|p=$NumPerms|nb=$NumBands|b=$DedupStoreBuckets|keep"))
+    val reapedTables = bucketKeep.toSeq.flatMap { case (prefix, tag) =>
+      val pat = java.util.regex.Pattern.compile(
+        java.util.regex.Pattern.quote(prefix) + "_([0-9a-f]{12})")
+      t.spark.catalog.listTables().collect().toSeq
+        .flatMap { tb =>
+          val m = pat.matcher(tb.name)
+          if (m.matches() && m.group(1) != tag) Some(tb.name) else None
+        }
+        .map { name => t.spark.sql(s"DROP TABLE IF EXISTS `$name`"); name }
+    }
+    reapedDirs ++ reapedTables
+  }
 
   private def dedupMinhashVerifiedFrom(shAll: DataFrame): DataFrame =
     verifiedPairsFrom(shAll).orderBy(col("doc_a"), col("doc_b"))
@@ -1012,21 +1258,24 @@ object Dedup {
     * so the DuckDB oracle is unchanged); pairs are sparse here (a vector
     * meets only its bucket), which is exactly the fused form's sweet
     * spot — no norm column in the self-join payload. Rounds to 6 dp.
-    * At 100 TB: more bucket bits (and multiple hash tables for recall) —
-    * the plan shape, a bucket-equi-join, is unchanged.
+    * Width ADAPTS to corpus size (the [[EmbedBucketTarget]] ladder):
+    * the r8 10× bench measured the fixed-width version at ~100× cost
+    * for 10× vectors — occupancy n/2^bits is the whole ballgame. The
+    * plan shape, a bucket-equi-join, is unchanged at any width.
     */
   def dedupEmbedding(t: Tables): DataFrame =
     embedPairsFrom(t).orderBy(col("vec_a"), col("vec_b"))
 
   /** [[dedupEmbedding]] without the output sort — the embedding
     * near-dup edge list, for composition ([[embedDedupClusters]]).
+    * `forceBits` pins the width for DedupSpec's adaptive-vs-fixed
+    * comparison; production always adapts.
     */
-  private def embedPairsFrom(t: Tables): DataFrame = {
-    val bucketExpr =
-      graft.functions.Portable.signBucketExpr(EmbedBucketBits, oneBasedIndex = false)
-    val e = t.embeddings
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("bucket", expr(bucketExpr))
+  private[graft] def embedPairsFrom(t: Tables,
+                                    forceBits: Option[Int] = None): DataFrame = {
+    val e = embedBucketed(t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v")),
+      offset = 0, forceBits.getOrElse(embedBits(t)))
     e.as("x")
       .join(e.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
@@ -1036,13 +1285,48 @@ object Dedup {
       .filter(col("cos_sim") >= CosineMin)
   }
 
+  /** (vec_id, v, bucket) under a given width: the full
+    * [[EmbedBucketBitsMax]]-bit sign bucket of the dim slice at
+    * `offset`, right-shifted down to `bits` — a literal, so the bucket
+    * stays one codegen'd projection.
+    */
+  private def embedBucketed(e: DataFrame, offset: Int, bits: Int): DataFrame = {
+    val full = graft.functions.Portable.signBucketExpr(
+      EmbedBucketBitsMax, oneBasedIndex = false, offset = offset)
+    e.withColumn("bucket",
+      expr(s"shiftright($full, ${EmbedBucketBitsMax - bits})"))
+  }
+
+  private val embedBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[Tables, Integer]()
+
+  /** The adaptive width for `t`'s embedding corpus — the Scala twin of
+    * [[graft.functions.Portable.bucketBitsSql]]'s integer ladder
+    * (identical thresholds, so Spark and the oracle can never disagree)
+    * over ONE memoized parquet count per (session, corpus). The count
+    * is a metadata-only scan (parquet row-group footers) and the driver
+    * sees a single long — the clusterKeepers scalar-count precedent,
+    * not a data collect. A literal width keeps the bucket projection
+    * inside whole-stage codegen and the dedup plans free of the
+    * one-row-broadcast join a column-typed width would need.
+    */
+  private def embedBits(t: Tables): Int =
+    embedBitsCache.computeIfAbsent(t, _ => {
+      val n = t.embeddings.count()
+      var k = EmbedBucketBits
+      while (k < EmbedBucketBitsMax &&
+        n >= (EmbedBucketTarget.toLong << (k + 1))) k += 1
+      k
+    }).intValue
+
   /** Hash tables for [[dedupEmbeddingMultitable]] — each table buckets
-    * on a DISJOINT [[EmbedBucketBits]]-dim sign slice (offsets 0, 2,
-    * 4). OR-amplification: a pair is a candidate if ANY table agrees,
-    * so recall over near-neighbors rises from p to 1−(1−p)^tables
-    * while each table's join stays a bucket equi-join. This is the
-    * production recall dial the single-table entry's scaladoc promises
-    * ("multiple hash tables for recall") realized as an operator.
+    * on a DISJOINT [[EmbedBucketBitsMax]]-dim sign slice (offsets 0,
+    * 8, 16), reduced to the adaptive width. OR-amplification: a pair
+    * is a candidate if ANY table agrees, so recall over near-neighbors
+    * rises from p to 1−(1−p)^tables while each table's join stays a
+    * bucket equi-join. This is the production recall dial the
+    * single-table entry's scaladoc promises ("multiple hash tables for
+    * recall") realized as an operator.
     */
   val EmbedNumTables = 3
 
@@ -1059,15 +1343,7 @@ object Dedup {
   def dedupEmbeddingMultitable(t: Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val tbls = (0 until EmbedNumTables).map { j =>
-      struct(lit(j).as("tbl"), expr(graft.functions.Portable.signBucketExpr(
-        EmbedBucketBits, oneBasedIndex = false,
-        offset = j * EmbedBucketBits)).as("bucket"))
-    }
-    val b = e
-      .select(col("vec_id"), explode(array(tbls: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"),
-        col("tb.bucket").as("bucket"))
+    val b = embedTables(e, embedBits(t))
     val cand = b.as("x")
       .join(b.as("y"),
         col("x.tbl") === col("y.tbl") &&
@@ -1084,6 +1360,23 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** (vec_id, tbl, bucket) for all [[EmbedNumTables]] hash tables at
+    * width `bits` — one explode, all projections codegen'd; shared by
+    * the multi-table and multiprobe entries so the table definitions
+    * cannot drift.
+    */
+  private def embedTables(e: DataFrame, bits: Int): DataFrame = {
+    val tbls = (0 until EmbedNumTables).map { j =>
+      struct(lit(j).as("tbl"), expr(graft.functions.Portable.signBucketExpr(
+        EmbedBucketBitsMax, oneBasedIndex = false,
+        offset = j * EmbedBucketBitsMax)).as("full"))
+    }
+    e.select(col("vec_id"), explode(array(tbls: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        expr(s"shiftright(tb.full, ${EmbedBucketBitsMax - bits})")
+          .as("bucket"))
+  }
+
   /** [[dedupEmbeddingMultitable]] PLUS within-table hamming-1 probing —
     * `embed_ann_multiprobe`'s query-side expansion applied to the dedup
     * self-join. One side of each table's join additionally probes every
@@ -1097,16 +1390,11 @@ object Dedup {
   def dedupEmbeddingMultiprobe(t: Tables): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val tbls = (0 until EmbedNumTables).map { j =>
-      struct(lit(j).as("tbl"), expr(graft.functions.Portable.signBucketExpr(
-        EmbedBucketBits, oneBasedIndex = false,
-        offset = j * EmbedBucketBits)).as("bucket"))
-    }
-    val b = e
-      .select(col("vec_id"), explode(array(tbls: _*)).as("tb"))
-      .select(col("vec_id"), col("tb.tbl").as("tbl"),
-        col("tb.bucket").as("bucket"))
-    val masks = lit(0) +: (0 until EmbedBucketBits).map(i => lit(1 << i))
+    val bits = embedBits(t)
+    val b = embedTables(e, bits)
+    // hamming-1 masks of the REDUCED bucket: only flips below the
+    // adaptive width apply (mask 0 always probes the own bucket)
+    val masks = lit(0) +: (0 until bits).map(i => lit(1 << i))
     val probes = b
       .select(col("vec_id"), col("tbl"),
         explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*))
@@ -1127,18 +1415,30 @@ object Dedup {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
-  def dedupEmbeddingMultiprobeSql: String = {
+  /** `nb` CTE — the adaptive-width ladder over the `e` relation; `b` —
+    * all hash tables' reduced buckets. Shared by both multi-table SQL
+    * generators (must match [[embedTables]] exactly).
+    */
+  private def embedTablesCtes: String = {
+    val ladder = graft.functions.Portable.bucketBitsSql(
+      "COUNT(*)", EmbedBucketBits, EmbedBucketBitsMax, EmbedBucketTarget)
     val tableSelects = (0 until EmbedNumTables).map { j =>
-      val bucketExpr = graft.functions.Portable.signBucketExpr(
-        EmbedBucketBits, oneBasedIndex = true, offset = j * EmbedBucketBits)
-      s"SELECT vec_id, $j tbl, $bucketExpr bucket FROM e"
+      val full = graft.functions.Portable.signBucketExpr(
+        EmbedBucketBitsMax, oneBasedIndex = true, offset = j * EmbedBucketBitsMax)
+      s"SELECT vec_id, $j tbl, nb.bits, ($full) >> ($EmbedBucketBitsMax - nb.bits) bucket FROM e, nb"
     }.mkString(" UNION ALL ")
-    val maskVals = (0 +: (0 until EmbedBucketBits).map(1 << _))
+    s"""nb AS (SELECT $ladder bits FROM e),
+       |b AS ($tableSelects)""".stripMargin
+  }
+
+  def dedupEmbeddingMultiprobeSql: String = {
+    val maskVals = (0 +: (0 until EmbedBucketBitsMax).map(1 << _))
       .map(m => s"($m)").mkString(",")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       |b AS ($tableSelects),
+       |$embedTablesCtes,
        |pr AS (SELECT vec_id, tbl, xor(bucket, m.mask) bucket
-       |       FROM b, (VALUES $maskVals) m(mask)),
+       |       FROM b, (VALUES $maskVals) m(mask)
+       |       WHERE m.mask < (1 << b.bits)),
        |cand AS (SELECT DISTINCT x.vec_id vec_a, y.vec_id vec_b
        |         FROM pr x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
        |          AND x.vec_id < y.vec_id)
@@ -1150,14 +1450,9 @@ object Dedup {
        |ORDER BY vec_a, vec_b""".stripMargin
   }
 
-  def dedupEmbeddingMultitableSql: String = {
-    val tableSelects = (0 until EmbedNumTables).map { j =>
-      val bucketExpr = graft.functions.Portable.signBucketExpr(
-        EmbedBucketBits, oneBasedIndex = true, offset = j * EmbedBucketBits)
-      s"SELECT vec_id, $j tbl, $bucketExpr bucket FROM e"
-    }.mkString(" UNION ALL ")
+  def dedupEmbeddingMultitableSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-       |b AS ($tableSelects),
+       |$embedTablesCtes,
        |cand AS (SELECT DISTINCT x.vec_id vec_a, y.vec_id vec_b
        |         FROM b x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
        |          AND x.vec_id < y.vec_id)
@@ -1167,17 +1462,19 @@ object Dedup {
        |          JOIN e eb ON vec_b = eb.vec_id
        |WHERE ${round6Sql("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))")} >= $CosineMin
        |ORDER BY vec_a, vec_b""".stripMargin
-  }
 
   /** `e`/`b`/`ver` CTEs for the embedding near-dup pairs (ver aliases
     * the pair columns doc_a/doc_b so [[clusterLabCtes]] composes).
     */
   private def embedPairCtes: String = {
-    val bucketExpr =
-      graft.functions.Portable.signBucketExpr(EmbedBucketBits, oneBasedIndex = true)
+    val ladder = graft.functions.Portable.bucketBitsSql(
+      "COUNT(*)", EmbedBucketBits, EmbedBucketBitsMax, EmbedBucketTarget)
+    val full =
+      graft.functions.Portable.signBucketExpr(EmbedBucketBitsMax, oneBasedIndex = true)
     s"""e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       |nb AS (SELECT $ladder bits FROM e),
        |b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) norm,
-       |        $bucketExpr AS bucket FROM e),
+       |        ($full) >> ($EmbedBucketBitsMax - nb.bits) AS bucket FROM e, nb),
        |ver AS (SELECT x.vec_id doc_a, y.vec_id doc_b,
        |    ${round6Sql("list_dot_product(x.v, y.v) / (x.norm * y.norm)")} AS cos_sim
        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id

@@ -60,4 +60,23 @@ object Portable {
       val idx = offset + i + (if (oneBasedIndex) 1 else 0)
       s"(CASE WHEN v[$idx] > 0 THEN ${1 << (bits - 1 - i)} ELSE 0 END)"
     }.mkString(" + ")
+
+  /** ADAPTIVE sign-LSH width: the bucket-bit count as a pure integer
+    * CASE ladder over a corpus-count reference — `bits = k` when
+    * `count ≥ target·2^k`, clamped to [minBits, maxBits]. Fixed bits
+    * are a scale bug, not a tuning choice: expected bucket occupancy is
+    * n/2^bits, so a bucket SELF-join over a constant width grows
+    * quadratically with the corpus (the r8 10× bench measured the
+    * embedding dedup family at ~100× cost for 10× data). Width must
+    * grow with log(n) to hold occupancy ≈ target. Integer comparisons
+    * on purpose — a float `floor(log2(n/target))` can flip at boundary
+    * counts when two engines' libm differ in the last ulp; a CASE
+    * ladder over integer thresholds is bit-free and identical in Spark
+    * SQL and DuckDB, so the oracle stays exact at EVERY corpus size.
+    */
+  def bucketBitsSql(countRef: String, minBits: Int, maxBits: Int,
+                    target: Int): String =
+    (maxBits to (minBits + 1) by -1)
+      .map(k => s"WHEN $countRef >= ${target.toLong << k} THEN $k")
+      .mkString("(CASE ", " ", s" ELSE $minBits END)")
 }

@@ -91,6 +91,28 @@ object IndexMaintenance {
 
   def indexPath(root: String, n: Long): String = s"$root/gen=$n/index"
   def centsPath(root: String, n: Long): String = s"$root/gen=$n/cents"
+  def pqBookPath(root: String, n: Long): String = s"$root/gen=$n/pqbook"
+  def pqCodesPath(root: String, n: Long): String = s"$root/gen=$n/pqcodes"
+
+  /** Generations whose PQ artifacts are ALSO committed — the set
+    * [[graft.ann.Ann.probeIvfPqGeneration]] resolves from. A plain
+    * (index, cents) generation is not PQ-servable; a PQ generation is
+    * both. `cents` still commits last, after the PQ artifacts, so the
+    * four-way commit stays atomic at the same `_SUCCESS` rename.
+    */
+  def pqGenerations(root: String,
+                    conf: Configuration = new Configuration()): Seq[Long] = {
+    val r = new Path(root)
+    val fs = r.getFileSystem(conf)
+    committedGenerations(root, conf).filter { n =>
+      fs.exists(new Path(r, s"gen=$n/pqbook/_SUCCESS")) &&
+        fs.exists(new Path(r, s"gen=$n/pqcodes/_SUCCESS"))
+    }
+  }
+
+  def currentPqGeneration(root: String,
+                          conf: Configuration = new Configuration()): Option[Long] =
+    pqGenerations(root, conf).lastOption
 
   /** Write (index, cents) as the next generation under `root` and
     * return its number. The index lands one file per cell (the
@@ -104,6 +126,60 @@ object IndexMaintenance {
       .write.mode("overwrite").partitionBy("cid").parquet(indexPath(root, n))
     cents.coalesce(1).write.mode("overwrite").parquet(centsPath(root, n))
     n
+  }
+
+  /** Write a full IVF-PQ generation: index + quantizer + residual
+    * codebook + codes. Codes are DERIVED here, from the committed index
+    * files against exactly these centroids and this codebook
+    * ([[graft.ann.Ann.pqEncodedWith]] over the residuals — the batch
+    * entry's encode criterion verbatim), so a generation can never hold
+    * codes encoded against some other quantizer. Write order: index,
+    * codes, codebook, cents — cents last, so [[pqGenerations]] resolves
+    * a generation only once all four artifacts are durable.
+    */
+  def publishGenerationPq(spark: SparkSession, root: String,
+                          index: DataFrame, cents: DataFrame,
+                          codebook: DataFrame): Long = {
+    import org.apache.spark.sql.functions.{broadcast, expr}
+    val conf = spark.sessionState.newHadoopConf()
+    val n = committedGenerations(root, conf).lastOption.getOrElse(-1L) + 1
+    index.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(indexPath(root, n))
+    val idx = spark.read.parquet(indexPath(root, n))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val residuals = idx.join(broadcast(cents), Seq("cid"))
+      .select(col("vec_id"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("v"))
+    val codes = graft.ann.Ann.pqEncodedWith(residuals, codebook)
+      .join(idx.select(col("vec_id"), col("cid")), Seq("vec_id"))
+    codes.repartition(col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(pqCodesPath(root, n))
+    codebook.coalesce(1).write.mode("overwrite").parquet(pqBookPath(root, n))
+    cents.coalesce(1).write.mode("overwrite").parquet(centsPath(root, n))
+    n
+  }
+
+  /** [[recenter]] for a PQ generation: re-fit the quantizer, re-assign
+    * every vector, RE-FIT the residual codebook against the new
+    * centroids ([[graft.ann.Ann.residualCodebookFrom]] — old codewords
+    * quantized residuals that no longer exist), and re-encode all codes
+    * — published four-together as the next generation, so serving
+    * ([[graft.ann.Ann.probeIvfPqGeneration]]) can never observe a
+    * quantizer/codebook/code mix from different fits. Probes that
+    * resolved the old generation keep their answers mid-swap (AnnSpec
+    * pins it, same as the IVF-only protocol).
+    */
+  def recenterPq(spark: SparkSession, root: String, iters: Int = 2): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val cur = currentPqGeneration(root, conf).getOrElse(
+      throw new IllegalStateException(s"no committed PQ generation under $root"))
+    val vecs = spark.read.parquet(indexPath(root, cur))
+      .select(col("vec_id"), col("v"))
+    val cents0 = spark.read.parquet(centsPath(root, cur))
+    val cents = graft.ann.Ann.ivfFitFrom(vecs, cents0, iters)
+    val assigned = graft.ann.Ann.assignIndex(vecs, cents)
+    val codebook = graft.ann.Ann.residualCodebookFrom(assigned, cents)
+    publishGenerationPq(spark, root, assigned, cents, codebook)
   }
 
   /** Periodic IVF re-centering — the batch compaction of quantizer

@@ -35,6 +35,36 @@ object Materialize {
       .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
   }
 
+  /** Delete every warehouse cache dir of `prefix` whose tag is not in
+    * `keep`; returns the reaped dir names. Tag churn (corpus
+    * regenerated, constants retuned, a store definition change like r8's
+    * `|keep` suffix) orphans the previous `<prefix>_<tag>` dirs — the
+    * ensure-write protocol never reads them again, but they hold a full
+    * copy of the store each, which at 100 TB is real money. Matching is
+    * strict (`<prefix>_` + exactly 12 hex chars), so a prefix that is
+    * itself a prefix of another store's name (`graft_shingles` vs
+    * `graft_shingles_keep`) can never reap the other store's dirs.
+    * Operational maintenance, not a query-path call: run it AFTER
+    * consumers of the old tags have drained, same contract as
+    * `IndexMaintenance.retireOld`.
+    */
+  def reapStale(spark: SparkSession, prefix: String,
+                keep: Set[String]): Seq[String] = {
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    val pat = java.util.regex.Pattern.compile(
+      java.util.regex.Pattern.quote(prefix) + "_([0-9a-f]{12})")
+    if (!fs.exists(wh)) Nil
+    else fs.listStatus(wh).toSeq
+      .filter(_.isDirectory)
+      .flatMap { s =>
+        val m = pat.matcher(s.getPath.getName)
+        if (m.matches() && !keep.contains(m.group(1))) Some(s.getPath)
+        else None
+      }
+      .map { p => fs.delete(p, true); p.getName }
+  }
+
   /** Write `df` as parquet under the session warehouse at
     * `<prefix>_<tag>` unless already present; return the read-back
     * frame. `partitionCols` forwards to `partitionBy`.

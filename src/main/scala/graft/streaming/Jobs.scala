@@ -29,6 +29,26 @@ import org.apache.spark.sql.Row
   */
 object Jobs {
 
+  /** Parse a `"<n> <unit>"` watermark lag into millis — the event-time
+    * timeout arithmetic the stateful gates share (they must add the SAME
+    * lag they passed to `withWatermark`, or state expires early/late).
+    */
+  private[streaming] def lagMillis(watermarkLag: String): Long =
+    watermarkLag.trim.split("\\s+") match {
+      case Array(n, u) =>
+        val unit = u.toLowerCase.stripSuffix("s")
+        n.toLong * (unit match {
+          case "millisecond" => 1L
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour" => 3600000L
+          case other => throw new IllegalArgumentException(
+            s"unsupported watermark lag unit: $other")
+        })
+      case _ => throw new IllegalArgumentException(
+        s"watermark lag must be '<n> <unit>', got '$watermarkLag'")
+    }
+
   // ---------------------------------------------------------------------
   // WordCountStream — ref: WordCount.java:30-60 (socket → flatMap →
   // mapToPair → reduceByKey → print).
@@ -448,20 +468,7 @@ object Jobs {
                     watermarkLag: String = "30 seconds"): Dataset[(Long, Long, Int)] = {
       val spark = docs.sparkSession
       import spark.implicits._
-      val lagMs = watermarkLag.trim.split("\\s+") match {
-        case Array(n, u) =>
-          val unit = u.toLowerCase.stripSuffix("s")
-          n.toLong * (unit match {
-            case "millisecond" => 1L
-            case "second" => 1000L
-            case "minute" => 60000L
-            case "hour" => 3600000L
-            case other => throw new IllegalArgumentException(
-              s"unsupported watermark lag unit: $other")
-          })
-        case _ => throw new IllegalArgumentException(
-          s"watermark lag must be '<n> <unit>', got '$watermarkLag'")
-      }
+      val lagMs = lagMillis(watermarkLag)
       val corpusBands = StaticCache.of(t, "corpusBands") {
         graft.dedup.Dedup.corpusBands(t)
           .select(col("doc_id").as("corpus_doc"),
@@ -537,6 +544,136 @@ object Jobs {
                   else st = st.copy(matches = st.matches.updated(cd, acc))
                 }
               }
+              state.update(st)
+              state.setTimeoutTimestamp(math.max(st.tsMs + lagMs,
+                state.getCurrentWatermarkMs() + 1))
+              Iterator.empty
+            }
+          })
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // ContainmentGate — the INTAKE twin of dedup_containment: is a newly
+  // arriving document contained in (or containing) something already IN
+  // the corpus? The band gates structurally miss this shape — a small
+  // doc quoted inside a 10× larger one almost never shares a minhash
+  // band — so the intake quartet gains the posting-list probe: the
+  // asymmetric-inclusion decision made BEFORE admitting a doc.
+  // ---------------------------------------------------------------------
+  object ContainmentGate {
+
+    import graft.dedup.Dedup
+
+    /** One posting-probe row headed for the state store: an arriving
+      * doc's capped shingle `s`, and — when some corpus doc holds it —
+      * that doc and its capped shingle count.
+      */
+    private[streaming] case class ContainRow(
+        ts: java.sql.Timestamp, docId: Long, s: String,
+        corpusDoc: Option[Long], nB: Option[Int])
+
+    private[streaming] case class CorpusHit(nB: Int, common: Seq[String])
+    private[streaming] case class ContainState(
+        tsMs: Long, own: Seq[String], matches: Map[Long, CorpusHit])
+
+    /** The batch criterion verbatim ([[graft.dedup.Dedup.dedupContainment]]:
+      * round6(common / min(nA, nB)) ≥ ContainmentMin, both sides at
+      * least ContainmentMinShingles capped shingles) — Portable.round6's
+      * IEEE sequence so boundary ratios verify in both engines.
+      */
+    private[streaming] def contains(common: Int, nA: Int, nB: Int): Boolean =
+      nA >= Dedup.ContainmentMinShingles &&
+        nB >= Dedup.ContainmentMinShingles &&
+        graft.functions.Portable.round6Double(
+          common.toDouble / math.min(nA, nB)) >= Dedup.ContainmentMin
+
+    /** (doc_id, corpus_doc, containment) for every arriving doc whose
+      * capped-shingle overlap with a corpus doc clears the containment
+      * threshold — replaying a corpus-resident doc reproduces its batch
+      * [[graft.dedup.Dedup.dedupContainment]] partners exactly, both
+      * orientations, plus the trivial self-match (StreamingJobsSpec
+      * pins it).
+      *
+      * Shape: per-row HOF shingling (the shared batch definition), an
+      * anti-join against the memoized FLOODED vocabulary (so `nA`
+      * counts exactly the batch op's capped shingles — novel shingles
+      * the corpus never saw stay in, boilerplate stays out), a LEFT
+      * join against the capped posting list (s → corpus_doc, n_b), then
+      * ONE stateful operator accumulating per-doc hit sets until the
+      * event-time timeout. State per doc is bounded by its capped
+      * shingle count × its posting fan-out, and the posting list itself
+      * is doc-freq-capped — no row of it exceeds [[graft.dedup.Dedup
+      * .ShingleDocFreqCap]] corpus docs — so a boilerplate flood cannot
+      * blow up the join. Corpus-side frequency boundary documented at
+      * [[graft.dedup.Dedup.floodedShingleVocab]].
+      */
+    def matches(docs: DataFrame, t: Tables,
+                watermarkLag: String = "30 seconds"): Dataset[(Long, Long, Double)] = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val lagMs = lagMillis(watermarkLag)
+      val flooded = StaticCache.of(t, "containFlooded") {
+        Dedup.floodedShingleVocab(t)
+      }
+      val posting = StaticCache.of(t, "containPosting") {
+        Dedup.containmentCorpusPosting(t)
+      }
+      val rows = docs
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= Dedup.ShingleSize)
+        .withColumn("sh", graft.functions.TextFunctions.shingles(
+          col("toks"), Dedup.ShingleSize))
+        .select(col("ts"), col("doc_id"),
+          explode(array_distinct(col("sh"))).as("s"))
+        .withWatermark("ts", watermarkLag)
+        .join(flooded, Seq("s"), "left_anti")
+        .join(posting, Seq("s"), "left")
+        .select(col("ts"), col("doc_id").as("docId"), col("s"),
+          col("corpus_doc").as("corpusDoc"), col("n_b").as("nB"))
+        .as[ContainRow]
+      rows
+        .groupByKey(_.docId)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (docId: Long, batch: Iterator[ContainRow],
+           state: GroupState[ContainState]) => {
+            if (state.hasTimedOut) {
+              val st = state.get
+              state.remove()
+              val nA = st.own.size
+              st.matches.iterator.collect {
+                case (cd, hit) if contains(hit.common.size, nA, hit.nB) =>
+                  (docId, cd, graft.functions.Portable.round6Double(
+                    hit.common.size.toDouble / math.min(nA, hit.nB)))
+              }
+            } else {
+              // set-based accumulation: the posting join fans each
+              // shingle out once per matching corpus doc, so a
+              // Seq.contains dedupe would be O(shingles × fan-out) per
+              // micro-batch — linear sets, serialized back to Seqs for
+              // the state encoder
+              val st0 = state.getOption
+                .getOrElse(ContainState(0L, Nil, Map.empty))
+              var tsMs = st0.tsMs
+              val own = scala.collection.mutable.Set(st0.own: _*)
+              val hits = scala.collection.mutable.Map.empty[
+                Long, (Int, scala.collection.mutable.Set[String])]
+              st0.matches.foreach { case (cd, h) =>
+                hits(cd) = (h.nB, scala.collection.mutable.Set(h.common: _*))
+              }
+              batch.foreach { r =>
+                tsMs = math.max(tsMs, r.ts.getTime)
+                own += r.s
+                for (cd <- r.corpusDoc; nb <- r.nB)
+                  hits.getOrElseUpdate(
+                    cd, (nb, scala.collection.mutable.Set.empty[String]))
+                    ._2 += r.s
+              }
+              val st = ContainState(tsMs, own.toSeq,
+                hits.iterator.map { case (cd, (nb, set)) =>
+                  cd -> CorpusHit(nb, set.toSeq)
+                }.toMap)
               state.update(st)
               state.setTimeoutTimestamp(math.max(st.tsMs + lagMs,
                 state.getCurrentWatermarkMs() + 1))

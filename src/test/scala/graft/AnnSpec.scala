@@ -188,6 +188,71 @@ class AnnSpec extends SparkSpec {
     assert(IndexMaintenance.committedGenerations(root) == Seq(1L))
   }
 
+  test("IVF-PQ generations: quantizer and codes swap together; serving ≡ the batch entry") {
+    import spark.implicits._
+    import graft.storage.IndexMaintenance
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq_gen").toString
+    // gen 0 from the batch artifacts: serving off the generation must
+    // reproduce embed_ann_ivf_pq_res BIT FOR BIT — same quantizer, same
+    // codebook, codes re-derived through the same encode definition
+    val g0 = IndexMaintenance.publishGenerationPq(spark, root,
+      Ann.ivfIndex(tables), Ann.ivfCentroidTable(tables),
+      Ann.pqResidualCodebook(tables))
+    assert(g0 == 0L)
+    val batch = Ann.embedAnnIvfPqResidual(tables).collect().map(_.toSeq).toSeq
+    val served0 = Ann.probeIvfPqGeneration(tables, root).collect().map(_.toSeq).toSeq
+    assert(served0 == batch, "generation serving drifted from the batch entry")
+    // drifted ingest, assigned under the gen-0 quantizer and appended
+    // (IndexIngestStream's layout). Arrivals have no codes yet — the PQ
+    // serve path ignores them until the next re-center, by design.
+    val drifted = (0 until 60).map { i =>
+      (200000L + i,
+        Seq.tabulate(64)(j => (if (j < 4) 5.0 else 0.05) + 0.01 * ((i + j) % 7)))
+    }.toDF("vec_id", "v")
+    val cents0 = spark.read.parquet(IndexMaintenance.centsPath(root, 0))
+    Ann.assignIndex(drifted, cents0)
+      .write.mode("append").partitionBy("cid")
+      .parquet(IndexMaintenance.indexPath(root, 0))
+    val allVecs = spark.read.parquet(IndexMaintenance.indexPath(root, 0))
+      .select(col("vec_id"), col("v"))
+    val q0 = Ann.quantizerQualityOf(allVecs, cents0).collect().head.getDouble(0)
+    // re-center: quantizer refit AND codebook refit AND codes re-encoded
+    val g1 = IndexMaintenance.recenterPq(spark, root)
+    assert(g1 == 1L)
+    assert(IndexMaintenance.currentPqGeneration(root).contains(1L))
+    // mid-swap stability: a reader pinned to gen 0 is untouched
+    val served0After = Ann.probeIvfPqGeneration(tables, root, gen = Some(0L))
+      .collect().map(_.toSeq).toSeq
+    assert(served0After == served0)
+    // the new quantizer actually fits the drifted distribution better
+    val cents1 = spark.read.parquet(IndexMaintenance.centsPath(root, 1))
+    val q1 = Ann.quantizerQualityOf(allVecs, cents1).collect().head.getDouble(0)
+    assert(q1 > q0, s"re-centering did not improve assignment quality: $q1 vs $q0")
+    // the codebook was REFIT, not carried: gen-1 codewords differ
+    val cb0 = spark.read.parquet(IndexMaintenance.pqBookPath(root, 0))
+      .collect().map(_.toSeq).toSet
+    val cb1df = spark.read.parquet(IndexMaintenance.pqBookPath(root, 1))
+    val cb1 = cb1df.collect().map(_.toSeq).toSet
+    assert(cb1 != cb0, "residual codebook was not refit with the quantizer")
+    // THE swap-together pin: gen-1 stored codes ≡ encoding gen-1's own
+    // residuals (index ⊗ gen-1 cents) through gen-1's codebook — no
+    // stale-quantizer code can exist in a committed generation
+    val idx1 = spark.read.parquet(IndexMaintenance.indexPath(root, 1))
+      .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid"))
+    val res1 = idx1.join(broadcast(cents1), Seq("cid"))
+      .select(col("vec_id"), expr("zip_with(v, cv, (a, b) -> a - b)").as("v"))
+    val expected = Ann.pqEncodedWith(res1, cb1df)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stored = spark.read.parquet(IndexMaintenance.pqCodesPath(root, 1))
+      .select(col("vec_id"), col("s"), col("code"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(stored == expected, "gen-1 codes disagree with gen-1 quantizer+codebook")
+    // gen-1 serving answers every query (drifted vectors now code-served)
+    val served1 = Ann.probeIvfPqGeneration(tables, root)
+    assert(served1.select("q_id").distinct().count() == Ann.NumQueries)
+  }
+
   test("ivfFit: Lloyd refinement strictly improves quantization quality") {
     val sample = Ann.quantizerQuality(tables,
       Ann.ivfCentroidTable(tables)).collect().head.getDouble(0)

@@ -102,4 +102,27 @@ class BucketingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(salted == plain)
   }
+
+  test("Materialize.reapStale deletes only exact-prefix stale tags") {
+    import graft.storage.Materialize
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    def plant(name: String): java.io.File = {
+      val d = new java.io.File(wh, name)
+      d.mkdirs()
+      new java.io.File(d, "_SUCCESS").createNewFile()
+      d
+    }
+    val keep = plant("graft_testreap_aaaaaaaaaaaa")
+    val stale = plant("graft_testreap_bbbbbbbbbbbb")
+    // prefix-of-a-prefix traps: a LONGER store name sharing the prefix,
+    // and a dir whose suffix is not a 12-hex tag — both must survive
+    val longer = plant("graft_testreap_keep_cccccccccccc")
+    val notATag = plant("graft_testreap_not-a-tag")
+    val reaped = Materialize.reapStale(spark, "graft_testreap",
+      keep = Set("aaaaaaaaaaaa"))
+    assert(reaped == Seq("graft_testreap_bbbbbbbbbbbb"), reaped.toString)
+    assert(keep.exists() && longer.exists() && notATag.exists())
+    assert(!stale.exists())
+  }
 }

@@ -180,6 +180,38 @@ class DedupSpec extends SparkSpec {
     assert(got.nonEmpty) // the planted near-dups survive verification
   }
 
+  test("whale-salted verify emits exactly the unsalted verified pairs") {
+    import spark.implicits._
+    // a star-routed flood makes its keeper a WHALE: doc 0 (the key-min
+    // keeper) appears in ~999 candidate pairs after star routing, so
+    // the salted path must scatter its verify work WITHOUT changing a
+    // single row. whaleDegree=1/salts=4 additionally forces EVERY
+    // candidate doc through the salted branch — both branches of the
+    // salt logic are exercised against the same truth.
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 1000).map(i => (i.toLong, s"$base uniq$i")) ++ Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_whale").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val unsalted = Dedup.dedupMinhashVerified(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = Dedup.dedupMinhashVerifiedSalted(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == unsalted,
+      s"salted verify drifted: ${(salted -- unsalted) ++ (unsalted -- salted)}")
+    assert(unsalted.nonEmpty) // the flood actually produced verified pairs
+    // every-doc-a-whale: whaleDegree=1 forces the replicated branch for
+    // all candidate docs; rows must still be identical
+    val allWhale = Dedup.verifiedPairsSaltedFrom(
+      Dedup.corpusShingleStore(t), whaleDegree = 1, salts = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(allWhale == unsalted,
+      s"all-whale salting drifted: ${(allWhale -- unsalted) ++ (unsalted -- allWhale)}")
+  }
+
   test("verified-minhash pairs are a subset of exact ngram-jaccard pairs") {
     // the documented recall relation (Dedup.dedupNgramJaccard scaladoc):
     // minhash_verified = LSH candidates ∩ {full-set jaccard ≥ min};
@@ -437,5 +469,84 @@ class DedupSpec extends SparkSpec {
       assert(n == 5L && shared == 4L && frac == 0.8, s"doc $i: $n/$shared/$frac")
     }
     assert(rows(100L) == ((4L, 0L, 0.0)))
+  }
+
+  test("embedding bucket width adapts to corpus size; planted dup pair survives") {
+    import spark.implicits._
+    // 3000 vectors → the ladder picks 3 bits (3000 ≥ 256·2³=2048,
+    // < 4096): the self-join must shrink to ~n²/8 per-bucket work
+    // instead of n²/4, and the 2-bit r8 result is a strict SUPERSET
+    // (3-bit equality implies 2-bit prefix equality). Deterministic
+    // pseudo-random signs via md5-free integer mixing.
+    def vec(i: Long): Seq[Double] =
+      Seq.tabulate(16)(j => (((i * 2654435761L + j * 40503L) >> 7) % 17).toDouble - 8.0)
+    val rows = (0L until 3000L).map(i => (i, vec(i))) :+
+      ((9000L, vec(42))) // exact dup of vector 42 → cosine 1.0, any width
+    val dir = java.nio.file.Files.createTempDirectory("graft_adbits").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val t = Tables(spark, dir)
+    val adaptive = Dedup.embedPairsFrom(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed2 = Dedup.embedPairsFrom(t, forceBits = Some(2)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive.contains((42L, 9000L)), "planted exact dup lost by widening")
+    assert(adaptive.subsetOf(fixed2),
+      s"adaptive pairs not a subset of 2-bit pairs: ${adaptive -- fixed2}")
+    // the width really did change: candidate generation shrank
+    val candAdaptive = Dedup.embedPairsFrom(t, forceBits = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(adaptive == candAdaptive,
+      "ladder did not pick 3 bits for a 3001-vector corpus")
+  }
+
+  test("decontaminate flags eval docs fully quoted in train, not partial overlap") {
+    import spark.implicits._
+    val eval1 = (0 until 20).map(i => s"e$i").mkString(" ")   // 18 shingles
+    val eval2 = (0 until 20).map(i => s"x$i").mkString(" ")   // unique
+    // trainA embeds ALL of eval1 inside a larger page → contamination 1.0
+    val trainA = eval1 + " " + (0 until 40).map(i => s"t$i").mkString(" ")
+    // trainB carries only the first half of eval1 → 8/18 < 0.9, clean
+    val trainB = (0 until 10).map(i => s"e$i").mkString(" ") + " " +
+      (0 until 30).map(i => s"u$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_decontam").toString
+    Seq((1L, eval1, "src0"), (2L, eval2, "src0"),
+      (10L, trainA, "src1"), (11L, trainB, "src2"))
+      .toDF("doc_id", "text", "source").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val got = Dedup.dedupDecontaminate(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 10L, 1.0)), got.mkString(","))
+  }
+
+  // LAST in the suite on purpose: reaping treats every tag not derived
+  // from `tables`' corpus as stale, including stores earlier tests
+  // built for their temp corpora (they rebuild on demand — ensure-write)
+  test("reapStaleStores drops orphaned tags, keeps the live corpus stores") {
+    import org.apache.spark.sql.functions.col
+    // build (or reuse) the live stores, then remember a result
+    val before = Dedup.dedupMinhashVerifiedMat(tables).collect().map(_.toSeq).toSeq
+    Dedup.dedupMinhashBucketed(tables).collect() // ensures graft_bands_b
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    // plant orphans: a stale parquet cache dir and a stale bucketed table
+    val staleDir = new java.io.File(wh, "graft_shingles_keep_000000000000")
+    staleDir.mkdirs()
+    new java.io.File(staleDir, "_SUCCESS").createNewFile()
+    spark.sql("DROP TABLE IF EXISTS graft_bands_b_000000000000")
+    spark.range(1).select(col("id")).write
+      .saveAsTable("graft_bands_b_000000000000")
+    val reaped = Dedup.reapStaleStores(tables)
+    assert(reaped.contains("graft_shingles_keep_000000000000"), reaped.toString)
+    assert(reaped.contains("graft_bands_b_000000000000"), reaped.toString)
+    assert(!staleDir.exists())
+    assert(!spark.catalog.tableExists("graft_bands_b_000000000000"))
+    // live stores survived: the store-backed query still answers, and a
+    // second reap finds nothing of the live corpus to delete
+    val after = Dedup.dedupMinhashVerifiedMat(tables).collect().map(_.toSeq).toSeq
+    assert(after == before)
+    val again = Dedup.reapStaleStores(tables)
+    assert(again.isEmpty, s"second reap should be a no-op: $again")
   }
 }

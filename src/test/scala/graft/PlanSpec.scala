@@ -141,4 +141,48 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("CartesianProduct"), plan)
     }
   }
+
+  test("dedup_embedding_mt band join carries ids only — vectors fetched after the distinct") {
+    // the (tbl, bucket) candidate self-join must move 3 ints per row;
+    // an embedding array riding through it multiplies the dominant
+    // shuffle by the vector width (the scaladoc's 100 TB claim)
+    val df = graft.dedup.Dedup.dedupEmbeddingMultitable(tables)
+    val bandJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.condition.exists(_.toString.contains("bucket")) => j
+    }
+    assert(bandJoins.nonEmpty, "expected the (tbl, bucket) candidate self-join")
+    for (j <- bandJoins; side <- Seq(j.left, j.right))
+      assert(side.output.forall(a =>
+        !a.dataType.typeName.startsWith("array")),
+        s"an array column travels through the band join: ${side.output}")
+  }
+
+  test("embed_ann_ivf_pq_res probes via broadcast — corpus never shuffled by the probe") {
+    val plan = physical(graft.ann.Ann.embedAnnIvfPqResidual(tables))
+    // probes and LUT are broadcast; the only legitimate shuffle joins
+    // are corpus-side (vec_id, vec_id) equi-joins (index ⋈ codes,
+    // shortlist ⋈ re-rank vectors) — a sort-merge on cid or on the
+    // (q_id, s, code) LUT keys would mean the probe side shuffled the
+    // corpus, the property this test pins
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"probe/LUT joins not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val smjKeyed = "SortMergeJoin \\[([a-z_]+)".r.findAllMatchIn(plan)
+      .map(_.group(1)).toSet
+    assert(smjKeyed.subsetOf(Set("vec_id")),
+      s"non-corpus join degraded to sort-merge on $smjKeyed:\n$plan")
+  }
+
+  test("dedup_clusters final plan reads checkpointed labels — no edge re-derivation") {
+    // the convergence loop's output must source from the last round's
+    // localCheckpoint: if the final frame re-derived the verified-pair
+    // edges, every downstream consumer would pay the full LSH pipeline
+    // again and the loop's O(log diameter) rounds were wasted
+    val plan = physical(graft.dedup.Dedup.nearDupClusters(tables))
+    assert(plan.contains("ExistingRDD"),
+      s"final cluster plan does not read the checkpointed labels:\n$plan")
+    assert(!plan.contains("parquet"),
+      s"final cluster plan re-scans source tables:\n$plan")
+  }
 }

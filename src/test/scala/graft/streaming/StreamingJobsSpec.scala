@@ -619,6 +619,68 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ContainmentGate: corpus replay ≡ batch dedup_containment; quote caught at intake") {
+    import spark.implicits._
+    // corpus: a 60-token doc (1), a 20-token verbatim quote of it (2),
+    // an unrelated doc (3), and a 6-token quote (4) below the
+    // min-shingle floor. Jaccard misses (1,2) — union is dominated by
+    // doc 1 — but containment is 1.0: exactly the asymmetric shape the
+    // gate exists for.
+    val big = (0 until 60).map(i => s"w$i").mkString(" ")
+    val quote = (10 until 30).map(i => s"w$i").mkString(" ")
+    val tiny = (0 until 6).map(i => s"w$i").mkString(" ")
+    val unrelated = (0 until 20).map(i => s"a$i").mkString(" ")
+    val dir = tmp("graft_containgate")
+    Seq((1L, big), (2L, quote), (3L, unrelated), (4L, tiny))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = graft.Tables(spark, dir)
+    val batch = graft.dedup.Dedup.dedupContainment(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSet
+    assert(batch.map(p => (p._1, p._2)) == Set((1L, 2L)),
+      s"fixture drifted: $batch") // the planted inclusion, nothing else
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val gate = Jobs.ContainmentGate.matches(
+      in.toDF().toDF("ts", "doc_id", "text"), t)
+      .toDF("doc_id", "corpus_doc", "containment")
+    val q = gate.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("containgate").start()
+    try {
+      in.addData(Seq((new Timestamp(1000L), 1L, big),
+        (new Timestamp(1000L), 2L, quote),
+        (new Timestamp(1000L), 3L, unrelated),
+        (new Timestamp(1000L), 4L, tiny),
+        // a NOVEL quote (not in the corpus): w30..w49 ⊂ doc 1
+        (new Timestamp(1000L), 5L,
+          (30 until 50).map(i => s"w$i").mkString(" "))))
+      q.processAllAvailable()
+      // push the watermark past every pending event-time timeout
+      in.addData(Seq((new Timestamp(40000L), 900001L,
+        "zyx wvu tsr qpo nml kji hgf edc ba")))
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(200000L), 900002L,
+        "another unrelated closing paragraph entirely")))
+      q.processAllAvailable()
+      val got = spark.table("containgate")
+        .as[(Long, Long, Double)].collect().toSet
+      // corpus replay: cross matches = batch pairs, both orientations
+      val cross = got.filter { case (a, b, _) =>
+        a != b && a <= 4L }
+      assert(cross == batch.flatMap { case (a, b, c) =>
+        Seq((a, b, c), (b, a, c)) },
+        s"stream/batch drift: $cross vs $batch")
+      // self-matches at containment 1.0 for every doc above the floor
+      for (id <- Seq(1L, 2L, 3L))
+        assert(got.contains((id, id, 1.0)), s"doc $id missed itself: $got")
+      // the below-floor doc emits nothing at all
+      assert(!got.exists(r => r._1 == 4L || r._2 == 4L),
+        s"sub-floor doc leaked: $got")
+      // the novel intake quote is caught against the corpus original
+      assert(got.contains((5L, 1L, 1.0)),
+        s"novel quote escaped the gate: $got")
+    } finally q.stop()
+  }
+
   test("LmScoreStream: streamed intake scores ≡ batch lm_bigram_score exactly") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, String)]
