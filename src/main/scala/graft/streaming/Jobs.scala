@@ -464,8 +464,18 @@ object Jobs {
       * matches × shingles); identical-doc whales are bounded by the
       * band-collision fan-out, same as the batch verify stage.
       */
+    /** `labelsRoot`: when set, the keeper table is resolved from the
+      * CURRENT committed generation of a [[graft.storage.ClusterStore]]
+      * instead of computed live — the production deployment shape: a
+      * periodic batch recluster publishes a generation, and the intake
+      * job pins the one it resolved at start (immutable mid-run; a
+      * restart or roll picks up the newest). Without it the live
+      * `nearDupClusters` memoization is correct for a test session but
+      * a days-long intake job would never see recluster results.
+      */
     def assignments(docs: DataFrame, t: Tables,
-                    watermarkLag: String = "30 seconds"): Dataset[(Long, Long, Int)] = {
+                    watermarkLag: String = "30 seconds",
+                    labelsRoot: Option[String] = None): Dataset[(Long, Long, Int)] = {
       val spark = docs.sparkSession
       import spark.implicits._
       val lagMs = lagMillis(watermarkLag)
@@ -483,10 +493,23 @@ object Jobs {
           .groupBy(col("doc_id").as("corpus_doc"))
           .agg(count(lit(1)).cast("int").as("n_b"))
       }
-      val keepers = StaticCache.of(t, "corpusKeepers") {
-        graft.dedup.Dedup.nearDupClusters(t)
-          .select(col("doc_id").as("corpus_doc"),
-            col("keeper_id").as("cluster_keeper"))
+      val keepers = labelsRoot match {
+        case Some(root) =>
+          import graft.storage.ClusterStore
+          val n = ClusterStore.currentGeneration(root,
+            spark.sessionState.newHadoopConf()).getOrElse(
+            throw new IllegalStateException(
+              s"no committed cluster-label generation under $root"))
+          StaticCache.of(t, s"corpusKeepers@$root/gen=$n") {
+            ClusterStore.readLabels(spark, root, n)
+              .select(col("doc_id").as("corpus_doc"),
+                col("keeper_id").as("cluster_keeper"))
+          }
+        case None => StaticCache.of(t, "corpusKeepers") {
+          graft.dedup.Dedup.nearDupClusters(t)
+            .select(col("doc_id").as("corpus_doc"),
+              col("keeper_id").as("cluster_keeper"))
+        }
       }
       val rows = MinhashCandidates
         .bandKeysCarrying(docs,

@@ -569,6 +569,60 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ClusterAssignStream pins a published label generation; swap is observable") {
+    import spark.implicits._
+    import graft.storage.ClusterStore
+    val root = tmp("graft_clusterstore")
+    // gen 0 = the batch labels: generation-pinned assignments must be
+    // identical to the live-computed ones
+    val g0 = ClusterStore.publishFrom(tables, root)
+    assert(g0 == 0L)
+    val docs = tables.documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def runGate(name: String): Map[Long, Long] = {
+      val in = MemoryStream[(Timestamp, Long, String)]
+      val q = Jobs.ClusterAssignStream.assignments(
+        in.toDF().toDF("ts", "doc_id", "text"), tables,
+        labelsRoot = Some(root))
+        .toDF("doc_id", "keeper_id", "n_verified")
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(docs.map { case (id, tx) => (new Timestamp(1000L), id, tx) }.toSeq)
+        q.processAllAvailable()
+        in.addData(Seq((new Timestamp(40000L), 900001L, "z y x w v u t s r")))
+        q.processAllAvailable()
+        in.addData(Seq((new Timestamp(200000L), 900002L, "q p o n m l k j i")))
+        q.processAllAvailable()
+        spark.table(name).select("doc_id", "keeper_id")
+          .as[(Long, Long)].collect().toMap
+      } finally q.stop()
+    }
+    val live = graft.dedup.Dedup.nearDupClusters(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gen0 = runGate("gen0gate")
+    live.foreach { case (id, keeper) =>
+      assert(gen0.get(id).contains(keeper),
+        s"gen-0 pinned gate drifted from batch labels for $id")
+    }
+    // gen 1: a DOCTORED label table (every keeper shifted by +1000000)
+    // — a fresh gate run must resolve it, proving the swap is real and
+    // the static side is not silently memoized across generations
+    val doctored = ClusterStore.readLabels(spark, root, 0)
+      .select(col("doc_id"), (col("keeper_id") + 1000000L).as("keeper_id"),
+        col("cluster_size"))
+    assert(ClusterStore.publishGeneration(spark, root, doctored) == 1L)
+    assert(ClusterStore.currentGeneration(root).contains(1L))
+    val gen1 = runGate("gen1gate")
+    live.foreach { case (id, keeper) =>
+      assert(gen1.get(id).contains(keeper + 1000000L),
+        s"gen-1 swap not observed for $id: got ${gen1.get(id)}")
+    }
+    // retirement keeps the newest
+    assert(ClusterStore.retireOld(root, keep = 1) == Seq(0L))
+    assert(ClusterStore.committedGenerations(root) == Seq(1L))
+  }
+
   test("ClusterAssignStream verify gate ≡ batch round6 threshold at the boundary") {
     import Jobs.ClusterAssignStream.verifies
     // A raw Jaccard in [0.7999995, 0.8) rounds UP to the threshold at
