@@ -90,7 +90,11 @@ object SparkEntry {
     // composite pipeline
     "corpus_clean" -> q(CorpusClean.corpusClean),
     "corpus_clean_neardup" -> q(CorpusClean.corpusCleanNearDup),
-    "corpus_clean_clustered" -> q(CorpusClean.corpusCleanClustered)
+    "corpus_clean_clustered" -> q(CorpusClean.corpusCleanClustered),
+    // training-mix (LLM pipeline)
+    "corpus_sample_stratified" -> q(graft.pipeline.Mixing.sampleStratified),
+    "corpus_split" -> q(graft.pipeline.Mixing.corpusSplit),
+    "lm_ccnet_bucket" -> q(graft.pipeline.Mixing.ccnetBucket)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -169,6 +173,9 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql,
     "corpus_clean_neardup" -> CorpusClean.corpusCleanNearDupSql,
-    "corpus_clean_clustered" -> CorpusClean.corpusCleanClusteredSql
+    "corpus_clean_clustered" -> CorpusClean.corpusCleanClusteredSql,
+    "corpus_sample_stratified" -> graft.pipeline.Mixing.sampleStratifiedSql,
+    "corpus_split" -> graft.pipeline.Mixing.corpusSplitSql,
+    "lm_ccnet_bucket" -> graft.pipeline.Mixing.ccnetBucketSql
   )
 }

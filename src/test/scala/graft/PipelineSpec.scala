@@ -97,4 +97,61 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan.linesIterator.take(8).mkString("\n"))
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("mix: stratified sample keeps non-en whole and en partial, deterministically") {
+    import graft.pipeline.Mixing
+    val s1 = Mixing.sampleStratified(tables).collect()
+    val s2 = Mixing.sampleStratified(tables).collect()
+    assert(s1.map(_.toSeq).toSeq == s2.map(_.toSeq).toSeq) // identity hash, no RNG
+    val total = tables.documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = s1.groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    for ((l, n) <- total if l != "en")
+      assert(kept.getOrElse(l, 0L) == n, s"non-en lang $l was sampled")
+    assert(kept("en") < total("en"), "en not downsampled")
+    assert(kept("en") > 0L)
+  }
+
+  test("mix: split covers every doc and is stable under corpus growth") {
+    import graft.pipeline.Mixing
+    import spark.implicits._
+    val full = Mixing.corpusSplit(tables).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(full.length == tables.documents.count())
+    val trainFrac = full.count(_._2 == "train").toDouble / full.length
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    assert(full.map(_._2).toSet == Set("train", "val", "test"))
+    // the leakage property: a HALF corpus assigns the same splits to
+    // the docs it shares with the full corpus — adding data later can
+    // never migrate an old doc into (or out of) the test set
+    val half = tables.documents.select("doc_id", "text")
+      .as[(Long, String)].collect().sortBy(_._1).take(full.length / 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mixhalf").toString
+    half.toSeq.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val halfSplit = Mixing.corpusSplit(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    full.filter(p => halfSplit.contains(p._1)).foreach { case (id, s) =>
+      assert(halfSplit(id) == s, s"doc $id migrated: ${halfSplit(id)} vs $s")
+    }
+  }
+
+  test("mix: ccnet terciles are balanced per language and ordered by score") {
+    import graft.pipeline.Mixing
+    val rows = Mixing.ccnetBucket(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._4).view.mapValues(_.size).toMap
+      val counts = Seq("head", "middle", "tail").map(sizes.getOrElse(_, 0))
+      assert(counts.max - counts.min <= 1,
+        s"$lang terciles unbalanced: $sizes")
+      // bucket boundaries respect the score order (ties may straddle)
+      def scores(b: String) = rs.filter(_._4 == b).map(_._3)
+      if (scores("head").nonEmpty && scores("middle").nonEmpty)
+        assert(scores("head").min >= scores("middle").max - 1e-9, lang)
+      if (scores("middle").nonEmpty && scores("tail").nonEmpty)
+        assert(scores("middle").min >= scores("tail").max - 1e-9, lang)
+    }
+  }
 }
