@@ -4,6 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // dev filter: comma-separated query names to time a subset while
+    // iterating (the driver never sets it — full surface by default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val spark = GraftSession.tuned(
       SparkSession.builder().master(s"local[$cpus]"), cpus.toInt)
       .getOrCreate()
@@ -21,7 +25,11 @@ object Bench {
     // whole-stage-codegen compilation + JIT; timing later runs makes
     // the numbers attributable to the plans (steady-state varies ~2-4x
     // less than first-run on this corpus size).
-    SparkEntry.queries.foreach { case (_, fn) =>
+    val queries = only match {
+      case Some(names) => SparkEntry.queries.filter(p => names(p._1))
+      case None => SparkEntry.queries
+    }
+    queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
@@ -33,7 +41,7 @@ object Bench {
     // slow JVM phase from poisoning all three samples of one query.
     val Passes = 3
     val samples = (0 until Passes).map { _ =>
-      SparkEntry.queries.map { case (name, fn) =>
+      queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
         // noop sink executes the FULL plan (orderBy, projections) —
         // count() would let Spark skip work that can't change row counts
@@ -44,7 +52,7 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }
     }
-    val results = SparkEntry.queries.keys.map { name =>
+    val results = queries.keys.map { name =>
       val ts = samples.map(_(name)).sorted
       name -> ts(Passes / 2)
     }.toMap

@@ -61,7 +61,7 @@ object SparkEntry {
     "dedup_simhash_mat" -> q(Dedup.dedupSimhashMat),
     "dedup_embedding" -> q(Dedup.dedupEmbedding),
     "dedup_embedding_mt" -> q(Dedup.dedupEmbeddingMultitable),
-    "dedup_embedding_mp" -> q(Dedup.dedupEmbeddingMultiprobe),
+    "dedup_embedding_mp" -> q(t => Dedup.dedupEmbeddingMultiprobe(t)),
     "dedup_containment" -> q(Dedup.dedupContainment),
     "dedup_decontaminate" -> q(Dedup.dedupDecontaminate),
     "doc_boilerplate_frac" -> q(Dedup.docBoilerplateFrac),

@@ -1377,28 +1377,61 @@ object Dedup {
           .as("bucket"))
   }
 
-  /** [[dedupEmbeddingMultitable]] PLUS within-table hamming-1 probing —
-    * `embed_ann_multiprobe`'s query-side expansion applied to the dedup
-    * self-join. One side of each table's join additionally probes every
-    * bucket differing in one sign bit, so a near-dup pair split across
-    * a sign boundary (cosine ≥ threshold but one boundary dimension
-    * flips) still meets; pairs are a SUPERSET of the multi-table
-    * entry's (DedupSpec pins it, mask 0 reproduces them) at
-    * (1 + bits)× the one side's candidate fan-out. Only ids travel
-    * through the expanded join; the exact-cosine verify is unchanged.
+  /** Probe budget for [[dedupEmbeddingMultiprobe]]'s QUERY-DIRECTED
+    * probing: per (vector, table), only the [[ProbeBudget]] bits whose
+    * sign-defining dimensions have the SMALLEST magnitude are flipped.
+    * A hamming-1 probe can only recover pairs split by a near-zero
+    * dimension (a confidently signed dim agrees across any pair worth
+    * verifying), so probes belong on the least-confident bits — and a
+    * BUDGET, unlike a magnitude threshold, makes the fan-out a
+    * width-independent constant: probe-everything cost (1+bits)× and
+    * was 56s of the sf1 bench at 6 bits (~6× the multi-table entry),
+    * while a threshold is data-dependent (95% of this corpus's dims
+    * sit under any margin loose enough to catch real splits). At the
+    * test-sf floor width (2 bits ≤ budget) every bit is probed, so
+    * results there are identical to exhaustive hamming-1 probing.
     */
-  def dedupEmbeddingMultiprobe(t: Tables): DataFrame = {
+  val ProbeBudget = 2
+
+  /** [[dedupEmbeddingMultitable]] PLUS within-table QUERY-DIRECTED
+    * hamming-1 probing — multi-probe LSH with probe SEQUENCES: one
+    * side of each table's join additionally probes the buckets that
+    * differ in one of its [[ProbeBudget]] least-confident sign bits
+    * (smallest |v[dim]|, deterministic i-tiebreak — identical
+    * struct-sort semantics in both engines). A near-dup pair split
+    * across a sign boundary still meets (the boundary dim is small by
+    * definition); confidently-signed bits are never probed. Pairs
+    * remain a SUPERSET of the multi-table entry's (DedupSpec pins it —
+    * the own-bucket probe survives any budget), the probe selection is
+    * map-side HOFs (sort of a ≤8-element array per row, inside
+    * codegen), and only ids travel through the expanded join. The
+    * exact-cosine verify is unchanged.
+    */
+  def dedupEmbeddingMultiprobe(t: Tables,
+                               forceBits: Option[Int] = None): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val bits = embedBits(t)
+    val bits = forceBits.getOrElse(embedBits(t))
     val b = embedTables(e, bits)
-    // hamming-1 masks of the REDUCED bucket: only flips below the
-    // adaptive width apply (mask 0 always probes the own bucket)
-    val masks = lit(0) +: (0 until bits).map(i => lit(1 << i))
-    val probes = b
-      .select(col("vec_id"), col("tbl"),
-        explode(array(masks.map(m => col("bucket").bitwiseXOR(m)): _*))
-          .as("bucket"))
+    // per table: own bucket ++ the budgeted flips, one explode
+    val probeArrays = (0 until EmbedNumTables).map { j =>
+      val full = graft.functions.Portable.signBucketExpr(
+        EmbedBucketBitsMax, oneBasedIndex = false,
+        offset = j * EmbedBucketBitsMax)
+      val bucket = s"shiftright($full, ${EmbedBucketBitsMax - bits})"
+      val absPairs = (0 until bits).map { i =>
+        val dim = j * EmbedBucketBitsMax + (bits - 1 - i)
+        s"named_struct('a', abs(v[$dim]), 'i', $i)"
+      }.mkString("array(", ", ", ")")
+      val flips = s"transform(slice(array_sort($absPairs), 1, $ProbeBudget)," +
+        s" p -> ($bucket) ^ shiftleft(1, p.i))"
+      struct(lit(j).as("tbl"),
+        expr(s"concat(array($bucket), $flips)").as("buckets"))
+    }
+    val probes = e
+      .select(col("vec_id"), explode(array(probeArrays: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"),
+        explode(col("tb.buckets")).as("bucket"))
     val cand = probes.as("x")
       .join(b.as("y"),
         col("x.tbl") === col("y.tbl") &&
@@ -1431,14 +1464,18 @@ object Dedup {
        |b AS ($tableSelects)""".stripMargin
   }
 
-  def dedupEmbeddingMultiprobeSql: String = {
-    val maskVals = (0 +: (0 until EmbedBucketBitsMax).map(1 << _))
-      .map(m => s"($m)").mkString(",")
+  def dedupEmbeddingMultiprobeSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
        |$embedTablesCtes,
-       |pr AS (SELECT vec_id, tbl, xor(bucket, m.mask) bucket
-       |       FROM b, (VALUES $maskVals) m(mask)
-       |       WHERE m.mask < (1 << b.bits)),
+       |bv AS (SELECT b.*, e.v FROM b JOIN e USING (vec_id)),
+       |pr AS (SELECT vec_id, tbl, bucket FROM bv
+       |       UNION ALL
+       |       SELECT vec_id, tbl, xor(bucket, 1 << u.p.i) bucket
+       |       FROM bv, UNNEST(list_slice(list_sort(
+       |         list_transform(generate_series(0, bits - 1), i ->
+       |           struct_pack(a := abs(v[tbl * $EmbedBucketBitsMax
+       |                                  + (bits - 1 - i) + 1]), i := i))),
+       |         1, $ProbeBudget)) AS u(p)),
        |cand AS (SELECT DISTINCT x.vec_id vec_a, y.vec_id vec_b
        |         FROM pr x JOIN b y ON x.tbl = y.tbl AND x.bucket = y.bucket
        |          AND x.vec_id < y.vec_id)
@@ -1448,7 +1485,6 @@ object Dedup {
        |          JOIN e eb ON vec_b = eb.vec_id
        |WHERE ${round6Sql("list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))")} >= $CosineMin
        |ORDER BY vec_a, vec_b""".stripMargin
-  }
 
   def dedupEmbeddingMultitableSql: String =
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),

@@ -500,6 +500,40 @@ class DedupSpec extends SparkSpec {
       "ladder did not pick 3 bits for a 3001-vector corpus")
   }
 
+  test("budgeted probing flips least-confident bits only; boundary splits caught") {
+    import spark.implicits._
+    // forced 4-bit width (> ProbeBudget=2, the regime the budget
+    // exists for). Each table's bucket dims 8j..8j+3 carry magnitudes
+    // (0.01, 0.02, 0.03, 0.30): the budget probes the 0.01/0.02 bits
+    // and never the confident 0.30 bit.
+    //   pair (1,2): the 0.01 dim flips in every table → cosine ≈ 1,
+    //     every own-bucket differs, and the probe MUST recover it.
+    //   pair (3,4): the 0.30 dim flips in every table → cosine ≈ 0.5
+    //     (would verify if ever a candidate), but the flipped bit is
+    //     outside every table's budget → stays out.
+    def base(small: Double, big: Double): Seq[Double] =
+      Seq.tabulate(64) { d =>
+        if (d % 8 == 0 && d < 24) small
+        else if (d % 8 == 3 && d < 24) big
+        else if (d % 8 == 1 && d < 24) 0.02
+        else if (d % 8 == 2 && d < 24) 0.03
+        else 0.125
+      }
+    val rows = Seq(
+      (1L, base(0.01, 0.30)), (2L, base(-0.01, 0.30)),
+      (3L, base(0.01, 0.30).updated(0, 0.011)), // distinct from 1
+      (4L, base(0.01, -0.30).updated(0, 0.011)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_qdirected").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val t = Tables(spark, dir)
+    val mp = Dedup.dedupEmbeddingMultiprobe(t, forceBits = Some(4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mp.contains((1L, 2L)), s"boundary split escaped the probe: $mp")
+    assert(!mp.contains((3L, 4L)),
+      s"confident 0.30-dim flip was probed despite the budget: $mp")
+  }
+
   test("decontaminate flags eval docs fully quoted in train, not partial overlap") {
     import spark.implicits._
     val eval1 = (0 until 20).map(i => s"e$i").mkString(" ")   // 18 shingles
