@@ -102,6 +102,19 @@ object Mixing {
     * head than tail. ntile is deterministic under the (score desc,
     * doc_id) total order and identical in both engines. Docs under 2
     * tokens carry no LM score and stay out, same as the gate.
+    *
+    * Scale note (honest): `Window.partitionBy(lang)` sends each
+    * language to ONE task, and a real corpus is skewed toward one
+    * language — at 100 TB the en partition is a single-task sort and
+    * this exact-ntile plan does not survive. The production shape is
+    * what CCNet itself does: compute the two per-language score
+    * BOUNDARIES first (exact via a distributed per-lang rank at the
+    * two cut positions, or approx via percentile sketch), broadcast
+    * the ~langs×2 boundary table, and assign buckets with a map-side
+    * comparison — same semantics except ties AT a boundary, which the
+    * ntile form splits by doc_id and the boundary form groups. The
+    * oracle pins the exact-ntile semantics; swap in the boundary
+    * assignment when the per-language row count outgrows a task.
     */
   def ccnetBucket(t: Tables): DataFrame = {
     val scored = graft.textanalysis.TextAnalysis.lmBigramScore(t)
