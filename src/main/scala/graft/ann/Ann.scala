@@ -22,8 +22,31 @@ object Ann {
 
   val K = 10
   val NumQueries = 10
-  val BucketBits = 4 // 16 buckets; at 100 TB: more bits + multiple tables
+  /** FLOOR sign-LSH width for the ANN bucket paths — the width used at
+    * test scale factors; the adaptive ladder below widens past ~8k
+    * vectors. Fixed width is the scale bug the r8 10× bench measured
+    * on the dedup twin: bucket occupancy is n/2^bits, so a query probe
+    * over a constant width scans O(n) per probe. Width tracks log2(n)
+    * to hold occupancy ≈ [[BucketTarget]]; each hash table owns a
+    * fixed [[BucketBitsMax]]-dim slice and the reduction is a
+    * right-shift, so widening never re-slices tables.
+    */
+  val BucketBits = 4
+  val BucketBitsMax = 8
+  val BucketTarget = 256
   val NumTables = 4 // multiprobe: hash tables over disjoint dim slices
+
+  private val lshBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[Tables, Integer]()
+
+  /** Adaptive ANN bucket width — [[Portable.bucketBits]]' integer
+    * ladder (identical thresholds to the SQL twin in the oracles) over
+    * one memoized metadata-only count per (session, corpus).
+    */
+  private def lshBits(t: Tables): Int =
+    lshBitsCache.computeIfAbsent(t, _ =>
+      Portable.bucketBits(t.embeddings.count(),
+        BucketBits, BucketBitsMax, BucketTarget)).intValue
   val IvfCentroids = 16 // coarse-quantizer cells; at 100 TB: ~sqrt(corpus)
   val IvfNProbe = 4 // cells a query scans; the IVF recall/cost dial
   val PqSubspaces = 8 // product-quantization sub-vector count
@@ -35,11 +58,13 @@ object Ann {
     * inside the scoring join.
     */
   private def prepared(t: Tables): DataFrame = {
-    val bucketExpr = Portable.signBucketExpr(BucketBits, oneBasedIndex = false)
+    val full = Portable.signBucketExpr(BucketBitsMax, oneBasedIndex = false)
+    val bits = lshBits(t)
     t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("norm", VectorFunctions.norm(col("v")))
-      .withColumn("bucket", expr(bucketExpr))
+      .withColumn("bucket",
+        expr(s"shiftright($full, ${BucketBitsMax - bits})"))
   }
 
   // native codegen'd dot (graft.functions.DotProduct) — same sequential
@@ -132,11 +157,12 @@ object Ann {
     * expansion carries only (ids, vector, bucket) — it is the standard
     * multi-table LSH storage trade (L indexes for L× recall).
     */
-  private def multiBuckets(df: DataFrame): DataFrame = {
+  private def multiBuckets(df: DataFrame, bits: Int): DataFrame = {
     val tables = (0 until NumTables).map { j =>
+      val full = Portable.signBucketExpr(BucketBitsMax,
+        oneBasedIndex = false, offset = j * BucketBitsMax)
       struct(lit(j).as("tbl"),
-        expr(Portable.signBucketExpr(BucketBits, oneBasedIndex = false,
-          offset = j * BucketBits)).as("bkt"))
+        expr(s"shiftright($full, ${BucketBitsMax - bits})").as("bkt"))
     }
     df.select(col("vec_id"), col("v"), explode(array(tables: _*)).as("tb"))
       .select(col("vec_id"), col("v"),
@@ -152,9 +178,9 @@ object Ann {
     * corpus keeps one row per table, so corpus storage and the join
     * shape are unchanged.
     */
-  private def probeBuckets(df: DataFrame): DataFrame = {
-    val masks = 0 +: (0 until BucketBits).map(1 << _)
-    multiBuckets(df)
+  private def probeBuckets(df: DataFrame, bits: Int): DataFrame = {
+    val masks = 0 +: (0 until bits).map(1 << _)
+    multiBuckets(df, bits)
       .select(col("vec_id"), col("v"), col("tbl"),
         explode(array(masks.map(m =>
           col("bkt").bitwiseXOR(lit(m))): _*)).as("bkt"))
@@ -183,13 +209,15 @@ object Ann {
     */
   def embedAnnMultiprobe(t: Tables, hamming1: Boolean = true): DataFrame = {
     val p = prepared(t)
+    val bits = lshBits(t)
     val qside = p.filter(col("vec_id") < NumQueries)
       .select(col("vec_id"), col("v"))
-    val queries = (if (hamming1) probeBuckets(qside) else multiBuckets(qside))
-      .select(col("vec_id").as("q_id"), col("v"), col("tbl"), col("bkt"))
+    val queries =
+      (if (hamming1) probeBuckets(qside, bits) else multiBuckets(qside, bits))
+        .select(col("vec_id").as("q_id"), col("v"), col("tbl"), col("bkt"))
     val corpus = multiBuckets(
       p.filter(col("vec_id") >= NumQueries)
-        .select(col("vec_id"), col("v")))
+        .select(col("vec_id"), col("v")), bits)
     corpus.as("c")
       .join(broadcast(queries.as("q")),
         col("q.tbl") === col("c.tbl") && col("q.bkt") === col("c.bkt"))
@@ -205,21 +233,26 @@ object Ann {
   }
 
   def embedAnnMultiprobeSql: String = {
+    val ladder = Portable.bucketBitsSql(
+      "COUNT(*)", BucketBits, BucketBitsMax, BucketTarget)
     val tableSelects = (0 until NumTables).map { j =>
-      val bucketExpr = Portable.signBucketExpr(BucketBits,
-        oneBasedIndex = true, offset = j * BucketBits)
-      s"SELECT vec_id, v, norm, $j tbl, $bucketExpr AS bkt FROM e"
+      val full = Portable.signBucketExpr(BucketBitsMax,
+        oneBasedIndex = true, offset = j * BucketBitsMax)
+      s"SELECT vec_id, v, norm, $j tbl, nb.bits, ($full) >> ($BucketBitsMax - nb.bits) AS bkt FROM e, nb"
     }.mkString(" UNION ALL ")
-    // query-side hamming-1 probe masks: own bucket (0) + one flip per bit
-    val masks = (0 +: (0 until BucketBits).map(1 << _).toList)
+    // query-side hamming-1 probe masks: own bucket (0) + one flip per
+    // reduced-bucket bit (masks at or above 2^bits are inert)
+    val masks = (0 +: (0 until BucketBitsMax).map(1 << _).toList)
       .map(m => s"($m)").mkString(",")
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
        |           FROM embeddings),
+       |nb AS (SELECT $ladder bits FROM e),
        |b AS ($tableSelects),
        |probes AS (SELECT vec_id, v, norm, tbl, xor(bkt, m.m) AS bkt
        |           FROM b, (VALUES $masks) m(m)
-       |           WHERE vec_id < $NumQueries),
+       |           WHERE vec_id < $NumQueries
+       |             AND (m.m = 0 OR m.m < (1 << b.bits))),
        |scored AS (SELECT DISTINCT q.vec_id q_id, c.vec_id vec_id,
        |    ${round6Sql("list_dot_product(q.v, c.v) / (q.norm * c.norm)")} cos_sim
        |  FROM probes q JOIN b c ON q.tbl = c.tbl AND q.bkt = c.bkt
@@ -991,11 +1024,15 @@ object Ann {
   }
 
   def embedAnnLshSql: String = {
-    val bucketExpr = Portable.signBucketExpr(BucketBits, oneBasedIndex = true)
+    val ladder = Portable.bucketBitsSql(
+      "COUNT(*)", BucketBits, BucketBitsMax, BucketTarget)
+    val full = Portable.signBucketExpr(BucketBitsMax, oneBasedIndex = true)
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v,
        |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
        |           FROM embeddings),
-       |b AS (SELECT vec_id, v, norm, $bucketExpr AS bucket FROM e),
+       |nb AS (SELECT $ladder bits FROM e),
+       |b AS (SELECT vec_id, v, norm,
+       |        ($full) >> ($BucketBitsMax - nb.bits) AS bucket FROM e, nb),
        |scored AS (SELECT q.vec_id q_id, c.vec_id vec_id,
        |    ${round6Sql("list_dot_product(q.v, c.v) / (q.norm * c.norm)")} cos_sim
        |  FROM b q JOIN b c ON q.bucket = c.bucket

@@ -1310,14 +1310,10 @@ object Dedup {
     * inside whole-stage codegen and the dedup plans free of the
     * one-row-broadcast join a column-typed width would need.
     */
-  private def embedBits(t: Tables): Int =
-    embedBitsCache.computeIfAbsent(t, _ => {
-      val n = t.embeddings.count()
-      var k = EmbedBucketBits
-      while (k < EmbedBucketBitsMax &&
-        n >= (EmbedBucketTarget.toLong << (k + 1))) k += 1
-      k
-    }).intValue
+  private[graft] def embedBits(t: Tables): Int =
+    embedBitsCache.computeIfAbsent(t, _ =>
+      graft.functions.Portable.bucketBits(t.embeddings.count(),
+        EmbedBucketBits, EmbedBucketBitsMax, EmbedBucketTarget)).intValue
 
   /** Hash tables for [[dedupEmbeddingMultitable]] — each table buckets
     * on a DISJOINT [[EmbedBucketBitsMax]]-dim sign slice (offsets 0,

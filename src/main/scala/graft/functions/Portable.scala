@@ -79,4 +79,14 @@ object Portable {
     (maxBits to (minBits + 1) by -1)
       .map(k => s"WHEN $countRef >= ${target.toLong << k} THEN $k")
       .mkString("(CASE ", " ", s" ELSE $minBits END)")
+
+  /** Scala twin of [[bucketBitsSql]] — the same integer thresholds, so
+    * a plan-build-time literal width and the oracle's data-derived one
+    * can never disagree.
+    */
+  def bucketBits(n: Long, minBits: Int, maxBits: Int, target: Int): Int = {
+    var k = minBits
+    while (k < maxBits && n >= (target.toLong << (k + 1))) k += 1
+    k
+  }
 }
