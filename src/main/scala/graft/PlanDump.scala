@@ -74,7 +74,20 @@ object PlanDump {
         "documents scan; the loop itself ran two equi-joins per round " +
         "with scalar-only driver actions (convergence counts). " +
         "PlanSpec pins the checkpoint-sourced final plan.",
-      graft.dedup.Dedup.nearDupClusters))
+      graft.dedup.Dedup.nearDupClusters),
+    ("dedup_decontaminate",
+      "Train/test leakage check: the eval/train slices are filters " +
+        "over the shingle store joined to a 2-column documents " +
+        "projection; the cross-slice posting join keys on the capped " +
+        "shingle string, so per-shingle fan-out is bounded and the " +
+        "tiny eval side probes the train index.",
+      graft.dedup.Dedup.dedupDecontaminate),
+    ("corpus_sample_stratified",
+      "Identity-hashed stratified sampling: the keep decision is a " +
+        "map-side projection + filter over a 3-column scan — the ONLY " +
+        "exchange in the plan is the output sort. At 100 TB this is " +
+        "one pass, no shuffle, stable under corpus growth.",
+      graft.pipeline.Mixing.sampleStratified))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
