@@ -64,6 +64,7 @@ object SparkEntry {
     "dedup_embedding_mp" -> q(t => Dedup.dedupEmbeddingMultiprobe(t)),
     "dedup_containment" -> q(Dedup.dedupContainment),
     "dedup_decontaminate" -> q(Dedup.dedupDecontaminate),
+    "dedup_decontaminate_dir" -> q(Dedup.dedupDecontaminateDir),
     "doc_boilerplate_frac" -> q(Dedup.docBoilerplateFrac),
     "embed_dedup_clusters" -> q(Dedup.embedDedupClusters),
     // similarity search
@@ -94,7 +95,8 @@ object SparkEntry {
     // training-mix (LLM pipeline)
     "corpus_sample_stratified" -> q(graft.pipeline.Mixing.sampleStratified),
     "corpus_split" -> q(graft.pipeline.Mixing.corpusSplit),
-    "lm_ccnet_bucket" -> q(graft.pipeline.Mixing.ccnetBucket)
+    "lm_ccnet_bucket" -> q(graft.pipeline.Mixing.ccnetBucket),
+    "lm_ccnet_bucket_bounded" -> q(graft.pipeline.Mixing.ccnetBucketBounded)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -149,6 +151,7 @@ object SparkEntry {
     "dedup_embedding_mp" -> Dedup.dedupEmbeddingMultiprobeSql,
     "dedup_containment" -> Dedup.dedupContainmentSql,
     "dedup_decontaminate" -> Dedup.dedupDecontaminateSql,
+    "dedup_decontaminate_dir" -> Dedup.dedupDecontaminateDirSql,
     "doc_boilerplate_frac" -> Dedup.docBoilerplateFracSql,
     "embed_dedup_clusters" -> Dedup.embedDedupClustersSql,
     "embed_topk" -> Ann.embedTopKSql,
@@ -176,6 +179,7 @@ object SparkEntry {
     "corpus_clean_clustered" -> CorpusClean.corpusCleanClusteredSql,
     "corpus_sample_stratified" -> graft.pipeline.Mixing.sampleStratifiedSql,
     "corpus_split" -> graft.pipeline.Mixing.corpusSplitSql,
-    "lm_ccnet_bucket" -> graft.pipeline.Mixing.ccnetBucketSql
+    "lm_ccnet_bucket" -> graft.pipeline.Mixing.ccnetBucketSql,
+    "lm_ccnet_bucket_bounded" -> graft.pipeline.Mixing.ccnetBucketBoundedSql
   )
 }

@@ -37,15 +37,21 @@ object Ann {
   val NumTables = 4 // multiprobe: hash tables over disjoint dim slices
 
   private val lshBitsCache =
-    new java.util.concurrent.ConcurrentHashMap[Tables, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Adaptive ANN bucket width — [[Portable.bucketBits]]' integer
     * ladder (identical thresholds to the SQL twin in the oracles) over
-    * one memoized metadata-only count per (session, corpus).
+    * one memoized metadata-only count per corpus state. Keyed on the
+    * file-inventory tag, not the Tables value, so a regenerated or
+    * appended corpus re-derives the width instead of serving a stale
+    * literal against a fresher oracle (ADVICE r8; `Dedup.embedBits`
+    * has the full rationale).
     */
   private def lshBits(t: Tables): Int =
-    lshBitsCache.computeIfAbsent(t, _ =>
-      Portable.bucketBits(t.embeddings.count(),
+    lshBitsCache.computeIfAbsent(
+      graft.storage.Materialize.corpusTag(t, "embeddings",
+        s"bits=$BucketBits..$BucketBitsMax|tgt=$BucketTarget"),
+      _ => Portable.bucketBits(t.embeddings.count(),
         BucketBits, BucketBitsMax, BucketTarget)).intValue
   val IvfCentroids = 16 // coarse-quantizer cells; at 100 TB: ~sqrt(corpus)
   val IvfNProbe = 4 // cells a query scans; the IVF recall/cost dial
@@ -477,29 +483,28 @@ object Ann {
     // cache key covers the embeddings file inventory + the quantizer
     // constants, so a regenerated corpus or retuned index invalidates
     // the persisted copy instead of serving stale cells
-    val idx = graft.storage.Materialize.ensureParquet(t.spark,
-      "graft_ivf_part",
-      graft.storage.Materialize.corpusTag(t, "embeddings",
-        s"c=$IvfCentroids,q=$NumQueries"),
+    val idx = graft.storage.Materialize.ensureStore(t, IvfPartStore,
       ivfIndex(t), partitionCols = Seq("cid"))
     probeIndex(t, idx
       .select(col("vec_id"), col("v"), col("cid").cast("long").as("cid")))
   }
 
+  /** Store identity shared by the ensure-write site and the reap
+    * keep-set — see `dedup.Dedup.KeeperIdsStore` for the rationale.
+    */
+  private[graft] lazy val IvfPartStore = graft.storage.Materialize
+    .StoreDef("graft_ivf_part", "embeddings", s"c=$IvfCentroids,q=$NumQueries")
+
   /** ANN twin of `dedup.Dedup.reapStaleStores`: reap the persisted IVF
     * index and OPQ rotation caches orphaned by corpus/constant churn.
-    * Same operational contract — run after consumers drain.
+    * Same operational contract — run after consumers drain, and pass
+    * every other corpus sharing the warehouse via `alsoKeep`.
     */
-  def reapStaleStores(t: Tables): Seq[String] = {
+  def reapStaleStores(t: Tables, alsoKeep: Seq[Tables] = Nil): Seq[String] = {
     import graft.storage.Materialize
-    val d = PqSubspaces * PqSubDim
-    Seq(
-      "graft_ivf_part" -> Materialize.corpusTag(
-        t, "embeddings", s"c=$IvfCentroids,q=$NumQueries"),
-      "graft_opq_rot" -> Materialize.corpusTag(
-        t, "embeddings", s"d=$d|m=$PqSubspaces")
-    ).flatMap { case (prefix, tag) =>
-      Materialize.reapStale(t.spark, prefix, Set(tag))
+    val corpora = t +: alsoKeep
+    Seq(IvfPartStore, Opq.RotationStore).flatMap { s =>
+      Materialize.reapStale(t.spark, s.prefix, corpora.map(s.tag).toSet)
     }
   }
 

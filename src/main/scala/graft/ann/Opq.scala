@@ -240,8 +240,16 @@ object Opq {
     * once per (session, dir) — repeated calls (bench warmup + timed
     * pass, Verify) reuse the small driver-side matrix.
     */
+  /** Store identity shared with `Ann.reapStaleStores`' keep-set. */
+  private[graft] lazy val RotationStore = graft.storage.Materialize
+    .StoreDef("graft_opq_rot", "embeddings",
+      s"d=${Ann.PqSubspaces * Ann.PqSubDim}|m=${Ann.PqSubspaces}")
+
+  // memo keyed on the file-inventory tag (not the Tables value), so a
+  // regenerated corpus re-reads the store instead of serving a stale
+  // in-memory rotation against a fresher oracle (ADVICE r8 discipline)
   private val rotations =
-    new java.util.concurrent.ConcurrentHashMap[graft.Tables, Array[Array[Double]]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   /** The most recently fitted (or store-loaded) rotation — what
     * [[embedAnnOpqPqSql]] inlines as literals. Verify runs every query
@@ -260,12 +268,10 @@ object Opq {
     * moments) still agrees bit-for-bit with the oracle literals.
     */
   private def fittedRotation(t: graft.Tables): Array[Array[Double]] =
-    rotations.computeIfAbsent(t, _ => {
+    rotations.computeIfAbsent(RotationStore.tag(t), tag => {
       val d = Ann.PqSubspaces * Ann.PqSubDim
       val store = graft.storage.Materialize.ensureParquet(
-        t.spark, "graft_opq_rot",
-        graft.storage.Materialize.corpusTag(
-          t, "embeddings", s"d=$d|m=${Ann.PqSubspaces}"), {
+        t.spark, RotationStore.prefix, tag, {
           val e = t.embeddings.select(col("vec_id"),
             col("embedding").cast("array<double>").as("v"))
           val r = rotationFor(e.filter(col("vec_id") >= Ann.NumQueries), d)

@@ -129,8 +129,7 @@ object Dedup {
     * text. No broadcast hint on purpose: let size decide.
     */
   private def keeperIdsMaterialized(t: Tables): DataFrame =
-    graft.storage.Materialize.ensureParquet(t.spark, "graft_keeper_ids",
-      graft.storage.Materialize.corpusTag(t, "documents", "keep-ids"),
+    graft.storage.Materialize.ensureStore(t, KeeperIdsStore,
       t.documents
         .groupBy(md5(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -401,6 +400,111 @@ object Dedup {
        |                       HAVING COUNT(*) <= $ShingleDocFreqCap)),
        |ev AS (SELECT doc_id eval_doc, s FROM shc WHERE source = '$EvalSource'),
        |tr AS (SELECT doc_id train_doc, s FROM shc WHERE source <> '$EvalSource'),
+       |ne AS (SELECT eval_doc, COUNT(*) n_eval FROM ev GROUP BY eval_doc
+       |       HAVING COUNT(*) >= $ContainmentMinShingles),
+       |pairs AS (SELECT eval_doc, train_doc, COUNT(*) common
+       |          FROM ev JOIN tr ON ev.s = tr.s
+       |          GROUP BY eval_doc, train_doc)
+       |SELECT eval_doc, train_doc, n_eval,
+       |  ${round6Sql("common::DOUBLE / n_eval")} AS contamination
+       |FROM pairs JOIN ne USING (eval_doc)
+       |WHERE ${round6Sql("common::DOUBLE / n_eval")} >= $ContaminationMin
+       |ORDER BY eval_doc, train_doc""".stripMargin
+
+  /** Two-corpus decontamination — [[dedupDecontaminate]] generalized
+    * from the source-column split to a SECOND CORPUS DIRECTORY, the
+    * shape a real benchmark suite arrives in (VERDICT r8 #3): `evalT`
+    * is its own `Tables` (its own dir, its own shingle store), and the
+    * train-side index is built from `trainSh` alone. Two deliberate
+    * index rules, both different from the single-corpus op and both
+    * the right call when the eval side is external:
+    *  - the shingle doc-freq CAP counts TRAIN docs only — the eval
+    *    suite must not be able to push a train shingle over the cap
+    *    (the corpus-side-only boundary rule of
+    *    [[floodedShingleVocab]], applied cross-corpus);
+    *  - eval shingles the train corpus never saw stay in `n_eval`
+    *    (novel shingles are evidence of NON-contamination, exactly as
+    *    in the streaming ContainmentGate).
+    * At 100 TB the eval side is tiny: the posting join is a semi-probe
+    * of the capped train index, never a train self-join.
+    */
+  def decontaminateAgainst(train: Tables, evalT: Tables): DataFrame =
+    decontaminateFrom(
+      shinglesMaterialized(train).select(col("doc_id"), col("s")),
+      shinglesMaterialized(evalT).select(col("doc_id"), col("s")))
+
+  private def decontaminateFrom(trainSh: DataFrame,
+                                evalSh: DataFrame): DataFrame = {
+    val flooded = trainSh.groupBy(col("s"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") > ShingleDocFreqCap)
+      .select(col("s"))
+    val tr = trainSh.join(flooded, Seq("s"), "left_anti")
+      .select(col("doc_id").as("train_doc"), col("s"))
+    val ev = evalSh.join(flooded, Seq("s"), "left_anti")
+      .select(col("doc_id").as("eval_doc"), col("s"))
+    val nEval = ev.groupBy(col("eval_doc"))
+      .agg(count(lit(1)).as("n_eval"))
+      .filter(col("n_eval") >= ContainmentMinShingles)
+    ev.join(tr, Seq("s"))
+      .groupBy(col("eval_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("common"))
+      .join(nEval, Seq("eval_doc"))
+      .select(col("eval_doc"), col("train_doc"), col("n_eval"),
+        round6(col("common").cast("double") / col("n_eval"))
+          .as("contamination"))
+      .filter(col("contamination") >= ContaminationMin)
+      .orderBy(col("eval_doc"), col("train_doc"))
+  }
+
+  /** The `source = [[EvalSource]]` slice written once per corpus as
+    * its OWN on-disk corpus directory (`<root>/documents.parquet`, the
+    * testdata layout) — what [[dedupDecontaminateDir]] probes, so the
+    * external-directory plumbing is exercised by a driver-checkable
+    * entry even though the driver mounts a single sf dir.
+    */
+  private[graft] lazy val EvalCorpusStore = graft.storage.Materialize
+    .StoreDef("graft_eval_corpus", "documents", s"src=$EvalSource")
+
+  private[graft] def evalCorpusDir(t: Tables): String = {
+    val root = new org.apache.hadoop.fs.Path(
+      t.spark.conf.get("spark.sql.warehouse.dir"),
+      s"${EvalCorpusStore.prefix}_${EvalCorpusStore.tag(t)}")
+    graft.storage.Materialize.ensureParquetAt(t.spark,
+      new org.apache.hadoop.fs.Path(root, "documents.parquet"),
+      t.documents.filter(col("source") === EvalSource))
+    root.toString
+  }
+
+  /** [[decontaminateAgainst]] as a driver entry: the eval slice lives
+    * in a real second directory ([[evalCorpusDir]]), the train side is
+    * everything else, and the oracle recomputes the train-only cap +
+    * novel-shingle rules over the single corpus — hash-exact, while
+    * the Spark path runs genuine two-directory plumbing (two shingle
+    * stores, cross-corpus posting probe).
+    */
+  def dedupDecontaminateDir(t: Tables): DataFrame = {
+    val evalT = Tables(t.spark, evalCorpusDir(t))
+    decontaminateFrom(
+      shinglesMaterialized(t)
+        .join(t.documents.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .filter(col("source") =!= EvalSource)
+        .select(col("doc_id"), col("s")),
+      shinglesMaterialized(evalT).select(col("doc_id"), col("s")))
+  }
+
+  def dedupDecontaminateDirSql: String =
+    s"""WITH $shinglesSql,
+       |shs AS (SELECT sh.doc_id, sh.s, d.source FROM sh
+       |        JOIN documents d ON d.doc_id = sh.doc_id),
+       |fl AS (SELECT s FROM shs WHERE source <> '$EvalSource'
+       |       GROUP BY s HAVING COUNT(*) > $ShingleDocFreqCap),
+       |tr AS (SELECT doc_id train_doc, s FROM shs
+       |       WHERE source <> '$EvalSource'
+       |         AND s NOT IN (SELECT s FROM fl)),
+       |ev AS (SELECT doc_id eval_doc, s FROM shs
+       |       WHERE source = '$EvalSource'
+       |         AND s NOT IN (SELECT s FROM fl)),
        |ne AS (SELECT eval_doc, COUNT(*) n_eval FROM ev GROUP BY eval_doc
        |       HAVING COUNT(*) >= $ContainmentMinShingles),
        |pairs AS (SELECT eval_doc, train_doc, COUNT(*) common
@@ -703,9 +807,7 @@ object Dedup {
     * serving stale shingles (storage.Materialize).
     */
   private def shinglesMaterialized(t: Tables): DataFrame =
-    graft.storage.Materialize.ensureParquet(t.spark, "graft_shingles",
-      graft.storage.Materialize.corpusTag(t, "documents", s"sh=$ShingleSize"),
-      shingles(t))
+    graft.storage.Materialize.ensureStore(t, ShinglesStore, shingles(t))
 
   /** [[shinglesMaterialized]] for the KEEPER shingle frame — the store
     * the minhash/LSH family reads. Separate prefix: the full store
@@ -717,8 +819,7 @@ object Dedup {
     * reduction happens once, at store build.
     */
   private def keeperShinglesMaterialized(t: Tables): DataFrame =
-    graft.storage.Materialize.ensureParquet(t.spark, "graft_shingles_keep",
-      graft.storage.Materialize.corpusTag(t, "documents", s"sh=$ShingleSize|keep"),
+    graft.storage.Materialize.ensureStore(t, KeeperShinglesStore,
       keeperShingles(t))
 
   /** The materialized corpus (keeper) shingle store, for stream-static
@@ -767,6 +868,28 @@ object Dedup {
     */
   val DedupStoreBuckets = 8
 
+  /** Warehouse store identities — ONE constant per store, consumed by
+    * BOTH the ensure-write site and [[reapStaleStores]]' keep-set
+    * (ADVICE r8: hand-duplicated (prefix, config) strings meant a
+    * retag that updated only one side made reap treat the live store
+    * as stale and delete it). `lazy` so declaration order relative to
+    * the tuning constants can never bite.
+    */
+  private[graft] lazy val KeeperIdsStore = graft.storage.Materialize
+    .StoreDef("graft_keeper_ids", "documents", "keep-ids")
+  private[graft] lazy val ShinglesStore = graft.storage.Materialize
+    .StoreDef("graft_shingles", "documents", s"sh=$ShingleSize")
+  private[graft] lazy val KeeperShinglesStore = graft.storage.Materialize
+    .StoreDef("graft_shingles_keep", "documents", s"sh=$ShingleSize|keep")
+  private[graft] lazy val SimhashStore = graft.storage.Materialize
+    .StoreDef("graft_simhash", "documents", s"bits=$SimhashBits|keep")
+  private[graft] lazy val ShinglesBucketedStore = graft.storage.Materialize
+    .StoreDef("graft_shingles_b", "documents",
+      s"sh=$ShingleSize|b=$DedupStoreBuckets")
+  private[graft] lazy val BandsBucketedStore = graft.storage.Materialize
+    .StoreDef("graft_bands_b", "documents",
+      s"sh=$ShingleSize|p=$NumPerms|nb=$NumBands|b=$DedupStoreBuckets|keep")
+
   /** [[shingles]] as a BUCKETED managed table keyed by the shingle
     * string — the storage layout the inverted-index consumers want:
     * the doc-freq cap aggregation, the rare-shingle semi-join, and the
@@ -777,9 +900,7 @@ object Dedup {
     * the `storage.Bucketing` q3 pattern applied to the dedup path.
     */
   private def shinglesBucketed(t: Tables): DataFrame = {
-    val tag = graft.storage.Materialize.corpusTag(
-      t, "documents", s"sh=$ShingleSize|b=$DedupStoreBuckets")
-    val table = s"graft_shingles_b_$tag"
+    val table = s"${ShinglesBucketedStore.prefix}_${ShinglesBucketedStore.tag(t)}"
     // repartition on the bucket key before the bucketed write:
     // repartition and bucketBy share the Murmur3 hash, so each task
     // holds exactly one bucket's rows → ONE file per bucket, which is
@@ -814,10 +935,7 @@ object Dedup {
     * 3 hashed columns.
     */
   private[graft] def bandsBucketed(t: Tables): DataFrame = {
-    val tag = graft.storage.Materialize.corpusTag(
-      t, "documents",
-      s"sh=$ShingleSize|p=$NumPerms|nb=$NumBands|b=$DedupStoreBuckets|keep")
-    val table = s"graft_bands_b_$tag"
+    val table = s"${BandsBucketedStore.prefix}_${BandsBucketedStore.tag(t)}"
     graft.storage.Bucketing.ensureBucketedMulti(
       t.spark,
       bandsFrom(keeperShinglesMaterialized(t))
@@ -843,35 +961,39 @@ object Dedup {
     * stale BUCKETED stores are managed catalog tables, so they reap via
     * DROP TABLE (which deletes the managed location). Returns reaped
     * names. Run after consumers drain, never on the query path.
+    *
+    * Keep-set = the live tags of `t` AND every corpus in `alsoKeep` —
+    * a warehouse shared by several corpora (parallel suites, multiple
+    * sf dirs) reaps safely by enumerating them all (ADVICE r8: the
+    * single-Tables form deleted the OTHER corpora's live caches).
+    * Store identities come from the shared [[KeeperIdsStore]]-family
+    * constants, the same values the ensure-write sites consume.
+    * Mixing's LM-score store reaps here too (one operational sweep
+    * for the documents-derived stores); Ann's embedding stores have
+    * their own twin ([[graft.ann.Ann.reapStaleStores]]).
     */
-  def reapStaleStores(t: Tables): Seq[String] = {
+  def reapStaleStores(t: Tables, alsoKeep: Seq[Tables] = Nil): Seq[String] = {
     import graft.storage.Materialize
-    val parquetKeep = Map(
-      "graft_keeper_ids" -> Materialize.corpusTag(t, "documents", "keep-ids"),
-      "graft_shingles" -> Materialize.corpusTag(t, "documents", s"sh=$ShingleSize"),
-      "graft_shingles_keep" ->
-        Materialize.corpusTag(t, "documents", s"sh=$ShingleSize|keep"),
-      "graft_simhash" ->
-        Materialize.corpusTag(t, "documents", s"bits=$SimhashBits|keep"))
-    val reapedDirs = parquetKeep.toSeq.flatMap { case (prefix, tag) =>
-      Materialize.reapStale(t.spark, prefix, Set(tag))
+    val corpora = t +: alsoKeep
+    val parquetStores = Seq(KeeperIdsStore, ShinglesStore,
+      KeeperShinglesStore, SimhashStore, EvalCorpusStore,
+      graft.pipeline.Mixing.LmScoresStore)
+    val reapedDirs = parquetStores.flatMap { s =>
+      Materialize.reapStale(t.spark, s.prefix, corpora.map(s.tag).toSet)
     }
-    val bucketKeep = Map(
-      "graft_shingles_b" -> Materialize.corpusTag(
-        t, "documents", s"sh=$ShingleSize|b=$DedupStoreBuckets"),
-      "graft_bands_b" -> Materialize.corpusTag(
-        t, "documents",
-        s"sh=$ShingleSize|p=$NumPerms|nb=$NumBands|b=$DedupStoreBuckets|keep"))
-    val reapedTables = bucketKeep.toSeq.flatMap { case (prefix, tag) =>
-      val pat = java.util.regex.Pattern.compile(
-        java.util.regex.Pattern.quote(prefix) + "_([0-9a-f]{12})")
-      t.spark.catalog.listTables().collect().toSeq
-        .flatMap { tb =>
-          val m = pat.matcher(tb.name)
-          if (m.matches() && m.group(1) != tag) Some(tb.name) else None
-        }
-        .map { name => t.spark.sql(s"DROP TABLE IF EXISTS `$name`"); name }
-    }
+    val reapedTables = Seq(ShinglesBucketedStore, BandsBucketedStore)
+      .flatMap { s =>
+        val keep = corpora.map(s.tag).toSet
+        val pat = java.util.regex.Pattern.compile(
+          java.util.regex.Pattern.quote(s.prefix) + "_([0-9a-f]{12})")
+        t.spark.catalog.listTables().collect().toSeq
+          .flatMap { tb =>
+            val m = pat.matcher(tb.name)
+            if (m.matches() && !keep.contains(m.group(1))) Some(tb.name)
+            else None
+          }
+          .map { name => t.spark.sql(s"DROP TABLE IF EXISTS `$name`"); name }
+      }
     reapedDirs ++ reapedTables
   }
 
@@ -1175,9 +1297,7 @@ object Dedup {
     * and [[SimhashBits]] — storage.Materialize), read it back.
     */
   private def simhashSignaturesMaterialized(t: Tables): DataFrame =
-    graft.storage.Materialize.ensureParquet(t.spark, "graft_simhash",
-      graft.storage.Materialize.corpusTag(
-        t, "documents", s"bits=$SimhashBits|keep"),
+    graft.storage.Materialize.ensureStore(t, SimhashStore,
       simhashSignaturesOf(keeperDocs(t)))
 
   def dedupSimhash(t: Tables, bandCap: Int = BandDocFreqCap): DataFrame =
@@ -1298,21 +1418,29 @@ object Dedup {
   }
 
   private val embedBitsCache =
-    new java.util.concurrent.ConcurrentHashMap[Tables, Integer]()
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** The adaptive width for `t`'s embedding corpus — the Scala twin of
     * [[graft.functions.Portable.bucketBitsSql]]'s integer ladder
     * (identical thresholds, so Spark and the oracle can never disagree)
-    * over ONE memoized parquet count per (session, corpus). The count
-    * is a metadata-only scan (parquet row-group footers) and the driver
+    * over ONE memoized parquet count per corpus STATE. The count is a
+    * metadata-only scan (parquet row-group footers) and the driver
     * sees a single long — the clusterKeepers scalar-count precedent,
     * not a data collect. A literal width keeps the bucket projection
     * inside whole-stage codegen and the dedup plans free of the
     * one-row-broadcast join a column-typed width would need.
+    *
+    * Memo key is the file-INVENTORY tag (`Materialize.corpusTag`), the
+    * same invalidation discipline as the parquet stores — keying on
+    * the Tables value (ADVICE r8) served a stale width after the
+    * corpus was regenerated or appended under a live dir, silently
+    * breaking the exact-oracle property the ladder exists for.
     */
   private[graft] def embedBits(t: Tables): Int =
-    embedBitsCache.computeIfAbsent(t, _ =>
-      graft.functions.Portable.bucketBits(t.embeddings.count(),
+    embedBitsCache.computeIfAbsent(
+      graft.storage.Materialize.corpusTag(t, "embeddings",
+        s"bits=$EmbedBucketBits..$EmbedBucketBitsMax|tgt=$EmbedBucketTarget"),
+      _ => graft.functions.Portable.bucketBits(t.embeddings.count(),
         EmbedBucketBits, EmbedBucketBitsMax, EmbedBucketTarget)).intValue
 
   /** Hash tables for [[dedupEmbeddingMultitable]] — each table buckets

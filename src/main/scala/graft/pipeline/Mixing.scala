@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * sample/split assignment (the property a random() sample silently
   * lacks, and the reason every decision here is oracle-checkable:
   * md5 is the one hash both engines share, and division by 2^32 is
-  * exact in doubles). Scale: every op is a map-side projection +
-  * filter (sampling, splitting) or one windowed rank per language
-  * (bucketing) — nothing shuffles more than the final output sort.
+  * exact in doubles). Scale: sampling and splitting are map-side
+  * projection + filter; quality bucketing assigns against a broadcast
+  * boundary table ([[ccnetBucketBounded]]) — nothing shuffles more
+  * than the final output sort.
   */
 object Mixing {
 
@@ -106,15 +107,11 @@ object Mixing {
     * Scale note (honest): `Window.partitionBy(lang)` sends each
     * language to ONE task, and a real corpus is skewed toward one
     * language — at 100 TB the en partition is a single-task sort and
-    * this exact-ntile plan does not survive. The production shape is
-    * what CCNet itself does: compute the two per-language score
-    * BOUNDARIES first (exact via a distributed per-lang rank at the
-    * two cut positions, or approx via percentile sketch), broadcast
-    * the ~langs×2 boundary table, and assign buckets with a map-side
-    * comparison — same semantics except ties AT a boundary, which the
-    * ntile form splits by doc_id and the boundary form groups. The
-    * oracle pins the exact-ntile semantics; swap in the boundary
-    * assignment when the per-language row count outgrows a task.
+    * this exact-ntile plan does not survive. It stays as the live
+    * pedagogical baseline; the production path is
+    * [[ccnetBucketBounded]] — per-language boundary scores found by
+    * distributed histogram search, broadcast, assigned map-side —
+    * identical away from boundary ties (PipelineSpec pins it).
     */
   def ccnetBucket(t: Tables): DataFrame = {
     val scored = graft.textanalysis.TextAnalysis.lmBigramScore(t)
@@ -142,4 +139,107 @@ object Mixing {
        |  CASE nt WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
        |          ELSE 'tail' END AS bucket
        |FROM b ORDER BY doc_id""".stripMargin
+
+  /** The per-corpus LM-score store: (doc_id, lang, lm_score) —
+    * [[graft.textanalysis.TextAnalysis.lmBigramScore]] joined to the
+    * language column, written once per corpus (storage.Materialize
+    * inventory-keyed), read back as a 3-column columnar scan by every
+    * mixing decision that consumes scores. Fluency is scored ONCE per
+    * corpus; bucketing, re-bucketing, and boundary audits never re-run
+    * the bigram model.
+    */
+  private[graft] val LmScoresStore = graft.storage.Materialize.StoreDef(
+    "graft_lm_scores", "documents", "lm=bigram-fixed1e12")
+
+  private[graft] def lmScoresMaterialized(t: Tables): DataFrame =
+    graft.storage.Materialize.ensureStore(t, LmScoresStore,
+      graft.textanalysis.TextAnalysis.lmBigramScore(t)
+        .select(col("doc_id"), col("lm_score"))
+        .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("lm_score")))
+
+  /** ntile cut positions for n rows in 3 buckets: the standard-SQL
+    * rule gives the first n mod 3 buckets one extra row, so bucket 1
+    * ends at rank c1 and bucket 2 at rank c12 (1-based, descending
+    * score order). Mirrored literally in [[ccnetBucketBoundedSql]].
+    */
+  private[graft] def tercileCuts(n: Long): (Long, Long) =
+    (n / 3 + (if (n % 3 >= 1) 1 else 0), 2 * (n / 3) + n % 3)
+
+  /** [[ccnetBucket]]'s PRODUCTION twin — boundary-table bucketing, no
+    * per-language single-task sort. `Window.partitionBy(lang)` runs
+    * each language as one task; a real corpus is skewed toward one
+    * language, so at 100 TB the exact-ntile plan is a single-task sort
+    * of most of the corpus. This twin does what CCNet itself does:
+    * find each language's two tercile BOUNDARY scores (the values at
+    * the ntile cut ranks — [[graft.functions.OrderStat]]'s histogram
+    * narrowing, O(log n) distributed aggregations, never a group
+    * sort), broadcast the langs×2 boundary table, and assign buckets
+    * with one map-side comparison.
+    *
+    * Tie semantics — the ONE deliberate difference from the ntile
+    * form: ties AT a boundary score all take the higher bucket (the
+    * assignment reads only the score), where ntile splits them by
+    * doc_id to force exact tercile counts. Away from boundary ties the
+    * two are identical (PipelineSpec pins it); the oracle mirrors the
+    * boundary rule, so this entry is exact at every sf. Degenerate
+    * corner the rule implies: if both cuts land on one score value
+    * (s1 = s2), 'middle' is empty by construction.
+    */
+  def ccnetBucketBounded(t: Tables): DataFrame = {
+    import graft.functions.OrderStat
+    import graft.functions.OrderStat.RankTarget
+    val spark = t.spark
+    import spark.implicits._
+    val scores = lmScoresMaterialized(t)
+    val counts = scores.groupBy(col("lang").as("g"),
+      col("lm_score").as("v")).agg(count(lit(1)).as("cnt"))
+    val perLang = scores.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val targets = perLang.flatMap { case (l, n) =>
+      val (c1, c12) = tercileCuts(n)
+      Seq(RankTarget(l, c1), RankTarget(l, c12))
+    }
+    val cut = OrderStat.valuesAtDescRanks(counts, targets.toSeq)
+    val bounds = broadcast(perLang.toSeq.map { case (l, n) =>
+      val (c1, c12) = tercileCuts(n)
+      (l, cut(RankTarget(l, c1)), cut(RankTarget(l, c12)))
+    }.toDF("lang", "s1", "s2"))
+    scores.join(bounds, Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        when(col("lm_score") >= col("s1"), "head")
+          .when(col("lm_score") >= col("s2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[ccnetBucketBounded]]: the boundary scores are the
+    * values at the ntile cut ranks (`rn = c1` / `rn = c12` under the
+    * same (score desc, doc_id) order the ntile form uses), and the
+    * assignment is the same two >= comparisons — DuckDB finds them
+    * with a window (fine at oracle scale), Spark with the histogram
+    * search; both name identical score values, so the outputs hash-
+    * match exactly.
+    */
+  def ccnetBucketBoundedSql: String =
+    s"""WITH lm AS (${graft.textanalysis.TextAnalysis.lmBigramScoreSql}),
+       |j AS (SELECT lm.doc_id, d.lang, lm.lm_score
+       |      FROM lm JOIN documents d USING (doc_id)),
+       |r AS (SELECT doc_id, lang, lm_score,
+       |        row_number() OVER (PARTITION BY lang
+       |                           ORDER BY lm_score DESC, doc_id) rn,
+       |        count(*) OVER (PARTITION BY lang) n
+       |      FROM j),
+       |cuts AS (SELECT lang,
+       |    max(CASE WHEN rn = n // 3
+       |          + (CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END)
+       |        THEN lm_score END) AS s1,
+       |    max(CASE WHEN rn = 2 * (n // 3) + n % 3
+       |        THEN lm_score END) AS s2
+       |  FROM r GROUP BY lang)
+       |SELECT j.doc_id, j.lang, j.lm_score,
+       |  CASE WHEN j.lm_score >= c.s1 THEN 'head'
+       |       WHEN j.lm_score >= c.s2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM j JOIN cuts c USING (lang) ORDER BY doc_id""".stripMargin
 }

@@ -16,6 +16,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Materialize {
 
+  /** A warehouse store's identity — prefix, source table, and the
+    * config string of constants baked into its bytes — as ONE shared
+    * constant consumed by BOTH the ensure-write site and the reap
+    * keep-set (ADVICE r8: the two used to be hand-duplicated strings,
+    * so a retag that updated only one side — like r8's `|keep` suffix —
+    * would make reap treat the live store as stale and delete it).
+    */
+  final case class StoreDef(prefix: String, table: String, config: String) {
+    def tag(t: Tables): String = corpusTag(t, table, config)
+  }
+
+  /** [[ensureParquet]] addressed by a [[StoreDef]]. */
+  def ensureStore(t: Tables, s: StoreDef, df: => DataFrame,
+                  partitionCols: Seq[String] = Nil): DataFrame =
+    ensureParquet(t.spark, s.prefix, s.tag(t), df, partitionCols)
+
   /** Cache tag for `table` under `t.dir` given `config` (constants the
     * cached content depends on — bake in everything that changes the
     * bytes). Inventory listing goes through the Hadoop FileSystem for
@@ -80,9 +96,20 @@ object Materialize {
     */
   def ensureParquet(spark: SparkSession, prefix: String, tag: String,
                     df: => DataFrame,
-                    partitionCols: Seq[String] = Nil): DataFrame = {
-    val dst = new Path(
-      new Path(spark.conf.get("spark.sql.warehouse.dir")), s"${prefix}_$tag")
+                    partitionCols: Seq[String] = Nil): DataFrame =
+    ensureParquetAt(spark, new Path(
+      new Path(spark.conf.get("spark.sql.warehouse.dir")), s"${prefix}_$tag"),
+      df, partitionCols)
+
+  /** [[ensureParquet]] at an explicit destination path — for stores
+    * whose layout is not `<warehouse>/<prefix>_<tag>` (e.g. the eval
+    * corpus dir, which must look like a testdata dir:
+    * `<root>/documents.parquet`). Same write-to-temp + rename
+    * publication.
+    */
+  private[graft] def ensureParquetAt(spark: SparkSession, dst: Path,
+                                     df: => DataFrame,
+                                     partitionCols: Seq[String] = Nil): DataFrame = {
     val fs = dst.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(new Path(dst, "_SUCCESS"))) {
       val tmp = new Path(dst.getParent,

@@ -554,6 +554,44 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 10L, 1.0)), got.mkString(","))
   }
 
+  test("decontaminateAgainst reproduces the planted pair across two real directories") {
+    import spark.implicits._
+    // the planted pair from the single-corpus decontam test, but the
+    // eval docs live in their OWN directory (the benchmark-suite shape)
+    val eval1 = (0 until 20).map(i => s"q$i").mkString(" ")
+    val eval2 = (100 until 120).map(i => s"q$i").mkString(" ")
+    val trainA = "intro words " + eval1 + " outro words " +
+      (0 until 30).map(i => s"t$i").mkString(" ") // full embed → 1.0
+    val trainB = (100 until 110).map(i => s"q$i").mkString(" ") + " " +
+      (0 until 30).map(i => s"u$i").mkString(" ") // half quote → below 0.9
+    val trainDir = java.nio.file.Files.createTempDirectory("graft_dc_train").toString
+    val evalDir = java.nio.file.Files.createTempDirectory("graft_dc_eval").toString
+    Seq((10L, trainA), (11L, trainB)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$trainDir/documents.parquet")
+    Seq((1L, eval1), (2L, eval2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$evalDir/documents.parquet")
+    val got = Dedup.decontaminateAgainst(
+      Tables(spark, trainDir), Tables(spark, evalDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 10L, 1.0)), got.mkString(","))
+  }
+
+  test("dedup_decontaminate_dir probes a real on-disk eval directory") {
+    val evalRoot = Dedup.evalCorpusDir(tables)
+    // the eval dir is a genuine corpus dir: Tables can read it, and it
+    // holds exactly the src0 slice
+    val evalDocs = Tables(spark, evalRoot).documents
+    assert(evalDocs.count() ==
+      tables.documents.filter(org.apache.spark.sql.functions
+        .col("source") === Dedup.EvalSource).count())
+    // and the entry finds contamination on the main corpus (the
+    // planted src0 near-copies in testdata)
+    val rows = Dedup.dedupDecontaminateDir(tables).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= Dedup.ContaminationMin)
+    }
+  }
+
   // LAST in the suite on purpose: reaping treats every tag not derived
   // from `tables`' corpus as stale, including stores earlier tests
   // built for their temp corpora (they rebuild on demand — ensure-write)
@@ -582,5 +620,29 @@ class DedupSpec extends SparkSpec {
     assert(after == before)
     val again = Dedup.reapStaleStores(tables)
     assert(again.isEmpty, s"second reap should be a no-op: $again")
+  }
+
+  // after the single-corpus reap test: multi-corpus warehouses reap
+  // safely by enumerating every live corpus (ADVICE r8)
+  test("reapStaleStores keeps alsoKeep corpora's stores in a shared warehouse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_reap2").toString
+    (0L until 6L).map(i => (i, s"corpus two doc $i body words alpha beta gamma delta $i"))
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t2 = Tables(spark, dir)
+    Dedup.dedupNgramJaccardMat(t2).collect() // builds t2's graft_shingles
+    val t2Shingles = s"graft_shingles_${Dedup.ShinglesStore.tag(t2)}"
+    val wh = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
+    assert(new java.io.File(wh, t2Shingles).exists(), "t2 store not built")
+    // with t2 in the keep-set, its stores survive the reap
+    val reaped = Dedup.reapStaleStores(tables, alsoKeep = Seq(t2))
+    assert(!reaped.contains(t2Shingles), reaped.toString)
+    assert(new java.io.File(wh, t2Shingles).exists())
+    // without it, the single-corpus keep-set treats t2's tag as stale
+    val reaped2 = Dedup.reapStaleStores(tables)
+    assert(reaped2.contains(t2Shingles), reaped2.toString)
+    assert(!new java.io.File(wh, t2Shingles).exists())
   }
 }

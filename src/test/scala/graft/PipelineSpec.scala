@@ -136,6 +136,73 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("mix: bounded ccnet = ntile away from boundary ties; no per-lang window in plan") {
+    import graft.pipeline.Mixing
+    val nt = Mixing.ccnetBucket(tables).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3)))
+    val bd = Mixing.ccnetBucketBounded(tables).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2), r.getString(3)))
+      .toMap
+    assert(nt.length == bd.size)
+    // the cut VALUES, from first principles: per lang, sort scores
+    // desc, read positions c1 and c12
+    val cuts = nt.groupBy(_._2._1).map { case (lang, rs) =>
+      val scores = rs.map(_._2._2).sorted(Ordering[Double].reverse)
+      val (c1, c12) = Mixing.tercileCuts(scores.length.toLong)
+      lang -> ((scores(c1.toInt - 1), scores(c12.toInt - 1)))
+    }
+    var away = 0
+    nt.foreach { case (id, (lang, score, bucket)) =>
+      val (s1, s2) = cuts(lang)
+      assert(bd(id)._1 == lang && bd(id)._2 == score)
+      if (score != s1 && score != s2) { // away from both boundaries
+        assert(bd(id)._3 == bucket, s"doc $id: bounded ${bd(id)._3} vs ntile $bucket")
+        away += 1
+      } else {
+        // AT a boundary: ties group UP (>= comparison)
+        val want = if (score >= s1) "head" else "middle"
+        assert(bd(id)._3 == want, s"doc $id at boundary: ${bd(id)._3} vs $want")
+      }
+    }
+    assert(away > nt.length / 2, "test degenerate: most docs sat on a boundary")
+    // the scale property the twin exists for: no per-language window
+    // (single-task sort) anywhere in the bounded plan
+    val plan = Mixing.ccnetBucketBounded(tables)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), plan.linesIterator.take(8).mkString("\n"))
+  }
+
+  test("mix: bounded ccnet groups a planted boundary tie into the higher bucket") {
+    import graft.pipeline.Mixing
+    import spark.implicits._
+    // one lang, 5 docs: 4 identical + 1 distinct. The 4 copies occupy
+    // 4 consecutive ranks of 5, so both ntile cuts (ranks 2 and 4)
+    // land INSIDE the tie group wherever the distinct doc sorts —
+    // ntile must split the copies, bounded must keep them together.
+    val tie = "the quick brown fox jumps over the lazy dog again"
+    val docs = Seq(
+      (1L, "aa", tie), (2L, "aa", tie), (3L, "aa", tie), (4L, "aa", tie),
+      (5L, "aa", "completely different words make another bigram profile"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccnet_tie").toString
+    docs.toDF("doc_id", "lang", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val tt = Tables(spark, dir)
+    val nt = Mixing.ccnetBucket(tt).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val bd = Mixing.ccnetBucketBounded(tt).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val copies = Seq(1L, 2L, 3L, 4L)
+    assert(nt.values.toSet.size > 1) // ntile split SOMETHING
+    assert(copies.map(nt).toSet.size > 1, "ntile kept the tie group whole — test degenerate")
+    assert(copies.map(bd).toSet.size == 1, s"bounded split a tie group: $bd")
+    // ties take the HIGHER bucket; the distinct doc keeps a bucket
+    // consistent with its side of the boundary
+    val tieBucket = bd(copies.head)
+    val other = bd(5L)
+    assert(Set("head", "middle", "tail")(tieBucket) && Set("head", "middle", "tail")(other))
+    assert(tieBucket != other || nt(5L) == tieBucket)
+  }
+
   test("mix: ccnet terciles are balanced per language and ordered by score") {
     import graft.pipeline.Mixing
     val rows = Mixing.ccnetBucket(tables).collect()

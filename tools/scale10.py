@@ -15,8 +15,14 @@ ones:
   their originals (verbatim copies would plant 10-cliques in every LSH
   bucket). Query vectors (vec_id < 10) exist only in replica 0, so the
   ANN query load is constant while the corpus is 10x.
-- events: user_id offset per replica (10x users, per-user session
-  shapes unchanged); ts unchanged (10x density per window).
+- events: user_id offset per replica PLUS a deterministic zipf-ish
+  skew (VERDICT r8 #6): in each replica k>0, three whale users absorb
+  ~25% / 12% / 8% of that replica's events (hash of event_id picks the
+  tier — no RNG, reruns identical), the rest stay uniform. Uniform
+  replication never exercised the sessionize whale path at scale; a
+  real event log is zipf in users, so the scale bench must be too.
+  Replica 0 is untouched (the original corpus is a subset). ts
+  unchanged (10x density per window).
 - orders/lineitem: orderkey remapped per replica; dimension tables
   (customer/supplier/part/region/nation) stay 1x — facts scale, dims
   don't, which keeps the broadcast-join story honest.
@@ -71,9 +77,19 @@ def main():
         FROM '{src}/embeddings.parquet', {rep}
         WHERE r.k = 0 OR vec_id >= 10""")
 
+    # zipf tiers: (event_id * Knuth multiplier) mod 1000 buckets the
+    # event deterministically; replica-k whales live at 9e6 + tier*1e5
+    # + k so whale ids never collide with offset uniform users
+    zipf_u = f"(event_id * 2654435761) % 1000"
     copy("events", f"""
         SELECT event_id + r.k * {OFF} AS event_id, ts,
-               user_id + r.k * {OFF} AS user_id,
+               CASE
+                 WHEN r.k = 0 THEN user_id
+                 WHEN {zipf_u} < 250 THEN 9000000 + r.k
+                 WHEN {zipf_u} < 370 THEN 9100000 + r.k
+                 WHEN {zipf_u} < 450 THEN 9200000 + r.k
+                 ELSE user_id + r.k * {OFF}
+               END AS user_id,
                event_type, value, props
         FROM '{src}/events.parquet', {rep}""")
 
