@@ -26,6 +26,21 @@ object GraftSession {
       // the provider every large stateful job runs in production.
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // The salted whale-protection stages (streaming.Jobs
+      // .ContainmentGate / ClusterAssignStream) chain two append-mode
+      // flatMapGroupsWithState operators: a (doc, salt)-sharded
+      // accumulator followed by a doc-keyed merge. Spark's static
+      // checker flags EVERY stateful-after-stateful chain because a
+      // downstream WATERMARK-FILTERING operator (aggregation, dedup,
+      // join) would drop the upstream's late emissions — but fMGWS
+      // never filters by watermark (late handling is the operator
+      // author's contract), and the merge stage keeps no state at all:
+      // all shards of a doc set the identical timeout, so its partials
+      // arrive in one micro-batch. StreamingJobsSpec pins the merged
+      // results ≡ batch, which is the end-to-end form of exactly the
+      // property this check approximates statically.
+      .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled",
+        "false")
       // testdata ns-precision timestamps: surfaced as long nanos, graft
       // converts explicitly (portable across engines).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

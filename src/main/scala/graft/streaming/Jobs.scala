@@ -408,21 +408,36 @@ object Jobs {
       * (corpusDoc None) or one (matched corpus doc, common shingle)
       * hit. `nA` = the arriving doc's distinct shingle count; `keeper`/
       * `nB` describe the matched corpus doc's cluster and set size.
+      * `sHash` is the 64-bit xxhash64 of the common shingle — state
+      * only ever counts distinct shingles, so text never enters the
+      * store (ADVICE r8); `salt` routes the row to its state shard.
       */
     private[streaming] case class AssignRow(
-        ts: java.sql.Timestamp, docId: Long, nA: Int,
-        corpusDoc: Option[Long], s: Option[String],
+        ts: java.sql.Timestamp, docId: Long, nA: Int, salt: Int,
+        corpusDoc: Option[Long], sHash: Option[Long],
         keeper: Option[Long], nB: Option[Int])
 
-    /** Per-doc accumulator: matched corpus docs with their keeper, set
-      * size and the distinct common shingles seen so far (a Seq, kept
-      * distinct on merge — multi-band duplicate matches collapse here,
-      * where the batch twin uses `.distinct()`).
+    /** Per-shard accumulator: matched corpus docs with their keeper,
+      * set size and the distinct common shingle HASHES seen so far in
+      * this shard (kept distinct on merge — multi-band duplicate
+      * matches collapse here, where the batch twin uses `.distinct()`).
       */
     private[streaming] case class CorpusAcc(
-        keeper: Long, nB: Int, common: Seq[String])
+        keeper: Long, nB: Int, common: Seq[Long])
     private[streaming] case class AssignState(
         tsMs: Long, nA: Int, matches: Map[Long, CorpusAcc])
+
+    /** One salted shard's evidence, emitted at shard timeout; hits =
+      * (corpus doc, its keeper, n_b, common-in-shard). Shards hold
+      * disjoint shingle subsets, so the merge adds counts.
+      */
+    private[streaming] case class AssignPartial(
+        docId: Long, nA: Int, hits: Seq[(Long, Long, Int, Int)])
+
+    /** Shards per doc key — whale protection, same design and
+      * rationale as [[ContainmentGate.Salts]].
+      */
+    val Salts = 8
 
     /** The verify gate — IDENTICAL to the batch criterion
       * (dedup.Dedup's `round6(common / (nA + nB − common)) >= JaccardMin`,
@@ -456,13 +471,18 @@ object Jobs {
       *
       * Shape: per-row HOF band keys + shingle set (one source
       * subscription), stateless stream-static joins against the THREE
-      * memoized corpus tables (bands, shingles, keepers), then ONE
-      * stateful operator — a doc-keyed state store (the reference's
-      * updateStateByKey heritage) that accumulates verify hits and
-      * emits the assignment when the event-time timeout passes the
-      * doc's ts + watermark lag. State per doc is bounded by (LSH
-      * matches × shingles); identical-doc whales are bounded by the
-      * band-collision fan-out, same as the batch verify stage.
+      * memoized corpus tables (bands, shingles, keepers), then TWO
+      * append-mode stateful operators (the reference's
+      * updateStateByKey heritage, salted): a (doc, salt)-keyed shard
+      * store accumulating verify hits over disjoint shingle-hash
+      * subsets until the event-time timeout passes the doc's ts +
+      * watermark lag, and a doc-keyed stateless merge that sums shard
+      * counts and emits the assignment ([[Salts]] scaladoc — the
+      * whale-salting rationale; all shards of a doc share its event
+      * ts, so their partials surface in one micro-batch). Shard state
+      * is bounded by (LSH matches × shingles)/Salts and holds 64-bit
+      * shingle hashes, never text; identical-doc whales are bounded
+      * by the band-collision fan-out, same as the batch verify stage.
       */
     /** `labelsRoot`: when set, the keeper table is resolved from the
       * CURRENT committed generation of a [[graft.storage.ClusterStore]]
@@ -476,6 +496,45 @@ object Jobs {
     def assignments(docs: DataFrame, t: Tables,
                     watermarkLag: String = "30 seconds",
                     labelsRoot: Option[String] = None): Dataset[(Long, Long, Int)] = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      saltedPartials(docs, t, watermarkLag, labelsRoot)
+        .groupByKey(_.docId)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (docId: Long, partials: Iterator[AssignPartial],
+           state: GroupState[AssignState]) => {
+            // stateless merge — every shard of a doc times out in the
+            // same micro-batch (identical doc ts → identical timeout),
+            // so one batch carries all of its partials
+            var nA = 0
+            val accs = scala.collection.mutable
+              .Map.empty[Long, (Long, Int, Int)]
+            partials.foreach { p =>
+              nA = math.max(nA, p.nA)
+              p.hits.foreach { case (cd, keeper, nb, common) =>
+                val (k0, n0, c0) = accs.getOrElse(cd, (keeper, nb, 0))
+                accs(cd) = (k0, n0, c0 + common)
+              }
+            }
+            val verified = accs.filter { case (_, (_, nb, common)) =>
+              verifies(common, nA, nb)
+            }
+            val keeper =
+              if (verified.isEmpty) docId
+              else verified.valuesIterator.map(_._1).min
+            Iterator((docId, keeper, verified.size))
+          })
+    }
+
+    /** Stage 1 — the salted shard accumulator ([[Salts]] scaladoc has
+      * the whale rationale); exposed to the spec so shard spread is
+      * directly observable on a planted whale.
+      */
+    private[streaming] def saltedPartials(
+        docs: DataFrame, t: Tables,
+        watermarkLag: String = "30 seconds",
+        labelsRoot: Option[String] = None): Dataset[AssignPartial] = {
       val spark = docs.sparkSession
       import spark.implicits._
       val lagMs = lagMillis(watermarkLag)
@@ -531,34 +590,35 @@ object Jobs {
         .join(corpusSizes, Seq("corpus_doc"), "left")
         .join(keepers, Seq("corpus_doc"), "left")
         .select(col("ts"), col("doc_id").as("docId"), col("n_a").as("nA"),
+          // presence rows (null s) route to shard 0 so every doc owns
+          // at least one shard and always emits an assignment
+          coalesce(pmod(xxhash64(col("s")), lit(Salts)).cast("int"),
+            lit(0)).as("salt"),
           when(col("hit"), col("corpus_doc")).as("corpusDoc"),
-          when(col("hit"), col("s")).as("s"),
+          when(col("hit"), xxhash64(col("s"))).as("sHash"),
           when(col("hit"),
             coalesce(col("cluster_keeper"), col("corpus_doc"))).as("keeper"),
           when(col("hit"), col("n_b")).as("nB"))
         .as[AssignRow]
       rows
-        .groupByKey(_.docId)
+        .groupByKey(r => (r.docId, r.salt))
         .flatMapGroupsWithState(
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-          (docId: Long, batch: Iterator[AssignRow],
+          (key: (Long, Int), batch: Iterator[AssignRow],
            state: GroupState[AssignState]) => {
             if (state.hasTimedOut) {
               val st = state.get
               state.remove()
-              val verified = st.matches.filter { case (_, acc) =>
-                verifies(acc.common.size, st.nA, acc.nB)
-              }
-              val keeper =
-                if (verified.isEmpty) docId
-                else verified.valuesIterator.map(_.keeper).min
-              Iterator((docId, keeper, verified.size))
+              Iterator(AssignPartial(key._1, st.nA,
+                st.matches.iterator.map { case (cd, acc) =>
+                  (cd, acc.keeper, acc.nB, acc.common.size)
+                }.toSeq))
             } else {
               var st = state.getOption.getOrElse(AssignState(0L, 0, Map.empty))
               batch.foreach { r =>
                 st = st.copy(tsMs = math.max(st.tsMs, r.ts.getTime),
                   nA = math.max(st.nA, r.nA))
-                for (cd <- r.corpusDoc; sh <- r.s) {
+                for (cd <- r.corpusDoc; sh <- r.sHash) {
                   val acc = st.matches.getOrElse(cd,
                     CorpusAcc(r.keeper.getOrElse(cd), r.nB.getOrElse(0), Nil))
                   if (!acc.common.contains(sh))
@@ -593,12 +653,34 @@ object Jobs {
       * that doc and its capped shingle count.
       */
     private[streaming] case class ContainRow(
-        ts: java.sql.Timestamp, docId: Long, s: String,
+        ts: java.sql.Timestamp, docId: Long, salt: Int, sHash: Long,
         corpusDoc: Option[Long], nB: Option[Int])
 
-    private[streaming] case class CorpusHit(nB: Int, common: Seq[String])
+    private[streaming] case class CorpusHit(nB: Int, common: Seq[Long])
     private[streaming] case class ContainState(
-        tsMs: Long, own: Seq[String], matches: Map[Long, CorpusHit])
+        tsMs: Long, own: Seq[Long], matches: Map[Long, CorpusHit])
+
+    /** One salted shard's accumulated evidence for a doc, emitted at
+      * shard timeout: its share of the doc's capped shingle count and,
+      * per matched corpus doc, (n_b, common-in-shard). Shingles route
+      * to shards by hash, so shard shares are DISJOINT and the final
+      * merge is pure addition.
+      */
+    private[streaming] case class ContainPartial(
+        docId: Long, nOwn: Int, hits: Seq[(Long, Int, Int)])
+
+    /** Shards per doc key. Whale protection (VERDICT r8 #2): a doc
+      * whose posting probe fans out on MANY shingles used to
+      * concentrate its whole accumulation — every (shingle × corpus
+      * doc) hit — in ONE state-store partition under the doc key.
+      * Salting the stateful pre-aggregation by shingle hash spreads
+      * that across [[Salts]] independent state rows (different keys →
+      * different state-store partitions), and the doc-keyed merge
+      * stage then sees ≤ Salts COUNT rows per corpus doc instead of
+      * shingle strings — per-doc state bytes drop from
+      * O(shingles × fan-out × strlen) to O(matched docs × 16).
+      */
+    val Salts = 8
 
     /** The batch criterion verbatim ([[graft.dedup.Dedup.dedupContainment]]:
       * round6(common / min(nA, nB)) ≥ ContainmentMin, both sides at
@@ -623,16 +705,60 @@ object Jobs {
       * counts exactly the batch op's capped shingles — novel shingles
       * the corpus never saw stay in, boilerplate stays out), a LEFT
       * join against the capped posting list (s → corpus_doc, n_b), then
-      * ONE stateful operator accumulating per-doc hit sets until the
-      * event-time timeout. State per doc is bounded by its capped
-      * shingle count × its posting fan-out, and the posting list itself
-      * is doc-freq-capped — no row of it exceeds [[graft.dedup.Dedup
-      * .ShingleDocFreqCap]] corpus docs — so a boilerplate flood cannot
-      * blow up the join. Corpus-side frequency boundary documented at
-      * [[graft.dedup.Dedup.floodedShingleVocab]].
+      * TWO stateful operators, both append-mode: a ([[Salts]]-way)
+      * SALTED accumulation stage whose shards hold disjoint shingle-
+      * hash sets, and a doc-keyed merge stage that adds up shard
+      * COUNTS and applies the batch criterion. The posting list is
+      * doc-freq-capped — no row of it exceeds [[graft.dedup.Dedup
+      * .ShingleDocFreqCap]] corpus docs — so a boilerplate flood
+      * cannot blow up the join, and the salting ([[Salts]] scaladoc)
+      * keeps even a max-fan-out whale doc from concentrating its
+      * accumulation in one state-store partition (StreamingJobsSpec
+      * plants one and pins shard spread + unchanged results). State
+      * holds 64-bit xxhash64 shingle hashes, never shingle text — only
+      * set SIZES enter the containment decision (ADVICE r8).
+      *
+      * Timing invariant the merge stage leans on: every shard of a doc
+      * sees the same event ts (one source row, exploded) and sets the
+      * identical timeout, so all of a doc's partials surface in the
+      * SAME micro-batch and the merge stage needs no state of its own.
       */
     def matches(docs: DataFrame, t: Tables,
                 watermarkLag: String = "30 seconds"): Dataset[(Long, Long, Double)] = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      saltedPartials(docs, t, watermarkLag)
+        .groupByKey(_.docId)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (docId: Long, partials: Iterator[ContainPartial],
+           state: GroupState[ContainState]) => {
+            // stateless merge: all shards of a doc time out together
+            // (see the timing invariant above), so one batch holds
+            // every partial — nothing is ever stored
+            var nA = 0
+            val hits = scala.collection.mutable.Map.empty[Long, (Int, Int)]
+            partials.foreach { p =>
+              nA += p.nOwn
+              p.hits.foreach { case (cd, nb, common) =>
+                val (n0, c0) = hits.getOrElse(cd, (nb, 0))
+                hits(cd) = (n0, c0 + common)
+              }
+            }
+            hits.iterator.collect {
+              case (cd, (nb, common)) if contains(common, nA, nb) =>
+                (docId, cd, graft.functions.Portable.round6Double(
+                  common.toDouble / math.min(nA, nb)))
+            }
+          })
+    }
+
+    /** Stage 1 — the salted shard accumulator; exposed to the spec so
+      * shard spread is directly observable.
+      */
+    private[streaming] def saltedPartials(
+        docs: DataFrame, t: Tables,
+        watermarkLag: String = "30 seconds"): Dataset[ContainPartial] = {
       val spark = docs.sparkSession
       import spark.implicits._
       val lagMs = lagMillis(watermarkLag)
@@ -652,24 +778,24 @@ object Jobs {
         .withWatermark("ts", watermarkLag)
         .join(flooded, Seq("s"), "left_anti")
         .join(posting, Seq("s"), "left")
-        .select(col("ts"), col("doc_id").as("docId"), col("s"),
+        .select(col("ts"), col("doc_id").as("docId"),
+          pmod(xxhash64(col("s")), lit(Salts)).cast("int").as("salt"),
+          xxhash64(col("s")).as("sHash"),
           col("corpus_doc").as("corpusDoc"), col("n_b").as("nB"))
         .as[ContainRow]
       rows
-        .groupByKey(_.docId)
+        .groupByKey(r => (r.docId, r.salt))
         .flatMapGroupsWithState(
           OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
-          (docId: Long, batch: Iterator[ContainRow],
+          (key: (Long, Int), batch: Iterator[ContainRow],
            state: GroupState[ContainState]) => {
             if (state.hasTimedOut) {
               val st = state.get
               state.remove()
-              val nA = st.own.size
-              st.matches.iterator.collect {
-                case (cd, hit) if contains(hit.common.size, nA, hit.nB) =>
-                  (docId, cd, graft.functions.Portable.round6Double(
-                    hit.common.size.toDouble / math.min(nA, hit.nB)))
-              }
+              Iterator(ContainPartial(key._1, st.own.size,
+                st.matches.iterator.map { case (cd, h) =>
+                  (cd, h.nB, h.common.size)
+                }.toSeq))
             } else {
               // set-based accumulation: the posting join fans each
               // shingle out once per matching corpus doc, so a
@@ -681,17 +807,17 @@ object Jobs {
               var tsMs = st0.tsMs
               val own = scala.collection.mutable.Set(st0.own: _*)
               val hits = scala.collection.mutable.Map.empty[
-                Long, (Int, scala.collection.mutable.Set[String])]
+                Long, (Int, scala.collection.mutable.Set[Long])]
               st0.matches.foreach { case (cd, h) =>
                 hits(cd) = (h.nB, scala.collection.mutable.Set(h.common: _*))
               }
               batch.foreach { r =>
                 tsMs = math.max(tsMs, r.ts.getTime)
-                own += r.s
+                own += r.sHash
                 for (cd <- r.corpusDoc; nb <- r.nB)
                   hits.getOrElseUpdate(
-                    cd, (nb, scala.collection.mutable.Set.empty[String]))
-                    ._2 += r.s
+                    cd, (nb, scala.collection.mutable.Set.empty[Long]))
+                    ._2 += r.sHash
               }
               val st = ContainState(tsMs, own.toSeq,
                 hits.iterator.map { case (cd, (nb, set)) =>

@@ -735,6 +735,150 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ContainmentGate salting spreads a max-fan-out whale across state shards; merged result unchanged") {
+    import spark.implicits._
+    // 20 IDENTICAL corpus docs: every one of the body's 118 shingles
+    // has posting fan-out 20 (≤ the doc-freq cap of 100), so an
+    // arriving copy of the body is the max-fan-out whale — its
+    // accumulation is 118 shingles × 20 corpus docs
+    val body = (0 until 120).map(i => s"v$i").mkString(" ")
+    val dir = tmp("graft_containwhale")
+    (1L to 20L).map(i => (i, body)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = graft.Tables(spark, dir)
+
+    def drain(q: org.apache.spark.sql.streaming.StreamingQuery,
+              in: MemoryStream[(Timestamp, Long, String)]): Unit = {
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(40000L), 900001L,
+        "zz yy xx ww vv uu tt ss rr")))
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(200000L), 900002L,
+        "qq pp oo nn mm ll kk jj ii")))
+      q.processAllAvailable()
+    }
+
+    // stage 1 observed directly: the whale's state is sharded, no
+    // single (doc, salt) key holds more than a fraction of it
+    val in1 = MemoryStream[(Timestamp, Long, String)]
+    val parts = Jobs.ContainmentGate.saltedPartials(
+      in1.toDF().toDF("ts", "doc_id", "text"), t)
+    val q1 = parts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("containwhale_parts").start()
+    try {
+      in1.addData(Seq((new Timestamp(1000L), 500L, body)))
+      drain(q1, in1)
+      val got = spark.table("containwhale_parts")
+        .as[Jobs.ContainmentGate.ContainPartial].collect()
+        .filter(_.docId == 500L)
+      val totalOwn = got.map(_.nOwn).sum
+      assert(totalOwn == 118, s"distinct shingles: $totalOwn") // 120 tokens
+      assert(got.length > 1, "whale accumulated in ONE state shard")
+      assert(got.map(_.nOwn).max <= totalOwn / 2,
+        s"one shard holds most of the whale: ${got.map(_.nOwn).toSeq}")
+      // shard hit counts are bounded by the shard's own share — the
+      // per-key state row bound the salting exists for
+      got.foreach { p =>
+        p.hits.foreach { case (_, _, common) => assert(common <= p.nOwn) }
+      }
+      // and the shards partition the evidence exactly: per corpus doc,
+      // shard commons sum back to the full 118-shingle overlap
+      val byCd = got.flatMap(_.hits).groupBy(_._1)
+        .view.mapValues(_.map(_._3).sum).toMap
+      assert(byCd.keySet == (1L to 20L).toSet, byCd.toString)
+      assert(byCd.values.forall(_ == 118), byCd.toString)
+    } finally q1.stop()
+
+    // end-to-end: the merge stage reassembles the exact decision — the
+    // whale is contained in every corpus copy at 1.0
+    val in2 = MemoryStream[(Timestamp, Long, String)]
+    val gate = Jobs.ContainmentGate.matches(
+      in2.toDF().toDF("ts", "doc_id", "text"), t)
+      .toDF("doc_id", "corpus_doc", "containment")
+    val q2 = gate.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("containwhale_gate").start()
+    try {
+      in2.addData(Seq((new Timestamp(1000L), 500L, body)))
+      drain(q2, in2)
+      val got = spark.table("containwhale_gate")
+        .as[(Long, Long, Double)].collect().filter(_._1 == 500L).toSet
+      assert(got == (1L to 20L).map(cd => (500L, cd, 1.0)).toSet, got.toString)
+    } finally q2.stop()
+  }
+
+  test("ClusterAssignStream salting spreads a planted verify whale; assignment unchanged") {
+    import spark.implicits._
+    // 12 NEAR-dup corpus docs (shared 59-token prefix, distinct tail):
+    // distinct texts — no exact-dup collapse — sharing LSH bands and
+    // pairwise jaccard 57/59 ≈ 0.966, so batch clusters them under
+    // keeper 1. An arriving pure-prefix doc band-matches ALL of them:
+    // the verify fan-out whale (12 corpus docs × ~57 common shingles).
+    val base = (0 until 60).map(i => s"c$i")
+    val dir = tmp("graft_clusterwhale")
+    val docs = (1L to 12L)
+      .map(i => (i, (base.dropRight(1) :+ s"tail$i").mkString(" ")))
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = graft.Tables(spark, dir)
+    val batch = graft.dedup.Dedup.nearDupClusters(t).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch == (1L to 12L).map(_ -> 1L).toMap,
+      s"fixture drifted: $batch") // one cluster, keeper 1
+
+    val whale = base.mkString(" ")
+    val in1 = MemoryStream[(Timestamp, Long, String)]
+    val parts = Jobs.ClusterAssignStream.saltedPartials(
+      in1.toDF().toDF("ts", "doc_id", "text"), t)
+    val q1 = parts.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("clusterwhale_parts").start()
+    try {
+      in1.addData(Seq((new Timestamp(1000L), 500L, whale)))
+      q1.processAllAvailable()
+      in1.addData(Seq((new Timestamp(40000L), 900001L,
+        "zz yy xx ww vv uu tt ss rr")))
+      q1.processAllAvailable()
+      in1.addData(Seq((new Timestamp(200000L), 900002L,
+        "qq pp oo nn mm ll kk jj ii")))
+      q1.processAllAvailable()
+      val got = spark.table("clusterwhale_parts")
+        .as[Jobs.ClusterAssignStream.AssignPartial].collect()
+        .filter(_.docId == 500L)
+      assert(got.length > 1, "whale verify state sat in ONE shard")
+      val byCd = got.flatMap(_.hits).groupBy(_._1)
+        .view.mapValues(_.map(_._4).sum).toMap
+      assert(byCd.keySet == (1L to 12L).toSet, byCd.toString)
+      // whale ∩ doc_i = the 57 prefix shingles, reassembled exactly
+      assert(byCd.values.forall(_ == 57), byCd.toString)
+      val maxShardHits = got.map(_.hits.map(_._4).sum).max
+      val totalHits = got.flatMap(_.hits.map(_._4)).sum
+      assert(maxShardHits <= totalHits / 2,
+        s"one shard holds most of the verify evidence: $maxShardHits/$totalHits")
+    } finally q1.stop()
+
+    // end-to-end: merged assignment = the batch cluster's keeper, all
+    // 12 partners verified
+    val in2 = MemoryStream[(Timestamp, Long, String)]
+    val assigns = Jobs.ClusterAssignStream.assignments(
+      in2.toDF().toDF("ts", "doc_id", "text"), t)
+      .toDF("doc_id", "keeper_id", "n_verified")
+    val q2 = assigns.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("clusterwhale_assigns").start()
+    try {
+      in2.addData(Seq((new Timestamp(1000L), 500L, whale)))
+      q2.processAllAvailable()
+      in2.addData(Seq((new Timestamp(40000L), 900001L,
+        "zz yy xx ww vv uu tt ss rr")))
+      q2.processAllAvailable()
+      in2.addData(Seq((new Timestamp(200000L), 900002L,
+        "qq pp oo nn mm ll kk jj ii")))
+      q2.processAllAvailable()
+      val got = spark.table("clusterwhale_assigns")
+        .select("doc_id", "keeper_id", "n_verified")
+        .as[(Long, Long, Int)].collect().filter(_._1 == 500L)
+      assert(got.toSeq == Seq((500L, 1L, 12)), got.mkString(","))
+    } finally q2.stop()
+  }
+
   test("LmScoreStream: streamed intake scores ≡ batch lm_bigram_score exactly") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, String)]
