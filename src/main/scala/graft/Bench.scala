@@ -59,7 +59,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // candidate-pair count next to the timings (VERDICT r8 #5): the
+    // multiprobe entry's cost driver as deterministic DATA, so a scale
+    // run separates candidate growth from wall-clock noise
+    val mpPairs =
+      try graft.dedup.Dedup.multiprobeCandidates(Tables(spark, sfDir)).count()
+      catch { case _: Throwable => -1L }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mp_pairs":$mpPairs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

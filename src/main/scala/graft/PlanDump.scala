@@ -42,6 +42,19 @@ object PlanDump {
         "consumer reads the columnar graft_shingles_* table; all joins " +
         "are id/band-key equi-joins, no cartesian products.",
       graft.dedup.Dedup.dedupMinhashVerifiedMat),
+    ("dedup_minhash_verified_salted",
+      "THE production verify path at scale (beats the unsalted twin " +
+        "7.9s vs 14.0s at sf1): star-routed flood keepers are " +
+        "STRUCTURAL whales — degree = flood size — and their verify " +
+        "join fan-out lands in one task, inside-the-task, where AQE " +
+        "skew-split cannot reach. The whale list (tiny by construction) " +
+        "joins via BroadcastHashJoin on BOTH the shingle and pair " +
+        "sides; whale shingle rows are replicated exactly salts times, " +
+        "non-whales once, and each pair probes the single salt chosen " +
+        "by hashing its partner id. DedupSpec pins rows identical to " +
+        "the unsalted plan, the salts-times replication factor, and " +
+        "the broadcast routing.",
+      graft.dedup.Dedup.dedupMinhashVerifiedSalted),
     ("embed_ann_ivf_part",
       "Probing the persisted cell-partitioned IVF index: the scan's " +
         "PartitionFilters carry dynamicpruningexpression(cid IN ...) — " +

@@ -748,10 +748,18 @@ object Dedup {
     verifiedPairsSaltedFrom(keeperShinglesMaterialized(t))
       .orderBy(col("doc_a"), col("doc_b"))
 
-  private[graft] def verifiedPairsSaltedFrom(
+  /** The salted verify's internal frames, exposed for the plan/row
+    * pins: the broadcastable whale list, the salt-replicated shingle
+    * side, the salt-routed pair side, and the per-doc set sizes.
+    */
+  private[graft] case class SaltedVerifyFrames(
+      whales: DataFrame, sh: DataFrame, shS: DataFrame,
+      candS: DataFrame, sz: DataFrame)
+
+  private[graft] def saltedVerifyFrames(
       shAll: DataFrame,
       whaleDegree: Int = WhaleDegree,
-      salts: Int = VerifySalts): DataFrame = {
+      salts: Int = VerifySalts): SaltedVerifyFrames = {
     val cand = minhashCandidatesFrom(shAll)
     val ends = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
@@ -782,6 +790,15 @@ object Dedup {
           .otherwise(lit(0)).as("salt_a"),
         when(col("wb").isNotNull, pmod(hash(col("doc_a")), lit(salts)))
           .otherwise(lit(0)).as("salt_b"))
+    SaltedVerifyFrames(whales, sh, shS, candS, sz)
+  }
+
+  private[graft] def verifiedPairsSaltedFrom(
+      shAll: DataFrame,
+      whaleDegree: Int = WhaleDegree,
+      salts: Int = VerifySalts): DataFrame = {
+    val f = saltedVerifyFrames(shAll, whaleDegree, salts)
+    val (shS, candS, sz) = (f.shS, f.candS, f.sz)
     candS
       .join(shS.as("x"),
         col("doc_a") === col("x.doc_id") && col("salt_a") === col("x.salt"))
@@ -1535,6 +1552,29 @@ object Dedup {
                                forceBits: Option[Int] = None): DataFrame = {
     val e = t.embeddings
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    multiprobeCandidates(t, forceBits)
+      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round6(VectorFunctions.cosineSim(col("va"), col("vb"))).as("cos_sim"))
+      .filter(col("cos_sim") >= CosineMin)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The multiprobe CANDIDATE pair frame (distinct, vec_a < vec_b) —
+    * candidate generation split out so growth is pinned by PAIR COUNT
+    * rather than wall-clock (VERDICT r8 #5): counts are deterministic
+    * data, immune to the run-to-run variance that made the sf1 timing
+    * ambiguous (25–40s across runs). DedupSpec pins the mechanism at
+    * forced widths — pairs grow ~linearly when the width tracks the
+    * [[EmbedBucketTarget]] ladder and ~quadratically when it is held
+    * fixed — and Bench reports the count (`mp_pairs`) next to the
+    * timings, so a scale run separates candidate growth from noise.
+    */
+  private[graft] def multiprobeCandidates(
+      t: Tables, forceBits: Option[Int] = None): DataFrame = {
+    val e = t.embeddings
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val bits = forceBits.getOrElse(embedBits(t))
     val b = embedTables(e, bits)
     // per table: own bucket ++ the budgeted flips, one explode
@@ -1556,20 +1596,13 @@ object Dedup {
       .select(col("vec_id"), explode(array(probeArrays: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"),
         explode(col("tb.buckets")).as("bucket"))
-    val cand = probes.as("x")
+    probes.as("x")
       .join(b.as("y"),
         col("x.tbl") === col("y.tbl") &&
           col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    cand
-      .join(e.select(col("vec_id").as("vec_a"), col("v").as("va")), Seq("vec_a"))
-      .join(e.select(col("vec_id").as("vec_b"), col("v").as("vb")), Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round6(VectorFunctions.cosineSim(col("va"), col("vb"))).as("cos_sim"))
-      .filter(col("cos_sim") >= CosineMin)
-      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   /** `nb` CTE — the adaptive-width ladder over the `e` relation; `b` —

@@ -212,6 +212,41 @@ class DedupSpec extends SparkSpec {
       s"all-whale salting drifted: ${(allWhale -- unsalted) ++ (unsalted -- allWhale)}")
   }
 
+  test("salted verify routing: whale shingles replicated exactly salts x, non-whales 1x; whale list broadcasts") {
+    import spark.implicits._
+    // same star-routed flood: doc 0 is the structural whale (degree ≈
+    // flood size); the planted (9000, 9001) near-pair stays non-whale
+    val base = (0 until 30).map(i => s"w$i").mkString(" ")
+    val docs = (0 until 1000).map(i => (i.toLong, s"$base uniq$i")) ++ Seq(
+      (9000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (9001L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_whalepin").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val f = Dedup.saltedVerifyFrames(Dedup.corpusShingleStore(t))
+    val whaleIds = f.whales.collect().map(_.getLong(0)).toSet
+    assert(whaleIds.contains(0L), s"flood keeper not a whale: $whaleIds")
+    assert(!whaleIds.contains(9000L) && !whaleIds.contains(9001L),
+      "non-flood docs misclassified as whales")
+    // THE routing property: shS holds each whale shingle exactly
+    // VerifySalts times and every other candidate doc's exactly once
+    val baseCnt = f.sh.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saltCnt = f.shS.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    baseCnt.foreach { case (id, n) =>
+      val want = if (whaleIds(id)) n * Dedup.VerifySalts else n
+      assert(saltCnt.get(id).contains(want),
+        s"doc $id: ${saltCnt.get(id)} salted rows, want $want (whale=${whaleIds(id)})")
+    }
+    // and the whale list reaches both join sides as a BROADCAST — the
+    // salting must never introduce a shuffle of its own
+    val plan = Dedup.dedupMinhashVerifiedSalted(t)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "whale joins not broadcast")
+  }
+
   test("verified-minhash pairs are a subset of exact ngram-jaccard pairs") {
     // the documented recall relation (Dedup.dedupNgramJaccard scaladoc):
     // minhash_verified = LSH candidates ∩ {full-set jaccard ≥ min};
@@ -498,6 +533,42 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(adaptive == candAdaptive,
       "ladder did not pick 3 bits for a 3001-vector corpus")
+  }
+
+  test("multiprobe candidate pairs grow ~linearly when width tracks the ladder, ~quadratically fixed") {
+    import spark.implicits._
+    // the scaling pin VERDICT r8 #5 asks for, on DATA not wall-clock:
+    // candidate-pair counts at forced widths. 512 vectors at 4 bits vs
+    // 1024 vectors at 5 bits (the ladder's move: occupancy held) must
+    // grow ~2x; 1024 at the FIXED 4 bits must grow ~4x — the measured
+    // sf1 quadratic, reproduced and bounded in a unit test.
+    // splitmix-style mixing: per-dimension signs must be BALANCED or
+    // bucket occupancy skews and the occupancy ratios drift
+    def vec(seed: Long)(i: Long): Seq[Double] = Seq.tabulate(24) { j =>
+      var z = i * 0x9E3779B97F4A7C15L + seed + j * 0xBF58476D1CE4E5B9L
+      z ^= z >>> 31; z *= 0x94D049BB133111EBL; z ^= z >>> 27
+      ((z & 0xFF).toDouble - 127.5) / 127.5
+    }
+    def corpus(n: Long, dir: String): Tables = {
+      (0L until n).map(i => (i, vec(7L)(i)))
+        .toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      Tables(spark, dir)
+    }
+    val t1 = corpus(512L,
+      java.nio.file.Files.createTempDirectory("graft_mpgrow1").toString)
+    val t2 = corpus(1024L,
+      java.nio.file.Files.createTempDirectory("graft_mpgrow2").toString)
+    val base = Dedup.multiprobeCandidates(t1, forceBits = Some(4)).count()
+    val laddered = Dedup.multiprobeCandidates(t2, forceBits = Some(5)).count()
+    val fixed = Dedup.multiprobeCandidates(t2, forceBits = Some(4)).count()
+    assert(base > 0)
+    val linRatio = laddered.toDouble / base
+    val quadRatio = fixed.toDouble / base
+    assert(linRatio < 3.0, s"laddered growth not ~linear: $base -> $laddered")
+    assert(quadRatio > 3.0, s"fixed-width growth not ~quadratic: $base -> $fixed")
+    assert(quadRatio > 1.5 * linRatio,
+      s"ladder did not separate from fixed width: $linRatio vs $quadRatio")
   }
 
   test("budgeted probing flips least-confident bits only; boundary splits caught") {
