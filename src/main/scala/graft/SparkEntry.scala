@@ -96,7 +96,8 @@ object SparkEntry {
     "corpus_sample_stratified" -> q(graft.pipeline.Mixing.sampleStratified),
     "corpus_split" -> q(graft.pipeline.Mixing.corpusSplit),
     "lm_ccnet_bucket" -> q(graft.pipeline.Mixing.ccnetBucket),
-    "lm_ccnet_bucket_bounded" -> q(graft.pipeline.Mixing.ccnetBucketBounded)
+    "lm_ccnet_bucket_bounded" -> q(graft.pipeline.Mixing.ccnetBucketBounded),
+    "corpus_sample_ccnet" -> q(graft.pipeline.Mixing.sampleCcnet)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -180,6 +181,7 @@ object SparkEntry {
     "corpus_sample_stratified" -> graft.pipeline.Mixing.sampleStratifiedSql,
     "corpus_split" -> graft.pipeline.Mixing.corpusSplitSql,
     "lm_ccnet_bucket" -> graft.pipeline.Mixing.ccnetBucketSql,
-    "lm_ccnet_bucket_bounded" -> graft.pipeline.Mixing.ccnetBucketBoundedSql
+    "lm_ccnet_bucket_bounded" -> graft.pipeline.Mixing.ccnetBucketBoundedSql,
+    "corpus_sample_ccnet" -> graft.pipeline.Mixing.sampleCcnetSql
   )
 }

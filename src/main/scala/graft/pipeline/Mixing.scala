@@ -187,6 +187,20 @@ object Mixing {
     * (s1 = s2), 'middle' is empty by construction.
     */
   def ccnetBucketBounded(t: Tables): DataFrame = {
+    val scores = lmScoresMaterialized(t)
+    scores.join(broadcast(ccnetBounds(t)), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        bucketExpr.as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-language tercile BOUNDARY TABLE (lang, s1, s2) —
+    * [[ccnetBucketBounded]]'s broadcast side, exposed so consumers
+    * that assign buckets elsewhere (the weighted sampler, the
+    * streaming intake twin) share the identical cut values. langs×2
+    * doubles: computed once, broadcast everywhere.
+    */
+  private[graft] def ccnetBounds(t: Tables): DataFrame = {
     import graft.functions.OrderStat
     import graft.functions.OrderStat.RankTarget
     val spark = t.spark
@@ -201,17 +215,17 @@ object Mixing {
       Seq(RankTarget(l, c1), RankTarget(l, c12))
     }
     val cut = OrderStat.valuesAtDescRanks(counts, targets.toSeq)
-    val bounds = broadcast(perLang.toSeq.map { case (l, n) =>
+    perLang.toSeq.map { case (l, n) =>
       val (c1, c12) = tercileCuts(n)
       (l, cut(RankTarget(l, c1)), cut(RankTarget(l, c12)))
-    }.toDF("lang", "s1", "s2"))
-    scores.join(bounds, Seq("lang"))
-      .select(col("doc_id"), col("lang"), col("lm_score"),
-        when(col("lm_score") >= col("s1"), "head")
-          .when(col("lm_score") >= col("s2"), "middle")
-          .otherwise("tail").as("bucket"))
-      .orderBy(col("doc_id"))
+    }.toDF("lang", "s1", "s2")
   }
+
+  /** The bucket CASE shared by every boundary-table consumer. */
+  private[graft] def bucketExpr: Column =
+    when(col("lm_score") >= col("s1"), "head")
+      .when(col("lm_score") >= col("s2"), "middle")
+      .otherwise("tail")
 
   /** Oracle for [[ccnetBucketBounded]]: the boundary scores are the
     * values at the ntile cut ranks (`rn = c1` / `rn = c12` under the
@@ -242,4 +256,47 @@ object Mixing {
        |       WHEN j.lm_score >= c.s2 THEN 'middle'
        |       ELSE 'tail' END AS bucket
        |FROM j JOIN cuts c USING (lang) ORDER BY doc_id""".stripMargin
+
+  /** Per-bucket keep rates for [[sampleCcnet]] — the CCNet mixing
+    * decision itself: oversample the fluent head, keep a thin slice of
+    * the tail for diversity. Part of the operator definition (mirrored
+    * in the oracle), not tuning.
+    */
+  val CcnetRates: Seq[(String, Double)] =
+    Seq("head" -> 1.0, "middle" -> 0.6, "tail" -> 0.3)
+
+  /** The WEIGHTED SAMPLE the buckets exist for: keep a doc iff its
+    * identity coin (seed `ccn` — independent of the stratified
+    * sampler's and the splitter's coins) clears its bucket's
+    * [[CcnetRates]] rate. Composes the boundary-table bucketing
+    * ([[ccnetBucketBounded]] — no per-language sort) with the
+    * growth-stable hash coin of [[sampleStratified]]: re-running after
+    * corpus growth never flips an old doc's keep decision unless its
+    * language's boundary moved (in which case its BUCKET moved — the
+    * correct dependence, and the reason the bucket rides the output).
+    * Scale: bucket assign is a broadcast join + map-side CASE; the
+    * keep decision is a filter; the only exchange is the output sort.
+    */
+  def sampleCcnet(t: Tables): DataFrame = {
+    val rate = CcnetRates.foldLeft(lit(0.0): Column) {
+      case (acc, (b, r)) => when(col("bucket") === b, lit(r)).otherwise(acc)
+    }
+    lmScoresMaterialized(t)
+      .join(broadcast(ccnetBounds(t)), Seq("lang"))
+      .select(col("doc_id"), col("lang"), bucketExpr.as("bucket"))
+      .withColumn("u", u("ccn", col("doc_id")))
+      .filter(col("u") < rate)
+      .orderBy(col("doc_id"))
+  }
+
+  def sampleCcnetSql: String = {
+    val rateCase = CcnetRates
+      .map { case (b, r) => s"WHEN bucket = '$b' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH bb AS ($ccnetBucketBoundedSql)
+       |SELECT doc_id, lang, bucket, ${uSql("ccn")} AS u
+       |FROM bb
+       |WHERE ${uSql("ccn")} < $rateCase
+       |ORDER BY doc_id""".stripMargin
+  }
 }

@@ -871,6 +871,55 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // LmBucketStream — pipeline.Mixing.ccnetBucketBounded on live intake:
+  // score an arriving (ts, doc_id, lang, text) document against the
+  // static corpus bigram model and assign its CCNet quality bucket from
+  // the corpus's per-language boundary table. The intake pipeline's
+  // MIXING stage: downstream samplers read the bucket straight off the
+  // stream instead of waiting for a batch re-bucket.
+  // ---------------------------------------------------------------------
+  object LmBucketStream {
+
+    import graft.textanalysis.TextAnalysis
+    import graft.pipeline.Mixing
+
+    /** (ts, doc_id, lang, lm_score, bucket) for a (ts, doc_id, lang,
+      * text) stream. The score path is [[LmScoreStream]] with `lang`
+      * carried through the aggregation key (constant per doc — the key
+      * is still (ts, doc_id) in effect); the bucket is one stateless
+      * LEFT join against the memoized langs×2 boundary table
+      * (`Mixing.ccnetBounds` — the identical cut values the batch twin
+      * broadcasts) plus the shared bucket CASE, so replaying a corpus
+      * doc reproduces its batch `lm_ccnet_bucket_bounded` bucket
+      * EXACTLY (StreamingJobsSpec pins it — fixed-point scores make
+      * stream ≡ batch bit-for-bit, and the boundary rule reads only
+      * the score). A language the corpus has no boundaries for (novel
+      * at intake) emits bucket `unbucketed` rather than guessing —
+      * the batch recompute picks it up once the corpus has the
+      * language (spec plants one).
+      */
+    def buckets(docs: DataFrame, t: Tables,
+                watermarkLag: String = "30 seconds"): DataFrame = {
+      val big = StaticCache.of(t, "lmBig")(TextAnalysis.lmModelBig(t))
+      val uni = StaticCache.of(t, "lmUni")(TextAnalysis.lmModelUni(t))
+      val voc = StaticCache.of(t, "lmVocab")(TextAnalysis.lmVocab(t))
+      val bounds = StaticCache.of(t, "ccnetBounds")(Mixing.ccnetBounds(t))
+      val bi = TextAnalysis.bigramsOf(
+        docs.select(col("ts"), col("doc_id"), col("lang"), col("text")))
+        .withWatermark("ts", watermarkLag)
+      TextAnalysis.lmScoredBigrams(bi, big, uni, voc)
+        .groupBy(col("ts"), col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("p12")).as("sp"))
+        .select(col("ts"), col("doc_id"), col("lang"),
+          TextAnalysis.lmScoreExpr)
+        .join(bounds, Seq("lang"), "left")
+        .select(col("ts"), col("doc_id"), col("lang"), col("lm_score"),
+          when(col("s1").isNull, lit("unbucketed"))
+            .otherwise(Mixing.bucketExpr).as("bucket"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // AnnProbeStream — ann.Ann.embedAnnIvf's probe phase on a live query
   // stream: embedding lookups as they arrive, against the static IVF
   // index. The serving half of the ANN story (the index is batch-built).

@@ -203,6 +203,27 @@ class PipelineSpec extends SparkSpec {
     assert(tieBucket != other || nt(5L) == tieBucket)
   }
 
+  test("mix: ccnet weighted sample keeps all of head, thins the tail, deterministically") {
+    import graft.pipeline.Mixing
+    val buckets = Mixing.ccnetBucketBounded(tables).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val s1 = Mixing.sampleCcnet(tables).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val s2 = Mixing.sampleCcnet(tables).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    assert(s1.toSeq == s2.toSeq) // identity hash, no RNG
+    val kept = s1.map(_._1).toSet
+    // rate 1.0: every head doc survives; the sampled bucket column
+    // matches the bucketing op exactly
+    val headDocs = buckets.collect { case (id, "head") => id }.toSet
+    assert(headDocs.subsetOf(kept), s"head docs dropped: ${headDocs -- kept}")
+    s1.foreach { case (id, b) => assert(buckets(id) == b, s"doc $id bucket drift") }
+    // tail is genuinely thinned (rate 0.3 over enough docs)
+    val tailDocs = buckets.collect { case (id, "tail") => id }.toSet
+    assert((tailDocs & kept).size < tailDocs.size, "tail not downsampled")
+    assert((tailDocs & kept).nonEmpty, "tail entirely dropped")
+  }
+
   test("mix: ccnet terciles are balanced per language and ordered by score") {
     import graft.pipeline.Mixing
     val rows = Mixing.ccnetBucket(tables).collect()

@@ -879,6 +879,45 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("LmBucketStream: streamed intake buckets ≡ batch bounded ccnet; novel lang unbucketed") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val bucketed = Jobs.LmBucketStream.buckets(
+      in.toDF().toDF("ts", "doc_id", "lang", "text"), tables)
+    val q = bucketed.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("lm_bucket_stream").start()
+    try {
+      val docs = tables.documents
+        .select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)].collect()
+      in.addData(docs.map { case (id, lang, tx) =>
+        (new Timestamp(1000L), id, lang, tx) }.toSeq)
+      // a novel-language doc: scored, but no boundary row exists
+      in.addData(Seq((new Timestamp(1000L), 777777L, "xx",
+        "some intake text in a language the corpus does not know")))
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(10000L * 1000), -1L, "en", "x y")))
+      q.processAllAvailable()
+      val streamed = spark.table("lm_bucket_stream")
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("lm_score"), col("bucket"))
+        .as[(Long, Double, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      val batch = graft.pipeline.Mixing.ccnetBucketBounded(tables)
+        .select(col("doc_id"), col("lm_score"), col("bucket"))
+        .as[(Long, Double, String)].collect()
+        .map(r => r._1 -> (r._2, r._3)).toMap
+      assert(batch.nonEmpty)
+      // corpus replay: identical scores AND identical buckets, per doc
+      batch.foreach { case (id, (score, bucket)) =>
+        assert(streamed.get(id).contains((score, bucket)),
+          s"doc $id: streamed ${streamed.get(id)}, batch ($score, $bucket)")
+      }
+      // the novel-lang doc was scored but deliberately not bucketed
+      assert(streamed(777777L)._2 == "unbucketed", streamed(777777L).toString)
+    } finally q.stop()
+  }
+
   test("LmScoreStream: streamed intake scores ≡ batch lm_bigram_score exactly") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, String)]
