@@ -97,7 +97,8 @@ object SparkEntry {
     "corpus_split" -> q(graft.pipeline.Mixing.corpusSplit),
     "lm_ccnet_bucket" -> q(graft.pipeline.Mixing.ccnetBucket),
     "lm_ccnet_bucket_bounded" -> q(graft.pipeline.Mixing.ccnetBucketBounded),
-    "corpus_sample_ccnet" -> q(graft.pipeline.Mixing.sampleCcnet)
+    "corpus_sample_ccnet" -> q(graft.pipeline.Mixing.sampleCcnet),
+    "lm_quality_decile" -> q(graft.pipeline.Mixing.qualityDecile)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -182,6 +183,7 @@ object SparkEntry {
     "corpus_split" -> graft.pipeline.Mixing.corpusSplitSql,
     "lm_ccnet_bucket" -> graft.pipeline.Mixing.ccnetBucketSql,
     "lm_ccnet_bucket_bounded" -> graft.pipeline.Mixing.ccnetBucketBoundedSql,
-    "corpus_sample_ccnet" -> graft.pipeline.Mixing.sampleCcnetSql
+    "corpus_sample_ccnet" -> graft.pipeline.Mixing.sampleCcnetSql,
+    "lm_quality_decile" -> graft.pipeline.Mixing.qualityDecileSql
   )
 }

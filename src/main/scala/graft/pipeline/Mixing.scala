@@ -158,13 +158,23 @@ object Mixing {
         .join(t.documents.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("lm_score")))
 
-  /** ntile cut positions for n rows in 3 buckets: the standard-SQL
-    * rule gives the first n mod 3 buckets one extra row, so bucket 1
-    * ends at rank c1 and bucket 2 at rank c12 (1-based, descending
-    * score order). Mirrored literally in [[ccnetBucketBoundedSql]].
+  /** ntile cut RANKS for n rows in q buckets (1-based, descending
+    * order): the standard-SQL ntile rule gives the first n mod q
+    * buckets one extra row, so bucket i ends at rank
+    * `i*(n/q) + min(i, n mod q)`. Returns the q−1 interior cuts;
+    * [[tercileCuts]] is the q=3 case. Mirrored literally in
+    * [[ccnetBucketBoundedSql]] / [[qualityDecileSql]]. When n < q
+    * several cuts share a rank (and therefore a boundary value) —
+    * the count-based assignment leaves those buckets empty, which is
+    * what ntile does too.
     */
-  private[graft] def tercileCuts(n: Long): (Long, Long) =
-    (n / 3 + (if (n % 3 >= 1) 1 else 0), 2 * (n / 3) + n % 3)
+  private[graft] def quantileCutRanks(n: Long, q: Int): Seq[Long] =
+    (1 until q).map(i => i * (n / q) + math.min(i.toLong, n % q))
+
+  private[graft] def tercileCuts(n: Long): (Long, Long) = {
+    val Seq(c1, c12) = quantileCutRanks(n, 3)
+    (c1, c12)
+  }
 
   /** [[ccnetBucket]]'s PRODUCTION twin — boundary-table bucketing, no
     * per-language single-task sort. `Window.partitionBy(lang)` runs
@@ -200,7 +210,20 @@ object Mixing {
     * streaming intake twin) share the identical cut values. langs×2
     * doubles: computed once, broadcast everywhere.
     */
-  private[graft] def ccnetBounds(t: Tables): DataFrame = {
+  private[graft] def ccnetBounds(t: Tables): DataFrame =
+    quantileBounds(t, 3).select(col("lang"),
+      col("cuts")(0).as("s1"), col("cuts")(1).as("s2"))
+
+  /** Per-language q-quantile BOUNDARY TABLE (lang, cuts: array of q−1
+    * descending scores) — [[ccnetBounds]] at arbitrary q. Each cut is
+    * the exact score at an ntile cut rank ([[quantileCutRanks]]),
+    * found by [[graft.functions.OrderStat]]'s histogram narrowing —
+    * O(log n) distributed aggregations per batch of targets, never a
+    * per-language sort, so the boundary table costs the same a few
+    * scans whether q is 3 or 100. langs×(q−1) doubles: computed once,
+    * broadcast everywhere.
+    */
+  private[graft] def quantileBounds(t: Tables, q: Int): DataFrame = {
     import graft.functions.OrderStat
     import graft.functions.OrderStat.RankTarget
     val spark = t.spark
@@ -210,15 +233,13 @@ object Mixing {
       col("lm_score").as("v")).agg(count(lit(1)).as("cnt"))
     val perLang = scores.groupBy(col("lang")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1))
-    val targets = perLang.flatMap { case (l, n) =>
-      val (c1, c12) = tercileCuts(n)
-      Seq(RankTarget(l, c1), RankTarget(l, c12))
+    val targets = perLang.toSeq.flatMap { case (l, n) =>
+      quantileCutRanks(n, q).distinct.map(RankTarget(l, _))
     }
-    val cut = OrderStat.valuesAtDescRanks(counts, targets.toSeq)
+    val cut = OrderStat.valuesAtDescRanks(counts, targets)
     perLang.toSeq.map { case (l, n) =>
-      val (c1, c12) = tercileCuts(n)
-      (l, cut(RankTarget(l, c1)), cut(RankTarget(l, c12)))
-    }.toDF("lang", "s1", "s2")
+      (l, quantileCutRanks(n, q).map(r => cut(RankTarget(l, r))))
+    }.toDF("lang", "cuts")
   }
 
   /** The bucket CASE shared by every boundary-table consumer. */
@@ -299,4 +320,49 @@ object Mixing {
        |WHERE ${uSql("ccn")} < $rateCase
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** FINER mixing curves: per-language score DECILE (1 = most fluent
+    * tenth of its language) instead of head/middle/tail — the dial a
+    * pipeline turns when three buckets are too coarse (e.g. keep-rate
+    * schedules that decay smoothly with quality). Same production
+    * shape as [[ccnetBucketBounded]]: the 9 per-language boundary
+    * scores come from [[quantileBounds]] (histogram narrowing, no
+    * per-language sort), ride one broadcast array column, and the
+    * assignment is a map-side count of boundaries the score falls
+    * below — `1 + |{c : score < c}|`, which makes boundary ties take
+    * the HIGHER bucket exactly like the tercile rule. Empty deciles
+    * when a language has fewer than 10 docs mirror ntile's empties.
+    */
+  def qualityDecile(t: Tables): DataFrame = {
+    val scores = lmScoresMaterialized(t)
+    scores.join(broadcast(quantileBounds(t, 10)), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        (lit(1) + size(filter(col("cuts"),
+          c => col("lm_score") < c))).cast("bigint").as("decile"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[qualityDecile]]: cut ranks from the same
+    * [[quantileCutRanks]] formula (`i*(n//10) + least(i, n%10)` under
+    * the (score desc, doc_id) row_number), boundary values by max-CASE,
+    * assignment by the same count-of-boundaries-above rule.
+    */
+  def qualityDecileSql: String =
+    s"""WITH lm AS (${graft.textanalysis.TextAnalysis.lmBigramScoreSql}),
+       |j AS (SELECT lm.doc_id, d.lang, lm.lm_score
+       |      FROM lm JOIN documents d USING (doc_id)),
+       |r AS (SELECT doc_id, lang, lm_score,
+       |        row_number() OVER (PARTITION BY lang
+       |                           ORDER BY lm_score DESC, doc_id) rn,
+       |        count(*) OVER (PARTITION BY lang) n
+       |      FROM j),
+       |cut AS (SELECT lang, i,
+       |          max(CASE WHEN rn = i * (n // 10) + least(i, n % 10)
+       |              THEN lm_score END) AS c
+       |        FROM r CROSS JOIN unnest(generate_series(1, 9)) t(i)
+       |        GROUP BY lang, i),
+       |ctab AS (SELECT lang, list(c ORDER BY i) cuts FROM cut GROUP BY lang)
+       |SELECT j.doc_id, j.lang, j.lm_score,
+       |  1 + len(list_filter(ctab.cuts, c -> j.lm_score < c)) AS decile
+       |FROM j JOIN ctab USING (lang) ORDER BY doc_id""".stripMargin
 }

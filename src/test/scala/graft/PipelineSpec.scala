@@ -224,6 +224,45 @@ class PipelineSpec extends SparkSpec {
     assert((tailDocs & kept).nonEmpty, "tail entirely dropped")
   }
 
+  test("mix: quality deciles = ntile(10) away from boundary ties; ties take the higher bucket") {
+    import graft.pipeline.Mixing
+    val rows = Mixing.qualityDecile(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, d) => d >= 1 && d <= 10 })
+    // first-principles cuts: per lang, sort scores desc, read the 9
+    // ntile cut positions; then replay both the ntile assignment and
+    // the ties-up boundary rule
+    rows.groupBy(_._2).foreach { case (lang, rs) =>
+      val desc = rs.map(_._3).sorted(Ordering[Double].reverse)
+      val n = desc.length.toLong
+      val cuts = Mixing.quantileCutRanks(n, 10).map(r => desc(r.toInt - 1))
+      // ntile decile by rank under (score desc, doc_id)
+      val ranked = rs.sortBy(t => (-t._3, t._1)).zipWithIndex
+      val ntOf = ranked.map { case ((id, _, _, _), idx) =>
+        val rank = idx + 1L
+        id -> (1L + Mixing.quantileCutRanks(n, 10).count(_ < rank))
+      }.toMap
+      rs.foreach { case (id, _, score, dec) =>
+        val want = 1L + cuts.count(score < _)
+        assert(dec == want, s"doc $id: decile $dec vs boundary-rule $want")
+        if (!cuts.contains(score)) // away from every boundary: ≡ ntile
+          assert(dec == ntOf(id), s"doc $id: decile $dec vs ntile ${ntOf(id)}")
+      }
+      // deciles are score-ordered: every doc in a better decile scores
+      // at least as high as any doc in a worse one
+      val byDec = rs.groupBy(_._4)
+      byDec.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(byDec(a).map(_._3).min >= byDec(b).map(_._3).max)
+        case _ =>
+      }
+    }
+    // scale property: no per-language window sort in the plan
+    val plan = Mixing.qualityDecile(tables).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "decile plan contains a Window sort")
+  }
+
   test("mix: ccnet terciles are balanced per language and ordered by score") {
     import graft.pipeline.Mixing
     val rows = Mixing.ccnetBucket(tables).collect()
