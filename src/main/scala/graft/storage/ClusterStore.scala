@@ -1,7 +1,6 @@
 package graft.storage
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
@@ -15,40 +14,32 @@ import org.apache.spark.sql.functions.col
   * (or roll) the intake job — readers mid-run keep the generation they
   * resolved, because generations are immutable until [[retireOld]].
   *
-  * Layout: `<root>/gen=<n>/labels/` — (doc_id, keeper_id,
+  * Layout and commit semantics are [[Generations]] (shared with
+  * [[BoundsStore]]): `<root>/gen=<n>/labels/` — (doc_id, keeper_id,
   * cluster_size) parquet, committed at the `_SUCCESS` rename; current =
-  * highest committed, same single-marker atomicity as the index store.
+  * highest committed.
   */
 object ClusterStore {
 
-  def labelsPath(root: String, n: Long): String = s"$root/gen=$n/labels"
+  private val Artifact = "labels"
+
+  def labelsPath(root: String, n: Long): String =
+    Generations.path(root, n, Artifact)
 
   def committedGenerations(root: String,
-                           conf: Configuration = new Configuration()): Seq[Long] = {
-    val r = new Path(root)
-    val fs = r.getFileSystem(conf)
-    if (!fs.exists(r)) Nil
-    else fs.listStatus(r).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
-      .map(_.getPath.getName.stripPrefix("gen=").toLong)
-      .filter(n => fs.exists(new Path(r, s"gen=$n/labels/_SUCCESS")))
-      .sorted
-  }
+                           conf: Configuration = new Configuration()): Seq[Long] =
+    Generations.committed(root, Artifact, conf)
 
   def currentGeneration(root: String,
                         conf: Configuration = new Configuration()): Option[Long] =
-    committedGenerations(root, conf).lastOption
+    Generations.current(root, Artifact, conf)
 
   /** Write `labels` (doc_id, keeper_id, cluster_size) as the next
     * generation and return its number.
     */
   def publishGeneration(spark: SparkSession, root: String,
-                        labels: DataFrame): Long = {
-    val conf = spark.sessionState.newHadoopConf()
-    val n = committedGenerations(root, conf).lastOption.getOrElse(-1L) + 1
-    labels.write.mode("overwrite").parquet(labelsPath(root, n))
-    n
-  }
+                        labels: DataFrame): Long =
+    Generations.publish(root, Artifact, labels)
 
   /** Publish the batch `dedup_clusters` labels for `t`'s corpus — the
     * periodic recompute that merges clusters incremental assignment
@@ -66,11 +57,6 @@ object ClusterStore {
     * drain — same contract as [[IndexMaintenance.retireOld]]).
     */
   def retireOld(root: String, keep: Int = 2,
-                conf: Configuration = new Configuration()): Seq[Long] = {
-    val gens = committedGenerations(root, conf)
-    val retire = gens.dropRight(keep)
-    val fs = new Path(root).getFileSystem(conf)
-    retire.foreach(n => fs.delete(new Path(s"$root/gen=$n"), true))
-    retire
-  }
+                conf: Configuration = new Configuration()): Seq[Long] =
+    Generations.retireOld(root, Artifact, keep, conf)
 }

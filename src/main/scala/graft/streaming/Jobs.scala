@@ -897,13 +897,34 @@ object Jobs {
       * at intake) emits bucket `unbucketed` rather than guessing —
       * the batch recompute picks it up once the corpus has the
       * language (spec plants one).
+      *
+      * `boundsRoot` pins the boundary table to the current COMMITTED
+      * `storage.BoundsStore` generation instead of computing it live —
+      * the maintenance story: as intake shifts the score distribution,
+      * the periodic batch job publishes fresh terciles (langs×2 rows,
+      * cheap) and the intake job observes them on roll, exactly the
+      * `ClusterAssignStream.labelsRoot` protocol (spec drives a
+      * doctored gen-1 swap end to end).
       */
     def buckets(docs: DataFrame, t: Tables,
-                watermarkLag: String = "30 seconds"): DataFrame = {
+                watermarkLag: String = "30 seconds",
+                boundsRoot: Option[String] = None): DataFrame = {
       val big = StaticCache.of(t, "lmBig")(TextAnalysis.lmModelBig(t))
       val uni = StaticCache.of(t, "lmUni")(TextAnalysis.lmModelUni(t))
       val voc = StaticCache.of(t, "lmVocab")(TextAnalysis.lmVocab(t))
-      val bounds = StaticCache.of(t, "ccnetBounds")(Mixing.ccnetBounds(t))
+      val bounds = boundsRoot match {
+        case Some(root) =>
+          import graft.storage.BoundsStore
+          val spark = docs.sparkSession
+          val n = BoundsStore.currentGeneration(root,
+            spark.sessionState.newHadoopConf()).getOrElse(
+            throw new IllegalStateException(
+              s"no committed bounds generation under $root"))
+          StaticCache.of(t, s"ccnetBounds@$root/gen=$n") {
+            BoundsStore.readBounds(spark, root, n)
+          }
+        case None => StaticCache.of(t, "ccnetBounds")(Mixing.ccnetBounds(t))
+      }
       val bi = TextAnalysis.bigramsOf(
         docs.select(col("ts"), col("doc_id"), col("lang"), col("text")))
         .withWatermark("ts", watermarkLag)

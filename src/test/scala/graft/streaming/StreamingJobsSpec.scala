@@ -918,6 +918,59 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("LmBucketStream pins a published bounds generation; swap is observable") {
+    import spark.implicits._
+    import graft.storage.BoundsStore
+    val root = tmp("graft_boundsstore")
+    // gen 0 = the batch boundary table: generation-pinned buckets must
+    // be identical to the live-computed ones
+    assert(BoundsStore.publishFrom(tables, root) == 0L)
+    val docs = tables.documents
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    def runStream(name: String): Map[Long, String] = {
+      val in = MemoryStream[(Timestamp, Long, String, String)]
+      val q = Jobs.LmBucketStream.buckets(
+        in.toDF().toDF("ts", "doc_id", "lang", "text"), tables,
+        boundsRoot = Some(root))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(docs.map { case (id, lang, tx) =>
+          (new Timestamp(1000L), id, lang, tx) }.toSeq)
+        q.processAllAvailable()
+        in.addData(Seq((new Timestamp(10000L * 1000), -1L, "en", "x y")))
+        q.processAllAvailable()
+        spark.table(name).filter(col("doc_id") >= 0)
+          .select(col("doc_id"), col("bucket"))
+          .as[(Long, String)].collect().toMap
+      } finally q.stop()
+    }
+    val batch = graft.pipeline.Mixing.ccnetBucketBounded(tables)
+      .select(col("doc_id"), col("bucket"))
+      .as[(Long, String)].collect().toMap
+    val gen0 = runStream("bounds_gen0")
+    batch.foreach { case (id, bucket) =>
+      assert(gen0.get(id).contains(bucket),
+        s"gen-0 pinned bucket drifted from batch for $id")
+    }
+    // gen 1: a DOCTORED boundary table (s1 unreachable, s2 below every
+    // score) — every doc must land in 'middle', proving a fresh run
+    // resolves the new generation rather than a memoized table
+    val doctored = BoundsStore.readBounds(spark, root, 0)
+      .select(col("lang"), lit(1e18).as("s1"), lit(-1e18).as("s2"))
+    assert(BoundsStore.publishGeneration(spark, root, doctored) == 1L)
+    assert(BoundsStore.currentGeneration(root).contains(1L))
+    val gen1 = runStream("bounds_gen1")
+    batch.keys.foreach { id =>
+      assert(gen1.get(id).contains("middle"),
+        s"gen-1 swap not observed for $id: got ${gen1.get(id)}")
+    }
+    // retirement keeps the newest
+    assert(BoundsStore.retireOld(root, keep = 1) == Seq(0L))
+    assert(BoundsStore.committedGenerations(root) == Seq(1L))
+  }
+
   test("LmScoreStream: streamed intake scores ≡ batch lm_bigram_score exactly") {
     import spark.implicits._
     val in = MemoryStream[(Timestamp, Long, String)]
