@@ -98,7 +98,8 @@ object SparkEntry {
     "lm_ccnet_bucket" -> q(graft.pipeline.Mixing.ccnetBucket),
     "lm_ccnet_bucket_bounded" -> q(graft.pipeline.Mixing.ccnetBucketBounded),
     "corpus_sample_ccnet" -> q(graft.pipeline.Mixing.sampleCcnet),
-    "lm_quality_decile" -> q(graft.pipeline.Mixing.qualityDecile)
+    "lm_quality_decile" -> q(graft.pipeline.Mixing.qualityDecile),
+    "corpus_admit" -> q(graft.pipeline.Intake.corpusAdmit)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -184,6 +185,7 @@ object SparkEntry {
     "lm_ccnet_bucket" -> graft.pipeline.Mixing.ccnetBucketSql,
     "lm_ccnet_bucket_bounded" -> graft.pipeline.Mixing.ccnetBucketBoundedSql,
     "corpus_sample_ccnet" -> graft.pipeline.Mixing.sampleCcnetSql,
-    "lm_quality_decile" -> graft.pipeline.Mixing.qualityDecileSql
+    "lm_quality_decile" -> graft.pipeline.Mixing.qualityDecileSql,
+    "corpus_admit" -> graft.pipeline.Intake.corpusAdmitSql
   )
 }

@@ -863,6 +863,20 @@ object Dedup {
       .select(col("s"), col("doc_id").as("corpus_doc"), col("n_b"))
   }
 
+  /** [[containmentCorpusPosting]] re-aggregated per corpus doc:
+    * (corpus_doc, n_b, hs) with `hs` the doc's capped shingle set as
+    * 64-bit xxhash64 values — the static side of the PER-ROW common
+    * count in streaming.Jobs.IntakeSamplerStream (an arriving doc's
+    * own hash array `array_intersect`s each matched corpus doc's set,
+    * so the composed intake query needs no per-(doc, corpus_doc)
+    * state). Row width is bounded by the doc's capped shingle count;
+    * the table is corpus-doc-partitioned columnar like every store.
+    */
+  private[graft] def containmentCorpusDocSets(t: Tables): DataFrame =
+    containmentCorpusPosting(t)
+      .groupBy(col("corpus_doc"), col("n_b"))
+      .agg(collect_list(xxhash64(col("s"))).as("hs"))
+
   /** Shingles the corpus holds in MORE than [[ShingleDocFreqCap]] docs —
     * the boilerplate vocabulary an arriving doc's shingles are checked
     * against ([[containmentCorpusPosting]]'s complement). Small by

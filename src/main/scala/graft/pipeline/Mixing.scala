@@ -39,11 +39,11 @@ object Mixing {
     * `seed|doc_id` over 2^32. Seeds namespace decisions — the sample
     * coin and the split coin are independent.
     */
-  private def u(seed: String, id: Column): Column =
+  private[graft] def u(seed: String, id: Column): Column =
     conv(substring(md5(concat(lit(s"$seed|"), id.cast("string"))), 1, 8),
       16, 10).cast("double") / lit(4294967296.0)
 
-  private def uSql(seed: String): String =
+  private[pipeline] def uSql(seed: String): String =
     s"(('0x' || substr(md5('$seed|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
 
   /** Language-stratified downsampling: keep a doc iff its identity

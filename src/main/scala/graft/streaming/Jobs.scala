@@ -219,6 +219,23 @@ object Jobs {
       * one document; cap document length upstream if the intake may
       * carry multi-MB texts.
       */
+    /** The keep PREDICATE over a per-row bigram array — the profile's
+      * two threshold tests as one reusable Column, so the composed
+      * intake sampler ([[IntakeSamplerStream]]) applies the identical
+      * gate (same round6, same thresholds) without re-deriving the
+      * formula.
+      */
+    private[streaming] def keepFromBigrams(bgs: Column): Column = {
+      val n = size(bgs).cast("long")
+      val nd = size(array_distinct(bgs)).cast("long")
+      val top = array_max(transform(array_distinct(bgs),
+        b => size(filter(bgs, x => x === b)))).cast("long")
+      graft.functions.Portable.round6(top.cast("double") / n) <=
+        graft.textanalysis.TextAnalysis.TopBigramFracMax &&
+        graft.functions.Portable.round6((n - nd).cast("double") / n) <=
+          graft.textanalysis.TextAnalysis.DupBigramFracMax
+    }
+
     def profile(docs: DataFrame): DataFrame =
       docs
         .withColumn("rg_ts", split(col("text"), " "))
@@ -937,6 +954,231 @@ object Jobs {
         .select(col("ts"), col("doc_id"), col("lang"), col("lm_score"),
           when(col("s1").isNull, lit("unbucketed"))
             .otherwise(Mixing.bucketExpr).as("bucket"))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // IntakeSamplerStream — pipeline.Intake.corpusAdmit on live intake:
+  // the WHOLE admit/drop verdict riding one streaming query. Quality →
+  // repetition → exact first-seen → near-dup → containment → CCNet
+  // bucket → keep coin; a doc that clears every gate is emitted, once,
+  // with its bucket and coin.
+  // ---------------------------------------------------------------------
+  object IntakeSamplerStream {
+
+    import graft.dedup.Dedup
+    import graft.pipeline.{CorpusClean, Intake, Mixing}
+    import graft.textanalysis.TextAnalysis
+
+    /** (ts, doc_id, lang, lm_score, bucket, u) for every ADMITTED doc of
+      * a (ts, doc_id, lang, text) intake stream — the streaming twin of
+      * [[graft.pipeline.Intake.corpusAdmit]], one emitted row per
+      * admission (StreamingJobsSpec pins replayed-corpus admissions ≡
+      * the batch op exactly, given keeper-first arrival order).
+      *
+      * Shape — exactly TWO stateful operators, however many gates:
+      *
+      *   1. All PER-DOC gates run stateless and up front: quality
+      *      (qualityExpr over length/token counts — n_chars ≡
+      *      length(text), the corpus convention), the repetition
+      *      profile ([[RepetitionGateStream.keepFromBigrams]] — the
+      *      shared predicate), so spam never reaches a state store.
+      *   2. `dropDuplicatesWithinWatermark` on md5(text) — the
+      *      first-seen exact-dedup store (batch keeper rule: lowest
+      *      doc_id per text; on a stream, FIRST ARRIVAL plays keeper —
+      *      identical on replays that feed keepers first).
+      *   3. Every corpus-relative gate becomes stateless EVIDENCE ROWS
+      *      against a static store, unioned into ONE watermarked
+      *      (ts, doc_id, lang) aggregation (stateful op #2):
+      *      `bg` rows — scored bigrams (the LM model joins of
+      *      [[LmScoreStream]]); `sh` rows — the doc's capped shingles
+      *      (anti-join vs the flooded vocab) counting n_a; `nd` rows —
+      *      corpus band-key matches with corpus_doc < doc_id (the
+      *      batch candidate-pair drop rule, star-routing included —
+      *      [[graft.dedup.Dedup.corpusBands]] keeps only the min-doc
+      *      row of a flooded key, which IS the batch star pair); `ct`
+      *      rows — capped-posting matches (corpus_doc < doc_id)
+      *      carrying a PER-ROW common count: the arriving doc's full
+      *      shingle-hash array `array_intersect`ed with the matched
+      *      corpus doc's capped set ([[graft.dedup.Dedup
+      *      .containmentCorpusDocSets]]). The capped static side makes
+      *      the row-wise intersect exact — flooded shingles are absent
+      *      from the corpus array, so they never count as common.
+      *   4. The aggregation reduces each gate to conditional
+      *      sums/maxes; containment collects the DISTINCT (corpus_doc,
+      *      n_b, common) structs — bounded by matched corpus docs (the
+      *      posting fan-out collapses: every row of a pair carries the
+      *      identical struct), the same per-doc state bound as the
+      *      salted [[ContainmentGate]], with no fMGWS at all.
+      *   5. Post-aggregation, everything is stateless again: the batch
+      *      containment criterion per collected struct, the broadcast
+      *      boundary-table bucket, and the identity-hash coin against
+      *      [[graft.pipeline.Intake.rateExpr]] (the literal batch
+      *      CASE). A novel-language doc buckets `unbucketed` → rate 0
+      *      → dropped; the batch recompute admits it once its language
+      *      has boundaries.
+      *
+      * Scale: state is the dedup store (watermark-bounded) plus one agg
+      * row per in-flight doc holding counters and ≤ matched-docs
+      * structs; all joins are stream-static against capped, memoized
+      * stores; the shuffle fan-out per doc is bounded by bigrams +
+      * capped shingles × capped posting lists. The own-hash array rides
+      * the containment join rows (micro-batch shuffle, never state) —
+      * the price of computing `common` without per-pair state.
+      */
+    def admissions(docs: DataFrame, t: Tables,
+                   watermarkLag: String = "30 seconds"): DataFrame = {
+      val big = StaticCache.of(t, "lmBig")(TextAnalysis.lmModelBig(t))
+      val uni = StaticCache.of(t, "lmUni")(TextAnalysis.lmModelUni(t))
+      val voc = StaticCache.of(t, "lmVocab")(TextAnalysis.lmVocab(t))
+      val bounds = StaticCache.of(t, "ccnetBounds")(Mixing.ccnetBounds(t))
+      // band keys reduced to ONE row per key (min corpus doc): the nd
+      // drop rule is `∃ corpus doc < mine on a shared band` ⟺
+      // `min corpus doc on the key < mine`, so the lookup is a
+      // unique-key left join — no row multiplication, and star-routing
+      // falls out (the min doc IS the batch star center)
+      val bandsMin = StaticCache.of(t, "corpusBandsMin") {
+        Dedup.corpusBands(t)
+          .groupBy(col("band_idx"), col("band_key"))
+          .agg(min(col("doc_id")).as("min_corpus_doc"))
+      }
+      val flooded = StaticCache.of(t, "containFlooded") {
+        Dedup.floodedShingleVocab(t)
+      }
+      val posting = StaticCache.of(t, "containPosting") {
+        Dedup.containmentCorpusPosting(t)
+      }
+      val docSets = StaticCache.of(t, "containDocSets") {
+        Dedup.containmentCorpusDocSets(t).select(col("corpus_doc"), col("hs"))
+      }
+
+      // stage 1: the first-seen store, then the stateless per-doc
+      // gates. The gates run AFTER the dedup on purpose: a filter
+      // before it would be pushed below the EventTimeWatermark node
+      // (its predicate does not reference ts), and then a micro-batch
+      // of gate-rejected docs could not advance event time — stalling
+      // every in-flight admission and the state eviction clock. A
+      // predicate on text cannot be pushed through a Deduplicate keyed
+      // on text_hash, so the order is safe — and it is also the batch
+      // rule: corpusClean ranks keepers over ALL documents before the
+      // quality filter, and the gates are pure functions of text, so
+      // exact dups agree on them either way.
+      val gated = docs
+        .withWatermark("ts", watermarkLag)
+        .withColumn("text_hash", md5(col("text")))
+        .dropDuplicatesWithinWatermark("text_hash")
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= 2)
+        .filter(TextAnalysis.qualityExpr(length(col("text")),
+          size(col("toks")), size(array_distinct(col("toks"))))
+          >= CorpusClean.QualityMin)
+        .filter(RepetitionGateStream.keepFromBigrams(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat(a, lit(" "), b))))
+        .select(col("ts"), col("doc_id"), col("lang"), col("text"))
+
+      // stage 2: ONE evidence explode — every gate's lookups ride the
+      // same exploded stream (a union of per-gate branches would
+      // replicate the dedup subtree, and its state, once per branch).
+      // Per doc: `bg` entries (bigrams), `nd` entries (the doc's band
+      // keys), `sh`/`ct` entries (distinct shingles — `sh` counts n_a,
+      // `ct` probes the posting list via its separate `s_probe` key so
+      // the capped fan-out never multiplies the `sh` rows).
+      val nullS = lit(null).cast("string")
+      def ev(kind: String, w1: Column = nullS, w2: Column = nullS,
+             bandIdx: Column = lit(null).cast("int"),
+             bandKey: Column = nullS, s: Column = nullS,
+             sProbe: Column = nullS) =
+        struct(lit(kind).as("kind"), w1.as("w1"), w2.as("w2"),
+          bandIdx.as("band_idx"), bandKey.as("band_key"), s.as("s"),
+          sProbe.as("s_probe"))
+      val mins = (0 until Dedup.NumPerms).map(p =>
+        array_min(transform(col("sh_arr"),
+          s => md5(concat(lit(s"$p:"), s)))).as(s"h$p"))
+      val bandEntries = array((0 until Dedup.NumBands).map(b =>
+        ev("nd", bandIdx = lit(b), bandKey =
+          md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}"))))): _*)
+
+      val evidence = gated
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("bg_arr", zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2"))))
+        .withColumn("sh_arr", array_distinct(
+          graft.functions.TextFunctions.shingles(
+            col("toks"), Dedup.ShingleSize)))
+        .withColumn("hs_own", transform(col("sh_arr"), s => xxhash64(s)))
+        .select(Seq(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
+          col("sh_arr"), col("bg_arr")) ++ mins: _*)
+        .select(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
+          explode(concat(
+            transform(col("bg_arr"),
+              b => ev("bg", w1 = b.getField("w1"), w2 = b.getField("w2"))),
+            bandEntries,
+            transform(col("sh_arr"), s => ev("sh", s = s)),
+            transform(col("sh_arr"), s => ev("ct", s = s, sProbe = s))))
+            .as("e"))
+        .select(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
+          col("e.kind").as("kind"), col("e.w1").as("w1"),
+          col("e.w2").as("w2"), col("e.band_idx").as("band_idx"),
+          col("e.band_key").as("band_key"), col("e.s").as("s"),
+          col("e.s_probe").as("s_probe"))
+
+      // stateless stream-static lookups: every join key is unique on
+      // the static side except the posting probe, whose fan-out is
+      // doc-freq-capped
+      val looked = evidence
+        .join(flooded.withColumn("fl", lit(1)), Seq("s"), "left")
+        .filter(col("fl").isNull || !col("kind").isin("sh", "ct"))
+        .join(big, Seq("w1", "w2"), "left")
+        .join(uni, Seq("w1"), "left")
+        .crossJoin(broadcast(voc))
+        .withColumn("p12", when(col("kind") === "bg", floor(
+          (expr("CAST(coalesce(c12, 0) + 1 AS DOUBLE)")
+            / expr("CAST(coalesce(c1, 0) + v AS DOUBLE)")) * lit(1e12)
+            + lit(0.5)).cast("long")))
+        .join(bandsMin, Seq("band_idx", "band_key"), "left")
+        .join(posting.withColumnRenamed("s", "s_probe"),
+          Seq("s_probe"), "left")
+        .join(docSets, Seq("corpus_doc"), "left")
+
+      // stage 3: ONE aggregation reduces every gate's evidence
+      val agged = looked
+        .groupBy(col("ts"), col("doc_id"), col("lang"))
+        .agg(
+          sum(when(col("kind") === "bg", 1).otherwise(0)).as("n_bigrams"),
+          sum(when(col("kind") === "bg", col("p12"))).as("sp"),
+          sum(when(col("kind") === "sh", 1).otherwise(0))
+            .cast("int").as("n_a"),
+          max(when(col("kind") === "nd" &&
+            col("min_corpus_doc") < col("doc_id"), 1).otherwise(0))
+            .as("nd_hit"),
+          collect_set(when(col("kind") === "ct" &&
+            col("corpus_doc") < col("doc_id"),
+            struct(col("corpus_doc"), col("n_b"),
+              size(array_intersect(col("hs_own"), col("hs")))
+                .cast("int").as("common"))))
+            .as("ct_hits"))
+
+      // stage 4: stateless verdict
+      agged
+        .filter(col("nd_hit") === 0)
+        .filter(!(col("n_a") >= Dedup.ContainmentMinShingles &&
+          exists(col("ct_hits"), h =>
+            graft.functions.Portable.round6(
+              h.getField("common").cast("double") /
+                least(col("n_a"), h.getField("n_b")))
+              >= Dedup.ContainmentMin)))
+        .select(col("ts"), col("doc_id"), col("lang"),
+          TextAnalysis.lmScoreExpr)
+        .join(bounds, Seq("lang"), "left")
+        .select(col("ts"), col("doc_id"), col("lang"), col("lm_score"),
+          when(col("s1").isNull, lit("unbucketed"))
+            .otherwise(Mixing.bucketExpr).as("bucket"))
+        .withColumn("u", Mixing.u("ccn", col("doc_id")))
+        .filter(col("u") < Intake.rateExpr)
     }
   }
 

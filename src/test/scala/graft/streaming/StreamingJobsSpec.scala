@@ -1164,4 +1164,133 @@ class StreamingJobsSpec extends SparkSpec {
       server.close()
     }
   }
+
+  /** The batch coin: first 8 md5-hex digits of "ccn|id" over 2^32. */
+  private def ccnCoin(id: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"ccn|$id".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 8), 16) / 4294967296.0
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** The doc's minhash band keys, by the shared batch/stream formula. */
+  private def bandKeysOf(text: String): Seq[String] = {
+    import graft.dedup.Dedup.{NumBands, NumPerms, ShingleSize}
+    val toks = text.split(" ", -1)
+    if (toks.length < ShingleSize) return Nil
+    val sh = toks.sliding(ShingleSize).map(_.mkString(" ")).toSeq.distinct
+    val mins = (0 until NumPerms).map(p => sh.map(s => md5Hex(s"$p:$s")).min)
+    (0 until NumBands).map(b => md5Hex(mins(2 * b) + "|" + mins(2 * b + 1)))
+  }
+
+  test("IntakeSamplerStream: replayed corpus admissions ≡ batch corpus_admit; plants gated; 2 stateful ops") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val adm = Jobs.IntakeSamplerStream.admissions(
+      in.toDF().toDF("ts", "doc_id", "lang", "text"), tables)
+    val q = adm.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("intake_sampler").start()
+    try {
+      val docs = tables.documents.select(col("doc_id"), col("lang"), col("text"))
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val maxId = docs.map(_._1).max
+      val keeperIds = docs.groupBy(_._3).values.map(_.minBy(_._1)._1).toSet
+      val t1 = new Timestamp(1000L)
+      // keepers first, dups second: the stream's first-seen store then
+      // picks exactly the batch min-doc_id keeper per text
+      in.addData(docs.filter(d => keeperIds(d._1))
+        .map(d => (t1, d._1, d._2, d._3)).toSeq)
+      q.processAllAvailable()
+      in.addData(docs.filterNot(d => keeperIds(d._1))
+        .map(d => (t1, d._1, d._2, d._3)).toSeq)
+      q.processAllAvailable()
+
+      val batch = graft.pipeline.Intake.corpusAdmit(tables)
+        .select(col("doc_id"), col("lm_score"), col("bucket"), col("u"))
+        .as[(Long, Double, String, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      assert(batch.nonEmpty)
+
+      // plants, all with coin < 0.29 (under every bucket's keep rate,
+      // so a missing plant proves its GATE fired, never the coin)
+      def plantIds = Iterator.from(1).map(maxId + 100L * _)
+        .filter(id => ccnCoin(id) < 0.29)
+      val Seq(quoteId, ndId, ctrlId, langId) = plantIds.take(4).toSeq
+      val admitted = docs.filter(d => batch.contains(d._1))
+
+      // a verbatim QUOTE (70% token prefix) of an admitted corpus doc
+      // that still clears quality+repetition on its own AND shares no
+      // band key with ANY corpus doc: its drop can only be the
+      // containment gate — the quote-inclusion mode band LSH
+      // structurally misses
+      val corpusBandKeys = docs.flatMap(d => bandKeysOf(d._3)).toSet
+      def passesRowGates(text: String): Boolean = {
+        val toks = text.split(" ", -1)
+        if (toks.length < 10) return false
+        val quality = graft.functions.Portable.round6Double(
+          math.min(text.length / 500.0, 1.0) * 0.5
+            + toks.distinct.length.toDouble / toks.length * 0.3
+            + math.min(text.length.toDouble / toks.length / 8.0, 1.0) * 0.2)
+        val bgs = toks.sliding(2).map(_.mkString(" ")).toSeq
+        val counts = bgs.groupBy(identity).map(_._2.size)
+        val topFrac = graft.functions.Portable.round6Double(
+          counts.max.toDouble / bgs.size)
+        val dupFrac = graft.functions.Portable.round6Double(
+          (bgs.size - counts.size).toDouble / bgs.size)
+        quality >= graft.pipeline.CorpusClean.QualityMin &&
+          topFrac <= graft.textanalysis.TextAnalysis.TopBigramFracMax &&
+          dupFrac <= graft.textanalysis.TextAnalysis.DupBigramFracMax
+      }
+      val quoteSrc = admitted.sortBy(-_._3.length).iterator.map { d =>
+        val toks = d._3.split(" ", -1)
+        (d, toks.take(math.max(8, (toks.length * 7) / 10)).mkString(" "))
+      }.find { case (_, qt) =>
+        passesRowGates(qt) &&
+          bandKeysOf(qt).forall(k => !corpusBandKeys.contains(k))
+      }.get
+      // a NEAR-DUP of an admitted corpus doc (last token swapped) that
+      // still collides with it on ≥1 band: the nd gate must fire
+      val ndSrc = admitted.iterator.map { d =>
+        val toks = d._3.split(" ", -1)
+        (d, (toks.dropRight(1) :+ "graftznovel").mkString(" "))
+      }.find { case (d, nt) =>
+        bandKeysOf(nt).intersect(bandKeysOf(d._3)).nonEmpty &&
+          nt.split(" ", -1).length >= 4
+      }.get
+      val ctrlText = (0 until 60).map(i => s"graftctrl${i}tok$ctrlId").mkString(" ")
+      in.addData(Seq(
+        (t1, quoteId, quoteSrc._1._2, quoteSrc._2),
+        (t1, ndId, ndSrc._1._2, ndSrc._2),
+        (t1, ctrlId, "en", ctrlText),
+        (t1, langId, "xx", ctrlText.replace("ctrl", "lang"))))
+      q.processAllAvailable()
+      // advance the watermark so every in-flight doc finalizes
+      in.addData(Seq((new Timestamp(10000L * 1000), -1L, "en", "x y")))
+      q.processAllAvailable()
+
+      val streamed = spark.table("intake_sampler")
+        .select(col("doc_id"), col("lm_score"), col("bucket"), col("u"))
+        .as[(Long, Double, String, Double)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val replayed = streamed.filter { case (id, _) => id <= maxId }
+      assert(replayed == batch,
+        s"replay mismatch: stream-only ${replayed.keySet -- batch.keySet}, " +
+          s"batch-only ${batch.keySet -- replayed.keySet}")
+      // the quote and the near-dup were caught by their gates; the
+      // control doc (novel, clean, coin < every rate) was admitted;
+      // the novel-language doc fell to the unbucketed rate of 0
+      assert(!streamed.contains(quoteId), streamed.get(quoteId).toString)
+      assert(!streamed.contains(ndId), streamed.get(ndId).toString)
+      assert(streamed.contains(ctrlId))
+      assert(!streamed.contains(langId), streamed.get(langId).toString)
+      // the whole composed verdict runs in exactly TWO stateful
+      // operators: the first-seen store and the evidence aggregation
+      assert(q.lastProgress.stateOperators.length == 2,
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+    } finally q.stop()
+  }
 }
