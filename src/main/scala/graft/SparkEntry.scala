@@ -99,7 +99,8 @@ object SparkEntry {
     "lm_ccnet_bucket_bounded" -> q(graft.pipeline.Mixing.ccnetBucketBounded),
     "corpus_sample_ccnet" -> q(graft.pipeline.Mixing.sampleCcnet),
     "lm_quality_decile" -> q(graft.pipeline.Mixing.qualityDecile),
-    "corpus_admit" -> q(graft.pipeline.Intake.corpusAdmit)
+    "corpus_admit" -> q(graft.pipeline.Intake.corpusAdmit),
+    "corpus_admit_verdicts" -> q(graft.pipeline.Intake.corpusAdmitVerdicts)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -186,6 +187,7 @@ object SparkEntry {
     "lm_ccnet_bucket_bounded" -> graft.pipeline.Mixing.ccnetBucketBoundedSql,
     "corpus_sample_ccnet" -> graft.pipeline.Mixing.sampleCcnetSql,
     "lm_quality_decile" -> graft.pipeline.Mixing.qualityDecileSql,
-    "corpus_admit" -> graft.pipeline.Intake.corpusAdmitSql
+    "corpus_admit" -> graft.pipeline.Intake.corpusAdmitSql,
+    "corpus_admit_verdicts" -> graft.pipeline.Intake.corpusAdmitVerdictsSql
   )
 }

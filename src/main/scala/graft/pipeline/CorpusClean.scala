@@ -27,11 +27,12 @@ object CorpusClean {
 
   val QualityMin = 0.5
 
-  def corpusClean(t: Tables): DataFrame = {
-    val docs = t.documents
-    val keeperRank = row_number().over(
-      Window.partitionBy(md5(col("text"))).orderBy(col("doc_id")))
-    val quality = docs
+  /** (doc_id, quality) for every document — the clean gate's composite,
+    * exposed so the verdicts op ([[Intake.corpusAdmitVerdicts]]) scores
+    * docs the clean gate rejects too.
+    */
+  private[pipeline] def qualityPerDoc(t: Tables): DataFrame =
+    t.documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"),
         col("n_chars"))
       .groupBy(col("doc_id"), col("n_chars"))
@@ -39,6 +40,26 @@ object CorpusClean {
       .select(col("doc_id"),
         TextAnalysis.qualityExpr(col("n_chars"), col("n_tok"),
           col("n_distinct")).as("quality"))
+
+  /** The keeper rank: 1 for the lowest doc_id of each md5(text) group. */
+  private[pipeline] def keeperRank =
+    row_number().over(
+      Window.partitionBy(md5(col("text"))).orderBy(col("doc_id")))
+
+  /** Standalone (doc_id, quality) SQL, nestable as a derived table. */
+  private[pipeline] def qualityPerDocSql: String =
+    s"""WITH ctok AS (SELECT doc_id, n_chars, unnest(string_split(text, ' ')) w
+       |             FROM documents),
+       |cagg AS (SELECT doc_id, n_chars, count(*) n_tok,
+       |           count(DISTINCT w) n_distinct
+       |         FROM ctok GROUP BY doc_id, n_chars)
+       |SELECT doc_id,
+       |  ${TextAnalysis.qualityExprSql("n_chars", "n_tok", "n_distinct")} quality
+       |FROM cagg""".stripMargin
+
+  def corpusClean(t: Tables): DataFrame = {
+    val docs = t.documents
+    val quality = qualityPerDoc(t)
     docs
       .withColumn("rn", keeperRank)
       .filter(col("rn") === 1)

@@ -52,7 +52,11 @@ object Intake {
     val clean = CorpusClean.corpusClean(t).select(col("doc_id"))
     val rep = graft.textanalysis.TextAnalysis.qualityRepetition(t)
       .filter(col("keep") === 1).select(col("doc_id"))
-    val ndLosers = graft.dedup.Dedup.minhashCandidates(t)
+    // the BUCKETED band store's candidate pairs — pair-identical to the
+    // live minhashCandidates (pinned by DedupSpec/PlanSpec), exchange-
+    // free on the self-join: the production store for the production
+    // composite
+    val ndLosers = graft.dedup.Dedup.dedupMinhashBucketed(t)
       .select(col("doc_b").as("doc_id")).distinct()
     val ctLosers = graft.dedup.Dedup.dedupContainment(t)
       .select(col("doc_b").as("doc_id")).distinct()
@@ -66,6 +70,82 @@ object Intake {
       .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"),
         col("u"))
       .orderBy(col("doc_id"))
+  }
+
+  /** The OBSERVABILITY twin: every document with its admission verdict
+    * — `admitted`, or the FIRST gate that rejected it, in pipeline
+    * order: `dup` (not its exact-dup cluster's keeper) → `quality` →
+    * `too_short` (< 2 tokens — no repetition profile and no LM score,
+    * the shared drop rule) → `repetition` → `neardup` → `containment`
+    * → `coin`. What a pipeline operator reads when a corpus shrinks
+    * unexpectedly: not WHETHER docs dropped, but at which gate.
+    * `admitted` rows here ≡ [[corpusAdmit]]'s doc set (PipelineSpec
+    * pins it); same bounded gate plans, so the same scale story.
+    */
+  def corpusAdmitVerdicts(t: Tables): DataFrame = {
+    val rep = graft.textanalysis.TextAnalysis.qualityRepetition(t)
+      .select(col("doc_id"), col("keep"))
+    val ndLosers = graft.dedup.Dedup.dedupMinhashBucketed(t)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("nd", lit(1))
+    val ctLosers = graft.dedup.Dedup.dedupContainment(t)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("ct", lit(1))
+    t.documents
+      .withColumn("rn", CorpusClean.keeperRank)
+      .select(col("doc_id"), col("lang"), col("rn"))
+      .join(CorpusClean.qualityPerDoc(t), Seq("doc_id"))
+      .join(rep, Seq("doc_id"), "left")
+      .join(ndLosers, Seq("doc_id"), "left")
+      .join(ctLosers, Seq("doc_id"), "left")
+      .join(Mixing.ccnetBucketBounded(t)
+        .select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
+      .withColumn("u", Mixing.u("ccn", col("doc_id")))
+      .select(col("doc_id"), col("lang"),
+        when(col("rn") =!= 1, "dup")
+          .when(col("quality") < CorpusClean.QualityMin, "quality")
+          .when(col("keep").isNull, "too_short")
+          .when(col("keep") === 0, "repetition")
+          .when(col("nd") === 1, "neardup")
+          .when(col("ct") === 1, "containment")
+          .when(col("u") >= rateExpr, "coin")
+          .otherwise("admitted").as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusAdmitVerdictsSql: String = {
+    val rateCase = Mixing.CcnetRates
+      .map { case (b, r) => s"WHEN bb.bucket = '$b' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 0.0 END")
+    s"""WITH k AS (SELECT doc_id,
+       |             row_number() OVER (PARTITION BY md5(text)
+       |                                ORDER BY doc_id) rn
+       |           FROM documents),
+       |q AS (SELECT * FROM (${CorpusClean.qualityPerDocSql}) qq),
+       |rep AS (SELECT doc_id, keep
+       |        FROM (${graft.textanalysis.TextAnalysis.qualityRepetitionSql}) r),
+       |ndl AS (SELECT DISTINCT doc_b AS doc_id
+       |        FROM (${graft.dedup.Dedup.dedupMinhashSql}) m),
+       |ctl AS (SELECT DISTINCT doc_b AS doc_id
+       |        FROM (${graft.dedup.Dedup.dedupContainmentSql}) ct),
+       |bb AS (SELECT doc_id, bucket
+       |       FROM (${Mixing.ccnetBucketBoundedSql}) b)
+       |SELECT d.doc_id, d.lang,
+       |  CASE WHEN k.rn <> 1 THEN 'dup'
+       |       WHEN q.quality < ${CorpusClean.QualityMin} THEN 'quality'
+       |       WHEN rep.doc_id IS NULL THEN 'too_short'
+       |       WHEN rep.keep = 0 THEN 'repetition'
+       |       WHEN d.doc_id IN (SELECT doc_id FROM ndl) THEN 'neardup'
+       |       WHEN d.doc_id IN (SELECT doc_id FROM ctl) THEN 'containment'
+       |       WHEN ${Mixing.uSql("ccn").replace("doc_id", "d.doc_id")}
+       |            >= $rateCase THEN 'coin'
+       |       ELSE 'admitted' END AS verdict
+       |FROM documents d
+       |JOIN k USING (doc_id)
+       |JOIN q USING (doc_id)
+       |LEFT JOIN rep USING (doc_id)
+       |LEFT JOIN bb USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
   }
 
   /** Oracle: each gate's published SQL reused as a nested-WITH derived
