@@ -219,17 +219,36 @@ object Jobs {
       * one document; cap document length upstream if the intake may
       * carry multi-MB texts.
       */
+    /** Max multiplicity of any element of `arr`, LINEARLY: sort, then
+      * one `aggregate` pass counting runs — O(n log n) per row. The
+      * naive form (`transform(array_distinct, b -> size(filter(...)))`)
+      * is O(distinct × total) INSIDE one expression, so a single very
+      * long spam document could stall an executor task before any
+      * downstream gate applies (ADVICE r9); runs over a sorted copy
+      * cost what the sort costs.
+      */
+    private[streaming] def maxRunCount(arr: Column): Column = {
+      val zero = struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best"))
+      aggregate(array_sort(arr), zero, (acc, x) => {
+        val run = when(x === acc.getField("prev"),
+          acc.getField("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      }, acc => acc.getField("best"))
+    }
+
     /** The keep PREDICATE over a per-row bigram array — the profile's
       * two threshold tests as one reusable Column, so the composed
       * intake sampler ([[IntakeSamplerStream]]) applies the identical
       * gate (same round6, same thresholds) without re-deriving the
-      * formula.
+      * formula. Top-bigram multiplicity via [[maxRunCount]] — the same
+      * integer the batch twin's (doc, bigram) aggregation counts.
       */
     private[streaming] def keepFromBigrams(bgs: Column): Column = {
       val n = size(bgs).cast("long")
       val nd = size(array_distinct(bgs)).cast("long")
-      val top = array_max(transform(array_distinct(bgs),
-        b => size(filter(bgs, x => x === b)))).cast("long")
+      val top = maxRunCount(bgs).cast("long")
       graft.functions.Portable.round6(top.cast("double") / n) <=
         graft.textanalysis.TextAnalysis.TopBigramFracMax &&
         graft.functions.Portable.round6((n - nd).cast("double") / n) <=
@@ -247,9 +266,7 @@ object Jobs {
         .select(col("ts"), col("doc_id"),
           size(col("bgs")).cast("long").as("n_bigrams"),
           expr("size(array_distinct(bgs))").cast("long").as("n_distinct"),
-          expr("array_max(transform(array_distinct(bgs)," +
-            " b -> size(filter(bgs, x -> x = b))))")
-            .cast("long").as("top_cnt"))
+          maxRunCount(col("bgs")).cast("long").as("top_cnt"))
         .select(col("ts"), col("doc_id"), col("n_bigrams"),
           graft.functions.Portable.round6(
             col("top_cnt").cast("double") / col("n_bigrams"))
@@ -959,10 +976,11 @@ object Jobs {
 
   // ---------------------------------------------------------------------
   // IntakeSamplerStream — pipeline.Intake.corpusAdmit on live intake:
-  // the WHOLE admit/drop verdict riding one streaming query. Quality →
-  // repetition → exact first-seen → near-dup → containment → CCNet
-  // bucket → keep coin; a doc that clears every gate is emitted, once,
-  // with its bucket and coin.
+  // the WHOLE admit/drop verdict riding one streaming query. First-seen
+  // marker → quality → repetition → near-dup → containment → CCNet
+  // bucket → keep coin; admissions() emits each clearing doc once with
+  // its bucket and coin, verdicts() emits EVERY doc with its first
+  // failing gate (the corpus_admit_verdicts observability twin).
   // ---------------------------------------------------------------------
   object IntakeSamplerStream {
 
@@ -970,27 +988,101 @@ object Jobs {
     import graft.pipeline.{CorpusClean, Intake, Mixing}
     import graft.textanalysis.TextAnalysis
 
-    /** (ts, doc_id, lang, lm_score, bucket, u) for every ADMITTED doc of
-      * a (ts, doc_id, lang, text) intake stream — the streaming twin of
-      * [[graft.pipeline.Intake.corpusAdmit]], one emitted row per
-      * admission (StreamingJobsSpec pins replayed-corpus admissions ≡
-      * the batch op exactly, given keeper-first arrival order).
+    /** One intake row headed for the first-seen marker store. */
+    private[streaming] case class IntakeRow(
+        ts: java.sql.Timestamp, docId: Long, lang: String, text: String,
+        textHash: String, nChars: Int)
+
+    /** Marker output: the row plus its exact-dup flag. */
+    private[streaming] case class MarkedRow(
+        ts: java.sql.Timestamp, docId: Long, lang: String, text: String,
+        textHash: String, nChars: Int, dup: Int)
+
+    private[streaming] case class SeenState(tsMs: Long)
+
+    /** (ts, doc_id, lang, lm_score, bucket, u, text_hash) for every
+      * ADMITTED doc of a (ts, doc_id, lang, text[, n_chars]) intake
+      * stream — the streaming twin of [[graft.pipeline.Intake
+      * .corpusAdmit]], one emitted row per admission (StreamingJobsSpec
+      * pins replayed-corpus admissions ≡ the batch op exactly).
+      * `text_hash` (md5(text), the dedup-store key) rides the output so
+      * downstream reconciliation can map a stream-chosen representative
+      * to the batch keeper of the same duplicate class (ADVICE r9).
+      *
+      * KEEPER RULE (VERDICT r9 #3, spec-pinned): the batch keeper is
+      * the LOWEST doc_id per md5(text); the stream elects the lowest
+      * doc_id WITHIN THE EARLIEST MICRO-BATCH that carries the hash.
+      * Any replay that lands each duplicate class's batch keeper no
+      * later than its dups — one big batch, keepers-first feeding, or
+      * doc_id-ordered intake — reproduces the batch choice exactly;
+      * genuinely out-of-order arrival admits the first-arriving doc of
+      * the class instead, whose own doc_id drives its own ccn coin (the
+      * divergence is per-class representative identity, never a
+      * duplicate admission — and `text_hash` makes it reconcilable
+      * against a batch recompute). A redelivered copy of an already-
+      * marked row is marked `dup` and so can never be admitted twice.
+      *
+      * `boundsRoot` (VERDICT r9 #4): pins the ccnet boundary table to
+      * the current committed [[graft.storage.BoundsStore]] generation
+      * at stream start, exactly [[LmBucketStream.buckets]]' protocol —
+      * a days-long intake job restarts its query on roll and observes
+      * republished terciles instead of a session-lifetime memo.
+      */
+    def admissions(docs: DataFrame, t: Tables,
+                   watermarkLag: String = "30 seconds",
+                   boundsRoot: Option[String] = None): DataFrame =
+      verdictCore(docs, t, watermarkLag, boundsRoot)
+        .filter(col("verdict") === "admitted")
+        .select(col("ts"), col("doc_id"), col("lang"), col("lm_score"),
+          col("bucket"), col("u"), col("text_hash"))
+
+    /** The OBSERVABILITY twin (VERDICT r9 #7): (ts, doc_id, lang,
+      * verdict) for EVERY doc of the intake stream — `admitted` or the
+      * first failing gate, in [[graft.pipeline.Intake
+      * .corpusAdmitVerdicts]]' pipeline order (`dup` → `quality` →
+      * `too_short` → `repetition` → `neardup` → `containment` →
+      * `coin`). Same single query shape as [[admissions]] — the verdict
+      * column is computed either way; this entry just keeps every row.
+      * StreamingJobsSpec pins streamed verdicts ≡ the batch op on a
+      * keeper-first replay.
+      */
+    def verdicts(docs: DataFrame, t: Tables,
+                 watermarkLag: String = "30 seconds",
+                 boundsRoot: Option[String] = None): DataFrame =
+      verdictCore(docs, t, watermarkLag, boundsRoot)
+        .select(col("ts"), col("doc_id"), col("lang"), col("verdict"))
+
+    /** The shared core: every intake doc → (ts, doc_id, lang, text_hash,
+      * lm_score, bucket, u, verdict).
       *
       * Shape — exactly TWO stateful operators, however many gates:
       *
-      *   1. All PER-DOC gates run stateless and up front: quality
-      *      (qualityExpr over length/token counts — n_chars ≡
-      *      length(text), the corpus convention), the repetition
-      *      profile ([[RepetitionGateStream.keepFromBigrams]] — the
-      *      shared predicate), so spam never reaches a state store.
-      *   2. `dropDuplicatesWithinWatermark` on md5(text) — the
-      *      first-seen exact-dedup store (batch keeper rule: lowest
-      *      doc_id per text; on a stream, FIRST ARRIVAL plays keeper —
-      *      identical on replays that feed keepers first).
+      *   1. The first-seen MARKER (stateful op #1): an append-mode
+      *      `flatMapGroupsWithState` keyed on md5(text) that emits
+      *      EVERY row tagged `dup` 0/1 instead of dropping duplicates
+      *      (the verdicts twin needs the dropped rows' verdicts). One
+      *      row per (hash, first batch) is elected keeper — the LOWEST
+      *      doc_id in that batch, see the keeper rule on
+      *      [[admissions]] — and state is just a seen marker evicted at
+      *      first-seen ts + lag, `dropDuplicatesWithinWatermark`'s
+      *      retention. Aggregations after append-mode fMGWS are a
+      *      supported Structured Streaming chain.
+      *   2. The PER-DOC gates are stateless FLAG COLUMNS (never
+      *      filters: the only predicates ahead of the evidence
+      *      aggregation reference generated columns, so nothing can be
+      *      pushed below a watermark node and stall event time —
+      *      the hazard the r9 builder hit with pre-dedup filters):
+      *      `q_fail` — [[TextAnalysis.qualityExpr]] over the STORED
+      *      n_chars when the stream carries one (the batch gate's
+      *      input; ADVICE r9 — length(text) only as a fallback for
+      *      schemas without it), `too_short` (< 2 tokens), `rep_fail` —
+      *      [[RepetitionGateStream.keepFromBigrams]] (the shared
+      *      predicate, linear top-bigram count).
       *   3. Every corpus-relative gate becomes stateless EVIDENCE ROWS
       *      against a static store, unioned into ONE watermarked
-      *      (ts, doc_id, lang) aggregation (stateful op #2):
-      *      `bg` rows — scored bigrams (the LM model joins of
+      *      (ts, doc_id, lang, text_hash) aggregation (stateful op #2):
+      *      one `meta` row per doc (so rejected docs still emit their
+      *      verdict); `bg` rows — scored bigrams (the LM model joins of
       *      [[LmScoreStream]]); `sh` rows — the doc's capped shingles
       *      (anti-join vs the flooded vocab) counting n_a; `nd` rows —
       *      corpus band-key matches with corpus_doc < doc_id (the
@@ -1004,34 +1096,54 @@ object Jobs {
       *      .containmentCorpusDocSets]]). The capped static side makes
       *      the row-wise intersect exact — flooded shingles are absent
       *      from the corpus array, so they never count as common.
+      *      A rejected doc's heavy arrays are empty by construction
+      *      (conditional on the flags), so spam costs one meta row,
+      *      not a bigram/shingle explosion.
       *   4. The aggregation reduces each gate to conditional
       *      sums/maxes; containment collects the DISTINCT (corpus_doc,
       *      n_b, common) structs — bounded by matched corpus docs (the
       *      posting fan-out collapses: every row of a pair carries the
       *      identical struct), the same per-doc state bound as the
-      *      salted [[ContainmentGate]], with no fMGWS at all.
+      *      salted [[ContainmentGate]].
       *   5. Post-aggregation, everything is stateless again: the batch
       *      containment criterion per collected struct, the broadcast
-      *      boundary-table bucket, and the identity-hash coin against
+      *      boundary-table bucket, the identity-hash coin against
       *      [[graft.pipeline.Intake.rateExpr]] (the literal batch
-      *      CASE). A novel-language doc buckets `unbucketed` → rate 0
-      *      → dropped; the batch recompute admits it once its language
-      *      has boundaries.
+      *      CASE), and the verdict CASE in the batch pipeline order. A
+      *      novel-language doc buckets `unbucketed` → rate 0 →
+      *      verdict `coin`; the batch recompute admits it once its
+      *      language has boundaries.
       *
-      * Scale: state is the dedup store (watermark-bounded) plus one agg
-      * row per in-flight doc holding counters and ≤ matched-docs
-      * structs; all joins are stream-static against capped, memoized
-      * stores; the shuffle fan-out per doc is bounded by bigrams +
-      * capped shingles × capped posting lists. The own-hash array rides
-      * the containment join rows (micro-batch shuffle, never state) —
-      * the price of computing `common` without per-pair state.
+      * Scale: state is the marker store (watermark-bounded, one seen
+      * marker per in-flight hash) plus one agg row per in-flight doc
+      * holding counters and ≤ matched-docs structs; all joins are
+      * stream-static against capped, memoized stores; the shuffle
+      * fan-out per doc is bounded by bigrams + capped shingles ×
+      * capped posting lists. The own-hash array rides the containment
+      * join rows (micro-batch shuffle, never state) — the price of
+      * computing `common` without per-pair state.
       */
-    def admissions(docs: DataFrame, t: Tables,
-                   watermarkLag: String = "30 seconds"): DataFrame = {
+    private def verdictCore(docs: DataFrame, t: Tables,
+                            watermarkLag: String,
+                            boundsRoot: Option[String]): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val lagMs = lagMillis(watermarkLag)
       val big = StaticCache.of(t, "lmBig")(TextAnalysis.lmModelBig(t))
       val uni = StaticCache.of(t, "lmUni")(TextAnalysis.lmModelUni(t))
       val voc = StaticCache.of(t, "lmVocab")(TextAnalysis.lmVocab(t))
-      val bounds = StaticCache.of(t, "ccnetBounds")(Mixing.ccnetBounds(t))
+      val bounds = boundsRoot match {
+        case Some(root) =>
+          import graft.storage.BoundsStore
+          val n = BoundsStore.currentGeneration(root,
+            spark.sessionState.newHadoopConf()).getOrElse(
+            throw new IllegalStateException(
+              s"no committed bounds generation under $root"))
+          StaticCache.of(t, s"ccnetBounds@$root/gen=$n") {
+            BoundsStore.readBounds(spark, root, n)
+          }
+        case None => StaticCache.of(t, "ccnetBounds")(Mixing.ccnetBounds(t))
+      }
       // band keys reduced to ONE row per key (min corpus doc): the nd
       // drop rule is `∃ corpus doc < mine on a shared band` ⟺
       // `min corpus doc on the key < mine`, so the lookup is a
@@ -1052,39 +1164,85 @@ object Jobs {
         Dedup.containmentCorpusDocSets(t).select(col("corpus_doc"), col("hs"))
       }
 
-      // stage 1: the first-seen store, then the stateless per-doc
-      // gates. The gates run AFTER the dedup on purpose: a filter
-      // before it would be pushed below the EventTimeWatermark node
-      // (its predicate does not reference ts), and then a micro-batch
-      // of gate-rejected docs could not advance event time — stalling
-      // every in-flight admission and the state eviction clock. A
-      // predicate on text cannot be pushed through a Deduplicate keyed
-      // on text_hash, so the order is safe — and it is also the batch
-      // rule: corpusClean ranks keepers over ALL documents before the
-      // quality filter, and the gates are pure functions of text, so
-      // exact dups agree on them either way.
-      val gated = docs
+      // stage 1: the first-seen MARKER — every row survives, tagged
+      // dup 0/1 (the verdicts twin needs the non-keepers' rows). The
+      // input watermark drives the marker's state eviction; the marker
+      // output is re-watermarked on the same ts for the evidence
+      // aggregation (its own event-time tag does not survive fMGWS),
+      // and every marker output row passes that node, so event time
+      // can never stall on a batch of gate-rejected docs.
+      val nCharsCol =
+        if (docs.columns.contains("n_chars")) col("n_chars").cast("int")
+        else length(col("text"))
+      val marked = docs
         .withWatermark("ts", watermarkLag)
-        .withColumn("text_hash", md5(col("text")))
-        .dropDuplicatesWithinWatermark("text_hash")
+        .select(col("ts"), col("doc_id").as("docId"), col("lang"),
+          col("text"), md5(col("text")).as("textHash"),
+          nCharsCol.as("nChars"))
+        .as[IntakeRow]
+        .groupByKey(_.textHash)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (_: String, batch: Iterator[IntakeRow],
+           state: GroupState[SeenState]) => {
+            if (state.hasTimedOut) { state.remove(); Iterator.empty }
+            else {
+              val rows = batch.toVector
+              val seen = state.exists
+              // keeper = lowest doc_id of the hash's EARLIEST batch;
+              // exactly one row is elected even if the batch carries
+              // redelivered copies of the same doc_id
+              val keeperIdx =
+                if (seen) -1 else rows.indices.minBy(i => rows(i).docId)
+              if (!seen) {
+                val ts0 = rows(keeperIdx).ts.getTime
+                state.update(SeenState(ts0))
+                // dropDuplicatesWithinWatermark's retention: first-seen
+                // ts + lag (clamped above the current watermark — Spark
+                // rejects timeouts at or below it)
+                state.setTimeoutTimestamp(math.max(ts0 + lagMs,
+                  state.getCurrentWatermarkMs() + 1))
+              }
+              rows.iterator.zipWithIndex.map { case (r, i) =>
+                MarkedRow(r.ts, r.docId, r.lang, r.text, r.textHash,
+                  r.nChars, if (i == keeperIdx) 0 else 1)
+              }
+            }
+          })
+        .select(col("ts"), col("docId").as("doc_id"), col("lang"),
+          col("text"), col("textHash").as("text_hash"),
+          col("nChars").as("n_chars"), col("dup"))
+        .withWatermark("ts", watermarkLag)
+
+      // stage 1b: the stateless per-doc gates as FLAG columns (the
+      // batch CASE order needs every flag, not a filtered survivor
+      // set). q_fail reads the carried n_chars — the batch gate's
+      // stored column — not a re-derived length (ADVICE r9).
+      val flagged = marked
         .withColumn("toks", split(col("text"), " "))
-        .where(size(col("toks")) >= 2)
-        .filter(TextAnalysis.qualityExpr(length(col("text")),
+        .withColumn("too_short", (size(col("toks")) < 2).cast("int"))
+        .withColumn("q_fail", (TextAnalysis.qualityExpr(col("n_chars"),
           size(col("toks")), size(array_distinct(col("toks"))))
-          >= CorpusClean.QualityMin)
-        .filter(RepetitionGateStream.keepFromBigrams(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => concat(a, lit(" "), b))))
-        .select(col("ts"), col("doc_id"), col("lang"), col("text"))
+          < CorpusClean.QualityMin).cast("int"))
+        .withColumn("rep_fail", when(col("too_short") === 1, lit(0))
+          .otherwise((!RepetitionGateStream.keepFromBigrams(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => concat(a, lit(" "), b)))).cast("int")))
+        .withColumn("rejected", greatest(col("dup"), col("too_short"),
+          col("q_fail"), col("rep_fail")))
 
       // stage 2: ONE evidence explode — every gate's lookups ride the
       // same exploded stream (a union of per-gate branches would
-      // replicate the dedup subtree, and its state, once per branch).
-      // Per doc: `bg` entries (bigrams), `nd` entries (the doc's band
-      // keys), `sh`/`ct` entries (distinct shingles — `sh` counts n_a,
-      // `ct` probes the posting list via its separate `s_probe` key so
-      // the capped fan-out never multiplies the `sh` rows).
+      // replicate the marker subtree, and its state, once per branch).
+      // Per doc: one `meta` entry (presence — a rejected doc's verdict
+      // needs a row through the aggregation), then for unrejected docs
+      // `bg` entries (bigrams), `nd` entries (the doc's band keys),
+      // `sh`/`ct` entries (distinct shingles — `sh` counts n_a, `ct`
+      // probes the posting list via its separate `s_probe` key so the
+      // capped fan-out never multiplies the `sh` rows). A rejected
+      // doc's bg/sh arrays are EMPTY by construction, so spam pays one
+      // meta row, never an explosion.
       val nullS = lit(null).cast("string")
       def ev(kind: String, w1: Column = nullS, w2: Column = nullS,
              bandIdx: Column = lit(null).cast("int"),
@@ -1099,32 +1257,41 @@ object Jobs {
       val bandEntries = array((0 until Dedup.NumBands).map(b =>
         ev("nd", bandIdx = lit(b), bandKey =
           md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}"))))): _*)
+      val flagCols = Seq(col("text_hash"), col("dup"), col("too_short"),
+        col("q_fail"), col("rep_fail"), col("rejected"))
 
-      val evidence = gated
-        .withColumn("toks", split(col("text"), " "))
-        .withColumn("bg_arr", zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2"))))
-        .withColumn("sh_arr", array_distinct(
-          graft.functions.TextFunctions.shingles(
-            col("toks"), Dedup.ShingleSize)))
+      val evidence = flagged
+        .withColumn("bg_arr", when(col("rejected") === 1,
+          expr("CAST(array() AS array<struct<w1:string,w2:string>>)"))
+          .otherwise(zip_with(
+            slice(col("toks"), lit(1), size(col("toks")) - 1),
+            slice(col("toks"), lit(2), size(col("toks")) - 1),
+            (a, b) => struct(a.as("w1"), b.as("w2")))))
+        .withColumn("sh_arr", when(col("rejected") === 1,
+          expr("CAST(array() AS array<string>)"))
+          .otherwise(array_distinct(
+            graft.functions.TextFunctions.shingles(
+              col("toks"), Dedup.ShingleSize))))
         .withColumn("hs_own", transform(col("sh_arr"), s => xxhash64(s)))
         .select(Seq(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
-          col("sh_arr"), col("bg_arr")) ++ mins: _*)
-        .select(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
+          col("sh_arr"), col("bg_arr")) ++ flagCols ++ mins: _*)
+        .select(Seq(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
           explode(concat(
+            array(ev("meta")),
             transform(col("bg_arr"),
               b => ev("bg", w1 = b.getField("w1"), w2 = b.getField("w2"))),
             bandEntries,
             transform(col("sh_arr"), s => ev("sh", s = s)),
             transform(col("sh_arr"), s => ev("ct", s = s, sProbe = s))))
-            .as("e"))
-        .select(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
+            .as("e")) ++ flagCols: _*)
+        // a rejected doc's band entries ride null min-hashes (its
+        // sh_arr is empty) — only its meta row matters downstream
+        .filter(col("rejected") === 0 || col("e.kind") === "meta")
+        .select(Seq(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
           col("e.kind").as("kind"), col("e.w1").as("w1"),
           col("e.w2").as("w2"), col("e.band_idx").as("band_idx"),
           col("e.band_key").as("band_key"), col("e.s").as("s"),
-          col("e.s_probe").as("s_probe"))
+          col("e.s_probe").as("s_probe")) ++ flagCols: _*)
 
       // stateless stream-static lookups: every join key is unique on
       // the static side except the posting probe, whose fan-out is
@@ -1144,10 +1311,15 @@ object Jobs {
           Seq("s_probe"), "left")
         .join(docSets, Seq("corpus_doc"), "left")
 
-      // stage 3: ONE aggregation reduces every gate's evidence
+      // stage 3: ONE aggregation reduces every gate's evidence; the
+      // flags are constant per doc, so max() carries them through
       val agged = looked
-        .groupBy(col("ts"), col("doc_id"), col("lang"))
+        .groupBy(col("ts"), col("doc_id"), col("lang"), col("text_hash"))
         .agg(
+          max(col("dup")).as("dup"),
+          max(col("too_short")).as("too_short"),
+          max(col("q_fail")).as("q_fail"),
+          max(col("rep_fail")).as("rep_fail"),
           sum(when(col("kind") === "bg", 1).otherwise(0)).as("n_bigrams"),
           sum(when(col("kind") === "bg", col("p12"))).as("sp"),
           sum(when(col("kind") === "sh", 1).otherwise(0))
@@ -1162,23 +1334,37 @@ object Jobs {
                 .cast("int").as("common"))))
             .as("ct_hits"))
 
-      // stage 4: stateless verdict
+      // stage 4: stateless verdict — the batch CASE in pipeline order
+      // (Intake.corpusAdmitVerdicts). lm_score is null for a doc with
+      // no bigram evidence (rejected or too short) — such a doc's
+      // verdict resolves before any score-dependent gate.
       agged
-        .filter(col("nd_hit") === 0)
-        .filter(!(col("n_a") >= Dedup.ContainmentMinShingles &&
-          exists(col("ct_hits"), h =>
-            graft.functions.Portable.round6(
-              h.getField("common").cast("double") /
-                least(col("n_a"), h.getField("n_b")))
-              >= Dedup.ContainmentMin)))
-        .select(col("ts"), col("doc_id"), col("lang"),
-          TextAnalysis.lmScoreExpr)
+        .withColumn("ct_hit",
+          when(col("n_a") >= Dedup.ContainmentMinShingles &&
+            exists(col("ct_hits"), h =>
+              graft.functions.Portable.round6(
+                h.getField("common").cast("double") /
+                  least(col("n_a"), h.getField("n_b")))
+                >= Dedup.ContainmentMin), 1).otherwise(0))
+        .select(col("ts"), col("doc_id"), col("lang"), col("text_hash"),
+          col("dup"), col("too_short"), col("q_fail"), col("rep_fail"),
+          col("nd_hit"), col("ct_hit"), TextAnalysis.lmScoreExpr)
         .join(bounds, Seq("lang"), "left")
-        .select(col("ts"), col("doc_id"), col("lang"), col("lm_score"),
+        .select(col("ts"), col("doc_id"), col("lang"), col("text_hash"),
+          col("dup"), col("too_short"), col("q_fail"), col("rep_fail"),
+          col("nd_hit"), col("ct_hit"), col("lm_score"),
           when(col("s1").isNull, lit("unbucketed"))
             .otherwise(Mixing.bucketExpr).as("bucket"))
         .withColumn("u", Mixing.u("ccn", col("doc_id")))
-        .filter(col("u") < Intake.rateExpr)
+        .withColumn("verdict",
+          when(col("dup") === 1, "dup")
+            .when(col("q_fail") === 1, "quality")
+            .when(col("too_short") === 1, "too_short")
+            .when(col("rep_fail") === 1, "repetition")
+            .when(col("nd_hit") === 1, "neardup")
+            .when(col("ct_hit") === 1, "containment")
+            .when(col("u") >= Intake.rateExpr, "coin")
+            .otherwise("admitted"))
     }
   }
 

@@ -47,6 +47,24 @@ object Sources {
       .schema(LineSchema)
       .load(dir)
 
+  /** Parquet file-landing-directory source — [[textDir]]'s shape for
+    * STRUCTURED corpus dumps: a batch job (or an upstream pipeline
+    * stage) lands parquet files in `dir`, and the file source picks
+    * each one up exactly once (seen-files tracked in the checkpoint),
+    * splitting large files across executors. This is the intake
+    * BACKFILL path: replaying a corpus dump through the live
+    * [[Jobs.IntakeSamplerStream]] plumbing instead of a batch rerun —
+    * the reference's HDFS landing-dir pattern (HDFSWordCount.java:25)
+    * applied to typed rows. The file source needs the schema up front
+    * (no inference on a stream); pass the landing table's.
+    */
+  def parquetDir(spark: SparkSession, dir: String,
+                 schema: StructType): DataFrame =
+    spark.readStream
+      .format("parquet")
+      .schema(schema)
+      .load(dir)
+
   /** Deterministic rate-driven word stream: the rate source's monotonic
     * `value` indexes a vocabulary. Useful for soak/demo runs with no
     * external feeder.

@@ -1293,4 +1293,203 @@ class StreamingJobsSpec extends SparkSpec {
         q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
     } finally q.stop()
   }
+
+  test("IntakeSamplerStream.verdicts: one-batch reverse-order replay ≡ batch corpus_admit_verdicts") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String, String, Int)]
+    // feed the STORED n_chars (the batch gate's input) — the stream
+    // reads it instead of re-deriving length(text) (ADVICE r9)
+    val vds = Jobs.IntakeSamplerStream.verdicts(
+      in.toDF().toDF("ts", "doc_id", "lang", "text", "n_chars"), tables)
+    val q = vds.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("intake_verdicts").start()
+    try {
+      val docs = tables.documents
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"))
+        .as[(Long, String, String, Long)].collect()
+      val t1 = new Timestamp(1000L)
+      // the WHOLE corpus in ONE batch, fed in REVERSE doc_id order: the
+      // marker elects the lowest doc_id of a hash's earliest batch, so
+      // even a reversed feed reproduces the batch keeper exactly
+      in.addData(docs.sortBy(-_._1)
+        .map(d => (t1, d._1, d._2, d._3, d._4.toInt)).toSeq)
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(10000L * 1000), -1L, "en", "x y", 3)))
+      q.processAllAvailable()
+      val streamed = spark.table("intake_verdicts")
+        .filter(col("doc_id") >= 0)
+        .select(col("doc_id"), col("verdict"))
+        .as[(Long, String)].collect().toMap
+      val batch = graft.pipeline.Intake.corpusAdmitVerdicts(tables)
+        .select(col("doc_id"), col("verdict"))
+        .as[(Long, String)].collect().toMap
+      assert(batch.nonEmpty)
+      val diff = (streamed.keySet ++ batch.keySet)
+        .filter(k => streamed.get(k) != batch.get(k))
+      assert(diff.isEmpty, diff.take(5).map(k =>
+        s"$k: stream=${streamed.get(k)} batch=${batch.get(k)}").mkString("; "))
+      // still exactly two stateful operators — the verdict column is
+      // computed by the same single-query shape admissions() rides
+      assert(q.lastProgress.stateOperators.length == 2,
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+    } finally q.stop()
+  }
+
+  test("IntakeSamplerStream: out-of-order arrival admits the FIRST arrival once; text_hash reconciles") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val adm = Jobs.IntakeSamplerStream.admissions(
+      in.toDF().toDF("ts", "doc_id", "lang", "text"), tables)
+    val q = adm.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("intake_ooo").start()
+    try {
+      val maxId = tables.documents.agg(max(col("doc_id")))
+        .as[Long].collect().head
+      // both ids clear every bucket's keep rate, so admission outcomes
+      // below are decided by the dedup marker alone
+      val Seq(idLo, idHi) = Iterator.from(1).map(maxId + 100L * _)
+        .filter(id => ccnCoin(id) < 0.29).take(2).toSeq
+      val text = (0 until 60).map(i => s"graftooo${i}tok").mkString(" ")
+      val t1 = new Timestamp(1000L)
+      // the HIGHER id arrives FIRST; the batch keeper (lowest id)
+      // arrives in a LATER batch — the documented stream semantics:
+      // first arrival plays keeper, the late batch keeper is a dup
+      in.addData(Seq((t1, idHi, "en", text)))
+      q.processAllAvailable()
+      in.addData(Seq((t1, idLo, "en", text)))
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(10000L * 1000), -1L, "en", "x y")))
+      q.processAllAvailable()
+      val got = spark.table("intake_ooo")
+        .filter(col("doc_id").isin(idLo, idHi))
+        .select(col("doc_id"), col("text_hash"))
+        .as[(Long, String)].collect()
+      // exactly ONE admission for the duplicate class: the first
+      // arrival, under ITS OWN doc_id's coin — never both
+      assert(got.map(_._1).toSeq == Seq(idHi),
+        s"expected first-arrival $idHi only, got ${got.toSeq}")
+      // text_hash rides the output, so a batch reconciliation can map
+      // the stream-chosen representative to the batch keeper $idLo
+      assert(got.head._2 == md5Hex(text))
+    } finally q.stop()
+  }
+
+  test("IntakeSamplerStream: boundsRoot pins a bounds generation; doctored swap re-buckets and re-coins") {
+    import spark.implicits._
+    import graft.storage.BoundsStore
+    val root = tmp("graft_intake_bounds")
+    // gen 0 = the batch boundary table: generation-pinned admissions
+    // must equal the live-computed batch op
+    assert(BoundsStore.publishFrom(tables, root) == 0L)
+    val docs = tables.documents
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)].collect()
+    def runStream(name: String): Map[Long, (String, Double)] = {
+      val in = MemoryStream[(Timestamp, Long, String, String)]
+      val q = Jobs.IntakeSamplerStream.admissions(
+        in.toDF().toDF("ts", "doc_id", "lang", "text"), tables,
+        boundsRoot = Some(root))
+        .writeStream.outputMode(OutputMode.Append())
+        .format("memory").queryName(name).start()
+      try {
+        in.addData(docs.map { case (id, lang, tx) =>
+          (new Timestamp(1000L), id, lang, tx) }.toSeq)
+        q.processAllAvailable()
+        in.addData(Seq((new Timestamp(10000L * 1000), -1L, "en", "x y")))
+        q.processAllAvailable()
+        spark.table(name).filter(col("doc_id") >= 0)
+          .select(col("doc_id"), col("bucket"), col("u"))
+          .as[(Long, String, Double)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      } finally q.stop()
+    }
+    val batch = graft.pipeline.Intake.corpusAdmit(tables)
+      .select(col("doc_id"), col("bucket"), col("u"))
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val gen0 = runStream("intake_bounds_gen0")
+    assert(gen0 == batch,
+      s"gen-0 pinned admissions drifted: stream-only ${gen0.keySet -- batch.keySet}, " +
+        s"batch-only ${batch.keySet -- gen0.keySet}")
+    // gen 1: a DOCTORED boundary table (s1 unreachable, s2 below every
+    // score) — every gate-passer lands in 'middle' and is re-coined at
+    // the middle rate 0.6: the admitted SET must change accordingly,
+    // proving the full sampler resolves the new generation rather than
+    // a session-lifetime memo (VERDICT r9 #4)
+    val doctored = BoundsStore.readBounds(spark, root, 0)
+      .select(col("lang"), lit(1e18).as("s1"), lit(-1e18).as("s2"))
+    assert(BoundsStore.publishGeneration(spark, root, doctored) == 1L)
+    val gatePassers = graft.pipeline.Intake.corpusAdmitVerdicts(tables)
+      .filter(col("verdict").isin("admitted", "coin"))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val expected = gatePassers.filter(id => ccnCoin(id) < 0.6)
+    val gen1 = runStream("intake_bounds_gen1")
+    assert(gen1.keySet == expected,
+      s"gen-1 admitted set: unexpected ${gen1.keySet -- expected}, " +
+        s"missing ${expected -- gen1.keySet}")
+    gen1.foreach { case (id, (bucket, _)) =>
+      assert(bucket == "middle", s"gen-1 bucket for $id: $bucket")
+    }
+  }
+
+  test("IntakeSamplerStream backfill: parquet landing dir → parquetAppend restart ≡ batch, exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val landing = tmp("graft-intake-landing")
+    val outDir = tmp("graft-intake-backfill-out")
+    val ckpt = tmp("graft-intake-backfill-ckpt")
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("doc_id", LongType),
+      StructField("lang", StringType), StructField("text", StringType),
+      StructField("n_chars", LongType)))
+    def run() = Sinks.parquetAppend(
+      Jobs.IntakeSamplerStream.admissions(
+        Sources.parquetDir(spark, landing, schema), tables),
+      outDir, ckpt)
+    def land(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      // stage then move ONE cleanly-named parquet file into the landing
+      // dir — the file source must see data files only, the way an
+      // upstream dump job would land them
+      val stage = tmp(s"graft-intake-stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = java.nio.file.Files.list(java.nio.file.Path.of(stage))
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      java.nio.file.Files.move(part,
+        java.nio.file.Path.of(landing, s"$name.parquet"))
+    }
+    // file 1: the WHOLE corpus dump at ts=1000 (one batch → the marker
+    // elects exactly the batch keeper per duplicate class)
+    land(tables.documents.select(
+      lit("1970-01-01 00:00:01").cast("timestamp").as("ts"),
+      col("doc_id"), col("lang"), col("text"), col("n_chars")), "dump1")
+    val q1 = run()
+    try q1.processAllAvailable() finally q1.stop()
+    // watermark (1s - 30s) is before every doc's ts: state is built but
+    // nothing finalized — the sink must have manifested zero rows
+    assert(spark.read.parquet(outDir).isEmpty)
+
+    // CRASH-RESTART: land the watermark-advancing file and rerun
+    // against the same checkpoint; admissions finalize from RECOVERED
+    // marker + aggregation state
+    land(tables.documents.limit(1).select(
+      lit("1970-01-01 03:00:00").cast("timestamp").as("ts"),
+      lit(-1L).as("doc_id"), lit("en").as("lang"), lit("x y").as("text"),
+      lit(3L).as("n_chars")), "dump2")
+    val q2 = run()
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = spark.read.parquet(outDir).filter(col("doc_id") >= 0)
+      .select(col("doc_id"), col("lm_score"), col("bucket"), col("u"))
+      .as[(Long, Double, String, Double)].collect()
+    val batch = graft.pipeline.Intake.corpusAdmit(tables)
+      .select(col("doc_id"), col("lm_score"), col("bucket"), col("u"))
+      .as[(Long, Double, String, Double)].collect()
+    assert(batch.nonEmpty)
+    assert(rows.toSet == batch.toSet,
+      s"backfill mismatch: stream-only ${rows.toSet -- batch.toSet}, " +
+        s"batch-only ${batch.toSet -- rows.toSet}")
+    // append-only exactly once: no admission written twice
+    assert(rows.length == rows.toSet.size)
+  }
 }
