@@ -99,6 +99,7 @@ object SparkEntry {
     "lm_ccnet_bucket_bounded" -> q(graft.pipeline.Mixing.ccnetBucketBounded),
     "corpus_sample_ccnet" -> q(graft.pipeline.Mixing.sampleCcnet),
     "lm_quality_decile" -> q(graft.pipeline.Mixing.qualityDecile),
+    "lm_rebucket_delta" -> q(graft.pipeline.Mixing.rebucketDelta),
     "corpus_admit" -> q(graft.pipeline.Intake.corpusAdmit),
     "corpus_admit_verdicts" -> q(graft.pipeline.Intake.corpusAdmitVerdicts)
   )
@@ -187,6 +188,7 @@ object SparkEntry {
     "lm_ccnet_bucket_bounded" -> graft.pipeline.Mixing.ccnetBucketBoundedSql,
     "corpus_sample_ccnet" -> graft.pipeline.Mixing.sampleCcnetSql,
     "lm_quality_decile" -> graft.pipeline.Mixing.qualityDecileSql,
+    "lm_rebucket_delta" -> graft.pipeline.Mixing.rebucketDeltaSql,
     "corpus_admit" -> graft.pipeline.Intake.corpusAdmitSql,
     "corpus_admit_verdicts" -> graft.pipeline.Intake.corpusAdmitVerdictsSql
   )

@@ -214,6 +214,13 @@ object Mixing {
     quantileBounds(t, 3).select(col("lang"),
       col("cuts")(0).as("s1"), col("cuts")(1).as("s2"))
 
+  /** [[ccnetBounds]] over an arbitrary (doc_id, lang, lm_score)
+    * frame — see [[quantileBoundsOf]].
+    */
+  private[graft] def ccnetBoundsOf(scores: DataFrame): DataFrame =
+    quantileBoundsOf(scores, 3).select(col("lang"),
+      col("cuts")(0).as("s1"), col("cuts")(1).as("s2"))
+
   /** Per-language q-quantile BOUNDARY TABLE (lang, cuts: array of q−1
     * descending scores) — [[ccnetBounds]] at arbitrary q. Each cut is
     * the exact score at an ntile cut rank ([[quantileCutRanks]]),
@@ -223,12 +230,20 @@ object Mixing {
     * scans whether q is 3 or 100. langs×(q−1) doubles: computed once,
     * broadcast everywhere.
     */
-  private[graft] def quantileBounds(t: Tables, q: Int): DataFrame = {
+  private[graft] def quantileBounds(t: Tables, q: Int): DataFrame =
+    quantileBoundsOf(lmScoresMaterialized(t), q)
+
+  /** [[quantileBounds]] over an ARBITRARY (doc_id, lang, lm_score)
+    * frame — the boundary search parameterized by which slice of the
+    * score store it ranks, so a rebucket audit ([[rebucketDelta]]) can
+    * reconstruct the boundary table an EARLIER corpus prefix would
+    * have published without a second score run.
+    */
+  private[graft] def quantileBoundsOf(scores: DataFrame, q: Int): DataFrame = {
     import graft.functions.OrderStat
     import graft.functions.OrderStat.RankTarget
-    val spark = t.spark
+    val spark = scores.sparkSession
     import spark.implicits._
-    val scores = lmScoresMaterialized(t)
     val counts = scores.groupBy(col("lang").as("g"),
       col("lm_score").as("v")).agg(count(lit(1)).as("cnt"))
     val perLang = scores.groupBy(col("lang")).count().collect()
@@ -243,9 +258,18 @@ object Mixing {
   }
 
   /** The bucket CASE shared by every boundary-table consumer. */
-  private[graft] def bucketExpr: Column =
-    when(col("lm_score") >= col("s1"), "head")
-      .when(col("lm_score") >= col("s2"), "middle")
+  private[graft] def bucketExpr: Column = bucketExprOn(col("s1"), col("s2"))
+
+  /** [[bucketExpr]] against EXPLICIT boundary columns, so one row can
+    * be assigned under two boundary tables at once ([[rebucketDelta]]
+    * joins the old and the new generation side by side). A null `s1`
+    * (no boundary row for the language) assigns `unbucketed` — the
+    * novel-language convention the streaming intake twin uses.
+    */
+  private[graft] def bucketExprOn(s1: Column, s2: Column): Column =
+    when(s1.isNull, "unbucketed")
+      .when(col("lm_score") >= s1, "head")
+      .when(col("lm_score") >= s2, "middle")
       .otherwise("tail")
 
   /** Oracle for [[ccnetBucketBounded]]: the boundary scores are the
@@ -365,4 +389,106 @@ object Mixing {
        |SELECT j.doc_id, j.lang, j.lm_score,
        |  1 + len(list_filter(ctab.cuts, c -> j.lm_score < c)) AS decile
        |FROM j JOIN ctab USING (lang) ORDER BY doc_id""".stripMargin
+
+  /** The REBUCKET sweep between two explicit boundary tables: the docs
+    * whose CCNet bucket CHANGED when `oldBounds` rolled to `newBounds`
+    * — (doc_id, lang, lm_score, bucket_old, bucket_new), changed rows
+    * only. This is the incremental answer to a [[graft.storage
+    * .BoundsStore]] roll: downstream samplers re-coin exactly the
+    * moved docs instead of re-running the corpus ([[sampleCcnet]]'s
+    * keep decision depends on (doc_id, bucket) alone, so an unchanged
+    * bucket means an unchanged decision by construction).
+    *
+    * Scale: one scan of the materialized score store, TWO broadcast
+    * joins (langs×2 tables each) and a map-side neq filter — no
+    * shuffle at all until the output sort, and the output is only the
+    * moved docs (empty when boundaries did not move, a few per-mille
+    * of the corpus on a typical drift). Languages absent from a
+    * boundary table assign `unbucketed` ([[bucketExprOn]]), so a
+    * language newly gaining boundaries emits its docs as
+    * unbucketed→bucket moves — exactly the docs the sampler must now
+    * coin for the first time.
+    */
+  def rebucketDeltaBounds(t: Tables, oldBounds: DataFrame,
+                          newBounds: DataFrame): DataFrame =
+    lmScoresMaterialized(t)
+      .join(broadcast(oldBounds.select(col("lang"),
+        col("s1").as("o1"), col("s2").as("o2"))), Seq("lang"), "left")
+      .join(broadcast(newBounds.select(col("lang"),
+        col("s1").as("n1"), col("s2").as("n2"))), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("lm_score"),
+        bucketExprOn(col("o1"), col("o2")).as("bucket_old"),
+        bucketExprOn(col("n1"), col("n2")).as("bucket_new"))
+      .filter(col("bucket_old") =!= col("bucket_new"))
+      .orderBy(col("doc_id"))
+
+  /** [[rebucketDeltaBounds]] between two COMMITTED [[graft.storage
+    * .BoundsStore]] generations — the maintained-store form a roll job
+    * runs right after publishing: sweep gen n−1 → n, hand the moved
+    * docs to the sampler.
+    */
+  def rebucketDeltaGens(t: Tables, root: String, oldGen: Long,
+                        newGen: Long): DataFrame = {
+    import graft.storage.BoundsStore
+    rebucketDeltaBounds(t,
+      BoundsStore.readBounds(t.spark, root, oldGen),
+      BoundsStore.readBounds(t.spark, root, newGen))
+  }
+
+  /** The oracle-checked [[rebucketDeltaBounds]] instance: old = the
+    * boundary table the FIRST-HALF corpus prefix (doc_id ≤
+    * max(doc_id)/2) would have published, new = the full corpus's
+    * [[ccnetBounds]] — the growth story that makes boundaries roll in
+    * the first place, reconstructed deterministically from the score
+    * store so DuckDB can name the identical cut values. Scores are the
+    * CURRENT materialized store on both sides: a rebucket sweep
+    * compares one score under two boundary tables — fluency is scored
+    * once per corpus ([[lmScoresMaterialized]]), boundaries move.
+    */
+  def rebucketDelta(t: Tables): DataFrame = {
+    val scores = lmScoresMaterialized(t)
+    val cutoff = t.documents.agg(max(col("doc_id"))).head.getLong(0) / 2
+    rebucketDeltaBounds(t,
+      ccnetBoundsOf(scores.filter(col("doc_id") <= cutoff)),
+      ccnetBounds(t))
+  }
+
+  /** Oracle for [[rebucketDelta]]: both boundary tables by the same
+    * ntile-cut-rank window construction as [[ccnetBucketBoundedSql]] —
+    * once over the prefix (doc_id ≤ max/2), once over the full corpus
+    * — then the two-sided bucket CASE and the neq filter.
+    */
+  def rebucketDeltaSql: String = {
+    def cuts(src: String) =
+      s"""(SELECT lang,
+         |    max(CASE WHEN rn = n // 3
+         |          + (CASE WHEN n % 3 >= 1 THEN 1 ELSE 0 END)
+         |        THEN lm_score END) AS s1,
+         |    max(CASE WHEN rn = 2 * (n // 3) + n % 3
+         |        THEN lm_score END) AS s2
+         |  FROM (SELECT lang, lm_score,
+         |          row_number() OVER (PARTITION BY lang
+         |                             ORDER BY lm_score DESC, doc_id) rn,
+         |          count(*) OVER (PARTITION BY lang) n
+         |        FROM $src) GROUP BY lang)""".stripMargin
+    s"""WITH lm AS (${graft.textanalysis.TextAnalysis.lmBigramScoreSql}),
+       |j AS (SELECT lm.doc_id, d.lang, lm.lm_score
+       |      FROM lm JOIN documents d USING (doc_id)),
+       |jo AS (SELECT * FROM j WHERE doc_id <=
+       |         (SELECT max(doc_id) // 2 FROM documents)),
+       |co AS ${cuts("jo")},
+       |cn AS ${cuts("j")},
+       |b AS (SELECT j.doc_id, j.lang, j.lm_score,
+       |        CASE WHEN co.s1 IS NULL THEN 'unbucketed'
+       |             WHEN j.lm_score >= co.s1 THEN 'head'
+       |             WHEN j.lm_score >= co.s2 THEN 'middle'
+       |             ELSE 'tail' END AS bucket_old,
+       |        CASE WHEN cn.s1 IS NULL THEN 'unbucketed'
+       |             WHEN j.lm_score >= cn.s1 THEN 'head'
+       |             WHEN j.lm_score >= cn.s2 THEN 'middle'
+       |             ELSE 'tail' END AS bucket_new
+       |      FROM j LEFT JOIN co USING (lang) LEFT JOIN cn USING (lang))
+       |SELECT * FROM b WHERE bucket_old <> bucket_new
+       |ORDER BY doc_id""".stripMargin
+  }
 }

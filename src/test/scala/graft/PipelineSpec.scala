@@ -281,4 +281,112 @@ class PipelineSpec extends SparkSpec {
         assert(scores("middle").min >= scores("tail").max - 1e-9, lang)
     }
   }
+
+  test("mix: rebucket delta emits ONLY the moved language's docs; unchanged boundaries emit zero rows") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Mixing
+    val bounds = Mixing.ccnetBounds(tables).cache()
+    // identical old and new → no doc moved, by definition
+    assert(Mixing.rebucketDeltaBounds(tables, bounds, bounds).isEmpty)
+    // doctor exactly ONE language: s1 pushed above every score, so its
+    // former head docs all become middle — every other language's
+    // boundary rows are byte-identical and must emit NOTHING
+    val langs = bounds.select("lang").collect().map(_.getString(0)).sorted
+    assert(langs.length >= 2, "need >=2 languages for the zero-rows pin")
+    val moved = langs.head
+    val doctored = bounds.withColumn("s1",
+      when(col("lang") === moved, lit(1e18)).otherwise(col("s1")))
+    val delta = Mixing.rebucketDeltaBounds(tables, bounds, doctored)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getString(3), r.getString(4)))
+    assert(delta.nonEmpty, s"no $moved doc moved under an s1 above every score")
+    assert(delta.forall(_._2 == moved),
+      s"unchanged-boundary language emitted rows: ${delta.filter(_._2 != moved).take(3).toSeq}")
+    // the moves are exactly head → middle (s1 unreachable, s2 kept)
+    delta.foreach { case (id, _, o, n) =>
+      assert(o == "head" && n == "middle", s"doc $id moved $o→$n")
+    }
+    // and they are exactly the language's former head set
+    val formerHead = Mixing.ccnetBucketBounded(tables).collect()
+      .filter(r => r.getString(1) == moved && r.getString(3) == "head")
+      .map(_.getLong(0)).toSet
+    assert(delta.map(_._1).toSet == formerHead)
+    bounds.unpersist()
+  }
+
+  test("mix: rebucket delta between BoundsStore generations ≡ the bounds form; novel language moves from unbucketed") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Mixing
+    import graft.storage.BoundsStore
+    val root = java.nio.file.Files.createTempDirectory("graft_rebucket_gens")
+      .toString
+    val bounds = Mixing.ccnetBounds(tables)
+    val langs = bounds.select("lang").collect().map(_.getString(0)).sorted
+    // gen 0 MISSES one language (the pre-growth corpus had none of its
+    // docs); gen 1 is the full batch table
+    val novel = langs.last
+    assert(BoundsStore.publishGeneration(spark, root,
+      bounds.filter(col("lang") =!= novel)) == 0L)
+    assert(BoundsStore.publishFrom(tables, root) == 1L)
+    val viaGens = Mixing.rebucketDeltaGens(tables, root, 0L, 1L).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3), r.getString(4)))
+    val viaBounds = Mixing.rebucketDeltaBounds(tables,
+      BoundsStore.readBounds(spark, root, 0L),
+      BoundsStore.readBounds(spark, root, 1L)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(3), r.getString(4)))
+    assert(viaGens.toSeq == viaBounds.toSeq)
+    // the delta is exactly the novel language's docs, unbucketed → a
+    // real bucket: the docs the sampler must now coin for the first time
+    assert(viaGens.nonEmpty && viaGens.forall(_._2 == novel))
+    viaGens.foreach { case (id, _, o, n) =>
+      assert(o == "unbucketed" && Set("head", "middle", "tail")(n),
+        s"doc $id moved $o→$n")
+    }
+    val novelDocs = Mixing.ccnetBucketBounded(tables).collect()
+      .filter(_.getString(1) == novel).map(_.getLong(0)).toSet
+    assert(viaGens.map(_._1).toSet == novelDocs)
+  }
+
+  test("mix: re-coining exactly the rebucket-delta docs reproduces the full new-bounds sample") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Mixing
+    // old sample decision per doc under OLD bounds (prefix-half), new
+    // under NEW (full) — the incremental update the delta exists for:
+    // patch only the moved docs' decisions, leave the rest untouched
+    val scores = Mixing.ccnetBucketBounded(tables)
+      .select(col("doc_id"), col("lang"), col("lm_score")).cache()
+    val cutoff = tables.documents.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val oldBounds = Mixing.ccnetBoundsOf(scores.filter(col("doc_id") <= cutoff))
+    def sampleUnder(bounds: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val rate = Mixing.CcnetRates.foldLeft(lit(0.0): org.apache.spark.sql.Column) {
+        case (acc, (b, r)) => when(col("bucket") === b, lit(r)).otherwise(acc)
+      }
+      scores.join(broadcast(bounds), Seq("lang"), "left")
+        .select(col("doc_id"),
+          Mixing.bucketExprOn(col("s1"), col("s2")).as("bucket"))
+        .withColumn("u", Mixing.u("ccn", col("doc_id")))
+        .filter(col("u") < rate)
+        .collect().map(_.getLong(0)).toSet
+    }
+    val oldKeep = sampleUnder(oldBounds)
+    val newKeep = sampleUnder(Mixing.ccnetBounds(tables))
+    val delta = Mixing.rebucketDelta(tables).collect()
+      .map(r => (r.getLong(0), r.getString(4))).toMap
+    assert(delta.nonEmpty, "prefix-half vs full bounds moved no doc at this sf")
+    val rates = Mixing.CcnetRates.toMap
+    val patched = (oldKeep -- delta.keySet) ++ delta.collect {
+      case (id, bNew) if ccnUnder(id) < rates.getOrElse(bNew, 0.0) => id
+    }
+    assert(patched == newKeep,
+      s"patched-only-moved-docs drifted: extra ${patched -- newKeep}, missing ${newKeep -- patched}")
+    scores.unpersist()
+  }
+
+  /** The ccn identity coin, host-side (mirrors Mixing.u). */
+  private def ccnUnder(id: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"ccn|$id".getBytes("UTF-8"))
+    val hex = md.map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+  }
 }

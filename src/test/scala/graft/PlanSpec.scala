@@ -174,6 +174,20 @@ class PlanSpec extends SparkSpec {
       s"non-corpus join degraded to sort-merge on $smjKeyed:\n$plan")
   }
 
+  test("rebucket delta joins both boundary tables via broadcast — one score-store scan, no wide shuffle") {
+    val bounds = graft.pipeline.Mixing.ccnetBounds(tables)
+    val plan = physical(
+      graft.pipeline.Mixing.rebucketDeltaBounds(tables, bounds, bounds))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"boundary tables not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a langs-wide boundary table degraded to sort-merge:\n$plan")
+    // the corpus-side score store is scanned exactly once: the whole
+    // sweep is scan → two broadcast joins → map-side neq filter → sort
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"score store scanned $scans times:\n$plan")
+  }
+
   test("dedup_clusters final plan reads checkpointed labels — no edge re-derivation") {
     // the convergence loop's output must source from the last round's
     // localCheckpoint: if the final frame re-derived the verified-pair
