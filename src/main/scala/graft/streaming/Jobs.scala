@@ -225,13 +225,17 @@ object Jobs {
       * is O(distinct × total) INSIDE one expression, so a single very
       * long spam document could stall an executor task before any
       * downstream gate applies (ADVICE r9); runs over a sorted copy
-      * cost what the sort costs.
+      * cost what the sort costs. Null elements count as a run of their
+      * own: the comparison is null-safe (`<=>`, ADVICE r10), and the
+      * null-prev sentinel is safe because `run` starts at 0 — a
+      * leading null element increments 0→1, exactly its multiplicity
+      * so far (array_sort groups nulls, so the run stays contiguous).
       */
     private[streaming] def maxRunCount(arr: Column): Column = {
       val zero = struct(lit(null).cast("string").as("prev"),
         lit(0L).as("run"), lit(0L).as("best"))
       aggregate(array_sort(arr), zero, (acc, x) => {
-        val run = when(x === acc.getField("prev"),
+        val run = when(x <=> acc.getField("prev"),
           acc.getField("run") + 1).otherwise(lit(1L))
         struct(x.as("prev"), run.as("run"),
           greatest(acc.getField("best"), run).as("best"))
@@ -1019,8 +1023,14 @@ object Jobs {
       * the class instead, whose own doc_id drives its own ccn coin (the
       * divergence is per-class representative identity, never a
       * duplicate admission — and `text_hash` makes it reconcilable
-      * against a batch recompute). A redelivered copy of an already-
-      * marked row is marked `dup` and so can never be admitted twice.
+      * against a batch recompute; `Intake.reconcileAdmissions`
+      * computes exactly that join). A
+      * redelivered copy of an already-marked row is marked `dup`; it
+      * merges into the keeper's (ts, doc_id) aggregation group, where
+      * the min() dup reduction discards the redundant mark — the doc
+      * is admitted exactly once, neither twice (the copy never wins)
+      * nor zero times (the copy cannot poison the keeper; ADVICE r10,
+      * spec-pinned on an in-watermark redelivery replay).
       *
       * `boundsRoot` (VERDICT r9 #4): pins the ccnet boundary table to
       * the current committed [[graft.storage.BoundsStore]] generation
@@ -1045,6 +1055,14 @@ object Jobs {
       * column is computed either way; this entry just keeps every row.
       * StreamingJobsSpec pins streamed verdicts ≡ the batch op on a
       * keeper-first replay.
+      *
+      * GRANULARITY (ADVICE r10): output is one row per (ts, doc_id)
+      * group, not strictly one per doc_id — a redelivered copy whose
+      * ts DIFFERS from the keeper's forms its own group and emits an
+      * extra `dup` verdict row (an exact redelivery, same ts, merges
+      * into the keeper's group and emits nothing extra). Consumers
+      * diffing stream vs batch verdicts should take the first verdict
+      * per doc_id; `Intake.reconcileAdmissions` does so.
       */
     def verdicts(docs: DataFrame, t: Tables,
                  watermarkLag: String = "30 seconds",
@@ -1311,12 +1329,23 @@ object Jobs {
           Seq("s_probe"), "left")
         .join(docSets, Seq("corpus_doc"), "left")
 
-      // stage 3: ONE aggregation reduces every gate's evidence; the
-      // flags are constant per doc, so max() carries them through
+      // stage 3: ONE aggregation reduces every gate's evidence. The
+      // text-derived flags are constant per doc, so max() carries them
+      // through — but `dup` is NOT constant under at-least-once
+      // redelivery: a redelivered copy of the KEEPER (same ts/doc_id/
+      // text_hash) is marked dup=1 by the first-seen store and merges
+      // into the keeper's still-open group, so max() would flip the
+      // verdict and the doc would be admitted ZERO times (ADVICE r10).
+      // min() is the correct reduction: a genuine duplicate (its own
+      // doc_id, its own group) carries dup=1 on EVERY one of its rows,
+      // so min keeps 1; a redelivered keeper copy contributes only a
+      // dup=1 meta row (rejected=1 ⇒ empty bg/sh arrays, band rows
+      // filtered) into a group whose keeper rows carry 0, so min
+      // restores 0 without double-counting any evidence.
       val agged = looked
         .groupBy(col("ts"), col("doc_id"), col("lang"), col("text_hash"))
         .agg(
-          max(col("dup")).as("dup"),
+          min(col("dup")).as("dup"),
           max(col("too_short")).as("too_short"),
           max(col("q_fail")).as("q_fail"),
           max(col("rep_fail")).as("rep_fail"),

@@ -1374,6 +1374,61 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("IntakeSamplerStream: at-least-once redelivery of the keeper still admits exactly once") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val adm = Jobs.IntakeSamplerStream.admissions(
+      in.toDF().toDF("ts", "doc_id", "lang", "text"), tables)
+    val q = adm.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("intake_redeliver").start()
+    try {
+      val maxId = tables.documents.agg(max(col("doc_id")))
+        .as[Long].collect().head
+      // keeper + a genuine duplicate, both under every bucket's keep
+      // rate: outcomes below are decided by the dedup marker alone
+      val Seq(keeperId, dupId) = Iterator.from(1).map(maxId + 100L * _)
+        .filter(id => ccnCoin(id) < 0.29).take(2).toSeq
+      val text = (0 until 60).map(i => s"graftredel${i}tok").mkString(" ")
+      val t1 = new Timestamp(1000L)
+      in.addData(Seq((t1, keeperId, "en", text)))
+      q.processAllAvailable()
+      // the SOURCE redelivers the identical record (same ts/doc_id/
+      // text) in a LATER micro-batch, well inside the watermark lag —
+      // the marker tags the copy dup=1 and it merges into the keeper's
+      // still-open aggregation group. ADVICE r10: with a max() dup
+      // reduction the copy would flip the keeper's verdict to 'dup'
+      // and the doc would be admitted ZERO times; min() keeps it.
+      // A genuine duplicate (its own doc_id) rides the same batch and
+      // must STILL be rejected — min() over ITS group sees only 1s.
+      in.addData(Seq((t1, keeperId, "en", text), (t1, dupId, "en", text)))
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(10000L * 1000), -1L, "en", "x y")))
+      q.processAllAvailable()
+      val got = spark.table("intake_redeliver")
+        .filter(col("doc_id").isin(keeperId, dupId))
+        .select(col("doc_id")).as[Long].collect().toSeq
+      assert(got == Seq(keeperId),
+        s"expected exactly one admission of $keeperId, got $got")
+    } finally q.stop()
+  }
+
+  test("RepetitionGateStream.maxRunCount: null-safe — null runs count their multiplicity") {
+    import spark.implicits._
+    // (array, expected max multiplicity) — nulls form a run of their
+    // own (ADVICE r10: x === prev resets on null and undercounted)
+    val rows = Seq(
+      (Seq[String]("a", null, null, null, "b"), 3L),
+      (Seq[String](null), 1L),
+      (Seq[String]("a", "a", null), 2L),
+      (Seq[String](null, "b", null, "b"), 2L))
+    rows.zipWithIndex.foreach { case ((arr, want), i) =>
+      val got = Seq(arr).toDF("xs")
+        .select(Jobs.RepetitionGateStream.maxRunCount(col("xs")).as("m"))
+        .as[Long].collect().head
+      assert(got == want, s"case $i: $arr → $got, want $want")
+    }
+  }
+
   test("IntakeSamplerStream: boundsRoot pins a bounds generation; doctored swap re-buckets and re-coins") {
     import spark.implicits._
     import graft.storage.BoundsStore
