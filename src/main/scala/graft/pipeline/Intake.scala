@@ -113,6 +113,67 @@ object Intake {
       .orderBy(col("doc_id"))
   }
 
+  /** The NIGHTLY stream-vs-batch admissions audit — closes the loop the
+    * keeper rule's documented divergence opens ([[graft.streaming.Jobs
+    * .IntakeSamplerStream.admissions]]: out-of-order arrival admits the
+    * FIRST-arriving doc of a duplicate class, while a batch recompute
+    * admits the LOWEST doc_id). `streamed` is the landed admissions
+    * table (any frame carrying `doc_id` + `text_hash` — the stream's
+    * own output schema); `t` is the batch-recompute corpus (typically
+    * corpus ∪ landed intake window). One row per duplicate class the
+    * two sides DISAGREE on:
+    *
+    *   - `rep_divergence` — both admitted the class but different
+    *     representatives (the keeper-rule divergence itself; the batch
+    *     verdict of the stream's rep is `dup` by construction, and the
+    *     difference is representative identity under each doc's own
+    *     coin);
+    *   - `stream_only`    — the stream admitted a rep, the batch did
+    *     not admit the class (its keeper lost a coin the rep's own
+    *     doc_id won, or the class never landed in `t` — then
+    *     `batch_keeper` is null);
+    *   - `batch_only`     — the batch admitted the keeper, the stream
+    *     admitted nobody (the first arrival's coin failed, or the
+    *     class was never streamed).
+    *
+    * Output: (text_hash, stream_doc, batch_keeper, same_verdict,
+    * class), `same_verdict` = both sides admitted the class (true only
+    * for `rep_divergence`). Agreeing classes are omitted — this is the
+    * exception report. The streamed side is reduced by min(doc_id) per
+    * class first, so at-least-once LANDING duplicates (a replayed sink
+    * epoch) cannot double a class.
+    *
+    * Scale: the only corpus-sized shuffles are the md5 class-key
+    * aggregation (the `dedup_exact` shape) and the admit recompute the
+    * audit consumes anyway; the streamed side is window-sized and
+    * joins on the same class key.
+    */
+  def reconcileAdmissions(streamed: DataFrame, t: Tables): DataFrame = {
+    val hashes = t.documents
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+    val keepers = hashes.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("batch_keeper"))
+    val s = streamed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("stream_doc"))
+    val b = corpusAdmit(t).select(col("doc_id"))
+      .join(hashes, Seq("doc_id"))
+      .select(col("text_hash"), col("doc_id").as("batch_doc"))
+    s.join(b, Seq("text_hash"), "full_outer")
+      .withColumn("class",
+        when(col("stream_doc") <=> col("batch_doc"), "agree")
+          .when(col("stream_doc").isNotNull && col("batch_doc").isNotNull,
+            "rep_divergence")
+          .when(col("stream_doc").isNotNull, "stream_only")
+          .otherwise("batch_only"))
+      .filter(col("class") =!= "agree")
+      .join(keepers, Seq("text_hash"), "left")
+      .select(col("text_hash"), col("stream_doc"), col("batch_keeper"),
+        (col("stream_doc").isNotNull && col("batch_doc").isNotNull)
+          .as("same_verdict"),
+        col("class"))
+      .orderBy(col("text_hash"))
+  }
+
   def corpusAdmitVerdictsSql: String = {
     val rateCase = Mixing.CcnetRates
       .map { case (b, r) => s"WHEN bb.bucket = '$b' THEN $r" }

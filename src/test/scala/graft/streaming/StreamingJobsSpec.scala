@@ -1412,6 +1412,78 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Intake.reconcileAdmissions: out-of-order replay reconciles every divergent class to its batch keeper") {
+    import spark.implicits._
+    import graft.pipeline.Intake
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    // the stream runs against the CORPUS-AT-START tables (t0) — the
+    // planted duplicate class is novel intake, so the static stores
+    // know nothing of it and the keeper rule decides alone
+    val adm = Jobs.IntakeSamplerStream.admissions(
+      in.toDF().toDF("ts", "doc_id", "lang", "text"), tables)
+    val q = adm.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("intake_reconcile").start()
+    try {
+      val maxId = tables.documents.agg(max(col("doc_id")))
+        .as[Long].collect().head
+      // both ids clear every bucket's keep rate — admissions are
+      // decided by arrival order, so the divergence is pure keeper rule
+      val Seq(idLo, idHi) = Iterator.from(1).map(maxId + 100L * _)
+        .filter(id => ccnCoin(id) < 0.29).take(2).toSeq
+      val text = (0 until 60).map(i => s"graftrec${i}tok").mkString(" ")
+      val t1 = new Timestamp(1000L)
+      // the :1338 setup — the HIGHER id arrives first and is admitted;
+      // the batch keeper arrives later and is marked dup
+      in.addData(Seq((t1, idHi, "en", text)))
+      q.processAllAvailable()
+      in.addData(Seq((t1, idLo, "en", text)))
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(10000L * 1000), -1L, "en", "x y")))
+      q.processAllAvailable()
+      val streamed = spark.table("intake_reconcile")
+        .filter(col("doc_id") >= 0)
+
+      // the nightly batch recompute runs over corpus ∪ landed intake
+      val augDir = tmp("graft-reconcile-corpus")
+      val planted = Seq(
+        (idLo, text, "en", "plant", text.length.toLong),
+        (idHi, text, "en", "plant", text.length.toLong))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      tables.documents.unionByName(planted)
+        .write.mode("overwrite").parquet(s"$augDir/documents.parquet")
+      val tAug = graft.Tables(spark, augDir)
+      val batch = Intake.corpusAdmit(tAug)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(batch.contains(idLo), "batch must admit the class keeper")
+      assert(!batch.contains(idHi))
+      // coin-explainability: the batch verdict of the stream's rep is
+      // 'dup' — the divergence is representative identity under each
+      // doc's own coin, never a duplicate admission
+      val vHi = Intake.corpusAdmitVerdicts(tAug)
+        .filter(col("doc_id") === idHi)
+        .select(col("verdict")).as[String].collect().head
+      assert(vHi == "dup", s"stream rep's batch verdict: $vHi")
+
+      val rec = Intake.reconcileAdmissions(streamed, tAug)
+        .as[(String, Option[Long], Option[Long], Boolean, String)]
+        .collect().toSeq
+      // exactly one row per duplicate class
+      assert(rec.map(_._1).distinct.length == rec.length)
+      // THE divergent class: stream kept its first arrival, batch its
+      // lowest-id keeper — one rep_divergence row naming both
+      assert(rec.filter(_._5 == "rep_divergence") ==
+        Seq((md5Hex(text), Some(idHi), Some(idLo), true, "rep_divergence")))
+      // every other row is a batch-admitted class this window never
+      // streamed — batch_only, no stream doc, keepers exactly the
+      // remaining batch admissions (corpus_admit admits only keepers)
+      val rest = rec.filter(_._5 != "rep_divergence")
+      assert(rest.forall(r =>
+        r._5 == "batch_only" && r._2.isEmpty && !r._4))
+      assert(rest.flatMap(_._3).toSet == (batch - idLo))
+      assert(!rec.exists(_._5 == "stream_only"))
+    } finally q.stop()
+  }
+
   test("RepetitionGateStream.maxRunCount: null-safe — null runs count their multiplicity") {
     import spark.implicits._
     // (array, expected max multiplicity) — nulls form a run of their
