@@ -310,6 +310,15 @@ object Dedup {
     * formula is the only new work).
     */
   def dedupContainment(t: Tables): DataFrame =
+    dedupContainmentUnsorted(t)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[dedupContainment]] without the presentation sort — the
+    * composition form consumed by `corpus_admit` (the
+    * [[minhashCandidates]] pattern: composed plans must not rely on
+    * `EliminateSorts` to stay shuffle-clean).
+    */
+  def dedupContainmentUnsorted(t: Tables): DataFrame =
     dedupContainmentFrom(shinglesMaterialized(t))
 
   private def dedupContainmentFrom(shAll: DataFrame): DataFrame = {
@@ -324,7 +333,6 @@ object Dedup {
         round6(col("common").cast("double")
           / least(col("sa.n"), col("sb.n"))).as("containment"))
       .filter(col("containment") >= ContainmentMin)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   def dedupContainmentSql: String =
@@ -982,8 +990,16 @@ object Dedup {
     * (band_idx, band_key) the stats window and clique join cluster on.
     */
   def dedupMinhashBucketed(t: Tables): DataFrame =
-    bandCandidatePairs(bandsBucketed(t), BandDocFreqCap)
+    dedupMinhashBucketedUnsorted(t)
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** [[dedupMinhashBucketed]] without the presentation sort — the
+    * composition form consumed by `corpus_admit` (the
+    * [[minhashCandidates]] pattern: composed plans must not rely on
+    * `EliminateSorts` to stay shuffle-clean).
+    */
+  def dedupMinhashBucketedUnsorted(t: Tables): DataFrame =
+    bandCandidatePairs(bandsBucketed(t), BandDocFreqCap)
 
   /** Reap dedup warehouse stores orphaned by tag churn (ADVICE r7: the
     * r8 `|keep` retag left the pre-keeper `graft_shingles_keep` /

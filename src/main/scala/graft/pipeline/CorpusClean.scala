@@ -57,7 +57,17 @@ object CorpusClean {
        |  ${TextAnalysis.qualityExprSql("n_chars", "n_tok", "n_distinct")} quality
        |FROM cagg""".stripMargin
 
-  def corpusClean(t: Tables): DataFrame = {
+  def corpusClean(t: Tables): DataFrame =
+    corpusCleanUnsorted(t).orderBy(col("doc_id"))
+
+  /** [[corpusClean]] without the presentation sort — the COMPOSITION
+    * form (the `minhashCandidates` pattern): downstream operators that
+    * join or re-aggregate this result (`corpus_admit`) compose the
+    * unsorted plan, so the no-extra-shuffle claim never depends on
+    * Catalyst's `EliminateSorts` dropping a mid-plan global sort
+    * (ADVICE r9; PlanSpec pins the composed analyzed plan sort-free).
+    */
+  def corpusCleanUnsorted(t: Tables): DataFrame = {
     val docs = t.documents
     val quality = qualityPerDoc(t)
     docs
@@ -67,7 +77,6 @@ object CorpusClean {
       .filter(col("quality") >= QualityMin)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("quality"))
-      .orderBy(col("doc_id"))
   }
 
   /** Near-dup-free corpus: [[corpusClean]] minus every doc that is the
@@ -86,7 +95,8 @@ object CorpusClean {
   def corpusCleanNearDup(t: Tables): DataFrame = {
     val losers = graft.dedup.Dedup.minhashCandidates(t)
       .select(col("doc_b").as("doc_id")).distinct()
-    corpusClean(t)
+    // unsorted composition form — see corpusCleanUnsorted
+    corpusCleanUnsorted(t)
       .join(losers, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }
@@ -107,7 +117,8 @@ object CorpusClean {
     val nonKeepers = graft.dedup.Dedup.nearDupClusters(t)
       .filter(col("doc_id") =!= col("keeper_id"))
       .select(col("doc_id"))
-    corpusClean(t)
+    // unsorted composition form — see corpusCleanUnsorted
+    corpusCleanUnsorted(t)
       .join(nonKeepers, Seq("doc_id"), "left_anti")
       .orderBy(col("doc_id"))
   }

@@ -49,18 +49,24 @@ object Intake {
   }
 
   def corpusAdmit(t: Tables): DataFrame = {
-    val clean = CorpusClean.corpusClean(t).select(col("doc_id"))
-    val rep = graft.textanalysis.TextAnalysis.qualityRepetition(t)
+    // every gate composes its UNSORTED form (ADVICE r9): the sorted
+    // public entries carry presentation orderBys that would sit
+    // mid-plan here, and relying on Catalyst's EliminateSorts to drop
+    // them makes the no-extra-shuffle claim optimizer-dependent.
+    // PlanSpec pins the composed ANALYZED plan has exactly one Sort —
+    // the output orderBy below.
+    val clean = CorpusClean.corpusCleanUnsorted(t).select(col("doc_id"))
+    val rep = graft.textanalysis.TextAnalysis.qualityRepetitionUnsorted(t)
       .filter(col("keep") === 1).select(col("doc_id"))
     // the BUCKETED band store's candidate pairs — pair-identical to the
     // live minhashCandidates (pinned by DedupSpec/PlanSpec), exchange-
     // free on the self-join: the production store for the production
     // composite
-    val ndLosers = graft.dedup.Dedup.dedupMinhashBucketed(t)
+    val ndLosers = graft.dedup.Dedup.dedupMinhashBucketedUnsorted(t)
       .select(col("doc_b").as("doc_id")).distinct()
-    val ctLosers = graft.dedup.Dedup.dedupContainment(t)
+    val ctLosers = graft.dedup.Dedup.dedupContainmentUnsorted(t)
       .select(col("doc_b").as("doc_id")).distinct()
-    Mixing.ccnetBucketBounded(t)
+    Mixing.ccnetBucketBoundedUnsorted(t)
       .join(clean, Seq("doc_id"))
       .join(rep, Seq("doc_id"))
       .join(ndLosers, Seq("doc_id"), "left_anti")
@@ -83,12 +89,14 @@ object Intake {
     * pins it); same bounded gate plans, so the same scale story.
     */
   def corpusAdmitVerdicts(t: Tables): DataFrame = {
-    val rep = graft.textanalysis.TextAnalysis.qualityRepetition(t)
+    // unsorted composition forms throughout — same reasoning as
+    // [[corpusAdmit]]; PlanSpec pins one analyzed-plan Sort here too
+    val rep = graft.textanalysis.TextAnalysis.qualityRepetitionUnsorted(t)
       .select(col("doc_id"), col("keep"))
-    val ndLosers = graft.dedup.Dedup.dedupMinhashBucketed(t)
+    val ndLosers = graft.dedup.Dedup.dedupMinhashBucketedUnsorted(t)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("nd", lit(1))
-    val ctLosers = graft.dedup.Dedup.dedupContainment(t)
+    val ctLosers = graft.dedup.Dedup.dedupContainmentUnsorted(t)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("ct", lit(1))
     t.documents
@@ -98,7 +106,7 @@ object Intake {
       .join(rep, Seq("doc_id"), "left")
       .join(ndLosers, Seq("doc_id"), "left")
       .join(ctLosers, Seq("doc_id"), "left")
-      .join(Mixing.ccnetBucketBounded(t)
+      .join(Mixing.ccnetBucketBoundedUnsorted(t)
         .select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
       .withColumn("u", Mixing.u("ccn", col("doc_id")))
       .select(col("doc_id"), col("lang"),

@@ -196,12 +196,19 @@ object Mixing {
     * corner the rule implies: if both cuts land on one score value
     * (s1 = s2), 'middle' is empty by construction.
     */
-  def ccnetBucketBounded(t: Tables): DataFrame = {
+  def ccnetBucketBounded(t: Tables): DataFrame =
+    ccnetBucketBoundedUnsorted(t).orderBy(col("doc_id"))
+
+  /** [[ccnetBucketBounded]] without the presentation sort — the
+    * composition form consumed by `corpus_admit` and the weighted
+    * sampler (the `minhashCandidates` pattern: composed plans must not
+    * rely on `EliminateSorts` to stay shuffle-clean).
+    */
+  def ccnetBucketBoundedUnsorted(t: Tables): DataFrame = {
     val scores = lmScoresMaterialized(t)
     scores.join(broadcast(ccnetBounds(t)), Seq("lang"))
       .select(col("doc_id"), col("lang"), col("lm_score"),
         bucketExpr.as("bucket"))
-      .orderBy(col("doc_id"))
   }
 
   /** The per-language tercile BOUNDARY TABLE (lang, s1, s2) —

@@ -145,7 +145,15 @@ object TextAnalysis {
     * shape as word_count; docs with < 2 tokens have no bigrams and
     * drop out (same rule both engines).
     */
-  def qualityRepetition(t: Tables): DataFrame = {
+  def qualityRepetition(t: Tables): DataFrame =
+    qualityRepetitionUnsorted(t).orderBy(col("doc_id"))
+
+  /** [[qualityRepetition]] without the presentation sort — the
+    * composition form consumed by `corpus_admit` (the
+    * `minhashCandidates` pattern: composed plans must not rely on
+    * `EliminateSorts` to stay shuffle-clean).
+    */
+  def qualityRepetitionUnsorted(t: Tables): DataFrame = {
     val perBigram = bigramsOf(t.documents.select(col("doc_id"), col("text")))
       .groupBy(col("doc_id"), col("w1"), col("w2"))
       .agg(count(lit(1)).as("cnt"))
@@ -161,7 +169,6 @@ object TextAnalysis {
       .withColumn("keep",
         (col("top_bigram_frac") <= TopBigramFracMax &&
           col("dup_bigram_frac") <= DupBigramFracMax).cast("int"))
-      .orderBy(col("doc_id"))
   }
 
   def qualityRepetitionSql: String =

@@ -188,6 +188,22 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 1, s"score store scanned $scans times:\n$plan")
   }
 
+  test("corpus_admit composes unsorted gates — one Sort in the ANALYZED plan, no EliminateSorts reliance") {
+    // ADVICE r9: the composite used the sorted public gate entries and
+    // relied on Catalyst's EliminateSorts to drop their mid-plan global
+    // sorts. The guarantee must be structural: the pre-optimizer
+    // (analyzed) plan — where no optimizer rule has fired — carries
+    // exactly ONE Sort node, the composite's own output orderBy.
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    for (df <- Seq(graft.pipeline.Intake.corpusAdmit(tables),
+      graft.pipeline.Intake.corpusAdmitVerdicts(tables))) {
+      val sorts = df.queryExecution.analyzed.collect { case s: Sort => s }
+      assert(sorts.length == 1,
+        s"expected exactly the output Sort pre-optimization, got " +
+          s"${sorts.length}:\n${df.queryExecution.analyzed.treeString}")
+    }
+  }
+
   test("dedup_clusters final plan reads checkpointed labels — no edge re-derivation") {
     // the convergence loop's output must source from the last round's
     // localCheckpoint: if the final frame re-derived the verified-pair
