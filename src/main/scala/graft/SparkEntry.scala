@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_minhash_verified_mat" -> q(Dedup.dedupMinhashVerifiedMat),
     "dedup_minhash_verified_salted" -> q(Dedup.dedupMinhashVerifiedSalted),
     "dedup_clusters" -> q(Dedup.nearDupClusters),
+    "dedup_clusters_delta" -> q(Dedup.nearDupClustersDelta),
     "dedup_simhash" -> q(t => Dedup.dedupSimhash(t)),
     "dedup_simhash_mat" -> q(Dedup.dedupSimhashMat),
     "dedup_embedding" -> q(Dedup.dedupEmbedding),
@@ -149,6 +150,7 @@ object SparkEntry {
     "dedup_minhash_verified_mat" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_minhash_verified_salted" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_clusters" -> Dedup.nearDupClustersSql,
+    "dedup_clusters_delta" -> Dedup.nearDupClustersDeltaSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_simhash_mat" -> Dedup.dedupSimhashSql,
     "dedup_embedding" -> Dedup.dedupEmbeddingSql,

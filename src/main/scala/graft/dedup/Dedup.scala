@@ -1238,6 +1238,72 @@ object Dedup {
        |  COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** The cluster RELABEL sweep across a corpus growth step — the
+    * oracle-checked batch instance of [[graft.storage.ClusterStore
+    * .relabelDelta]]'s maintained-store form: old = the cluster labels
+    * the FIRST-HALF corpus prefix (doc_id ≤ max/2) would have
+    * published, new = the full corpus's [[nearDupClusters]] — the
+    * growth event that makes a recompute publish in the first place,
+    * reconstructed deterministically so DuckDB can name identical
+    * labels. Output: (doc_id, keeper_old, keeper_new) for exactly the
+    * docs whose keeper CHANGED — a doc newly clustered carries
+    * keeper_old = -1, one no longer clustered keeper_new = -1 (the
+    * sentinel keeps the oracle columns integer-typed; doc_ids are
+    * non-negative).
+    *
+    * The prefix filter commutes with keeper routing: a duplicate
+    * class's keeper is its min doc_id, and min ≤ cutoff iff the class
+    * has any member ≤ cutoff — so filtering the keeper-routed shingle
+    * store to the prefix equals routing the prefix corpus.
+    *
+    * Scale: the label fixpoint runs twice over near-dup-graph-sized
+    * frames (never corpus-sized — [[nearDupClusters]]' output bound),
+    * and the delta join carries id pairs; output = movers only.
+    */
+  def nearDupClustersDelta(t: Tables): DataFrame = {
+    val cutoff = t.documents.agg(max(col("doc_id"))).head.getLong(0) / 2
+    // the fixpoint runs eagerly at construction — memoized like the
+    // full-corpus labels so repeated calls (bench passes) pay once
+    val lab0 = clustersCache.computeIfAbsent((t, "text_pfx"), _ =>
+      clusterKeepers(verifiedPairsFrom(
+        keeperShinglesMaterialized(t).filter(col("doc_id") <= cutoff))
+        .select(col("doc_a"), col("doc_b"))))
+    val lab1 = nearDupClusters(t)
+    lab0.select(col("doc_id"), col("keeper_id").as("keeper_old"))
+      .join(lab1.select(col("doc_id"), col("keeper_id").as("keeper_new")),
+        Seq("doc_id"), "full_outer")
+      .filter(!(col("keeper_old") <=> col("keeper_new")))
+      .select(col("doc_id"),
+        coalesce(col("keeper_old"), lit(-1L)).as("keeper_old"),
+        coalesce(col("keeper_new"), lit(-1L)).as("keeper_new"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Oracle for [[nearDupClustersDelta]]: the verified-pair + closure
+    * CTE chain twice — once over the prefix corpus (`documents`
+    * textually rebound to a doc_id ≤ max/2 view; each chain lives in
+    * its own derived table, so the shared CTE names cannot collide) —
+    * then the full-outer keeper diff with the -1 sentinel.
+    */
+  def nearDupClustersDeltaSql: String = {
+    def labChain(ctes: String) =
+      s"""(WITH RECURSIVE $ctes,
+         |$clusterLabCtes
+         |SELECT doc_id, keeper_id FROM lab)""".stripMargin
+    val pfxCtes = verifiedPairCtes.replace("FROM documents",
+      "FROM documents_pfx")
+    s"""WITH documents_pfx AS (SELECT * FROM documents
+       |  WHERE doc_id <= (SELECT max(doc_id) // 2 FROM documents)),
+       |lab0 AS ${labChain(pfxCtes)},
+       |lab1 AS ${labChain(verifiedPairCtes)}
+       |SELECT coalesce(l0.doc_id, l1.doc_id) AS doc_id,
+       |  coalesce(l0.keeper_id, -1) AS keeper_old,
+       |  coalesce(l1.keeper_id, -1) AS keeper_new
+       |FROM lab0 l0 FULL OUTER JOIN lab1 l1 ON l0.doc_id = l1.doc_id
+       |WHERE l0.keeper_id IS DISTINCT FROM l1.keeper_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** CTE chain (`keep`, `kdocs`, `tok`, `sh`, `sig`, `bands0`, `bstat`,
     * `cand`) behind [[dedupMinhashSql]], shared with pipeline
     * .CorpusClean's near-dup composite so the candidate definition

@@ -623,6 +623,81 @@ class StreamingJobsSpec extends SparkSpec {
     assert(ClusterStore.committedGenerations(root) == Seq(1L))
   }
 
+  test("ClusterStore.relabelDelta: a recompute-published merge emits exactly the bridged docs") {
+    import spark.implicits._
+    import graft.storage.ClusterStore
+    // ingest → recompute → publish, in miniature: gen 0 clusters the
+    // corpus BEFORE a bridge doc lands; gen 1 is the periodic batch
+    // recompute AFTER — the merge ClusterAssignStream's scaladoc defers
+    // to the recompute. relabelDelta must emit exactly the docs whose
+    // keeper moved: the absorbed cluster's members and the bridge
+    // itself — never the surviving cluster or the untouched control.
+    //
+    // Shingle geometry (ShingleSize=3, JaccardMin=0.8): base = 20
+    // tokens (18 shingles). X/Y = base + disjoint 4-token suffixes
+    // (22 shingles): J(X,Y) = 18/26 ≈ 0.69 < 0.8 — no edge, separate
+    // clusters. X2/Y2 = X/Y + one token: J = 22/23 ≈ 0.96 — paired.
+    // Bridge Z = base alone: J(Z,X) = J(Z,Y) = 18/22 ≈ 0.82 ≥ 0.8 —
+    // one verified edge into EACH cluster, so the components unify
+    // transitively though X and Y never pair directly.
+    def toks(tag: String, n: Int, seed: Int) =
+      (0 until n).map(i => s"grb$tag${seed}x${i}t")
+    // minhash banding is probabilistic at J≈0.82 (≈99% per pair):
+    // pick the first seed whose band keys collide for every needed
+    // candidate pair, so the spec is deterministic forever after
+    val seed = (0 until 64).find { s =>
+      val base = toks("c", 20, s)
+      val x = (base ++ toks("sx", 4, s)).mkString(" ")
+      val y = (base ++ toks("sy", 4, s)).mkString(" ")
+      val z = base.mkString(" ")
+      Seq(x, y).forall(v =>
+        bandKeysOf(z).intersect(bandKeysOf(v)).nonEmpty)
+    }.get
+    val base = toks("c", 20, seed)
+    val xT = (base ++ toks("sx", 4, seed)).mkString(" ")
+    val yT = (base ++ toks("sy", 4, seed)).mkString(" ")
+    val x2T = xT + s" grbex${seed}a"
+    val y2T = yT + s" grbey${seed}b"
+    val wT = toks("w", 20, seed).mkString(" ")
+    val w2T = wT + s" grbew${seed}c"
+    val zT = base.mkString(" ")
+    def corpusDir(withBridge: Boolean): String = {
+      val docs = Seq(
+        (1L, xT), (5L, x2T), (2L, yT), (6L, y2T), (3L, wT), (4L, w2T)) ++
+        (if (withBridge) Seq((9L, zT)) else Nil)
+      val dir = tmp("graft-relabel-corpus")
+      docs.map { case (id, tx) => (id, tx, "en", "plant", tx.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    val root = tmp("graft-relabel-store")
+    val t0 = graft.Tables(spark, corpusDir(withBridge = false))
+    val t1 = graft.Tables(spark, corpusDir(withBridge = true))
+    assert(ClusterStore.publishFrom(t0, root) == 0L)
+    // sanity: gen 0 is three two-doc clusters
+    val gen0 = ClusterStore.readLabels(spark, root, 0)
+      .select(col("doc_id"), col("keeper_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(gen0 == Map(1L -> 1L, 5L -> 1L, 2L -> 2L, 6L -> 2L,
+      3L -> 3L, 4L -> 3L), s"gen-0 fixture drifted: $gen0")
+    assert(ClusterStore.publishFrom(t1, root) == 1L)
+    val gen1 = ClusterStore.readLabels(spark, root, 1)
+      .select(col("doc_id"), col("keeper_id"))
+      .as[(Long, Long)].collect().toMap
+    assert(gen1 == Map(1L -> 1L, 5L -> 1L, 2L -> 1L, 6L -> 1L,
+      9L -> 1L, 3L -> 3L, 4L -> 3L), s"gen-1 merge drifted: $gen1")
+    // the delta: exactly the absorbed cluster (2, 6: keeper 2 → 1) and
+    // the bridge (9: newly clustered); the surviving cluster's docs
+    // (1, 5) and the control pair (3, 4) never appear
+    val delta = ClusterStore.relabelDelta(spark, root, 0, 1)
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(delta == Seq(
+      (2L, Some(2L), Some(1L)),
+      (6L, Some(2L), Some(1L)),
+      (9L, None, Some(1L))), s"delta: $delta")
+  }
+
   test("ClusterAssignStream verify gate ≡ batch round6 threshold at the boundary") {
     import Jobs.ClusterAssignStream.verifies
     // A raw Jaccard in [0.7999995, 0.8) rounds UP to the threshold at
