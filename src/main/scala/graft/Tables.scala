@@ -23,6 +23,35 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
+  /** Fail-fast corpus convention audit: every `documents` row must
+    * satisfy `n_chars == length(text)` (ADVICE r9 / VERDICT r10 #6).
+    *
+    * The intake stream trusts a stored `n_chars` when the wire format
+    * carries one (streaming/Jobs.scala quality gate) while the batch
+    * gates compute `length(text)` — the two only agree because of this
+    * convention. Nothing enforced it at corpus build, so a violating
+    * corpus would fail SILENTLY at admission (stream admits what batch
+    * rejects, or vice versa). Run this once per corpus publish/land —
+    * `Verify.main` calls it, so the driver's correctness gate refuses a
+    * doctored corpus loudly instead.
+    *
+    * Scale: one projection-pruned scan (`doc_id`, `n_chars`,
+    * `length(text)`) with an early-stop `head(3)` sample — a build-time
+    * audit, never on a query path.
+    */
+  def validateDocuments(): Unit = {
+    val bad = documents
+      .filter(!(col("n_chars") === length(col("text")).cast(LongType)))
+      .select(col("doc_id"), col("n_chars"),
+        length(col("text")).cast(LongType).as("len_text"))
+      .head(3)
+    require(bad.isEmpty,
+      s"corpus at $dir violates the n_chars == length(text) convention " +
+        s"(first ${bad.length} of possibly more): " +
+        bad.map(r => s"doc_id=${r.getLong(0)} n_chars=${r.getLong(1)} " +
+          s"length(text)=${r.getLong(2)}").mkString("; "))
+  }
+
   /** `events` with `ts` surfaced as UTC epoch seconds (`ts_sec`).
     *
     * The raw column is nanosecond-precision; graft reads it as long

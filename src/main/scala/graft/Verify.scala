@@ -13,6 +13,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // corpus-build gate: refuse a corpus whose stored n_chars drifts
+    // from length(text) — the convention the stream trusts (Tables
+    // .validateDocuments scaladoc) must fail HERE, not at admission
+    Tables(spark, sfDir).validateDocuments()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>

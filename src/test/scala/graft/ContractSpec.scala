@@ -31,6 +31,29 @@ class ContractSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("validateDocuments: doctored n_chars corpus fails loudly at build, real corpus passes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the convention the stream trusts (Tables.validateDocuments
+    // scaladoc): the driver corpus must satisfy it...
+    tables.validateDocuments()
+    // ...and a corpus that violates it must be refused AT BUILD with
+    // the offending doc named — not admitted silently with a stored
+    // n_chars the batch gates would disagree with
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nchars-doctored").toString
+    tables.documents
+      .withColumn("n_chars",
+        when(col("doc_id") === 7L, col("n_chars") + 5)
+          .otherwise(col("n_chars")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables(spark, dir).validateDocuments()
+    }
+    assert(e.getMessage.contains("n_chars == length(text)") &&
+      e.getMessage.contains("doc_id=7"), s"unhelpful message: ${e.getMessage}")
+  }
+
   test("every query EXECUTES at sf0.001 (not just analyzes)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
