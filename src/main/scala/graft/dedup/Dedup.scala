@@ -1047,6 +1047,14 @@ object Dedup {
   private def dedupMinhashVerifiedFrom(shAll: DataFrame): DataFrame =
     verifiedPairsFrom(shAll).orderBy(col("doc_a"), col("doc_b"))
 
+  /** The verified near-dup edge list, unsorted, over the materialized
+    * shingle store — the composition form for cross-operator consumers
+    * (pipeline.Reports.sourceNearDupMatrix) where a mid-plan global
+    * sort would be waste. Same pairs as [[dedupMinhashVerifiedMat]].
+    */
+  private[graft] def verifiedPairsUnsorted(t: Tables): DataFrame =
+    verifiedPairsFrom(keeperShinglesMaterialized(t))
+
   /** Verified pairs WITHOUT the output sort — the near-dup edge list,
     * for composition ([[nearDupClusters]]) where a mid-plan global
     * sort would be waste.

@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.Portable.{round6, round6Sql}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-audit reports — the per-source mix report, the cross-source
+  * near-dup contamination matrix, and the deterministic shard manifest
+  * a training-data export publishes alongside its shards.
+  *
+  * These are the nightly read-only audits of a corpus build (what a
+  * C4/CCNet-style pipeline prints per crawl snapshot): no report
+  * mutates state, every output is sized to the report's group count
+  * (sources, source pairs, shards), never to the corpus.
+  */
+object Reports {
+
+  /** Per-source corpus mix report: doc count, language spread, char
+    * volume, and the exact-duplicate fraction — the table that decides
+    * which sources to up/down-weight in the training mix.
+    *
+    * Two-level aggregation on purpose: the corpus-sized shuffle keys on
+    * (source, lang, md5(text)) with map-side partial counts, so the
+    * second pass — which needs two COUNT(DISTINCT)s and therefore an
+    * Expand — runs over the already-reduced distinct-text rows, not the
+    * corpus. A single groupBy(source) with both distincts would Expand
+    * the FULL scan 3×; this shape Expands only (distinct texts) rows.
+    * At 100 TB the heavy pass is one hash aggregation whose value
+    * payload is two longs, and the report is |sources| rows.
+    */
+  def statsBySource(t: Tables): DataFrame = {
+    val perText = t.documents
+      .groupBy(col("source"), col("lang"), md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    perText
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("chars")).as("total_chars"),
+        countDistinct(col("h")).as("n_texts"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_chars"),
+        round6(col("total_chars").cast("double")
+          / col("n_docs").cast("double")).as("avg_chars"),
+        round6(lit(1.0) - col("n_texts").cast("double")
+          / col("n_docs").cast("double")).as("dup_frac"))
+      .orderBy(col("source"))
+  }
+
+  def statsBySourceSql: String =
+    s"""WITH g AS (SELECT source, lang, md5(text) h,
+       |             COUNT(*) n, SUM(n_chars) chars
+       |           FROM documents GROUP BY 1, 2, 3)
+       |SELECT source, SUM(n)::BIGINT AS n_docs,
+       |  COUNT(DISTINCT lang) AS n_langs,
+       |  SUM(chars)::BIGINT AS total_chars,
+       |  ${round6Sql("SUM(chars)::DOUBLE / SUM(n)::DOUBLE")} AS avg_chars,
+       |  ${round6Sql("1.0::DOUBLE - COUNT(DISTINCT h)::DOUBLE / SUM(n)::DOUBLE")} AS dup_frac
+       |FROM g GROUP BY source ORDER BY source""".stripMargin
+
+  /** Cross-source near-dup contamination matrix: for every unordered
+    * source pair, how many VERIFIED near-dup pairs ([[Dedup]]'s
+    * minhash-LSH candidates with exact Jaccard ≥ threshold) straddle
+    * them. The diagonal (src_a = src_b) is within-source redundancy;
+    * off-diagonal cells are syndication/mirror leakage between crawl
+    * sources — the matrix that tells a corpus build which source pairs
+    * need a shared (not per-source) dedup pass.
+    *
+    * Scale: the verified pair list is a vanishing fraction of the
+    * corpus by construction (LSH candidates only), so both
+    * source-lookup joins put the pair side against a two-column
+    * (doc_id, source) projection — the pair side broadcasts and the
+    * corpus never shuffles; the final groupBy is |sources|² at most.
+    */
+  def sourceNearDupMatrix(t: Tables): DataFrame = {
+    val src = t.documents.select(col("doc_id"), col("source"))
+    Dedup.verifiedPairsUnsorted(t)
+      .select(col("doc_a"), col("doc_b"))
+      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("src_a"),
+        greatest(col("sa.source"), col("sb.source")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sourceNearDupMatrixSql: String =
+    s"""WITH ${Dedup.verifiedPairCtes},
+       |m AS (SELECT least(sa.source, sb.source) src_a,
+       |        greatest(sa.source, sb.source) src_b
+       |      FROM ver
+       |      JOIN documents sa ON ver.doc_a = sa.doc_id
+       |      JOIN documents sb ON ver.doc_b = sb.doc_id)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs
+       |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
+  /** Shard count for [[shardManifest]] — one md5 hex digit. */
+  val NumShards = 16
+
+  /** Deterministic identity-hash shard of a doc id: the first hex
+    * digit of md5("shard|" + id) — the [[Mixing.u]] coin idiom with its
+    * own seed namespace, so shard assignment is independent of the
+    * sample/split coins and reproducible from the id alone on any
+    * engine, any run, any partitioning.
+    */
+  private[graft] def shardOf(id: Column): Column =
+    conv(substring(md5(concat(lit("shard|"), id.cast("string"))), 1, 1),
+      16, 10).cast("int")
+
+  private def shardOfSql: String =
+    "CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT AS INT)"
+
+  /** Shard manifest for a deterministic [[NumShards]]-way training
+    * export: per shard, the doc count, char volume, and id range — the
+    * sidecar a 100 TB export publishes so a trainer can size readers
+    * and verify completeness without listing files. The assignment
+    * itself is a map-side column formula (no shuffle, no coordination
+    * — any writer partition computes its rows' shards independently);
+    * the manifest aggregation is the only shuffle and it carries
+    * [[NumShards]] groups of four longs.
+    */
+  def shardManifest(t: Tables): DataFrame =
+    t.documents
+      .select(shardOf(col("doc_id")).as("shard"), col("doc_id"),
+        col("n_chars"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
+  def shardManifestSql: String =
+    s"""SELECT $shardOfSql AS shard, COUNT(*) AS n_docs,
+       |  SUM(n_chars)::BIGINT AS total_chars,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+       |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+}
