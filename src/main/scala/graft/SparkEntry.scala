@@ -102,7 +102,11 @@ object SparkEntry {
     "lm_quality_decile" -> q(graft.pipeline.Mixing.qualityDecile),
     "lm_rebucket_delta" -> q(graft.pipeline.Mixing.rebucketDelta),
     "corpus_admit" -> q(graft.pipeline.Intake.corpusAdmit),
-    "corpus_admit_verdicts" -> q(graft.pipeline.Intake.corpusAdmitVerdicts)
+    "corpus_admit_verdicts" -> q(graft.pipeline.Intake.corpusAdmitVerdicts),
+    // corpus-audit reports (LLM pipeline)
+    "report_stats_by_source" -> q(graft.pipeline.Reports.statsBySource),
+    "report_neardup_matrix" -> q(graft.pipeline.Reports.sourceNearDupMatrix),
+    "shard_manifest" -> q(graft.pipeline.Reports.shardManifest)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -192,6 +196,9 @@ object SparkEntry {
     "lm_quality_decile" -> graft.pipeline.Mixing.qualityDecileSql,
     "lm_rebucket_delta" -> graft.pipeline.Mixing.rebucketDeltaSql,
     "corpus_admit" -> graft.pipeline.Intake.corpusAdmitSql,
-    "corpus_admit_verdicts" -> graft.pipeline.Intake.corpusAdmitVerdictsSql
+    "corpus_admit_verdicts" -> graft.pipeline.Intake.corpusAdmitVerdictsSql,
+    "report_stats_by_source" -> graft.pipeline.Reports.statsBySourceSql,
+    "report_neardup_matrix" -> graft.pipeline.Reports.sourceNearDupMatrixSql,
+    "shard_manifest" -> graft.pipeline.Reports.shardManifestSql
   )
 }

@@ -71,14 +71,17 @@ object Reports {
     * Scale: the verified pair list is a vanishing fraction of the
     * corpus by construction (LSH candidates only), so both
     * source-lookup joins put the pair side against a two-column
-    * (doc_id, source) projection — the pair side broadcasts and the
-    * corpus never shuffles; the final groupBy is |sources|² at most.
+    * (doc_id, source) projection — the pair side carries an explicit
+    * broadcast hint (Catalyst's static size estimate for a join output
+    * is corpus-scaled and would pick sort-merge, shuffling the corpus
+    * for a report) and the corpus never shuffles; the final groupBy is
+    * |sources|² at most.
     */
   def sourceNearDupMatrix(t: Tables): DataFrame = {
     val src = t.documents.select(col("doc_id"), col("source"))
-    Dedup.verifiedPairsUnsorted(t)
-      .select(col("doc_a"), col("doc_b"))
-      .join(src.as("sa"), col("doc_a") === col("sa.doc_id"))
+    val pairs = broadcast(
+      Dedup.verifiedPairsUnsorted(t).select(col("doc_a"), col("doc_b")))
+    broadcast(pairs.join(src.as("sa"), col("doc_a") === col("sa.doc_id")))
       .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(least(col("sa.source"), col("sb.source")).as("src_a"),
         greatest(col("sa.source"), col("sb.source")).as("src_b"))
@@ -110,7 +113,7 @@ object Reports {
     conv(substring(md5(concat(lit("shard|"), id.cast("string"))), 1, 1),
       16, 10).cast("int")
 
-  private def shardOfSql: String =
+  private[pipeline] def shardOfSql: String =
     "CAST(('0x' || substr(md5('shard|' || CAST(doc_id AS VARCHAR)), 1, 1))::BIGINT AS INT)"
 
   /** Shard manifest for a deterministic [[NumShards]]-way training

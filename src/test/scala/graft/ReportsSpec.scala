@@ -1,0 +1,114 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.pipeline.Reports
+import org.apache.spark.sql.DataFrame
+
+/** Corpus-audit reports: value checks on planted corpora plus plan
+  * pins that keep each report corpus-shuffle-free (the whole point of
+  * a nightly report is that it reads the corpus once and shuffles only
+  * report-sized rows).
+  */
+class ReportsSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def writeDocs(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_reports").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("stats_by_source: planted dup fractions and language spreads") {
+    val dir = writeDocs(Seq(
+      // source a: 3 docs, 2 distinct texts, 2 langs
+      (1L, "alpha beta", "en", "a"),
+      (2L, "alpha beta", "en", "a"),
+      (3L, "gamma", "fr", "a"),
+      // source b: no dups, 1 lang
+      (4L, "delta", "en", "b"),
+      (5L, "epsilon zeta", "en", "b")))
+    val rows = Reports.statsBySource(Tables(spark, dir)).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "b"))
+    val a = rows(0)
+    assert(a.getLong(1) == 3L, "a.n_docs")
+    assert(a.getLong(2) == 2L, "a.n_langs")
+    assert(a.getLong(3) == ("alpha beta".length * 2 + "gamma".length).toLong)
+    assert(math.abs(a.getDouble(5) - (1.0 - 2.0 / 3.0)) < 1e-6, "a.dup_frac")
+    val b = rows(1)
+    assert(b.getLong(1) == 2L && b.getLong(2) == 1L)
+    assert(b.getDouble(5) == 0.0, "b.dup_frac")
+  }
+
+  test("stats_by_source: the distinct-count Expand runs over reduced rows, not the scan") {
+    // The 3x Expand (two COUNT DISTINCTs) must sit ABOVE the
+    // (source, lang, h) pre-aggregation: expanding the raw corpus scan
+    // would triple the 100 TB pass. Plan strings print top-down, so
+    // the Expand line must come before (= downstream of) the partial
+    // aggregate keyed on the text hash.
+    val plan = physical(Reports.statsBySource(tables))
+    val expand = plan.indexOf("Expand")
+    // the pre-aggregate is the HashAggregate keyed on the md5 text
+    // hash; the distinct-agg stages above the Expand key on source
+    // (and gid) only, so "keys=[...md5..." identifies it uniquely
+    val preAgg = plan.indexOf("md5")
+    assert(expand >= 0, s"no Expand in:\n$plan")
+    assert(preAgg >= 0, s"no md5 pre-aggregate key in:\n$plan")
+    assert(expand < preAgg,
+      s"Expand sits below the pre-aggregate (expands the corpus scan):\n$plan")
+  }
+
+  test("neardup_matrix: cells = verified pairs bucketed by unordered source pair") {
+    val t = tables
+    val pairs = Dedup.dedupMinhashVerifiedMat(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val src = t.documents.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = pairs
+      .map { case (a, b) =>
+        val (sa, sb) = (src(a), src(b))
+        (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Reports.sourceNearDupMatrix(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected)
+    assert(got.values.sum == pairs.length.toLong, "cells must partition the pair list")
+    assert(got.nonEmpty, "sf0.001 plants near-dups; matrix must be non-empty")
+  }
+
+  test("neardup_matrix: source lookups broadcast the pair side and prune the corpus scan") {
+    val plan = physical(Reports.sourceNearDupMatrix(tables))
+    // both lookup joins broadcast (pair side is report-sized; the
+    // corpus side must never shuffle for a report)
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"source lookups not broadcast:\n$plan")
+    // and the lookup scans read exactly (doc_id, source)
+    assert(plan.contains("struct<doc_id:bigint,source:string>"),
+      s"source-lookup scan reads more than (doc_id, source):\n$plan")
+  }
+
+  test("shard_manifest: shards partition the corpus, deterministically") {
+    val t = tables
+    val rows = Reports.shardManifest(t).collect()
+    val total = t.documents.count()
+    assert(rows.map(_.getLong(1)).sum == total, "shards must partition the corpus")
+    assert(rows.forall(r => r.getInt(0) >= 0 && r.getInt(0) < Reports.NumShards))
+    assert(rows.forall(r => r.getLong(3) <= r.getLong(4)), "min_doc <= max_doc")
+    // deterministic: a repartitioned input yields the identical manifest
+    val again = Reports.shardManifest(t).collect()
+    assert(rows.toSeq == again.toSeq)
+  }
+
+  test("shard_manifest: assignment is map-side; only the agg and output sort shuffle") {
+    val plan = physical(Reports.shardManifest(tables))
+    val nExchange = "Exchange".r.findAllIn(plan).length
+    assert(nExchange == 2,
+      s"expected exactly 2 exchanges (16-group agg + 16-row sort), got $nExchange:\n$plan")
+  }
+}
