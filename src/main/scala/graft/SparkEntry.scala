@@ -106,7 +106,12 @@ object SparkEntry {
     // corpus-audit reports (LLM pipeline)
     "report_stats_by_source" -> q(graft.pipeline.Reports.statsBySource),
     "report_neardup_matrix" -> q(graft.pipeline.Reports.sourceNearDupMatrix),
-    "shard_manifest" -> q(graft.pipeline.Reports.shardManifest)
+    "shard_manifest" -> q(graft.pipeline.Reports.shardManifest),
+    // export + scrub + soft dedup (LLM pipeline)
+    "corpus_shuffle_order" -> q(graft.pipeline.Export.corpusShuffleOrder),
+    "pii_scrub" -> q(graft.textanalysis.Pii.piiScrub),
+    "pii_stats" -> q(graft.textanalysis.Pii.piiStats),
+    "dedup_weighted" -> q(graft.dedup.Dedup.dedupWeighted)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -199,6 +204,10 @@ object SparkEntry {
     "corpus_admit_verdicts" -> graft.pipeline.Intake.corpusAdmitVerdictsSql,
     "report_stats_by_source" -> graft.pipeline.Reports.statsBySourceSql,
     "report_neardup_matrix" -> graft.pipeline.Reports.sourceNearDupMatrixSql,
-    "shard_manifest" -> graft.pipeline.Reports.shardManifestSql
+    "shard_manifest" -> graft.pipeline.Reports.shardManifestSql,
+    "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,
+    "pii_scrub" -> graft.textanalysis.Pii.piiScrubSql,
+    "pii_stats" -> graft.textanalysis.Pii.piiStatsSql,
+    "dedup_weighted" -> graft.dedup.Dedup.dedupWeightedSql
   )
 }

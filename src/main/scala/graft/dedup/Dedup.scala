@@ -1246,6 +1246,49 @@ object Dedup {
        |  COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** SOFT dedup — the loss-reweighting alternative to dropping: one
+    * surviving representative per full-dedup class (exact classes
+    * collapsed to their keeper, then near-dup CLUSTERS of keepers
+    * collapsed to the cluster keeper), carrying `weight` = how many
+    * original docs it stands for. A trainer multiplies per-doc loss by
+    * weight (or samples ∝ weight) and sees the original corpus
+    * distribution through the deduped corpus — hard dedup silently
+    * reweights toward rare content; this keeps that choice explicit.
+    *
+    * Invariant (spec-pinned): ∑weight = |documents| — every original
+    * doc is represented exactly once.
+    *
+    * Scale: the exact pass is the O(n) (hash, id) groupBy; the cluster
+    * labels are [[nearDupClusters]]' near-dup-graph-sized frame (and
+    * the memoized one — a Verify/bench run shares the fixpoint with
+    * `dedup_clusters`); the final fold joins keeper-cardinality rows
+    * on id and groups on id. Nothing corpus-sized shuffles text.
+    */
+  def dedupWeighted(t: Tables): DataFrame = {
+    val exact = t.documents
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("w"))
+      .select(col("doc_id"), col("w"))
+    exact
+      .join(nearDupClusters(t).select(col("doc_id"), col("keeper_id")),
+        Seq("doc_id"), "left")
+      .select(coalesce(col("keeper_id"), col("doc_id")).as("doc_id"),
+        col("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  def dedupWeightedSql: String =
+    s"""WITH RECURSIVE $verifiedPairCtes,
+       |$clusterLabCtes,
+       |ex AS (SELECT MIN(doc_id) doc_id, COUNT(*) w
+       |       FROM documents GROUP BY md5(text))
+       |SELECT COALESCE(lab.keeper_id, ex.doc_id) AS doc_id,
+       |  SUM(w)::BIGINT AS weight
+       |FROM ex LEFT JOIN lab ON ex.doc_id = lab.doc_id
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
+
   /** The cluster RELABEL sweep across a corpus growth step — the
     * oracle-checked batch instance of [[graft.storage.ClusterStore
     * .relabelDelta]]'s maintained-store form: old = the cluster labels

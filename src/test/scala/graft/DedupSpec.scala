@@ -400,6 +400,28 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getLong(1) >= 1))
   }
 
+  test("dedup_weighted: weights partition the corpus; cluster members fold into keepers") {
+    val rows = Dedup.dedupWeighted(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.values.sum == tables.documents.count(),
+      "sum of weights must equal the original corpus size")
+    assert(rows.values.forall(_ >= 1L))
+    // every near-dup cluster keeper carries AT LEAST its cluster's
+    // exact-class weights; non-keeper cluster members never appear
+    val clusters = Dedup.nearDupClusters(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    clusters.foreach { case (doc, keeper) =>
+      if (doc != keeper) assert(!rows.contains(doc),
+        s"non-keeper cluster member $doc kept a weight row")
+      assert(rows.contains(keeper), s"cluster keeper $keeper missing")
+    }
+    // keepers of multi-doc clusters weigh at least the cluster size
+    clusters.groupBy(_._2).foreach { case (keeper, members) =>
+      assert(rows(keeper) >= members.length.toLong,
+        s"keeper $keeper weight ${rows(keeper)} < cluster ${members.length}")
+    }
+  }
+
   test("simhash pairs are within the hamming threshold") {
     val rows = Dedup.dedupSimhash(tables).collect()
     assert(rows.nonEmpty)

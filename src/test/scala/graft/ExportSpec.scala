@@ -1,0 +1,65 @@
+package graft
+
+import graft.pipeline.{Export, Reports}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic export order: value checks against the naive
+  * per-shard rank (small corpus, where the one-task-per-shard plan is
+  * harmless) plus the plan pin that keeps the production rank skew-free
+  * — the Window must partition on (shard, bucket), never shard alone.
+  */
+class ExportSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("shuffle order ≡ naive per-shard rank, and reruns are identical") {
+    val got = Export.corpusShuffleOrder(tables).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // naive reference: row_number over the whole shard (fine at sf0.001)
+    val coin = conv(substring(md5(concat(lit("shuf|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val naive = tables.documents
+      .select(col("doc_id"), Reports.shardOf(col("doc_id")).as("shard"),
+        coin.as("coin"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("coin"), col("doc_id")))
+        .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+    val again = Export.corpusShuffleOrder(tables).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq, "rerun must be byte-identical")
+  }
+
+  test("shuffle order: positions are a 1..n permutation per shard") {
+    val rows = Export.corpusShuffleOrder(tables).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(rows.length.toLong == tables.documents.count())
+    rows.groupBy(_._1).foreach { case (shard, ps) =>
+      val pos = ps.map(_._2).sorted.toSeq
+      assert(pos == (1L to ps.length.toLong).toSeq,
+        s"shard $shard positions not contiguous from 1: ${pos.take(5)}...")
+    }
+  }
+
+  test("shuffle order: the rank Window partitions on (shard, bucket), not shard") {
+    val plan = physical(Export.corpusShuffleOrder(tables))
+    // exactly one Window node, and its required distribution (the
+    // Exchange feeding it) must key on BOTH shard and bkt — a
+    // shard-only partition is the 16-task 100 TB sort this plan exists
+    // to avoid
+    assert("\\bWindow\\b".r.findAllIn(plan).length == 1,
+      s"expected exactly one Window:\n$plan")
+    assert("hashpartitioning\\(shard#\\d+, bkt#\\d+"
+      .r.findFirstIn(plan).isDefined,
+      s"rank Exchange not keyed on (shard, bkt):\n$plan")
+    // offsets join stays broadcast (16·1024-row table at most)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset table not broadcast:\n$plan")
+  }
+}
