@@ -1700,4 +1700,86 @@ object Jobs {
         .foreachBatch((batch: DataFrame, id: Long) => sink(topK(batch, k), id))
         .start()
   }
+
+  // ---------------------------------------------------------------------
+  // StatsBySourceStream — pipeline.Reports.statsBySource as a RUNNING
+  // report: the per-source corpus-mix table (docs, langs, chars, exact-
+  // dup fraction) maintained live as documents land, instead of
+  // recomputed nightly. The observability twin of the report family,
+  // the same way IntakeSamplerStream.verdicts twins corpus_admit.
+  // ---------------------------------------------------------------------
+  object StatsBySourceStream {
+
+    /** Stage-1 emission: one event per arriving doc, carrying its
+      * source/lang/chars and whether it was the FIRST arrival of its
+      * (source, text) class.
+      */
+    final case class StatsEvent(source: String, lang: String,
+                                chars: Long, first: Int)
+
+    /** Running per-source mix report over a (doc_id, text, lang,
+      * source) stream — columns ≡ [[graft.pipeline.Reports
+      * .statsBySource]], values ≡ the batch report over the docs
+      * delivered so far (any order: every aggregate here is
+      * order-independent, spec-pinned on a shuffled replay).
+      *
+      * Batch needs two aggregation levels (the distinct-text counts);
+      * streaming forbids chained aggregations, so the first level is
+      * the codebase's marker-state idiom instead: an append-mode
+      * `flatMapGroupsWithState` keyed on (source, md5(text)) whose
+      * state is one boolean marker per distinct (source, text) class —
+      * each doc passes through tagged `first` ∈ {0,1}, and
+      * ∑first = COUNT(DISTINCT h) per source exactly. The one real
+      * aggregation then folds (count, Σchars, Σfirst, collect_set
+      * (lang)) per source. n_langs via collect_set is exact and
+      * bounded: languages are an enum-sized set, so per-source state is
+      * a handful of strings.
+      *
+      * State honesty at 100 TB: the marker store is one empty-payload
+      * entry per distinct (source, text) class — the same cardinality
+      * the batch report's first-level shuffle materializes per run,
+      * held resident instead of recomputed (that is what "running
+      * report" means — no free lunch, but no text in state either:
+      * the key is the 128-bit hash). Redelivery: at-least-once inputs
+      * double-count `n_docs`/`chars` (first stays exactly-once by the
+      * marker); feed from [[StreamingDedup.firstSeen]] when the
+      * transport can redeliver, as the intake path does.
+      */
+    def stats(docs: DataFrame): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val flagged = docs
+        .select(col("source"), col("lang"),
+          length(col("text")).cast("long").as("chars"),
+          md5(col("text")).as("h"))
+        .as[(String, String, Long, String)]
+        .groupByKey { case (source, _, _, h) => (source, h) }
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (_: (String, String), rows: Iterator[(String, String, Long, String)],
+           state: GroupState[Boolean]) => {
+            var first = !state.exists
+            if (first) state.update(true)
+            rows.map { case (source, lang, chars, _) =>
+              val f = if (first) 1 else 0
+              first = false
+              StatsEvent(source, lang, chars, f)
+            }
+          })
+      flagged.toDF()
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          size(collect_set(col("lang"))).cast("long").as("n_langs"),
+          sum(col("chars")).as("total_chars"),
+          sum(col("first")).as("n_texts"))
+        .select(col("source"), col("n_docs"), col("n_langs"),
+          col("total_chars"),
+          graft.functions.Portable.round6(
+            col("total_chars").cast("double") / col("n_docs").cast("double"))
+            .as("avg_chars"),
+          graft.functions.Portable.round6(
+            lit(1.0) - col("n_texts").cast("double")
+              / col("n_docs").cast("double")).as("dup_frac"))
+    }
+  }
 }

@@ -1694,4 +1694,56 @@ class StreamingJobsSpec extends SparkSpec {
     // append-only exactly once: no admission written twice
     assert(rows.length == rows.toSet.size)
   }
+
+  test("StatsBySourceStream: shuffled multi-batch replay ≡ batch report_stats_by_source") {
+    import spark.implicits._
+    // planted corpus: cross-source shared text (distinct within each
+    // source), a within-source dup pair, multi-lang sources
+    val docs = Seq(
+      (1L, "alpha beta", "en", "a"),
+      (2L, "alpha beta", "en", "a"), // exact dup within a
+      (3L, "gamma delta", "fr", "a"),
+      (4L, "alpha beta", "en", "b"), // same text, OTHER source: distinct in b
+      (5L, "epsilon", "en", "b"),
+      (6L, "zeta eta theta", "de", "b"),
+      (7L, "epsilon", "en", "b")) // second within-b dup class
+    // batch reference over the identical corpus
+    val dir = tmp("graft-stats-src")
+    docs.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.pipeline.Reports
+      .statsBySource(graft.Tables(spark, dir)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+
+    val in = MemoryStream[(Long, String, String, String)]
+    val latest = mutable.Map.empty[String, (Long, Long, Long, Double, Double)]
+    val q = Jobs.StatsBySourceStream.stats(
+      in.toDF().toDF("doc_id", "text", "lang", "source"))
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.synchronized {
+            latest(r.getString(0)) = (r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getDouble(4), r.getDouble(5))
+          }
+        }; ()
+      }.start()
+    try {
+      // shuffled, split across three micro-batches — every aggregate
+      // must be delivery-order-independent; the dup of doc 1 arrives
+      // FIRST (id 2 claims the marker, id 1 is the dup) and the b-class
+      // dup straddles two batches (marker state crosses batches)
+      val shuffled = Seq(docs(1), docs(5), docs(4))
+      val b2 = Seq(docs(3), docs(0), docs(2))
+      val b3 = Seq(docs(6))
+      in.addData(shuffled); q.processAllAvailable()
+      in.addData(b2); q.processAllAvailable()
+      in.addData(b3); q.processAllAvailable()
+      assert(latest.synchronized(latest.toMap) == batch,
+        s"stream ${latest.toMap} != batch $batch")
+    } finally q.stop()
+  }
 }
