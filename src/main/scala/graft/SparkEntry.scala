@@ -107,6 +107,7 @@ object SparkEntry {
     "report_stats_by_source" -> q(graft.pipeline.Reports.statsBySource),
     "report_neardup_matrix" -> q(graft.pipeline.Reports.sourceNearDupMatrix),
     "shard_manifest" -> q(graft.pipeline.Reports.shardManifest),
+    "report_token_histogram" -> q(graft.pipeline.Reports.tokenHistogram),
     // export + scrub + soft dedup (LLM pipeline)
     "corpus_shuffle_order" -> q(graft.pipeline.Export.corpusShuffleOrder),
     "pii_scrub" -> q(graft.textanalysis.Pii.piiScrub),
@@ -205,6 +206,7 @@ object SparkEntry {
     "report_stats_by_source" -> graft.pipeline.Reports.statsBySourceSql,
     "report_neardup_matrix" -> graft.pipeline.Reports.sourceNearDupMatrixSql,
     "shard_manifest" -> graft.pipeline.Reports.shardManifestSql,
+    "report_token_histogram" -> graft.pipeline.Reports.tokenHistogramSql,
     "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,
     "pii_scrub" -> graft.textanalysis.Pii.piiScrubSql,
     "pii_stats" -> graft.textanalysis.Pii.piiStatsSql,

@@ -139,4 +139,37 @@ object Reports {
        |  SUM(n_chars)::BIGINT AS total_chars,
        |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin
+
+  /** Per-source length histogram on log₂ token buckets — the
+    * sequence-length profile that sizes a training run's packing and
+    * truncation budget (how much of source X dies at a 2^k-token
+    * context cut?). Bucket = ⌊log₂(ws_tokens)⌋, computed as
+    * binary-digit count minus one — INTEGER arithmetic in both engines
+    * (`conv(n,10,2)` / `bin(n)`), because a float log₂ disagrees by an
+    * ulp exactly at the power-of-two bucket boundaries where every doc
+    * with a round token count sits.
+    *
+    * One map-side projection + one aggregation keyed on (source,
+    * bucket) — ≤ |sources|·64 groups; report-sized output.
+    */
+  def tokenHistogram(t: Tables): DataFrame =
+    t.documents
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        (length(conv(col("n_tokens"), 10, 2)) - lit(1)).cast("int"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"), col("bucket"))
+
+  def tokenHistogramSql: String =
+    """WITH tk AS (SELECT source,
+      |              len(string_split(text, ' '))::BIGINT AS n_tokens
+      |            FROM documents)
+      |SELECT source, (length(bin(n_tokens)) - 1)::INT AS bucket,
+      |  COUNT(*) AS n_docs,
+      |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+      |FROM tk GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
 }

@@ -1781,5 +1781,24 @@ object Jobs {
             lit(1.0) - col("n_texts").cast("double")
               / col("n_docs").cast("double")).as("dup_frac"))
     }
+
+    /** Running shard manifest — [[graft.pipeline.Reports
+      * .shardManifest]] maintained live: the export sidecar updated as
+      * docs land instead of recomputed per publish. Stateless identity
+      * shard column + ONE streaming aggregation whose state is
+      * [[graft.pipeline.Reports.NumShards]] rows of four longs —
+      * constant state at any corpus size, the cheapest running report
+      * there is. Columns ≡ the batch manifest; values ≡ batch over the
+      * docs delivered so far (all aggregates order-independent).
+      */
+    def shardManifest(docs: DataFrame): DataFrame =
+      docs
+        .select(
+          graft.pipeline.Reports.shardOf(col("doc_id")).as("shard"),
+          col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
 }

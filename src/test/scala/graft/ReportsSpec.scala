@@ -105,6 +105,23 @@ class ReportsSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq)
   }
 
+  test("token_histogram: integer log2 buckets land power-of-two counts exactly") {
+    // 1, 2, 3, 4, 7, 8 tokens: buckets 0, 1, 1, 2, 2, 3 — the
+    // boundary counts (2, 4, 8) are exactly where a float log2 is an
+    // ulp away from flipping the bucket
+    val dir = writeDocs(Seq(
+      (1L, "a", "en", "a"),
+      (2L, "a b", "en", "a"),
+      (3L, "a b c", "en", "a"),
+      (4L, "a b c d", "en", "a"),
+      (5L, "a b c d e f g", "en", "a"),
+      (6L, "a b c d e f g h", "en", "a")))
+    val got = Reports.tokenHistogram(Tables(spark, dir)).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((0, 1L, 1L, 1L), (1, 2L, 2L, 3L),
+      (2, 2L, 4L, 7L), (3, 1L, 8L, 8L)))
+  }
+
   test("shard_manifest: assignment is map-side; only the agg and output sort shuffle") {
     val plan = physical(Reports.shardManifest(tables))
     val nExchange = "Exchange".r.findAllIn(plan).length

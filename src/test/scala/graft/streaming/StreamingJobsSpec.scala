@@ -1746,4 +1746,35 @@ class StreamingJobsSpec extends SparkSpec {
         s"stream ${latest.toMap} != batch $batch")
     } finally q.stop()
   }
+
+  test("StatsBySourceStream.shardManifest: running manifest ≡ batch over delivered docs") {
+    import spark.implicits._
+    val batch = graft.pipeline.Reports.shardManifest(tables).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val docs = tables.documents.select("doc_id", "text")
+      .as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val latest = mutable.Map.empty[Int, (Long, Long, Long, Long)]
+    val q = Jobs.StatsBySourceStream.shardManifest(
+      in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.synchronized {
+            latest(r.getInt(0)) = (r.getLong(1), r.getLong(2),
+              r.getLong(3), r.getLong(4))
+          }
+        }; ()
+      }.start()
+    try {
+      // reverse order, split in two — min/max/count/sum are all
+      // delivery-order-independent
+      val (h1, h2) = docs.reverse.splitAt(docs.length / 2)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      assert(latest.synchronized(latest.toMap) == batch)
+    } finally q.stop()
+  }
 }
