@@ -110,6 +110,7 @@ object SparkEntry {
     "report_token_histogram" -> q(graft.pipeline.Reports.tokenHistogram),
     // export + scrub + soft dedup (LLM pipeline)
     "corpus_shuffle_order" -> q(graft.pipeline.Export.corpusShuffleOrder),
+    "corpus_pack" -> q(graft.pipeline.Export.corpusPack),
     "pii_scrub" -> q(graft.textanalysis.Pii.piiScrub),
     "pii_stats" -> q(graft.textanalysis.Pii.piiStats),
     "dedup_weighted" -> q(graft.dedup.Dedup.dedupWeighted)
@@ -208,6 +209,7 @@ object SparkEntry {
     "shard_manifest" -> graft.pipeline.Reports.shardManifestSql,
     "report_token_histogram" -> graft.pipeline.Reports.tokenHistogramSql,
     "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,
+    "corpus_pack" -> graft.pipeline.Export.corpusPackSql,
     "pii_scrub" -> graft.textanalysis.Pii.piiScrubSql,
     "pii_stats" -> graft.textanalysis.Pii.piiStatsSql,
     "dedup_weighted" -> graft.dedup.Dedup.dedupWeightedSql

@@ -55,31 +55,51 @@ object Export {
     * of doc_id; ties in coin break on doc_id — reruns and any input
     * partitioning produce the identical permutation.
     */
-  def corpusShuffleOrder(t: Tables): DataFrame = {
-    val spark = t.spark
-    import spark.implicits._
-    val base = t.documents
-      .select(col("doc_id"), Reports.shardOf(col("doc_id")).as("shard"))
+  /** The bucketed corpus frame every export op ranks over: (doc_id,
+    * shard, coin, bkt) plus any caller columns, where bkt =
+    * ⌊coin·B⌋ is monotone in coin — so per-shard (coin, doc_id) order
+    * is bucket order with intra-bucket order inside it.
+    */
+  private def bucketed(t: Tables, extra: Seq[org.apache.spark.sql.Column]): DataFrame =
+    t.documents
+      .select(col("doc_id") +: extra: _*)
+      .withColumn("shard", Reports.shardOf(col("doc_id")))
       .withColumn("coin", orderCoin)
       .withColumn("bkt",
         floor(col("coin") * lit(ShuffleBuckets.toDouble)).cast("int"))
-    // (shard, bucket) histogram → exclusive per-shard prefix offsets.
-    // ≤ 16·ShuffleBuckets rows of three integers — driver traffic is
-    // the OrderStat scalar bound, never data.
+
+  /** Exclusive per-shard prefix offsets of `valueCol` summed per
+    * (shard, bucket): one count-only aggregation (≤16·[[ShuffleBuckets]]
+    * rows of three integers to the driver — the OrderStat scalar
+    * bound, never data), prefix-summed in bucket order per shard.
+    * This is the distributed-prefix primitive: shard-global
+    * rank/cumsum = driver offset + intra-bucket Window, with the
+    * Window partitioned on (shard, bucket) — 16·B balanced groups
+    * instead of 16 shard-sized sort tasks.
+    */
+  private def bucketOffsets(base: DataFrame,
+                            valueCol: org.apache.spark.sql.Column): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
     val hist = base.groupBy(col("shard"), col("bkt"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(valueCol).as("n"))
       .collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
-    val offsets = hist.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+    hist.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
       var acc = 0L
       rows.sortBy(_._2).map { case (s, b, n) =>
         val off = acc; acc += n; (s, b, off)
       }
-    }
-    val offsetsDf = offsets.toDF("shard", "bkt", "off")
-    val intraBucket = Window.partitionBy(col("shard"), col("bkt"))
+    }.toDF("shard", "bkt", "off")
+  }
+
+  private def intraBucket =
+    Window.partitionBy(col("shard"), col("bkt"))
       .orderBy(col("coin"), col("doc_id"))
-    base.join(broadcast(offsetsDf), Seq("shard", "bkt"))
+
+  def corpusShuffleOrder(t: Tables): DataFrame = {
+    val base = bucketed(t, Seq.empty)
+    base.join(broadcast(bucketOffsets(base, lit(1L))), Seq("shard", "bkt"))
       .select(col("doc_id"), col("shard"),
         (col("off") + row_number().over(intraBucket)).cast("long").as("pos"))
       .orderBy(col("shard"), col("pos"))
@@ -92,4 +112,53 @@ object Export {
        |SELECT doc_id, shard,
        |  ROW_NUMBER() OVER (PARTITION BY shard ORDER BY coin, doc_id) AS pos
        |FROM c ORDER BY shard, pos""".stripMargin
+
+  /** Tokens per training sequence for [[corpusPack]]. */
+  val PackBudget = 512L
+
+  /** Concat-and-chunk packing manifest — GPT-style pretraining data
+    * prep: within each shard, documents are concatenated in the
+    * [[corpusShuffleOrder]] permutation and chunked into
+    * [[PackBudget]]-token blocks; each doc's address is the block its
+    * first token lands in plus its offset inside that block. Output:
+    * (doc_id, shard, seq_id, seq_off) — the manifest a packing writer
+    * needs to emit fixed-length training sequences without ever
+    * holding more than its partition (a doc longer than the budget
+    * simply spans blocks; its address is where it starts).
+    *
+    * seq_id = ⌊cum/B⌋ and seq_off = cum mod B where cum is the
+    * EXCLUSIVE prefix sum of whitespace-token counts in shard order —
+    * the same distributed-prefix shape as the rank: per-(shard,
+    * bucket) token-sum histogram → driver exclusive offsets →
+    * intra-bucket running sum over a (shard, bucket)-partitioned
+    * Window frame. No shard-sized sort task anywhere; determinism is
+    * the permutation's (identity coins, doc_id tiebreak).
+    */
+  def corpusPack(t: Tables): DataFrame = {
+    val base = bucketed(t,
+      Seq(size(split(col("text"), " ")).cast("long").as("toks")))
+    val cumExcl = col("off") +
+      coalesce(sum(col("toks")).over(
+        intraBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    base.join(broadcast(bucketOffsets(base, col("toks"))), Seq("shard", "bkt"))
+      .select(col("doc_id"), col("shard"),
+        floor(cumExcl / lit(PackBudget)).cast("long").as("seq_id"),
+        (cumExcl % lit(PackBudget)).cast("long").as("seq_off"))
+      .orderBy(col("shard"), col("seq_id"), col("seq_off"), col("doc_id"))
+  }
+
+  def corpusPackSql: String =
+    s"""WITH c AS (SELECT doc_id, ${Reports.shardOfSql} AS shard,
+       |             ${Mixing.uSql("shuf")} AS coin,
+       |             len(string_split(text, ' '))::BIGINT AS toks
+       |           FROM documents),
+       |s AS (SELECT doc_id, shard,
+       |        COALESCE(SUM(toks) OVER (PARTITION BY shard
+       |          ORDER BY coin, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          0)::BIGINT AS cum
+       |      FROM c)
+       |SELECT doc_id, shard, cum // $PackBudget AS seq_id,
+       |  cum % $PackBudget AS seq_off
+       |FROM s ORDER BY shard, seq_id, seq_off, doc_id""".stripMargin
 }

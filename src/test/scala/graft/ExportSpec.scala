@@ -47,6 +47,38 @@ class ExportSpec extends SparkSpec {
     }
   }
 
+  test("corpus_pack ≡ naive per-shard running sum; chunk addresses well-formed") {
+    import org.apache.spark.sql.Row
+    val got = Export.corpusPack(tables).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // naive reference: exclusive cumsum over the whole shard
+    val coin = conv(substring(md5(concat(lit("shuf|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val naive = tables.documents
+      .select(col("doc_id"), Reports.shardOf(col("doc_id")).as("shard"),
+        coin.as("coin"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .withColumn("cum", coalesce(sum(col("toks")).over(
+        Window.partitionBy(col("shard")).orderBy(col("coin"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("shard"),
+        floor(col("cum") / lit(Export.PackBudget)).cast("long").as("seq_id"),
+        (col("cum") % lit(Export.PackBudget)).cast("long").as("seq_off"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+    // well-formed addresses: offsets inside the budget; each shard's
+    // first doc starts at (0, 0); multiple docs pack into one block
+    assert(got.forall { case (_, _, s, o) =>
+      s >= 0 && o >= 0 && o < Export.PackBudget })
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.exists { case (_, _, s, o) => s == 0L && o == 0L })
+    }
+    assert(got.groupBy(r => (r._2, r._3)).values.exists(_.length > 1),
+      "expected at least one block packing several docs")
+  }
+
   test("shuffle order: the rank Window partitions on (shard, bucket), not shard") {
     val plan = physical(Export.corpusShuffleOrder(tables))
     // exactly one Window node, and its required distribution (the
