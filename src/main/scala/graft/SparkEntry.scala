@@ -113,7 +113,8 @@ object SparkEntry {
     "corpus_pack" -> q(graft.pipeline.Export.corpusPack),
     "pii_scrub" -> q(graft.textanalysis.Pii.piiScrub),
     "pii_stats" -> q(graft.textanalysis.Pii.piiStats),
-    "dedup_weighted" -> q(graft.dedup.Dedup.dedupWeighted)
+    "dedup_weighted" -> q(graft.dedup.Dedup.dedupWeighted),
+    "dedup_clusters_quality" -> q(graft.dedup.Dedup.nearDupClustersQuality)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -212,6 +213,7 @@ object SparkEntry {
     "corpus_pack" -> graft.pipeline.Export.corpusPackSql,
     "pii_scrub" -> graft.textanalysis.Pii.piiScrubSql,
     "pii_stats" -> graft.textanalysis.Pii.piiStatsSql,
-    "dedup_weighted" -> graft.dedup.Dedup.dedupWeightedSql
+    "dedup_weighted" -> graft.dedup.Dedup.dedupWeightedSql,
+    "dedup_clusters_quality" -> graft.dedup.Dedup.nearDupClustersQualitySql
   )
 }

@@ -1279,6 +1279,63 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-keeper cluster representatives — near-dup cluster dedup
+    * where the kept doc is the BEST one, not the lowest-id one: per
+    * [[nearDupClusters]] component, the member with the highest
+    * [[graft.textanalysis.TextAnalysis]] quality score (doc_id breaks
+    * ties). Min-id keepers are arbitrary; a production dedup keeps the
+    * cleanest copy of syndicated content. Output: (cluster_id, rep_id,
+    * rep_quality, cluster_size) — cluster_id stays the min-id LABEL
+    * (stable across quality re-scores), rep_id is the elected copy.
+    *
+    * Scale: quality is computed ONLY for docs in the near-dup graph
+    * (semi-join first — the vanishing-fraction bound), and the
+    * election Window partitions per cluster over that graph-sized
+    * frame; the largest cluster is band-cap bounded, so no whale
+    * partition. Ordering is portable: quality is round6'd, ties on id.
+    */
+  def nearDupClustersQuality(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = nearDupClusters(t)
+    val quality = t.documents
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_distinct"))
+      .select(col("doc_id"),
+        graft.textanalysis.TextAnalysis.qualityExpr(
+          col("n_chars"), col("n_tok"), col("n_distinct")).as("quality"))
+    labels.join(quality, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("keeper_id"))
+          .orderBy(col("quality").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("keeper_id").as("cluster_id"), col("doc_id").as("rep_id"),
+        col("quality").as("rep_quality"), col("cluster_size"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def nearDupClustersQualitySql: String =
+    s"""WITH RECURSIVE $verifiedPairCtes,
+       |$clusterLabCtes,
+       |csz AS (SELECT doc_id, keeper_id,
+       |          COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
+       |        FROM lab),
+       |qtok AS (SELECT d.doc_id, d.n_chars,
+       |           unnest(string_split(d.text, ' ')) w
+       |         FROM documents d JOIN lab ON d.doc_id = lab.doc_id),
+       |qsc AS (SELECT doc_id, ${graft.textanalysis.TextAnalysis
+      .qualityExprSql("ANY_VALUE(n_chars)", "count(*)", "count(DISTINCT w)")
+    } AS quality
+       |        FROM qtok GROUP BY doc_id)
+       |SELECT csz.keeper_id AS cluster_id, csz.doc_id AS rep_id,
+       |  qsc.quality AS rep_quality, csz.cluster_size
+       |FROM csz JOIN qsc ON csz.doc_id = qsc.doc_id
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY csz.keeper_id
+       |  ORDER BY qsc.quality DESC, csz.doc_id) = 1
+       |ORDER BY cluster_id""".stripMargin
+
   def dedupWeightedSql: String =
     s"""WITH RECURSIVE $verifiedPairCtes,
        |$clusterLabCtes,

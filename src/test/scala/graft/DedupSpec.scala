@@ -422,6 +422,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("dedup_clusters_quality: rep is the argmax-quality member of each cluster") {
+    val labels = Dedup.nearDupClusters(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val reps = Dedup.nearDupClustersQuality(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // one rep per cluster, same cluster universe + sizes as the labels
+    assert(reps.map(_._1).toSeq == labels.map(_._2).distinct.sorted.toSeq)
+    val sizeOf = labels.map(r => r._2 -> r._3).toMap
+    reps.foreach { case (cid, rep, _, size) =>
+      assert(size == sizeOf(cid))
+      assert(labels.exists(l => l._1 == rep && l._2 == cid),
+        s"rep $rep not a member of cluster $cid")
+    }
+    // the rep really is argmax quality (ties by id): recompute quality
+    // per member from the shared expression and compare
+    val spark2 = spark
+    import spark2.implicits._
+    import org.apache.spark.sql.functions._
+    val q = tables.documents
+      .select(col("doc_id"), col("n_chars"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_distinct"))
+      .select(col("doc_id"), graft.textanalysis.TextAnalysis.qualityExpr(
+        col("n_chars"), col("n_tok"), col("n_distinct")).as("q"))
+      .as[(Long, Double)].collect().toMap
+    labels.groupBy(_._2).foreach { case (cid, members) =>
+      val best = members.map(m => (q(m._1), -m._1)).max
+      val got = reps.find(_._1 == cid).get
+      assert((got._3, -got._2) == best,
+        s"cluster $cid rep ${got._2}@${got._3} != argmax $best")
+    }
+  }
+
   test("simhash pairs are within the hamming threshold") {
     val rows = Dedup.dedupSimhash(tables).collect()
     assert(rows.nonEmpty)
