@@ -111,6 +111,8 @@ object SparkEntry {
     // export + scrub + soft dedup (LLM pipeline)
     "corpus_shuffle_order" -> q(graft.pipeline.Export.corpusShuffleOrder),
     "corpus_pack" -> q(graft.pipeline.Export.corpusPack),
+    "corpus_pack_stats" -> q(graft.pipeline.Export.corpusPackStats),
+    "embed_label_purity" -> q(graft.dedup.Dedup.embedLabelPurity),
     "pii_scrub" -> q(graft.textanalysis.Pii.piiScrub),
     "pii_stats" -> q(graft.textanalysis.Pii.piiStats),
     "dedup_weighted" -> q(graft.dedup.Dedup.dedupWeighted),
@@ -211,6 +213,8 @@ object SparkEntry {
     "report_token_histogram" -> graft.pipeline.Reports.tokenHistogramSql,
     "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,
     "corpus_pack" -> graft.pipeline.Export.corpusPackSql,
+    "corpus_pack_stats" -> graft.pipeline.Export.corpusPackStatsSql,
+    "embed_label_purity" -> graft.dedup.Dedup.embedLabelPuritySql,
     "pii_scrub" -> graft.textanalysis.Pii.piiScrubSql,
     "pii_stats" -> graft.textanalysis.Pii.piiStatsSql,
     "dedup_weighted" -> graft.dedup.Dedup.dedupWeightedSql,

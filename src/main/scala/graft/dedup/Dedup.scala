@@ -1889,4 +1889,56 @@ object Dedup {
        |SELECT doc_id AS vec_id, keeper_id,
        |  COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
        |FROM lab ORDER BY vec_id""".stripMargin
+
+  /** Semantic-dedup validation report — label purity per
+    * [[embedDedupClusters]] component: if embedding near-dup clusters
+    * are real near-duplicates, members should agree on `label`; a
+    * low-purity cluster is the threshold set too loose (or genuinely
+    * mislabeled data — either way, the report a semantic-dedup rollout
+    * reads before trusting the clusters). Output per cluster:
+    * (cluster_id, n_members, top_label, purity) with top_label the
+    * majority label (smallest label breaks ties — portable ordering on
+    * integers).
+    *
+    * Scale: everything downstream of the cluster labels is
+    * graph-sized (the vanishing-fraction bound); two aggregations
+    * keyed on (cluster, label) then cluster, one per-cluster election
+    * Window.
+    */
+  def embedLabelPurity(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = embedDedupClusters(t)
+      .join(t.embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("keeper_id"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val byCluster = Window.partitionBy(col("keeper_id"))
+    counts
+      .withColumn("n_members", sum(col("cnt")).over(byCluster))
+      .withColumn("rn", row_number().over(
+        byCluster.orderBy(col("cnt").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("keeper_id").as("cluster_id"), col("n_members"),
+        col("label").as("top_label"),
+        graft.functions.Portable.round6(
+          col("cnt").cast("double") / col("n_members").cast("double"))
+          .as("purity"))
+      .orderBy(col("cluster_id"))
+  }
+
+  def embedLabelPuritySql: String =
+    s"""WITH RECURSIVE $embedPairCtes,
+       |$clusterLabCtes,
+       |lc AS (SELECT lab.keeper_id, e.label, COUNT(*) cnt
+       |       FROM lab JOIN embeddings e ON lab.doc_id = e.vec_id
+       |       GROUP BY 1, 2),
+       |lt AS (SELECT keeper_id, SUM(cnt)::BIGINT n_members
+       |       FROM lc GROUP BY 1)
+       |SELECT lc.keeper_id AS cluster_id, lt.n_members,
+       |  lc.label AS top_label,
+       |  ${graft.functions.Portable.round6Sql(
+      "cnt::DOUBLE / n_members::DOUBLE")} AS purity
+       |FROM lc JOIN lt USING (keeper_id)
+       |QUALIFY ROW_NUMBER() OVER (PARTITION BY lc.keeper_id
+       |  ORDER BY cnt DESC, lc.label) = 1
+       |ORDER BY cluster_id""".stripMargin
 }

@@ -147,6 +147,43 @@ object Export {
       .orderBy(col("shard"), col("seq_id"), col("seq_off"), col("doc_id"))
   }
 
+  /** Packing utilization report — the [[corpusPack]] sidecar: per
+    * shard, how many [[PackBudget]]-token blocks the export emits and
+    * how full they are. n_seqs is closed-form (⌈Σtoks / B⌉ — the
+    * concatenation fills blocks contiguously, so no join against the
+    * pack manifest is needed; the spec pins the formula against the
+    * manifest's distinct seq_ids), fill_frac = Σtoks / (n_seqs·B).
+    * One map-side projection + one 16-group aggregation.
+    */
+  def corpusPackStats(t: Tables): DataFrame = {
+    val nSeqs = (floor((col("total_tokens") - lit(1)).cast("double")
+      / lit(PackBudget.toDouble)) + lit(1)).cast("long")
+    t.documents
+      .select(Reports.shardOf(col("doc_id")).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("total_tokens"))
+      .select(col("shard"), col("n_docs"), col("total_tokens"),
+        nSeqs.as("n_seqs"),
+        graft.functions.Portable.round6(
+          col("total_tokens").cast("double")
+            / (nSeqs * lit(PackBudget)).cast("double")).as("fill_frac"))
+      .orderBy(col("shard"))
+  }
+
+  def corpusPackStatsSql: String =
+    s"""WITH c AS (SELECT ${Reports.shardOfSql} AS shard,
+       |             len(string_split(text, ' '))::BIGINT AS toks
+       |           FROM documents),
+       |g AS (SELECT shard, COUNT(*) AS n_docs,
+       |        SUM(toks)::BIGINT AS total_tokens
+       |      FROM c GROUP BY shard)
+       |SELECT shard, n_docs, total_tokens,
+       |  ((total_tokens - 1) // $PackBudget + 1) AS n_seqs,
+       |  ${graft.functions.Portable.round6Sql(
+      s"total_tokens::DOUBLE / (((total_tokens - 1) // $PackBudget + 1) * $PackBudget)::DOUBLE")} AS fill_frac
+       |FROM g ORDER BY shard""".stripMargin
+
   def corpusPackSql: String =
     s"""WITH c AS (SELECT doc_id, ${Reports.shardOfSql} AS shard,
        |             ${Mixing.uSql("shuf")} AS coin,

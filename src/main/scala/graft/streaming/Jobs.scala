@@ -1801,4 +1801,21 @@ object Jobs {
           sum(col("n_chars")).as("total_chars"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
+
+  // ---------------------------------------------------------------------
+  // PiiScrubStream — textanalysis.Pii on a live document stream: the
+  // redaction pass of the intake path (after the dedup/quality gates,
+  // before the sink).
+  // ---------------------------------------------------------------------
+  object PiiScrubStream {
+
+    /** STATELESS per-row scrub — the same `withPiiColumns` fold the
+      * batch op runs, so the definitions cannot drift; each doc passes
+      * through scrubbed, with its per-type match counts riding along.
+      */
+    def scrub(docs: DataFrame): DataFrame =
+      graft.textanalysis.Pii.withPiiColumns(docs)
+        .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_num"),
+          col("scrubbed"))
+  }
 }

@@ -52,22 +52,29 @@ object Pii {
     (Ipv4Pat, "<IP>", "n_ip"),
     (DigitRunPat, "<NUM>", "n_num"))
 
-  /** Per-doc (doc_id, source, n_email, n_ip, n_num, scrubbed): the
-    * sequential count-then-replace fold over [[Passes]]. Pure map-side
-    * column work — no shuffle, no state; at 100 TB this pass rides the
-    * export scan for free.
+  /** Appends (n_email, n_ip, n_num, scrubbed) to ANY frame with a
+    * `text` column — the sequential count-then-replace fold over
+    * [[Passes]]. Pure map-side column work — no shuffle, no state, so
+    * the same definition serves the batch ops and the streaming scrub
+    * ([[graft.streaming.Jobs.PiiScrubStream]]) unchanged; at 100 TB
+    * this pass rides the export scan for free.
     */
-  private def piiCounts(t: Tables): DataFrame = {
+  private[graft] def withPiiColumns(docs: DataFrame): DataFrame = {
     val (scrubbed, counts) =
       Passes.foldLeft((col("text"), Seq.empty[Column])) {
         case ((txt, acc), (pat, tok, name)) =>
           (regexp_replace(txt, pat, tok),
             acc :+ regexp_count(txt, lit(pat)).cast("long").as(name))
       }
-    t.documents.select(
-      Seq(col("doc_id"), col("source")) ++ counts :+
-        scrubbed.as("scrubbed"): _*)
+    docs.select(
+      col("*") +: counts :+ scrubbed.as("scrubbed"): _*)
   }
+
+  /** Per-doc (doc_id, source, n_email, n_ip, n_num, scrubbed). */
+  private def piiCounts(t: Tables): DataFrame =
+    withPiiColumns(t.documents)
+      .select(col("doc_id"), col("source"), col("n_email"), col("n_ip"),
+        col("n_num"), col("scrubbed"))
 
   /** The CTE chain computing the same sequential fold in DuckDB —
     * `'g'` flag required (DuckDB replaces first-match-only by

@@ -456,6 +456,25 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embed_label_purity: majority label and purity recomputed per cluster") {
+    val labels = Dedup.embedDedupClusters(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val vecLabel = tables.embeddings.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = Dedup.embedLabelPurity(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.map(_._1).toSeq == labels.map(_._2).distinct.sorted.toSeq)
+    val byCluster = labels.groupBy(_._2)
+    got.foreach { case (cid, n, top, purity) =>
+      val members = byCluster(cid).map(m => vecLabel(m._1))
+      assert(n == members.length.toLong)
+      val counts = members.groupBy(identity).view.mapValues(_.length).toMap
+      val best = counts.toSeq.map { case (l, c) => (-c, l) }.min
+      assert(top == best._2, s"cluster $cid top label")
+      assert(math.abs(purity - (-best._1).toDouble / n) < 1e-6)
+    }
+  }
+
   test("simhash pairs are within the hamming threshold") {
     val rows = Dedup.dedupSimhash(tables).collect()
     assert(rows.nonEmpty)

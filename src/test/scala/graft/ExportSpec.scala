@@ -79,6 +79,29 @@ class ExportSpec extends SparkSpec {
       "expected at least one block packing several docs")
   }
 
+  test("corpus_pack_stats: closed-form n_seqs consistent with the manifest") {
+    val stats = Export.corpusPackStats(tables).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    val manifest = Export.corpusPack(tables).collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    manifest.groupBy(_._1).foreach { case (shard, rows) =>
+      val (_, totalToks, nSeqs, fill) = stats(shard)
+      // independent recompute of the closed form
+      assert(nSeqs == (totalToks - 1) / Export.PackBudget + 1,
+        s"shard $shard n_seqs formula")
+      // every manifest block id addresses a real block; block ids miss
+      // n_seqs-1 only when a doc straddles into the shard's final
+      // block and nothing starts there
+      val distinct = rows.map(_._2).distinct.length.toLong
+      assert(rows.map(_._2).max <= nSeqs - 1, s"shard $shard seq_id range")
+      assert(distinct == nSeqs || distinct == nSeqs - 1,
+        s"shard $shard blocks $distinct vs n_seqs $nSeqs")
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+    assert(stats.values.map(_._1).sum == tables.documents.count())
+  }
+
   test("shuffle order: the rank Window partitions on (shard, bucket), not shard") {
     val plan = physical(Export.corpusShuffleOrder(tables))
     // exactly one Window node, and its required distribution (the

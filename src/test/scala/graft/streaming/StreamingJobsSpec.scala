@@ -1777,4 +1777,37 @@ class StreamingJobsSpec extends SparkSpec {
       assert(latest.synchronized(latest.toMap) == batch)
     } finally q.stop()
   }
+
+  test("PiiScrubStream: stateless scrub ≡ batch pii_scrub per doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a@b.co now", "en", "a"),
+      (2L, "host 10.0.0.1 acct 123456789", "en", "a"),
+      (3L, "plain text only", "fr", "b"))
+    val dir = tmp("graft-pii-stream")
+    docs.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val batch = graft.textanalysis.Pii.piiScrub(graft.Tables(spark, dir))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+
+    val in = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, Long, Long, Long, String)]
+    val q = Jobs.PiiScrubStream.scrub(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getString(4)))
+        }; ()
+      }.start()
+    try {
+      in.addData(docs.map(d => (d._1, d._2)))
+      q.processAllAvailable()
+      assert(out.synchronized(out.toSet) == batch)
+    } finally q.stop()
+  }
 }
