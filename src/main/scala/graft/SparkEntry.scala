@@ -99,6 +99,7 @@ object SparkEntry {
     "lm_ccnet_bucket" -> q(graft.pipeline.Mixing.ccnetBucket),
     "lm_ccnet_bucket_bounded" -> q(graft.pipeline.Mixing.ccnetBucketBounded),
     "corpus_sample_ccnet" -> q(graft.pipeline.Mixing.sampleCcnet),
+    "corpus_sample_temperature" -> q(graft.pipeline.Mixing.sampleTemperature),
     "lm_quality_decile" -> q(graft.pipeline.Mixing.qualityDecile),
     "lm_rebucket_delta" -> q(graft.pipeline.Mixing.rebucketDelta),
     "corpus_admit" -> q(graft.pipeline.Intake.corpusAdmit),
@@ -203,6 +204,7 @@ object SparkEntry {
     "lm_ccnet_bucket" -> graft.pipeline.Mixing.ccnetBucketSql,
     "lm_ccnet_bucket_bounded" -> graft.pipeline.Mixing.ccnetBucketBoundedSql,
     "corpus_sample_ccnet" -> graft.pipeline.Mixing.sampleCcnetSql,
+    "corpus_sample_temperature" -> graft.pipeline.Mixing.sampleTemperatureSql,
     "lm_quality_decile" -> graft.pipeline.Mixing.qualityDecileSql,
     "lm_rebucket_delta" -> graft.pipeline.Mixing.rebucketDeltaSql,
     "corpus_admit" -> graft.pipeline.Intake.corpusAdmitSql,

@@ -498,4 +498,68 @@ object Mixing {
        |SELECT * FROM b WHERE bucket_old <> bucket_new
        |ORDER BY doc_id""".stripMargin
   }
+
+  /** Temperature for [[sampleTemperature]] — T > 1 flattens the
+    * language distribution toward uniform (the multilingual-corpus
+    * convention; XLM-R/mC4-style resampling uses T in [2, 3.3]).
+    */
+  val Temperature = 2.0
+
+  /** Temperature-based language resampling — the standard multilingual
+    * mix op (sample languages ∝ share^(1/T)): per-language keep rate
+    * r_l = round6(p_l^(1/T−1) / max_m p_m^(1/T−1)) — the rarest
+    * language keeps everything (rate exactly 1.0), dominant languages
+    * are thinned toward the temperature-flattened distribution — and a
+    * doc survives iff its identity coin (seed `tmp`, independent of
+    * the stratified/split/ccnet coins) clears its language's rate.
+    *
+    * Rates are |langs| scalars computed from one per-language count
+    * aggregate (driver sees a bounded language list — the
+    * [[quantileBoundsOf]] discipline), broadcast back; the keep
+    * decision is a map-side filter. Cross-engine: the rate crosses the
+    * oracle boundary only after [[graft.functions.Portable]] round6, so
+    * a libm-level pow() ulp cannot flip a keep decision except exactly
+    * at a 6-dp boundary against a coin with 2^-32 resolution.
+    *
+    * Growth-stable like every sampler here: corpus growth changes
+    * rates (shares move) but never re-flips a doc's coin.
+    */
+  def sampleTemperature(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val perLang = t.documents.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = perLang.map(_._2).sum.toDouble
+    val raw = perLang.map { case (l, n) =>
+      (l, math.pow(n / total, 1.0 / Temperature - 1.0))
+    }
+    val mx = raw.map(_._2).max
+    val rates = raw.toSeq
+      .map { case (l, r) =>
+        (l, graft.functions.Portable.round6Double(r / mx))
+      }.toDF("lang", "rate")
+    t.documents.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("u", u("tmp", col("doc_id")))
+      .join(broadcast(rates), Seq("lang"))
+      .filter(col("u") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("source"), col("u"),
+        col("rate"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sampleTemperatureSql: String =
+    s"""WITH nl AS (SELECT lang, COUNT(*)::DOUBLE AS n
+       |            FROM documents GROUP BY lang),
+       |tr AS (SELECT lang,
+       |         pow(n / (SELECT SUM(n) FROM nl),
+       |             1.0 / $Temperature - 1.0) AS raw
+       |       FROM nl),
+       |rates AS (SELECT lang,
+       |            ${graft.functions.Portable.round6Sql(
+      "raw / MAX(raw) OVER ()")} AS rate
+       |          FROM tr)
+       |SELECT d.doc_id, d.lang, d.source, ${uSql("tmp")} AS u, r.rate
+       |FROM documents d JOIN rates r USING (lang)
+       |WHERE ${uSql("tmp")} < r.rate
+       |ORDER BY doc_id""".stripMargin
 }

@@ -224,6 +224,31 @@ class PipelineSpec extends SparkSpec {
     assert((tailDocs & kept).nonEmpty, "tail entirely dropped")
   }
 
+  test("mix: temperature sample keeps the rarest language whole, thins by share, deterministically") {
+    import graft.pipeline.Mixing
+    val shares = tables.documents.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = Mixing.sampleTemperature(tables).collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getString(r.fieldIndex("lang")),
+        r.getDouble(r.fieldIndex("rate"))))
+    val s2 = Mixing.sampleTemperature(tables).collect()
+      .map(r => r.getLong(r.fieldIndex("doc_id")))
+    assert(s1.map(_._1).toSeq == s2.toSeq) // identity hash, no RNG
+    // rarest language: rate exactly 1.0, every doc kept
+    val rarest = shares.minBy(r => (r._2, r._1))._1
+    val rateOf = s1.map(r => r._2 -> r._3).toMap
+    assert(rateOf(rarest) == 1.0, s"rarest lang $rarest rate ${rateOf(rarest)}")
+    assert(s1.count(_._2 == rarest).toLong == shares(rarest))
+    // monotone: a more common language never gets a higher rate
+    val langs = rateOf.keys.toSeq
+    for (a <- langs; b <- langs if shares(a) < shares(b))
+      assert(rateOf(a) >= rateOf(b), s"rate($a) < rate($b) despite smaller share")
+    // dominant language genuinely thinned
+    val top = shares.maxBy(_._2)._1
+    assert(s1.count(_._2 == top).toLong < shares(top), "top lang not thinned")
+  }
+
   test("mix: quality deciles = ntile(10) away from boundary ties; ties take the higher bucket") {
     import graft.pipeline.Mixing
     val rows = Mixing.qualityDecile(tables).collect()
