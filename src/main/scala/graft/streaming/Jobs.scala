@@ -1782,6 +1782,24 @@ object Jobs {
               / col("n_docs").cast("double")).as("dup_frac"))
     }
 
+    /** Running length profile — [[graft.pipeline.Reports
+      * .tokenHistogram]] live: stateless integer-log₂ bucket column
+      * (the same binary-digit-count form — no float log near
+      * power-of-two boundaries), then one aggregation whose state is
+      * ≤ |sources|·64 rows. Columns ≡ batch; values ≡ batch over docs
+      * delivered so far.
+      */
+    def tokenHistogram(docs: DataFrame): DataFrame =
+      docs
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("bucket",
+          (length(conv(col("n_tokens"), 10, 2)) - lit(1)).cast("int"))
+        .groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_tokens")).as("min_tokens"),
+          max(col("n_tokens")).as("max_tokens"))
+
     /** Running shard manifest — [[graft.pipeline.Reports
       * .shardManifest]] maintained live: the export sidecar updated as
       * docs land instead of recomputed per publish. Stateless identity

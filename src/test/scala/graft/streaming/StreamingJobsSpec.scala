@@ -1778,6 +1778,35 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("StatsBySourceStream.tokenHistogram: running profile ≡ batch over delivered docs") {
+    import spark.implicits._
+    val batch = graft.pipeline.Reports.tokenHistogram(tables).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val docs = tables.documents.select("source", "text")
+      .as[(String, String)].collect()
+
+    val in = MemoryStream[(String, String)]
+    val latest = mutable.Map.empty[(String, Int), (Long, Long, Long)]
+    val q = Jobs.StatsBySourceStream.tokenHistogram(
+      in.toDF().toDF("source", "text"))
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        b.collect().foreach { r =>
+          latest.synchronized {
+            latest((r.getString(0), r.getInt(1))) =
+              (r.getLong(2), r.getLong(3), r.getLong(4))
+          }
+        }; ()
+      }.start()
+    try {
+      val (h1, h2) = docs.reverse.splitAt(docs.length / 3)
+      in.addData(h1.toSeq); q.processAllAvailable()
+      in.addData(h2.toSeq); q.processAllAvailable()
+      assert(latest.synchronized(latest.toMap) == batch)
+    } finally q.stop()
+  }
+
   test("PiiScrubStream: stateless scrub ≡ batch pii_scrub per doc") {
     import spark.implicits._
     val docs = Seq(
