@@ -102,6 +102,17 @@ class ExportSpec extends SparkSpec {
     assert(stats.values.map(_._1).sum == tables.documents.count())
   }
 
+  test("corpus_pack: the cumsum Window partitions on (shard, bucket), not shard") {
+    val plan = physical(Export.corpusPack(tables))
+    assert("\\bWindow\\b".r.findAllIn(plan).length == 1,
+      s"expected exactly one Window:\n$plan")
+    assert("hashpartitioning\\(shard#\\d+, bkt#\\d+"
+      .r.findFirstIn(plan).isDefined,
+      s"cumsum Exchange not keyed on (shard, bkt):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset table not broadcast:\n$plan")
+  }
+
   test("shuffle order: the rank Window partitions on (shard, bucket), not shard") {
     val plan = physical(Export.corpusShuffleOrder(tables))
     // exactly one Window node, and its required distribution (the

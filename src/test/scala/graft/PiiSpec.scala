@@ -54,6 +54,19 @@ class PiiSpec extends SparkSpec {
     assert(s == "<EMAIL> at <IP> acct <NUM>")
   }
 
+  test("pii plans: scrub is map-side up to the output sort; stats aggregates partially") {
+    val scrubPlan = Pii.piiScrub(tables).queryExecution.executedPlan.toString
+    // the only exchange is the deterministic output sort's range
+    // partitioning — the scrub itself never shuffles
+    assert("Exchange".r.findAllIn(scrubPlan).length == 1, s"scrub shuffles:\n$scrubPlan")
+    assert(scrubPlan.contains("rangepartitioning"), s"unexpected exchange kind:\n$scrubPlan")
+    val statsPlan = Pii.piiStats(tables).queryExecution.executedPlan.toString
+    // per-source aggregation with map-side partials: two HashAggregates
+    // around one source-keyed exchange
+    assert("hashpartitioning\\(source#\\d+".r.findFirstIn(statsPlan).isDefined,
+      s"stats not keyed on source:\n$statsPlan")
+  }
+
   test("pii_stats aggregates per source over the real corpus") {
     val stats = Pii.piiStats(tables).collect()
     val nDocs = tables.documents.count()
