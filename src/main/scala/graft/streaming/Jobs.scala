@@ -1821,6 +1821,36 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // SampleTemperatureStream — pipeline.Mixing.sampleTemperature on a
+  // live stream: the temperature-resampling decision applied as docs
+  // land, against a PUBLISHED per-language rate table.
+  // ---------------------------------------------------------------------
+  object SampleTemperatureStream {
+
+    /** Keep a streamed doc iff its identity coin clears its language's
+      * published rate — the batch sampler's exact coin and comparison
+      * (`Mixing.u("tmp", ·) < rate`), so replaying a corpus through
+      * this gate with the rates the batch run published reproduces the
+      * batch sample EXACTLY (spec-pinned). Stateless: one broadcast
+      * stream-static join + a filter.
+      *
+      * `rates` is the published (lang, rate) table, not computed here
+      * — rates depend on corpus-wide language shares, which a stream
+      * cannot see; the deployment shape is the boundary-table one
+      * (BoundsStore/IntakeSamplerStream): a periodic batch recompute
+      * publishes the rate generation, the stream pins it at start, a
+      * roll republishes. A language absent from the table drops at
+      * rate 0 — the novel-language convention of the ccnet bucketing.
+      */
+    def sample(docs: DataFrame, rates: DataFrame): DataFrame =
+      docs
+        .withColumn("u", graft.pipeline.Mixing.u("tmp", col("doc_id")))
+        .join(org.apache.spark.sql.functions.broadcast(rates), Seq("lang"))
+        .filter(col("u") < col("rate"))
+        .select(col("doc_id"), col("lang"), col("u"), col("rate"))
+  }
+
+  // ---------------------------------------------------------------------
   // PiiScrubStream — textanalysis.Pii on a live document stream: the
   // redaction pass of the intake path (after the dedup/quality gates,
   // before the sink).

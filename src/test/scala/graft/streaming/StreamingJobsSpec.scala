@@ -1807,6 +1807,39 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SampleTemperatureStream: replay against published rates ≡ batch sample; novel lang drops") {
+    import spark.implicits._
+    val batch = graft.pipeline.Mixing.sampleTemperature(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3),
+        r.getDouble(4))).toSet
+    // the published rate table = what the batch run derived
+    val rates = graft.pipeline.Mixing.sampleTemperature(tables)
+      .select("lang", "rate").distinct()
+    val docs = tables.documents.select("doc_id", "lang")
+      .as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, String, Double, Double)]
+    val q = Jobs.SampleTemperatureStream.sample(
+      in.toDF().toDF("doc_id", "lang"), rates)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+            r.getDouble(2), r.getDouble(3)))
+        }; ()
+      }.start()
+    try {
+      // reversed replay + a novel-language doc that must drop (absent
+      // from the published rate table = rate 0, the ccnet convention)
+      in.addData(docs.reverse.toSeq :+ (999999L, "zz_novel"))
+      q.processAllAvailable()
+      val got = out.synchronized(out.toSet)
+      assert(got == batch, s"stream-only ${got -- batch}, batch-only ${batch -- got}")
+      assert(!got.exists(_._1 == 999999L))
+    } finally q.stop()
+  }
+
   test("PiiScrubStream: stateless scrub ≡ batch pii_scrub per doc") {
     import spark.implicits._
     val docs = Seq(
