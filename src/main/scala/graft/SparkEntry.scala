@@ -107,6 +107,7 @@ object SparkEntry {
     // corpus-audit reports (LLM pipeline)
     "report_stats_by_source" -> q(graft.pipeline.Reports.statsBySource),
     "report_neardup_matrix" -> q(graft.pipeline.Reports.sourceNearDupMatrix),
+    "report_dup_matrix" -> q(graft.pipeline.Reports.sourceDupMatrix),
     "shard_manifest" -> q(graft.pipeline.Reports.shardManifest),
     "report_token_histogram" -> q(graft.pipeline.Reports.tokenHistogram),
     // export + scrub + soft dedup (LLM pipeline)
@@ -211,6 +212,7 @@ object SparkEntry {
     "corpus_admit_verdicts" -> graft.pipeline.Intake.corpusAdmitVerdictsSql,
     "report_stats_by_source" -> graft.pipeline.Reports.statsBySourceSql,
     "report_neardup_matrix" -> graft.pipeline.Reports.sourceNearDupMatrixSql,
+    "report_dup_matrix" -> graft.pipeline.Reports.sourceDupMatrixSql,
     "shard_manifest" -> graft.pipeline.Reports.shardManifestSql,
     "report_token_histogram" -> graft.pipeline.Reports.tokenHistogramSql,
     "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,

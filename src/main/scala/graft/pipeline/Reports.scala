@@ -100,6 +100,48 @@ object Reports {
        |SELECT src_a, src_b, COUNT(*) AS n_pairs
        |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
 
+  /** Cross-source EXACT-dup matrix — [[sourceNearDupMatrix]]'s cheap
+    * sibling for verbatim syndication: per unordered source pair, how
+    * many distinct text classes appear in BOTH sources (off-diagonal =
+    * verbatim mirroring between crawls; diagonal = classes duplicated
+    * WITHIN the source, i.e. ≥2 copies). Together the two matrices
+    * separate "copied verbatim" from "near-dup rewrites" per source
+    * pair — which decides whether a shared exact pass suffices or the
+    * expensive near-dup pass must span the pair.
+    *
+    * Scale: the grouped (class, source) frame is distinct-pair-sized;
+    * the self-join keys on the class hash and only classes present in
+    * >1 source (or duplicated within one) produce output, so the join
+    * output is bounded by the duplicate-class count, never corpus².
+    * Output is ≤ |sources|² rows.
+    */
+  def sourceDupMatrix(t: Tables): DataFrame = {
+    val g = t.documents
+      .groupBy(md5(col("text")).as("h"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    val offDiag = g.as("a")
+      .join(g.as("b"), col("a.h") === col("b.h") &&
+        col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+    val diag = g.filter(col("cnt") >= 2)
+      .select(col("source").as("src_a"), col("source").as("src_b"))
+    offDiag.union(diag)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_classes"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sourceDupMatrixSql: String =
+    """WITH g AS (SELECT md5(text) h, source, COUNT(*) cnt
+      |           FROM documents GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT a.source src_a, b.source src_b
+      |  FROM g a JOIN g b ON a.h = b.h AND a.source < b.source
+      |  UNION ALL
+      |  SELECT source, source FROM g WHERE cnt >= 2)
+      |SELECT src_a, src_b, COUNT(*) AS n_classes
+      |FROM cells GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
   /** Shard count for [[shardManifest]] — one md5 hex digit. */
   val NumShards = 16
 

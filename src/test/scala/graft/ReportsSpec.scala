@@ -63,6 +63,24 @@ class ReportsSpec extends SparkSpec {
       s"Expand sits below the pre-aggregate (expands the corpus scan):\n$plan")
   }
 
+  test("dup_matrix: shared classes off-diagonal, within-source dup classes on the diagonal") {
+    val dir = writeDocs(Seq(
+      (1L, "shared one", "en", "a"),
+      (2L, "shared one", "en", "b"),  // class in a AND b → (a,b)
+      (3L, "shared one", "en", "b"),  // extra copy in b → also (b,b)
+      (4L, "only a dup", "en", "a"),
+      (5L, "only a dup", "en", "a"),  // within-a dup → (a,a)
+      (6L, "unique", "fr", "c"),      // no cell
+      (7L, "tri", "en", "a"),
+      (8L, "tri", "en", "b"),
+      (9L, "tri", "en", "c")))        // class in a,b,c → (a,b),(a,c),(b,c)
+    val got = Reports.sourceDupMatrix(Tables(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", "a") -> 1L, ("a", "b") -> 2L, ("a", "c") -> 1L,
+      ("b", "b") -> 1L, ("b", "c") -> 1L))
+  }
+
   test("neardup_matrix: cells = verified pairs bucketed by unordered source pair") {
     val t = tables
     val pairs = Dedup.dedupMinhashVerifiedMat(t).collect()
