@@ -100,7 +100,22 @@ object PlanDump {
         "map-side projection + filter over a 3-column scan — the ONLY " +
         "exchange in the plan is the output sort. At 100 TB this is " +
         "one pass, no shuffle, stable under corpus growth.",
-      graft.pipeline.Mixing.sampleStratified))
+      graft.pipeline.Mixing.sampleStratified),
+    ("event_asof_join",
+      "The as-of join as union-and-carry: ONE hash Exchange on " +
+        "user_id feeds a single running-last Window — no range join " +
+        "(|probe| x |refs-in-range| expansion) and no pre-collapse " +
+        "shuffle; same-second ties resolve inside the carry order. " +
+        "SequencesSpec pins the single-Exchange property.",
+      graft.operators.Sequences.eventAsofJoin),
+    ("corpus_sample_quota",
+      "Exactly-min(Q, n_l) per language via the PUBLISHED membership " +
+        "rule (lang, thr, cutoff): one BroadcastHashJoin + a map-side " +
+        "filter over a 3-column scan — the corpus is never sorted, " +
+        "never window-ranked; the OrderStat threshold search paid " +
+        "O(log n) scans once, outside this plan. PipelineSpec pins " +
+        "result ≡ the naive per-language rank.",
+      graft.pipeline.Mixing.sampleQuota))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)

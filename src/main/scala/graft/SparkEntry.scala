@@ -118,7 +118,13 @@ object SparkEntry {
     "pii_scrub" -> q(graft.textanalysis.Pii.piiScrub),
     "pii_stats" -> q(graft.textanalysis.Pii.piiStats),
     "dedup_weighted" -> q(graft.dedup.Dedup.dedupWeighted),
-    "dedup_clusters_quality" -> q(graft.dedup.Dedup.nearDupClustersQuality)
+    "dedup_clusters_quality" -> q(graft.dedup.Dedup.nearDupClustersQuality),
+    // event sequences (as-of / funnel)
+    "event_asof_join" -> q(Sequences.eventAsofJoin),
+    "event_funnel" -> q(Sequences.eventFunnel),
+    // exact-count sampling (OrderStat threshold, no global sort)
+    "corpus_sample_fixed" -> q(graft.pipeline.Mixing.sampleFixed),
+    "corpus_sample_quota" -> q(graft.pipeline.Mixing.sampleQuota)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -222,6 +228,10 @@ object SparkEntry {
     "pii_scrub" -> graft.textanalysis.Pii.piiScrubSql,
     "pii_stats" -> graft.textanalysis.Pii.piiStatsSql,
     "dedup_weighted" -> graft.dedup.Dedup.dedupWeightedSql,
-    "dedup_clusters_quality" -> graft.dedup.Dedup.nearDupClustersQualitySql
+    "dedup_clusters_quality" -> graft.dedup.Dedup.nearDupClustersQualitySql,
+    "event_asof_join" -> Sequences.eventAsofJoinSql,
+    "event_funnel" -> Sequences.eventFunnelSql,
+    "corpus_sample_fixed" -> graft.pipeline.Mixing.sampleFixedSql,
+    "corpus_sample_quota" -> graft.pipeline.Mixing.sampleQuotaSql
   )
 }

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-SEQUENCE operators — per-user temporal joins the reference's
+  * DStream surface implies but never computes declaratively (ref:
+  * Top3HotProduct.java / WindowHotWord.java stop at windowed counts;
+  * the natural next questions over the same keyed event stream are
+  * "which earlier event explains this one" and "how far down the
+  * journey did each user get").
+  *
+  * Both operators shuffle ONCE on `user_id` (the funnel's chained
+  * per-user aggregates reuse that partitioning under AQE) and never
+  * materialize a cross product: the as-of join is the union-and-carry
+  * formulation (no range-join explosion — a probe never meets more
+  * than the one ref row the window carry leaves in scope), and the
+  * funnel is three chained `min` aggregates.
+  *
+  * Whale users: the as-of carry runs one window task per user, exactly
+  * like [[Windows.sessionize]]; the per-(user, day) pre-split of
+  * [[Windows.sessionizeSplit]] applies verbatim if a single user's
+  * event count ever dominates a task (carry the last ref of each day
+  * forward in a second day-level pass — days per user are bounded).
+  */
+object Sequences {
+
+  /** Attribution pair: each `purchase` looks back to the latest
+    * `click` at or before it.
+    */
+  val ProbeType = "purchase"
+  val RefType = "click"
+
+  /** Max seconds a funnel step may lag the previous one. */
+  val FunnelGapSec = 3600L
+
+  private val NoRef = -1L
+
+  /** AS-OF (attribution) join: for every probe event, the most recent
+    * ref event by the same user with `ref.ts_sec <= probe.ts_sec` —
+    * the operator Spark has no native join type for, composed from a
+    * union and one running `last(ignoreNulls)` carry instead of a
+    * range join (which would explode to |probe| × |ref in range| rows
+    * before filtering).
+    *
+    * Determinism: the carry order (ts_sec, is_probe, event_id) is a
+    * total order — a same-second ref sorts BEFORE the probe it
+    * attributes (refs carry is_probe = 0), and among same-second refs
+    * the LAST one in order (max event_id) is the carried value, so no
+    * pre-collapse aggregation (and its extra shuffle) is needed.
+    * Unattributed probes surface as -1 sentinels, not NULLs (portable
+    * value hashing — the dedup_clusters_delta rule).
+    *
+    * Scale: ONE shuffle on user_id (SequencesSpec pins the single
+    * Exchange); the window carry is a single linear pass per user
+    * partition. The DuckDB oracle is the independent formulation — a
+    * native ASOF LEFT JOIN over the (user, second)-collapsed ref side,
+    * which is the same max-id-at-latest-ts rule.
+    */
+  def eventAsofJoin(t: Tables): DataFrame = {
+    val e = t.events
+    val unioned = e.filter(col("event_type") === RefType)
+      .select(col("user_id"), col("ts_sec"), lit(0).as("is_probe"),
+        col("event_id"),
+        struct(col("ts_sec").as("rts"), col("event_id").as("rid")).as("r"))
+      .unionByName(e.filter(col("event_type") === ProbeType)
+        .select(col("user_id"), col("ts_sec"), lit(1).as("is_probe"),
+          col("event_id"),
+          lit(null).cast("struct<rts:bigint,rid:bigint>").as("r")))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("is_probe"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("lr", last(col("r"), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1)
+      .select(col("event_id"), col("user_id"), col("ts_sec"),
+        coalesce(col("lr.rts"), lit(NoRef)).as("ref_ts_sec"),
+        coalesce(col("lr.rid"), lit(NoRef)).as("ref_id"),
+        coalesce(col("ts_sec") - col("lr.rts"), lit(NoRef)).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  def eventAsofJoinSql: String =
+    s"""WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+       |           FROM events),
+       |ref AS (SELECT user_id, ts_sec, MAX(event_id) AS ref_id
+       |        FROM e WHERE event_type = '$RefType'
+       |        GROUP BY user_id, ts_sec),
+       |probe AS (SELECT event_id, user_id, ts_sec FROM e
+       |          WHERE event_type = '$ProbeType')
+       |SELECT p.event_id, p.user_id, p.ts_sec,
+       |  COALESCE(r.ts_sec, $NoRef) AS ref_ts_sec,
+       |  COALESCE(r.ref_id, $NoRef) AS ref_id,
+       |  COALESCE(p.ts_sec - r.ts_sec, $NoRef) AS gap_sec
+       |FROM probe p ASOF LEFT JOIN ref r
+       |  ON p.user_id = r.user_id AND p.ts_sec >= r.ts_sec
+       |ORDER BY p.event_id""".stripMargin
+
+  /** Conversion FUNNEL: per user, the earliest signup, the earliest
+    * view within [[FunnelGapSec]] of it, and the earliest purchase
+    * within [[FunnelGapSec]] of that — `stage` = how many steps the
+    * user completed (0-3). Three chained `min` aggregates (each step's
+    * candidate set filtered by the previous step's timestamp), all
+    * keyed on user_id — no window, no sequence materialization; every
+    * shuffle in the plan is a user_id equi-shuffle, so the chain
+    * co-partitions after the first exchange. Missing steps are -1
+    * sentinels.
+    */
+  def eventFunnel(t: Tables): DataFrame = {
+    val e = t.events.select(col("user_id"), col("event_type"), col("ts_sec"))
+    val users = e.select(col("user_id")).distinct()
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t1"))
+    val s2 = e.filter(col("event_type") === "view")
+      .join(s1, Seq("user_id"))
+      .filter(col("ts_sec") >= col("t1") &&
+        col("ts_sec") <= col("t1") + FunnelGapSec)
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t2"))
+    val s3 = e.filter(col("event_type") === ProbeType)
+      .join(s2, Seq("user_id"))
+      .filter(col("ts_sec") >= col("t2") &&
+        col("ts_sec") <= col("t2") + FunnelGapSec)
+      .groupBy(col("user_id")).agg(min(col("ts_sec")).as("t3"))
+    users
+      .join(s1, Seq("user_id"), "left")
+      .join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        coalesce(col("t1"), lit(NoRef)).as("t1"),
+        coalesce(col("t2"), lit(NoRef)).as("t2"),
+        coalesce(col("t3"), lit(NoRef)).as("t3"),
+        when(col("t3").isNotNull, 3)
+          .when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1)
+          .otherwise(0).as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  def eventFunnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type,
+       |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+       |           FROM events),
+       |s1 AS (SELECT user_id, MIN(ts_sec) AS t1 FROM e
+       |       WHERE event_type = 'signup' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, MIN(e.ts_sec) AS t2
+       |       FROM e JOIN s1 ON e.user_id = s1.user_id
+       |       WHERE e.event_type = 'view' AND e.ts_sec >= s1.t1
+       |         AND e.ts_sec <= s1.t1 + $FunnelGapSec
+       |       GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, MIN(e.ts_sec) AS t3
+       |       FROM e JOIN s2 ON e.user_id = s2.user_id
+       |       WHERE e.event_type = '$ProbeType' AND e.ts_sec >= s2.t2
+       |         AND e.ts_sec <= s2.t2 + $FunnelGapSec
+       |       GROUP BY e.user_id)
+       |SELECT u.user_id,
+       |  COALESCE(s1.t1, $NoRef) AS t1,
+       |  COALESCE(s2.t2, $NoRef) AS t2,
+       |  COALESCE(s3.t3, $NoRef) AS t3,
+       |  CASE WHEN s3.t3 IS NOT NULL THEN 3
+       |       WHEN s2.t2 IS NOT NULL THEN 2
+       |       WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END AS stage
+       |FROM (SELECT DISTINCT user_id FROM e) u
+       |LEFT JOIN s1 USING (user_id)
+       |LEFT JOIN s2 USING (user_id)
+       |LEFT JOIN s3 USING (user_id)
+       |ORDER BY u.user_id""".stripMargin
+}

@@ -562,4 +562,163 @@ object Mixing {
        |FROM documents d JOIN rates r USING (lang)
        |WHERE ${uSql("tmp")} < r.rate
        |ORDER BY doc_id""".stripMargin
+
+  /** Exactly-N sample size for [[sampleFixed]] (capped at the corpus
+    * size at tiny test sfs).
+    */
+  val SampleFixedN = 200L
+
+  /** Per-language quota for [[sampleQuota]]. */
+  val QuotaN = 100L
+
+  /** EXACTLY-N uniform sample — the eval-set construction the rate
+    * samplers can't do: [[sampleStratified]]'s keep-if-coin-clears
+    * gives rate·n ± binomial noise, but "build a 200-doc audit sample"
+    * needs an exact count. The naive plan is `ORDER BY coin LIMIT N` —
+    * a top-N over the whole corpus, which at 100 TB funnels every
+    * partition's N best through one driver-side merge. Instead the
+    * N-th smallest coin is found by [[graft.functions.OrderStat]]
+    * histogram narrowing (O(log n) scans, driver sees ≤1024-row
+    * histograms), the corpus is FILTERED map-side at that threshold,
+    * and only the equal-coin boundary tie-set (expected size n/2³² —
+    * a handful of docs even at corpus scale) pays a sort, capped to
+    * the remaining quota with doc_id as the tie-break. Identity coin
+    * (seed `fix`): growth adds candidates but never re-flips an
+    * existing doc's coin value.
+    *
+    * Exactness: threshold t = coin at ascending rank N (ties counted
+    * by multiplicity), so count(u < t) ≤ N−1 and the tie take m =
+    * N − count(u < t) ≥ 1 is always well-defined; the result is
+    * bit-identical to the naive ORDER BY (u, doc_id) LIMIT N — the
+    * oracle runs exactly that.
+    */
+  def sampleFixed(t: Tables): DataFrame = {
+    val (thr, cutoff) = fixedThreshold(t)
+    t.documents.select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("u", u("fix", col("doc_id")))
+      .filter(col("u") < thr ||
+        (col("u") === thr && col("doc_id") <= cutoff))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The PUBLISHED membership rule behind [[sampleFixed]]: coin
+    * strictly below `thr` is in; exactly-at-`thr` is in up to doc_id
+    * `cutoff`. Two scalars — the generation a long-lived stream pins
+    * (the BoundsStore shape) — derived once per corpus: OrderStat
+    * finds the N-th smallest coin, one count fixes the residual tie
+    * quota m, and the tie set (every doc at exactly that coin value —
+    * expected multiplicity n/2³², a handful of rows at any corpus
+    * size) is collected and its m-th lowest doc_id becomes the cutoff
+    * (the bounded-collect discipline of the OrderStat histograms).
+    */
+  private[graft] def fixedThreshold(t: Tables): (Double, Long) = {
+    val docs = t.documents.select(col("doc_id"))
+      .withColumn("u", u("fix", col("doc_id")))
+    val n = docs.count()
+    if (n <= SampleFixedN) return (2.0, Long.MaxValue) // keep everything
+    import graft.functions.OrderStat
+    val counts = docs.groupBy(lit("all").as("g"), col("u").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val tgt = OrderStat.RankTarget("all", n - SampleFixedN + 1) // N-th smallest
+    val thr = OrderStat.valuesAtDescRanks(counts, Seq(tgt))(tgt)
+    val m = SampleFixedN - docs.filter(col("u") < thr).count()
+    val ties = docs.filter(col("u") === thr)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    (thr, ties(m.toInt - 1))
+  }
+
+  def sampleFixedSql: String =
+    s"""SELECT doc_id, lang, source, u FROM (
+       |  SELECT doc_id, lang, source, ${uSql("fix")} AS u
+       |  FROM documents ORDER BY u, doc_id LIMIT $SampleFixedN) s
+       |ORDER BY doc_id""".stripMargin
+
+  /** Exactly-[[QuotaN]]-per-language sample — the BALANCED eval set
+    * (equal representation per language regardless of corpus skew; a
+    * language with fewer than the quota keeps every doc). The same
+    * OrderStat threshold discipline as [[sampleFixed]], per group: one
+    * bounded per-language count, one histogram search batching every
+    * over-quota language's rank target, a broadcast (lang, threshold)
+    * join + map-side filter, and a tie-set window whose input is a few
+    * rows per language — never a per-language sort of the corpus (the
+    * exact plan smell [[ccnetBucketBounded]] exists to avoid).
+    * Identity coin in its own seed namespace (`qta`).
+    */
+  def sampleQuota(t: Tables): DataFrame =
+    quotaKeep(t.documents.select(col("doc_id"), col("lang"), col("source")),
+      quotaThresholds(t))
+      .select(col("doc_id"), col("lang"), col("source"), col("u"))
+      .orderBy(col("doc_id"))
+
+  /** The shared membership rule: coin strictly below the language's
+    * `thr`, or exactly at it with doc_id ≤ `cutoff`. One broadcast
+    * join + a map-side filter — consumed verbatim by the batch entry
+    * AND `streaming.SampleQuotaStream`, so the two cannot drift. A
+    * language absent from the threshold table drops (the ccnet
+    * novel-language convention).
+    */
+  private[graft] def quotaKeep(docs: DataFrame,
+                               thresholds: DataFrame): DataFrame =
+    docs.withColumn("u", u("qta", col("doc_id")))
+      .join(broadcast(thresholds), Seq("lang"))
+      .filter(col("u") < col("thr") ||
+        (col("u") === col("thr") && col("doc_id") <= col("cutoff")))
+      .drop("thr", "cutoff")
+
+  /** The PUBLISHED per-language membership table behind
+    * [[sampleQuota]]: (lang, thr, cutoff) — [[fixedThreshold]]'s rule
+    * per group, every over-quota language's rank target batched into
+    * ONE OrderStat histogram search. Under-quota languages publish
+    * thr = 2.0 (keep everything). |langs| rows of three scalars — the
+    * generation a long-lived intake stream pins at start and observes
+    * on roll (the BoundsStore deployment shape).
+    */
+  private[graft] def quotaThresholds(t: Tables): DataFrame = {
+    import graft.functions.OrderStat
+    import graft.functions.OrderStat.RankTarget
+    val spark = t.spark
+    import spark.implicits._
+    val docs = t.documents.select(col("doc_id"), col("lang"))
+      .withColumn("u", u("qta", col("doc_id")))
+    val perLang = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val whole = perLang.filter(_._2 <= QuotaN)
+      .map { case (l, _) => (l, 2.0, Long.MaxValue) }
+    val over = perLang.filter(_._2 > QuotaN).toSeq
+    if (over.isEmpty) return whole.toSeq.toDF("lang", "thr", "cutoff")
+    val counts = docs.filter(col("lang").isin(over.map(_._1): _*))
+      .groupBy(col("lang").as("g"), col("u").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val thrs = OrderStat.valuesAtDescRanks(counts,
+      over.map { case (l, nl) => RankTarget(l, nl - QuotaN + 1) })
+    val thrByLang = over.map { case (l, nl) =>
+      l -> thrs(RankTarget(l, nl - QuotaN + 1))
+    }.toMap
+    val thrDf = broadcast(thrByLang.toSeq.toDF("lang", "thr"))
+    val joined = docs.join(thrDf, Seq("lang"))
+    // strict-below count per language fixes each residual tie quota m;
+    // the tie sets (docs at exactly the threshold coin — expected
+    // multiplicity n_l/2³²) are a bounded collect, sorted driver-side
+    val belowCnt = joined.filter(col("u") < col("thr"))
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tiesByLang = joined.filter(col("u") === col("thr"))
+      .select(col("lang"), col("doc_id")).collect()
+      .groupBy(_.getString(0))
+    val cut = over.map { case (l, _) =>
+      val m = (QuotaN - belowCnt.getOrElse(l, 0L)).toInt
+      val ids = tiesByLang(l).map(_.getLong(1)).sorted
+      (l, thrByLang(l), ids(m - 1))
+    }
+    (whole.toSeq ++ cut).toDF("lang", "thr", "cutoff")
+  }
+
+  def sampleQuotaSql: String =
+    s"""SELECT doc_id, lang, source, u FROM (
+       |  SELECT doc_id, lang, source, ${uSql("qta")} AS u,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY ${uSql("qta")}, doc_id) AS rn
+       |  FROM documents) s
+       |WHERE rn <= $QuotaN
+       |ORDER BY doc_id""".stripMargin
 }

@@ -1866,4 +1866,140 @@ object Jobs {
         .select(col("doc_id"), col("n_email"), col("n_ip"), col("n_num"),
           col("scrubbed"))
   }
+
+  // ---------------------------------------------------------------------
+  // AsOfEnrichStream — operators.Sequences.eventAsofJoin as a live
+  // enrichment: each probe event attributed to the latest same-user ref
+  // AT ARRIVAL time.
+  // ---------------------------------------------------------------------
+  object AsOfEnrichStream {
+
+    /** Per-user as-of enrichment: state = the single latest-(ts_sec,
+      * event_id) ref seen so far per user (two longs — constant per
+      * key, the 100 TB-safe shape), probes emit (probe, latest ref ≤
+      * probe ts) as they arrive. Within a micro-batch rows are
+      * processed in the batch operator's carry order (ts_sec, refs
+      * before probes, event_id), so an IN-ORDER replay reproduces
+      * `event_asof_join` exactly (spec-pinned). Semantics under
+      * disorder are AT-ARRIVAL and documented: a ref arriving after a
+      * probe it would have attributed cannot retro-attach the
+      * already-emitted row (the nightly `event_asof_join` recompute is
+      * the reconciliation, the reconcileAdmissions shape); a ref ahead
+      * of a probe's event time is held in state but never attributed
+      * backward (the `_1 <= ts` guard).
+      *
+      * Input: (event_id, ts_sec, user_id, event_type) rows.
+      */
+    def enriched(events: DataFrame): DataFrame = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      import graft.operators.Sequences.{ProbeType, RefType}
+      events
+        .select(col("user_id"), col("ts_sec"), col("event_type"),
+          col("event_id"))
+        .as[(Long, Long, String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(
+          (user: Long, it: Iterator[(Long, Long, String, Long)],
+           state: GroupState[(Long, Long)]) => {
+            val rows = it.toVector
+              .sortBy(r => (r._2, r._3 == ProbeType, r._4))
+            var st = state.getOption
+            val out = Vector.newBuilder[(Long, Long, Long, Long, Long, Long)]
+            rows.foreach { case (_, ts, tpe, id) =>
+              if (tpe == RefType) {
+                if (st.forall(s => s._1 < ts || (s._1 == ts && s._2 < id)))
+                  st = Some((ts, id))
+              } else if (tpe == ProbeType) {
+                val (rts, rid) = st.filter(_._1 <= ts).getOrElse((-1L, -1L))
+                out += ((id, user, ts, rts, rid,
+                  if (rts >= 0L) ts - rts else -1L))
+              }
+            }
+            st.foreach(state.update)
+            out.result().iterator
+          })
+        .toDF("event_id", "user_id", "ts_sec", "ref_ts_sec", "ref_id",
+          "gap_sec")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // FunnelStream — operators.Sequences.eventFunnel as a live per-user
+  // state machine: emits a row each time a user ADVANCES a stage.
+  // ---------------------------------------------------------------------
+  object FunnelStream {
+
+    /** Per-user funnel progression: state = (t1, t2, t3) (-1 = not
+      * reached; three longs, constant per key), one output row per
+      * stage ADVANCE — `(user_id, stage, ts_sec)` when the user's
+      * earliest qualifying signup/view/purchase lands. Within a batch,
+      * rows process in (ts_sec, funnel-stage-rank) order — at an equal
+      * second a signup anchors the view that anchors the purchase,
+      * exactly the batch `>=` chain — so an in-order replay's final
+      * stage per user ≡ `event_funnel` (spec-pinned; the batch op's
+      * min-ts semantics are the first-qualifying-arrival semantics
+      * in order). Gap rule shared: a step qualifies only within
+      * [[graft.operators.Sequences.FunnelGapSec]] of its anchor.
+      */
+    def stages(events: DataFrame): DataFrame = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      import graft.operators.Sequences.{FunnelGapSec, ProbeType}
+      val rank = Map("signup" -> 0, "view" -> 1, ProbeType -> 2)
+      events
+        .select(col("user_id"), col("ts_sec"), col("event_type"))
+        .as[(Long, Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(
+          (user: Long, it: Iterator[(Long, Long, String)],
+           state: GroupState[(Long, Long, Long)]) => {
+            var (t1, t2, t3) = state.getOption.getOrElse((-1L, -1L, -1L))
+            val rows = it.toVector.filter(r => rank.contains(r._3))
+              .sortBy(r => (r._2, rank(r._3)))
+            val out = Vector.newBuilder[(Long, Int, Long)]
+            rows.foreach { case (_, ts, tpe) =>
+              tpe match {
+                case "signup" if t1 < 0L =>
+                  t1 = ts; out += ((user, 1, ts))
+                case "view" if t1 >= 0L && t2 < 0L &&
+                  ts >= t1 && ts <= t1 + FunnelGapSec =>
+                  t2 = ts; out += ((user, 2, ts))
+                case ProbeType if t2 >= 0L && t3 < 0L &&
+                  ts >= t2 && ts <= t2 + FunnelGapSec =>
+                  t3 = ts; out += ((user, 3, ts))
+                case _ => ()
+              }
+            }
+            state.update((t1, t2, t3))
+            out.result().iterator
+          })
+        .toDF("user_id", "stage", "ts_sec")
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // SampleQuotaStream — pipeline.Mixing.sampleQuota on a live stream:
+  // the exact-quota membership decision applied as docs land, against
+  // the PUBLISHED (lang, thr, cutoff) threshold table.
+  // ---------------------------------------------------------------------
+  object SampleQuotaStream {
+
+    /** Keep a streamed doc iff the published membership rule admits it
+      * — literally [[graft.pipeline.Mixing.quotaKeep]], the same
+      * broadcast-join-plus-filter the batch entry runs, so replaying
+      * the corpus through this gate with the thresholds the batch run
+      * published reproduces `corpus_sample_quota` EXACTLY in any
+      * arrival order (stateless — spec-pinned). `thresholds` is
+      * `Mixing.quotaThresholds`' output or a later generation of it
+      * (the boundary-table deployment shape: batch recompute
+      * publishes, stream pins at start, roll republishes); a language
+      * absent from the table drops at rate 0.
+      */
+    def sample(docs: DataFrame, thresholds: DataFrame): DataFrame =
+      graft.pipeline.Mixing.quotaKeep(docs, thresholds)
+        .select(col("doc_id"), col("lang"), col("u"))
+  }
 }

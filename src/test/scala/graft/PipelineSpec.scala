@@ -414,4 +414,57 @@ class PipelineSpec extends SparkSpec {
     val hex = md.map("%02x".format(_)).mkString.take(8)
     java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
   }
+
+  test("mix: fixed sample = exactly N docs ≡ the naive global sort-limit, without paying it") {
+    import graft.pipeline.Mixing
+    import org.apache.spark.sql.functions._
+    val got = Mixing.sampleFixed(tables).collect()
+    assert(got.length.toLong == Mixing.SampleFixedN, s"got ${got.length}")
+    // bit-identical to the naive ORDER BY (u, doc_id) LIMIT N
+    val naive = tables.documents
+      .select(col("doc_id"), col("lang"), col("source"))
+      .withColumn("u", Mixing.u("fix", col("doc_id")))
+      .orderBy(col("u"), col("doc_id")).limit(Mixing.SampleFixedN.toInt)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).toSet == naive)
+    // deterministic rerun
+    val again = Mixing.sampleFixed(tables).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // the corpus-wide top-N sort the OrderStat threshold exists to
+    // avoid never appears: no full-N TakeOrderedAndProject in the plan
+    // (the tie branch's limit is the residual quota — a handful)
+    val plan = Mixing.sampleFixed(tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains(s"limit=${Mixing.SampleFixedN}"),
+      s"full-N sort-limit in plan:\n$plan")
+  }
+
+  test("mix: quota sample = exactly min(Q, n_l) docs per language ≡ the naive per-lang rank") {
+    import graft.pipeline.Mixing
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val got = Mixing.sampleQuota(tables).collect()
+    val perLang = tables.documents.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val gotByLang = got.groupBy(_.getString(1))
+      .view.mapValues(_.length.toLong).toMap
+    for ((l, n) <- perLang)
+      assert(gotByLang.getOrElse(l, 0L) == math.min(Mixing.QuotaN, n),
+        s"lang $l: ${gotByLang.getOrElse(l, 0L)} != min(Q, $n)")
+    // both branches exercised at this sf: en over quota, others whole
+    assert(perLang("en") > Mixing.QuotaN, "fixture drift: en under quota")
+    assert(perLang.exists(_._2 <= Mixing.QuotaN), "fixture drift")
+    // ≡ the naive per-language row_number rank
+    val naive = tables.documents
+      .select(col("doc_id"), col("lang"))
+      .withColumn("u", Mixing.u("qta", col("doc_id")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("u"), col("doc_id"))))
+      .filter(col("rn") <= Mixing.QuotaN)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.map(_.getLong(0)).toSet == naive)
+    // deterministic rerun
+    val again = Mixing.sampleQuota(tables).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.Sequences
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-sequence operators: as-of attribution join + funnel.
+  * Planted corpora pin the tie/sentinel/gap rules; the real corpus is
+  * cross-checked against an INDEPENDENT range-join formulation; the
+  * single-Exchange plan shape is pinned (the whole point of the
+  * union-and-carry formulation over a range join).
+  */
+class SequencesSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  /** Planted events dir: (event_id, tsSec, user_id, event_type). */
+  private def writeEvents(rows: Seq[(Long, Long, Long, String)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_seq").toString
+    rows.toDF("event_id", "ts_sec_in", "user_id", "event_type")
+      .selectExpr("event_id", "ts_sec_in * 1000000000 AS ts", "user_id",
+        "event_type", "CAST(1.0 AS DOUBLE) AS value", "'' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("asof: same-second ref attributes, later refs don't, max id wins a tie, no-ref is -1") {
+    val dir = writeEvents(Seq(
+      // user 1: two clicks at t=100 (tie -> id 11), purchase at t=100
+      (10L, 100L, 1L, "click"),
+      (11L, 100L, 1L, "click"),
+      (20L, 100L, 1L, "purchase"),
+      // purchase BEFORE any click -> unattributed
+      (21L, 50L, 1L, "purchase"),
+      // later click attributes the later purchase
+      (12L, 200L, 1L, "click"),
+      (22L, 250L, 1L, "purchase"),
+      // user 2: no clicks at all
+      (30L, 10L, 2L, "purchase"),
+      // noise the op must ignore
+      (40L, 99L, 1L, "view")))
+    val got = Sequences.eventAsofJoin(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(20L) == ((100L, 11L, 0L)), "same-second tie -> max id")
+    assert(got(21L) == ((-1L, -1L, -1L)), "pre-click purchase")
+    assert(got(22L) == ((200L, 12L, 50L)), "latest prior click")
+    assert(got(30L) == ((-1L, -1L, -1L)), "user without refs")
+  }
+
+  test("asof: real corpus ≡ independent range-join formulation") {
+    val t = tables
+    val got = Sequences.eventAsofJoin(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    // independent: max (ref_ts, ref_id) pair per probe via a range join
+    val e = t.events
+    val probe = e.filter(col("event_type") === Sequences.ProbeType)
+      .select(col("event_id"), col("user_id"), col("ts_sec"))
+    val ref = e.filter(col("event_type") === Sequences.RefType)
+      .select(col("user_id").as("r_user"), col("ts_sec").as("r_ts"),
+        col("event_id").as("r_id"))
+    val best = probe.join(ref,
+        col("user_id") === col("r_user") && col("r_ts") <= col("ts_sec"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(max(struct(col("r_ts"), col("r_id"))).as("b"))
+      .collect()
+      .map(r => r.getLong(0) -> Option(r.getStruct(1))
+        .filter(s => !s.isNullAt(0))
+        .map(s => (s.getLong(0), s.getLong(1))).getOrElse((-1L, -1L)))
+      .toMap
+    assert(got == best)
+    assert(got.valuesIterator.exists(_._1 >= 0), "some probe attributed")
+    assert(got.valuesIterator.exists(_._1 == -1L), "some probe unattributed")
+  }
+
+  test("asof: plan has exactly one hash Exchange (no range join, no pre-collapse shuffle)") {
+    val plan = physical(Sequences.eventAsofJoin(tables))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected 1 hash Exchange (+ the output rangepartitioning only), " +
+        s"got $exchanges:\n$plan")
+  }
+
+  test("funnel: planted users stop at every stage; gap rule enforced; sentinels ride") {
+    val g = Sequences.FunnelGapSec
+    val dir = writeEvents(Seq(
+      // user 1 completes: signup 100, view within gap, purchase within gap
+      (1L, 100L, 1L, "signup"), (2L, 100L + g, 1L, "view"),
+      (3L, 100L + 2 * g, 1L, "purchase"),
+      // user 2: view arrives AFTER the gap -> stage 1 (purchase in time
+      // but its anchor never exists)
+      (4L, 100L, 2L, "signup"), (5L, 101L + g, 2L, "view"),
+      (6L, 102L + g, 2L, "purchase"),
+      // user 3: signup + view, purchase too late -> stage 2
+      (7L, 100L, 3L, "signup"), (8L, 150L, 3L, "view"),
+      (9L, 151L + g, 3L, "purchase"),
+      // user 4: never signs up -> stage 0 even with view+purchase
+      (10L, 100L, 4L, "view"), (11L, 150L, 4L, "purchase"),
+      // user 5: view BEFORE signup doesn't count -> stage 1
+      (12L, 50L, 5L, "view"), (13L, 100L, 5L, "signup")))
+    val got = Sequences.eventFunnel(Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toMap
+    assert(got(1L) == ((100L, 100L + g, 100L + 2 * g, 3)))
+    assert(got(2L) == ((100L, -1L, -1L, 1)))
+    assert(got(3L) == ((100L, 150L, -1L, 2)))
+    assert(got(4L) == ((-1L, -1L, -1L, 0)))
+    assert(got(5L) == ((100L, -1L, -1L, 1)))
+  }
+
+  test("funnel: earliest qualifying step wins (min, not any)") {
+    val dir = writeEvents(Seq(
+      (1L, 100L, 1L, "signup"), (2L, 50L, 1L, "signup"), // min signup 50
+      (3L, 60L, 1L, "view"), (4L, 70L, 1L, "view"),      // min view >= 50
+      (5L, 65L, 1L, "purchase")))                        // >= t2=60
+    val got = Sequences.eventFunnel(Tables(spark, dir)).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getInt(4)) == ((50L, 60L, 65L, 3)))
+  }
+
+  test("funnel: every shuffle in the plan keys on user_id") {
+    val plan = physical(Sequences.eventFunnel(tables))
+    val hashParts = "hashpartitioning\\(([a-z_]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSet
+    assert(hashParts.subsetOf(Set("user_id")),
+      s"non-user_id shuffle keys: $hashParts\n$plan")
+  }
+}

@@ -1872,4 +1872,147 @@ class StreamingJobsSpec extends SparkSpec {
       assert(out.synchronized(out.toSet) == batch)
     } finally q.stop()
   }
+
+  /** Planted events dir for the sequence-stream twins. */
+  private def writeSeqEvents(dir: String,
+                             rows: Seq[(Long, Long, Long, String)]): Unit = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts_sec_in", "user_id", "event_type")
+      .selectExpr("event_id", "ts_sec_in * 1000000000 AS ts", "user_id",
+        "event_type", "CAST(1.0 AS DOUBLE) AS value", "'' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+  }
+
+  test("AsOfEnrichStream: in-order two-batch replay ≡ batch event_asof_join; late ref is at-arrival") {
+    import spark.implicits._
+    val events = Seq(
+      (10L, 100L, 1L, "click"), (11L, 100L, 1L, "click"),
+      (20L, 100L, 1L, "purchase"),          // tie -> ref 11, gap 0
+      (21L, 50L, 1L, "purchase"),           // pre-click -> -1
+      (12L, 200L, 1L, "click"),
+      (22L, 250L, 1L, "purchase"),          // -> ref 12 (cross-batch carry)
+      (30L, 10L, 2L, "purchase"),           // user without refs -> -1
+      (40L, 99L, 1L, "view"))               // ignored type
+    val dir = tmp("graft-asof-stream")
+    writeSeqEvents(dir, events)
+    val batch = graft.operators.Sequences
+      .eventAsofJoin(graft.Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val out = mutable.Buffer.empty[(Long, Long, Long, Long, Long, Long)]
+    val q = Jobs.AsOfEnrichStream.enriched(
+      in.toDF().toDF("event_id", "ts_sec", "user_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("graft-asof-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        }; ()
+      }.start()
+    try {
+      // in event-time order, split mid-stream: the t=200 click lands in
+      // batch 1, the t=250 purchase it attributes in batch 2 (state carry)
+      val ordered = events.filter(_._4 != "view")
+        .sortBy(e => (e._2, e._4 == "purchase", e._1))
+      in.addData(ordered.take(5))
+      q.processAllAvailable()
+      in.addData(ordered.drop(5))
+      q.processAllAvailable()
+      assert(out.synchronized(out.toSet) == batch,
+        s"stream ${out.toSet} != batch $batch")
+
+      // at-arrival semantics: a ref arriving AFTER a probe it would
+      // have attributed does not retro-attach, but catches later probes
+      in.addData(Seq((23L, 400L, 1L, "purchase")))
+      q.processAllAvailable()
+      in.addData(Seq((13L, 300L, 1L, "click"),
+        (24L, 410L, 1L, "purchase")))
+      q.processAllAvailable()
+      val late = out.synchronized(
+        out.toVector.map(r => r._1 -> (r._4, r._5, r._6)).toMap)
+      assert(late(23L) == ((200L, 12L, 200L)),
+        "already-emitted probe must keep its at-arrival attribution")
+      assert(late(24L) == ((300L, 13L, 110L)),
+        "subsequent probe must see the late ref")
+    } finally q.stop()
+  }
+
+  test("FunnelStream: in-order replay final stages ≡ batch event_funnel; one row per advance") {
+    import spark.implicits._
+    val g = graft.operators.Sequences.FunnelGapSec
+    val events = Seq(
+      (1L, 100L, 1L, "signup"), (2L, 100L + g, 1L, "view"),
+      (3L, 100L + 2 * g, 1L, "purchase"),   // completes
+      (4L, 100L, 2L, "signup"), (5L, 101L + g, 2L, "view"),
+      (6L, 102L + g, 2L, "purchase"),       // stage 1 (view too late)
+      (7L, 100L, 3L, "signup"), (8L, 150L, 3L, "view"),
+      (9L, 151L + g, 3L, "purchase"),       // stage 2 (purchase too late)
+      (10L, 100L, 4L, "view"), (11L, 150L, 4L, "purchase"), // stage 0
+      (12L, 50L, 5L, "view"), (13L, 100L, 5L, "signup"))    // stage 1
+    val dir = tmp("graft-funnel-stream")
+    writeSeqEvents(dir, events)
+    val batch = graft.operators.Sequences
+      .eventFunnel(graft.Tables(spark, dir)).collect()
+      .map(r => r.getLong(0) -> r.getInt(4)).toMap
+
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val out = mutable.Buffer.empty[(Long, Int, Long)]
+    val q = Jobs.FunnelStream.stages(
+      in.toDF().toDF("event_id", "ts_sec", "user_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("graft-funnel-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2)))
+        }; ()
+      }.start()
+    try {
+      // event-time order, two batches splitting user 1's funnel
+      val ordered = events.sortBy(_._2)
+      val (a, b) = ordered.splitAt(ordered.length / 2)
+      in.addData(a); q.processAllAvailable()
+      in.addData(b); q.processAllAvailable()
+      val rows = out.synchronized(out.toVector)
+      // one row per advance, no duplicates
+      assert(rows.distinct.size == rows.size)
+      val finalStage = rows.groupBy(_._1)
+        .view.mapValues(_.map(_._2).max).toMap
+      for ((u, st) <- batch)
+        assert(finalStage.getOrElse(u, 0) == st,
+          s"user $u: stream ${finalStage.getOrElse(u, 0)} != batch $st")
+    } finally q.stop()
+  }
+
+  test("SampleQuotaStream: any-order replay against published thresholds ≡ batch corpus_sample_quota; novel lang drops") {
+    import spark.implicits._
+    val batch = graft.pipeline.Mixing.sampleQuota(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3))).toSet
+    val thresholds = graft.pipeline.Mixing.quotaThresholds(tables)
+    val docs = tables.documents.select("doc_id", "lang")
+      .as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, String, Double)]
+    val q = Jobs.SampleQuotaStream.sample(
+      in.toDF().toDF("doc_id", "lang"), thresholds)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r =>
+            (r.getLong(0), r.getString(1), r.getDouble(2)))
+        }; ()
+      }.start()
+    try {
+      in.addData(docs.reverse.toSeq :+ (999999L, "zz_novel"))
+      q.processAllAvailable()
+      val got = out.synchronized(out.toSet)
+      assert(got == batch,
+        s"stream-only ${got -- batch}, batch-only ${batch -- got}")
+      assert(!got.exists(_._1 == 999999L), "novel lang must drop")
+    } finally q.stop()
+  }
 }
