@@ -119,9 +119,15 @@ object SparkEntry {
     "pii_stats" -> q(graft.textanalysis.Pii.piiStats),
     "dedup_weighted" -> q(graft.dedup.Dedup.dedupWeighted),
     "dedup_clusters_quality" -> q(graft.dedup.Dedup.nearDupClustersQuality),
-    // event sequences (as-of / funnel)
+    // event sequences (as-of / funnel / retention)
     "event_asof_join" -> q(Sequences.eventAsofJoin),
     "event_funnel" -> q(Sequences.eventFunnel),
+    "event_retention" -> q(Sequences.eventRetention),
+    // bloom membership pre-filter
+    "bloom_dup_candidates" -> q(graft.dedup.Bloom.bloomDupCandidates),
+    // count-min sketch (bounded-memory frequency estimation)
+    "sketch_countmin" -> q(Sketches.countMinSketch),
+    "sketch_heavy_hitters" -> q(Sketches.countMinHeavyHitters),
     // exact-count sampling (OrderStat threshold, no global sort)
     "corpus_sample_fixed" -> q(graft.pipeline.Mixing.sampleFixed),
     "corpus_sample_quota" -> q(graft.pipeline.Mixing.sampleQuota)
@@ -231,6 +237,10 @@ object SparkEntry {
     "dedup_clusters_quality" -> graft.dedup.Dedup.nearDupClustersQualitySql,
     "event_asof_join" -> Sequences.eventAsofJoinSql,
     "event_funnel" -> Sequences.eventFunnelSql,
+    "event_retention" -> Sequences.eventRetentionSql,
+    "bloom_dup_candidates" -> graft.dedup.Bloom.bloomDupCandidatesSql,
+    "sketch_countmin" -> Sketches.countMinSketchSql,
+    "sketch_heavy_hitters" -> Sketches.countMinHeavyHittersSql,
     "corpus_sample_fixed" -> graft.pipeline.Mixing.sampleFixedSql,
     "corpus_sample_quota" -> graft.pipeline.Mixing.sampleQuotaSql
   )

@@ -138,6 +138,48 @@ object Sequences {
       .orderBy(col("user_id"))
   }
 
+  /** Seconds per retention bucket (day granularity — the corpus spans
+    * a month, so day cells discriminate where week cells saturate).
+    */
+  val RetentionBucketSec = 86400L
+
+  /** Cohort RETENTION matrix: users bucketed by the day of their
+    * first event (the cohort), each cell (cohort_day, day_offset) =
+    * how many of that cohort were active offset days later — the
+    * curve behind "day-N retention". Three aggregations, all keyed on
+    * user_id or bounded (cohort, offset) pairs: distinct (user, day)
+    * activity, min-day cohorts, then the matrix count — the
+    * (user, day) distinct bounds every later frame by active-days,
+    * not events, so the plan never regroups raw events twice.
+    * Day arithmetic is integer floor division (`div`) in both engines
+    * — no float boundary can move a midnight event across cells.
+    */
+  def eventRetention(t: Tables): DataFrame = {
+    val act = t.events
+      .select(col("user_id"),
+        expr(s"ts_sec div $RetentionBucketSec").as("d"))
+      .distinct()
+    val cohorts = act.groupBy(col("user_id")).agg(min(col("d")).as("d0"))
+    act.join(cohorts, Seq("user_id"))
+      .groupBy(col("d0").as("cohort_day"),
+        (col("d") - col("d0")).as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  def eventRetentionSql: String =
+    s"""WITH e AS (SELECT user_id,
+       |             CAST(floor(epoch(ts)) AS BIGINT) // $RetentionBucketSec
+       |               AS d
+       |           FROM events),
+       |act AS (SELECT DISTINCT user_id, d FROM e),
+       |fw AS (SELECT user_id, MIN(d) AS d0 FROM act GROUP BY user_id)
+       |SELECT fw.d0 AS cohort_day, act.d - fw.d0 AS day_offset,
+       |       COUNT(*) AS n_users
+       |FROM act JOIN fw USING (user_id)
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+
   def eventFunnelSql: String =
     s"""WITH e AS (SELECT user_id, event_type,
        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec

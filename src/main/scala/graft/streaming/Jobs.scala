@@ -2002,4 +2002,54 @@ object Jobs {
       graft.pipeline.Mixing.quotaKeep(docs, thresholds)
         .select(col("doc_id"), col("lang"), col("u"))
   }
+
+  // ---------------------------------------------------------------------
+  // BloomGateStream — dedup.Bloom as the intake PRE-FILTER: the
+  // sublinear-memory "possibly seen before?" gate in front of the
+  // exact-dedup stage.
+  // ---------------------------------------------------------------------
+  object BloomGateStream {
+
+    /** STATELESS membership gate: `Bloom.hitCol` compiled against the
+      * published literal filter array (`Bloom.bloomArray` of the batch
+      * build — the boundary-table deployment shape: a periodic batch
+      * job republishes the filter as the corpus grows, the stream pins
+      * the generation at start). Pure map-side — no join, no state; a
+      * miss is DEFINITIVE (skip the dedup join), a hit goes on to the
+      * exact md5 check. Replay ≡ batch `bloom_dup_candidates`
+      * bit-for-bit in any order (spec-pinned — even the
+      * false-positive set is deterministic).
+      */
+    def hits(docs: DataFrame, bloomArr: Seq[Long]): DataFrame =
+      docs.select(col("doc_id"),
+        graft.dedup.Bloom.hitCol(col("text"), bloomArr).as("hit"))
+  }
+
+  // ---------------------------------------------------------------------
+  // CountMinStream — operators.Sketches' grid as RUNNING STATE: the
+  // bounded-memory alternative to RunningCounts when keys are
+  // unbounded (the reference's updateStateByKey holds one state entry
+  // per key forever; this holds d×w cells no matter what arrives).
+  // ---------------------------------------------------------------------
+  object CountMinStream {
+
+    /** The running sketch: per-row cell expansion (the batch
+      * [[graft.operators.Sketches]] hash definitions by import — they
+      * cannot drift) into ONE update-mode streaming aggregation keyed
+      * on (j, c). State = at most d·w = 4096 count cells forever —
+      * vocabulary growth never grows state, the whole point. Each
+      * micro-batch emits the updated cells; the latest emission per
+      * cell IS the batch sketch of everything delivered (spec-pinned
+      * on a shuffled two-batch corpus replay). Estimates are then
+      * served map-side against the published grid exactly as in batch.
+      *
+      * Input: (text) rows (any doc stream — tokenization shared with
+      * the batch word counts: whitespace split).
+      */
+    def sketch(docs: DataFrame): DataFrame =
+      graft.operators.Sketches.cells(
+        docs.select(explode(split(col("text"), " ")).as("word")))
+        .groupBy(col("j"), col("c"))
+        .agg(count(lit(1)).as("cnt"))
+  }
 }

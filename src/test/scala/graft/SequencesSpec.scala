@@ -123,6 +123,32 @@ class SequencesSpec extends SparkSpec {
       got.getInt(4)) == ((50L, 60L, 65L, 3)))
   }
 
+  test("retention: planted cohorts land in the right cells; day-0 cell = cohort size") {
+    val dir = writeEvents(Seq(
+      // user 1: cohort day 0, active days 0 and 2
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"),
+      (3L, 2 * 86400L + 5L, 1L, "view"),
+      // user 2: cohort day 1, active days 1 and 3
+      (4L, 86400L + 7L, 2L, "view"), (5L, 3 * 86400L + 1L, 2L, "click"),
+      // user 3: cohort day 0, active day 0 only
+      (6L, 99L, 3L, "error")))
+    val got = Sequences.eventRetention(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 2L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 2L) -> 1L))
+  }
+
+  test("retention: real corpus — offset-0 cell is each cohort's max (first day is always active)") {
+    val rows = Sequences.eventRetention(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (c, cells) =>
+      val day0 = cells.find(_._2 == 0L)
+        .getOrElse(fail(s"cohort $c missing offset 0"))._3
+      assert(cells.forall(_._3 <= day0), s"cohort $c cell exceeds day-0")
+    }
+  }
+
   test("funnel: every shuffle in the plan keys on user_id") {
     val plan = physical(Sequences.eventFunnel(tables))
     val hashParts = "hashpartitioning\\(([a-z_]+)".r

@@ -2015,4 +2015,68 @@ class StreamingJobsSpec extends SparkSpec {
       assert(!got.exists(_._1 == 999999L), "novel lang must drop")
     } finally q.stop()
   }
+
+  test("BloomGateStream: any-order replay against the published filter ≡ batch bloom_dup_candidates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val batch = graft.dedup.Bloom.bloomDupCandidates(tables).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cutoff = tables.documents.agg(smax(col("doc_id")))
+      .head.getLong(0) / 2
+    val published = graft.dedup.Bloom.bloomArray(graft.dedup.Bloom
+      .bloomOf(tables.documents.filter(col("doc_id") <= cutoff)))
+    val docs = tables.documents.select("doc_id", "text")
+      .as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, Int)]
+    val q = Jobs.BloomGateStream.hits(
+      in.toDF().toDF("doc_id", "text"), published)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getInt(1)))
+        }; ()
+      }.start()
+    try {
+      in.addData(docs.reverse.toSeq)
+      q.processAllAvailable()
+      val got = out.synchronized(out.toMap)
+      assert(got == batch, "stateless gate must replay batch bit-for-bit")
+      assert(got.valuesIterator.exists(_ == 1) &&
+        got.valuesIterator.exists(_ == 0), "degenerate fixture")
+    } finally q.stop()
+  }
+
+  test("CountMinStream: shuffled two-batch replay — latest cell emissions ≡ batch sketch; state bounded") {
+    import spark.implicits._
+    val batch = graft.operators.Sketches.countMinSketch(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val texts = tables.documents.select("text").as[String].collect()
+
+    val in = MemoryStream[String]
+    // update-mode emissions: LAST value per cell wins
+    val cells = mutable.Map.empty[(Int, Long), Long]
+    val q = Jobs.CountMinStream.sketch(in.toDF().toDF("text"))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("graft-cm-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        cells.synchronized {
+          b.collect().foreach(r =>
+            cells((r.getInt(0), r.getLong(1))) = r.getLong(2))
+        }; ()
+      }.start()
+    try {
+      // deterministic shuffle: odd-indexed docs first, then even
+      val (odd, even) = texts.zipWithIndex.partition(_._2 % 2 == 1)
+      in.addData(odd.map(_._1).toSeq)
+      q.processAllAvailable()
+      in.addData(even.map(_._1).toSeq)
+      q.processAllAvailable()
+      val got = cells.synchronized(cells.toMap)
+      assert(got == batch, "running grid must converge to the batch sketch")
+      assert(got.size <= graft.operators.Sketches.CmDepth *
+        graft.operators.Sketches.CmWidth, "state exceeded the grid bound")
+    } finally q.stop()
+  }
 }
