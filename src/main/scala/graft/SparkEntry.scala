@@ -89,6 +89,7 @@ object SparkEntry {
     "top_ngrams" -> q(t => TextAnalysis.topNgrams(t)),
     // multimodal
     "multimodal_meta" -> q(Multimodal.multimodalMeta),
+    "multimodal_features" -> q(Multimodal.multimodalFeatures),
     // composite pipeline
     "corpus_clean" -> q(CorpusClean.corpusClean),
     "corpus_clean_neardup" -> q(CorpusClean.corpusCleanNearDup),
@@ -209,6 +210,7 @@ object SparkEntry {
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "top_ngrams" -> TextAnalysis.topNgramsSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
+    "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql,
     "corpus_clean_neardup" -> CorpusClean.corpusCleanNearDupSql,
     "corpus_clean_clustered" -> CorpusClean.corpusCleanClusteredSql,

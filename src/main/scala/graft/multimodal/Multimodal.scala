@@ -54,6 +54,62 @@ object Multimodal {
       |       WHEN substr(text, 1, 4) = 'RIFF' THEN 'audio/wav'
       |       ELSE 'text/plain' END AS media_type
       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** The decode → resize → frame-sample pipeline ORACLE-CHECKED end to
+    * end: [[Pipeline.features]] with the deterministic
+    * [[Pipeline.FakeDecoder]] over the text-byte stand-in payloads —
+    * every derived number (dimension clamps, frame count, stride
+    * sampling, sampled-byte mean) is integer/byte arithmetic the
+    * DuckDB oracle reproduces formula for formula, so the
+    * mapPartitions plumbing (the part a real codec swap keeps) is
+    * hash-gated, not just spec-asserted. The byte mean is exact
+    * before rounding (≤578 ints summed in doubles — below 2⁵³), so
+    * round6 crosses the engine boundary safely. ASCII corpus
+    * assumption documented at [[multimodalMeta]].
+    */
+  def multimodalFeatures(t: Tables): DataFrame =
+    featureFrame(Pipeline.features(
+      Pipeline.recordsFromDocuments(t), Pipeline.FakeDecoder).toDF())
+      .orderBy(col("doc_id"))
+
+  /** Shared output projection — consumed by the batch entry and
+    * `streaming.MediaFeaturesStream`, so the surfaced schema cannot
+    * drift (unsorted: streams can't sort — the batch entry adds the
+    * presentation order). Long-typed frame counts match the oracle's
+    * BIGINT len arithmetic.
+    */
+  private[graft] def featureFrame(features: DataFrame): DataFrame =
+    features.select(col("id").as("doc_id"),
+      col("nBytes").as("n_bytes"),
+      col("width"), col("height"),
+      col("nFrames").cast("long").as("n_frames"),
+      col("sampledFrames").cast("long").as("sampled_frames"),
+      graft.functions.Portable.round6(col("meanByte")).as("mean_byte"))
+
+  def multimodalFeaturesSql: String = {
+    val mean6 = graft.functions.Portable.round6Sql("sb::DOUBLE / nb")
+    s"""WITH d AS (SELECT doc_id, text, octet_length(text::BLOB) AS len
+       |           FROM documents),
+       |par AS (SELECT doc_id, text, len,
+       |          4 + (ascii(substr(text, 1, 1)) % 8) AS w,
+       |          4 + (ascii(substr(text, CAST(len AS INT), 1)) % 8) AS h,
+       |          1 + (len % 4) AS n
+       |        FROM d),
+       |sl AS (SELECT doc_id,
+       |          substr(text, CAST(i * (len // n) AS INT) + 1,
+       |                 CAST((i + 1) * (len // n) - i * (len // n) AS INT))
+       |            AS s
+       |       FROM par, range(4) t(i) WHERE i < n AND i % 2 = 0),
+       |ch AS (SELECT doc_id, unnest(string_split(s, '')) AS c FROM sl),
+       |mb AS (SELECT doc_id, SUM(ascii(c)) AS sb, COUNT(*) AS nb
+       |       FROM ch GROUP BY doc_id)
+       |SELECT p.doc_id, p.len AS n_bytes,
+       |  LEAST(p.w, 8) AS width, LEAST(p.h, 8) AS height,
+       |  p.n AS n_frames, ((p.n + 1) // 2) AS sampled_frames,
+       |  $mean6 AS mean_byte
+       |FROM par p JOIN mb USING (doc_id)
+       |ORDER BY p.doc_id""".stripMargin
+  }
 }
 
 /** Typed decode → resize → frame-sample plumbing. */

@@ -2052,4 +2052,34 @@ object Jobs {
         .groupBy(col("j"), col("c"))
         .agg(count(lit(1)).as("cnt"))
   }
+
+  // ---------------------------------------------------------------------
+  // MediaFeaturesStream — multimodal.Pipeline.features on a live
+  // media stream: decode → resize → frame-sample per arriving record.
+  // ---------------------------------------------------------------------
+  object MediaFeaturesStream {
+
+    /** STATELESS per-record decode: the SAME `Pipeline.features`
+      * mapPartitions stage the batch entry runs (codec init amortizes
+      * per partition exactly as in batch), surfaced through the shared
+      * `Multimodal.featureFrame` projection — definitions cannot
+      * drift, so replaying a corpus reproduces `multimodal_features`
+      * per doc in any order (spec-pinned, fake decoder). Swap
+      * [[graft.multimodal.Pipeline.RealDecoder]] in deployment; the
+      * streaming plumbing is unchanged.
+      *
+      * Input: (doc_id, text) rows — the text-byte stand-in payloads of
+      * the batch surface.
+      */
+    def features(docs: DataFrame): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      import graft.multimodal.{Multimodal, Pipeline}
+      val recs = docs.select(col("doc_id").as("id"),
+        lit("text/plain").as("mediaType"),
+        col("text").cast("binary").as("payload")).as[Pipeline.MediaRecord]
+      Multimodal.featureFrame(
+        Pipeline.features(recs, Pipeline.FakeDecoder).toDF())
+    }
+  }
 }

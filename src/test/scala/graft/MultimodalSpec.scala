@@ -46,4 +46,18 @@ class MultimodalSpec extends SparkSpec {
       Pipeline.RealDecoder.decode(Array[Byte](1))
     }
   }
+
+  test("multimodal_features entry = the typed features, rounded, per doc") {
+    val entry = Multimodal.multimodalFeatures(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    val direct = Pipeline.features(
+      Pipeline.recordsFromDocuments(tables), Pipeline.FakeDecoder)
+      .collect()
+      .map(f => f.id -> (f.nBytes, f.width, f.height, f.nFrames.toLong,
+        f.sampledFrames.toLong,
+        graft.functions.Portable.round6Double(f.meanByte))).toMap
+    assert(entry == direct)
+    assert(entry.size.toLong == tables.documents.count())
+  }
 }

@@ -2079,4 +2079,32 @@ class StreamingJobsSpec extends SparkSpec {
         graft.operators.Sketches.CmWidth, "state exceeded the grid bound")
     } finally q.stop()
   }
+
+  test("MediaFeaturesStream: any-order replay ≡ batch multimodal_features per doc") {
+    import spark.implicits._
+    val batch = graft.multimodal.Multimodal.multimodalFeatures(tables)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    val docs = tables.documents.select("doc_id", "text")
+      .as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val out = mutable.Map.empty[Long, (Long, Int, Int, Long, Long, Double)]
+    val q = Jobs.MediaFeaturesStream.features(
+      in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          b.collect().foreach(r => out(r.getLong(0)) =
+            (r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4),
+              r.getLong(5), r.getDouble(6)))
+        }; ()
+      }.start()
+    try {
+      in.addData(docs.reverse.toSeq)
+      q.processAllAvailable()
+      assert(out.synchronized(out.toMap) == batch)
+    } finally q.stop()
+  }
 }
