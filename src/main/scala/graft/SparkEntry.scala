@@ -124,6 +124,7 @@ object SparkEntry {
     "event_asof_join" -> q(Sequences.eventAsofJoin),
     "event_funnel" -> q(Sequences.eventFunnel),
     "event_retention" -> q(Sequences.eventRetention),
+    "event_gap_stats" -> q(Sequences.eventGapStats),
     // bloom membership pre-filter
     "bloom_dup_candidates" -> q(graft.dedup.Bloom.bloomDupCandidates),
     // count-min sketch (bounded-memory frequency estimation)
@@ -240,6 +241,7 @@ object SparkEntry {
     "event_asof_join" -> Sequences.eventAsofJoinSql,
     "event_funnel" -> Sequences.eventFunnelSql,
     "event_retention" -> Sequences.eventRetentionSql,
+    "event_gap_stats" -> Sequences.eventGapStatsSql,
     "bloom_dup_candidates" -> graft.dedup.Bloom.bloomDupCandidatesSql,
     "sketch_countmin" -> Sketches.countMinSketchSql,
     "sketch_heavy_hitters" -> Sketches.countMinHeavyHittersSql,

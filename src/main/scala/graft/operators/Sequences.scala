@@ -180,6 +180,53 @@ object Sequences {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin
 
+  /** Inter-event GAP distribution per event type: lag each user's
+    * timeline once (the [[Windows.sessionize]] per-user window shape —
+    * same whale note), attribute each gap to the LATER event's type,
+    * then the [[Windows.eventStats]] distribution profile over gaps
+    * (exact integer sums; interpolated percentiles shared
+    * Spark-percentile ≡ DuckDB-quantile_cont, round6-guarded). The
+    * latency/cadence profile behind session-gap and funnel-window
+    * tuning — 30 min session gaps and 1 h funnel steps should come
+    * FROM this table, not folklore.
+    */
+  def eventGapStats(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    t.events
+      .withColumn("prev_ts", lag(col("ts_sec"), 1).over(w))
+      .filter(col("prev_ts").isNotNull)
+      .withColumn("gap", col("ts_sec") - col("prev_ts"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round6(sum(col("gap")).cast("double") / count(lit(1)))
+          .as("mean_gap"),
+        min(col("gap")).as("min_gap"),
+        max(col("gap")).as("max_gap"),
+        round6(expr("percentile(gap, 0.5)")).as("p50"),
+        round6(expr("percentile(gap, 0.95)")).as("p95"))
+      .orderBy(col("event_type"))
+  }
+
+  def eventGapStatsSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+       |           FROM events),
+       |g AS (SELECT event_type,
+       |        ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id
+       |          ORDER BY ts_sec, event_id) AS gap
+       |      FROM e)
+       |SELECT event_type, COUNT(*) AS n,
+       |  ${round6Sql("SUM(gap)::DOUBLE / COUNT(*)")} AS mean_gap,
+       |  MIN(gap) AS min_gap, MAX(gap) AS max_gap,
+       |  ${round6Sql("quantile_cont(gap, 0.5)")} AS p50,
+       |  ${round6Sql("quantile_cont(gap, 0.95)")} AS p95
+       |FROM g WHERE gap IS NOT NULL
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+  }
+
   def eventFunnelSql: String =
     s"""WITH e AS (SELECT user_id, event_type,
        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec

@@ -2082,4 +2082,59 @@ object Jobs {
         Pipeline.features(recs, Pipeline.FakeDecoder).toDF())
     }
   }
+
+  // ---------------------------------------------------------------------
+  // RetentionStream — operators.Sequences.eventRetention as a RUNNING
+  // matrix: cohort cells maintained live as events land.
+  // ---------------------------------------------------------------------
+  object RetentionStream {
+
+    /** Running cohort retention: per-user fMGWS state = (cohort day,
+      * seen-day set) — bytes bounded by the user's ACTIVE DAYS over
+      * the analysis span (the marker-state honesty of
+      * StatsBySourceStream: exactly what the batch op's distinct
+      * materializes per run, held resident per user), emitting one
+      * (cohort_day, day_offset) marker per first-seen (user, day);
+      * then ONE update-mode aggregation counts markers per cell —
+      * state ≤ cells (span², tiny). Two stateful operators, the
+      * IntakeSamplerStream discipline.
+      *
+      * In-order replay ≡ batch `event_retention` (spec-pinned across
+      * a batch split). At-arrival semantics under disorder documented:
+      * a day older than the known cohort day re-anchors FUTURE
+      * emissions only — the nightly batch recompute reconciles,
+      * exactly the AsOfEnrichStream rule.
+      */
+    def cells(events: DataFrame): DataFrame = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      import graft.operators.Sequences.RetentionBucketSec
+      events
+        .select(col("user_id"),
+          expr(s"ts_sec div $RetentionBucketSec").as("d"))
+        .as[(Long, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(
+          (user: Long, it: Iterator[(Long, Long)],
+           state: GroupState[(Long, Seq[Long])]) => {
+            var (d0, seen) = state.getOption
+              .getOrElse((Long.MaxValue, Seq.empty[Long]))
+            val days = it.map(_._2).toVector.distinct.sorted
+            val out = Vector.newBuilder[(Long, Long)]
+            days.foreach { d =>
+              if (!seen.contains(d)) {
+                if (d < d0) d0 = d
+                seen = seen :+ d
+                out += ((d0, d - d0))
+              }
+            }
+            state.update((d0, seen))
+            out.result().iterator
+          })
+        .toDF("cohort_day", "day_offset")
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }
+  }
 }

@@ -149,6 +149,27 @@ class SequencesSpec extends SparkSpec {
     }
   }
 
+  test("gap stats: planted gaps attribute to the LATER event's type with exact moments") {
+    val dir = writeEvents(Seq(
+      // user 1 timeline: view@100 -> click@130 (gap 30, type click)
+      //                  -> view@190 (gap 60, type view)
+      (1L, 100L, 1L, "view"), (2L, 130L, 1L, "click"),
+      (3L, 190L, 1L, "view"),
+      // user 2: single event -> no gap rows at all
+      (4L, 500L, 2L, "click"),
+      // user 1 again: same-second tie orders by event_id:
+      // click id 5 then view id 6 -> view gap 0
+      (5L, 190L, 1L, "click"), (6L, 190L, 1L, "view")))
+    val got = Sequences.eventGapStats(Tables(spark, dir)).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toMap
+    // same-second rows: ...(3,190,view) < (5,190,click) < (6,190,view)
+    // by (ts, id) -> click@190 gap 0, view@190 gap 0
+    assert(got("click") == ((2L, 15.0, 0L, 30L))) // gaps 30, 0
+    assert(got("view") == ((2L, 30.0, 0L, 60L)))  // gaps 60, 0
+    assert(!got.contains("error") && got.size == 2)
+  }
+
   test("funnel: every shuffle in the plan keys on user_id") {
     val plan = physical(Sequences.eventFunnel(tables))
     val hashParts = "hashpartitioning\\(([a-z_]+)".r

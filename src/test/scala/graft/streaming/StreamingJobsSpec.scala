@@ -2107,4 +2107,33 @@ class StreamingJobsSpec extends SparkSpec {
       assert(out.synchronized(out.toMap) == batch)
     } finally q.stop()
   }
+
+  test("RetentionStream: in-order two-batch replay — latest cell emissions ≡ batch event_retention") {
+    import spark.implicits._
+    val batch = graft.operators.Sequences.eventRetention(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val events = tables.events
+      .select("user_id", "ts_sec").as[(Long, Long)].collect()
+      .sortBy(_._2)
+
+    val in = MemoryStream[(Long, Long)]
+    val cells = mutable.Map.empty[(Long, Long), Long]
+    val q = Jobs.RetentionStream.cells(
+      in.toDF().toDF("user_id", "ts_sec"))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("graft-ret-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        cells.synchronized {
+          b.collect().foreach(r =>
+            cells((r.getLong(0), r.getLong(1))) = r.getLong(2))
+        }; ()
+      }.start()
+    try {
+      val (a, b) = events.splitAt(events.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      assert(cells.synchronized(cells.toMap) == batch,
+        "running matrix must converge to the batch retention cells")
+    } finally q.stop()
+  }
 }
