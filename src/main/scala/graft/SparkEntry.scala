@@ -29,6 +29,8 @@ object SparkEntry {
     "blacklist_filter" -> q(Relational.blacklistFilter),
     "kv_extract_count" -> q(Relational.kvExtractCount),
     "q18_large_orders" -> q(Relational.q18LargeOrders),
+    "q7_nation_volume" -> q(Relational.q7NationVolume),
+    "q10_returned_customers" -> q(Relational.q10ReturnedCustomers),
     // wordcount family
     "word_count" -> q(WordCounts.wordCount),
     "word_count_salted" -> q(WordCounts.wordCountSalted),
@@ -159,6 +161,8 @@ object SparkEntry {
     "blacklist_filter" -> Relational.blacklistFilterSql,
     "kv_extract_count" -> Relational.kvExtractCountSql,
     "q18_large_orders" -> Relational.q18LargeOrdersSql,
+    "q7_nation_volume" -> Relational.q7NationVolumeSql,
+    "q10_returned_customers" -> Relational.q10ReturnedCustomersSql,
     "word_count" -> WordCounts.wordCountSql,
     "word_count_salted" -> WordCounts.wordCountSaltedSql,
     "hdfs_word_count" -> WordCounts.hdfsWordCountSql,

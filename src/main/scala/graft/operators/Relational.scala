@@ -259,4 +259,93 @@ object Relational {
     """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k,
       |  COUNT(*) AS cnt
       |FROM events GROUP BY k ORDER BY k""".stripMargin
+
+  /** Cross-nation trade volume by year (TPC-H Q7 shape, all pairs):
+    * supplier-nation × customer-nation revenue matrix over a two-year
+    * shipping window. Two facts join on their keys (shuffle), every
+    * dimension hop (supplier, customer, nation×2) is an explicit
+    * broadcast — the fact side is never shuffled by a dim. Exact
+    * decimal revenue sums (the q1 discipline); year extraction is
+    * integer `year()` in both engines.
+    */
+  def q7NationVolume(t: Tables): DataFrame = {
+    val one = lit(1).cast("decimal(12,2)")
+    val li = t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+        col("l_shipdate") <= lit("1997-12-31 00:00:00"))
+    val n1 = t.nation.select(col("n_nationkey").as("s_nk"),
+      col("n_name").as("supp_nation"))
+    val n2 = t.nation.select(col("n_nationkey").as("c_nk"),
+      col("n_name").as("cust_nation"))
+    li
+      .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  def q7NationVolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  year(l_shipdate) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin
+
+  /** Returned-item revenue, top customers (TPC-H Q10 shape): which
+    * customers returned the most value in a quarter? Facts join and
+    * aggregate BEFORE the top-k (TakeOrderedAndProject — partial
+    * top-k in every task, never a global sort of customers); revenue
+    * is an exact decimal sum so the DESC order (custkey tie-break) is
+    * cross-engine deterministic.
+    */
+  def q10ReturnedCustomers(t: Tables): DataFrame = {
+    val one = lit(1).cast("decimal(12,2)")
+    t.lineitem
+      .filter(col("l_returnflag") === "R")
+      .join(t.orders
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+          col("o_orderdate") < lit("1996-04-01 00:00:00")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  def q10ReturnedCustomersSql: String =
+    """SELECT c_custkey, c_name, c_acctbal, n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |    * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |GROUP BY 1, 2, 3, 4
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 }

@@ -18,4 +18,32 @@ class RelationalSpec extends SparkSpec {
       assert(math.abs(avgQty * n - sumQty) < 1e-6)
     }
   }
+
+  test("q7: dims ride broadcast joins; matrix totals reconcile with a direct sum") {
+    val df = Relational.q7NationVolume(tables)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 4,
+      s"dimension hops must broadcast:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
+    // matrix item total == the filtered fact count (nothing dropped
+    // or double-counted across the 4 joins)
+    val items = rows.map(_.getAs[Long]("n_items")).sum
+    val direct = tables.lineitem
+      .filter(org.apache.spark.sql.functions.col("l_shipdate")
+        .between("1996-01-01 00:00:00", "1997-12-31 00:00:00")).count()
+    assert(items == direct)
+  }
+
+  test("q10: top-k compiles to a partial TakeOrderedAndProject, never a global sort") {
+    val df = Relational.q10ReturnedCustomers(tables)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no partial top-k:\n$plan")
+    val rows = df.collect()
+    assert(rows.length <= 20 && rows.nonEmpty)
+    // descending revenue with custkey tie-break
+    val revs = rows.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs == revs.sorted.reverse)
+  }
 }
