@@ -31,6 +31,7 @@ object SparkEntry {
     "q18_large_orders" -> q(Relational.q18LargeOrders),
     "q7_nation_volume" -> q(Relational.q7NationVolume),
     "q10_returned_customers" -> q(Relational.q10ReturnedCustomers),
+    "q16_supplier_diversity" -> q(Relational.q16SupplierDiversity),
     // wordcount family
     "word_count" -> q(WordCounts.wordCount),
     "word_count_salted" -> q(WordCounts.wordCountSalted),
@@ -89,6 +90,7 @@ object SparkEntry {
     "quality_repetition" -> q(TextAnalysis.qualityRepetition),
     "tfidf_top_terms" -> q(TextAnalysis.tfidfTopTerms),
     "top_ngrams" -> q(t => TextAnalysis.topNgrams(t)),
+    "text_collocations" -> q(TextAnalysis.textCollocations),
     // multimodal
     "multimodal_meta" -> q(Multimodal.multimodalMeta),
     "multimodal_features" -> q(Multimodal.multimodalFeatures),
@@ -127,6 +129,8 @@ object SparkEntry {
     "event_funnel" -> q(Sequences.eventFunnel),
     "event_retention" -> q(Sequences.eventRetention),
     "event_gap_stats" -> q(Sequences.eventGapStats),
+    "event_top_paths" -> q(Sequences.eventTopPaths),
+    "event_daily_anomaly" -> q(Sequences.eventDailyAnomaly),
     // bloom membership pre-filter
     "bloom_dup_candidates" -> q(graft.dedup.Bloom.bloomDupCandidates),
     // count-min sketch (bounded-memory frequency estimation)
@@ -163,6 +167,7 @@ object SparkEntry {
     "q18_large_orders" -> Relational.q18LargeOrdersSql,
     "q7_nation_volume" -> Relational.q7NationVolumeSql,
     "q10_returned_customers" -> Relational.q10ReturnedCustomersSql,
+    "q16_supplier_diversity" -> Relational.q16SupplierDiversitySql,
     "word_count" -> WordCounts.wordCountSql,
     "word_count_salted" -> WordCounts.wordCountSaltedSql,
     "hdfs_word_count" -> WordCounts.hdfsWordCountSql,
@@ -214,6 +219,7 @@ object SparkEntry {
     "quality_repetition" -> TextAnalysis.qualityRepetitionSql,
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "top_ngrams" -> TextAnalysis.topNgramsSql,
+    "text_collocations" -> TextAnalysis.textCollocationsSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql,
@@ -246,6 +252,8 @@ object SparkEntry {
     "event_funnel" -> Sequences.eventFunnelSql,
     "event_retention" -> Sequences.eventRetentionSql,
     "event_gap_stats" -> Sequences.eventGapStatsSql,
+    "event_top_paths" -> Sequences.eventTopPathsSql,
+    "event_daily_anomaly" -> Sequences.eventDailyAnomalySql,
     "bloom_dup_candidates" -> graft.dedup.Bloom.bloomDupCandidatesSql,
     "sketch_countmin" -> Sketches.countMinSketchSql,
     "sketch_heavy_hitters" -> Sketches.countMinHeavyHittersSql,

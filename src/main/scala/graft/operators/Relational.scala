@@ -348,4 +348,58 @@ object Relational {
       |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
       |GROUP BY 1, 2, 3, 4
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Q16's target sizes (TPC-H picks 8 of the 50). */
+  val Q16Sizes: Seq[Int] = Seq(3, 9, 14, 19, 23, 36, 45, 49)
+  val Q16ExcludedBrand = "Brand#21"
+
+  /** Supplier-diversity per part segment (TPC-H Q16 shape, adapted to
+    * this star schema: `lineitem` is the part↔supplier link — the
+    * schema has no partsupp table — and the excluded-supplier
+    * predicate is `s_acctbal < 0`, ref: sotowang's relational demos
+    * never leave 2-table joins, this is the multi-predicate
+    * count-distinct shape they'd grow into). For each surviving
+    * (p_brand, p_size): how many DISTINCT suppliers ship it.
+    *
+    * Scale shape, in plan order (pinned in RelationalSpec):
+    * 1. the link dedups on (l_partkey, l_suppkey) FIRST — one shuffle
+    *    of pre-combined partials, collapsing the fact table to the
+    *    ~|part|×avg-suppliers link set before any join;
+    * 2. the bad-supplier exclusion is a BROADCAST anti join (the
+    *    NOT IN list is |suppliers| at most — never a shuffle);
+    * 3. the part filter (`p_brand <>`, `p_size IN`) prunes the dim
+    *    BEFORE its broadcast hash join (PushedFilters reach the scan);
+    * 4. count(DISTINCT supplier) per (brand, size) runs as Spark's
+    *    two-phase distinct-aggregate — partials on the already-distinct
+    *    link keys, so no third full shuffle of raw facts.
+    */
+  def q16SupplierDiversity(t: Tables): DataFrame = {
+    val link = t.lineitem
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val badSupp = t.supplier.filter(col("s_acctbal") < 0)
+      .select(col("s_suppkey"))
+    val parts = t.part
+      .filter(col("p_brand") =!= Q16ExcludedBrand &&
+        col("p_size").isin(Q16Sizes: _*))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    link
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  def q16SupplierDiversitySql: String =
+    s"""SELECT p_brand, p_size,
+       |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+       |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) link
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE p_brand <> '$Q16ExcludedBrand'
+       |  AND p_size IN (${Q16Sizes.mkString(", ")})
+       |  AND l_suppkey NOT IN
+       |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+       |GROUP BY 1, 2
+       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 }

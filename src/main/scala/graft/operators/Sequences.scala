@@ -227,6 +227,136 @@ object Sequences {
        |GROUP BY event_type ORDER BY event_type""".stripMargin
   }
 
+  /** Path length (trigram journeys) and how many top paths to keep. */
+  val PathLen = 3
+  val PathTopK = 20
+
+  /** FULL path-count table (every user-journey trigram and its global
+    * frequency) — the un-truncated form [[eventTopPaths]] ranks and the
+    * streaming twin replays against. One per-user window pass (two
+    * `lead`s over the same (ts_sec, event_id) order — ONE shuffle on
+    * user_id, one sort, both leads share the frame), then a partial
+    * (map-side-combined) count over a key space bounded by
+    * |event_types|^3, not by |events| — the aggregate output is tiny
+    * no matter the corpus size.
+    */
+  def eventPathCounts(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    t.events
+      .select(col("user_id"), col("ts_sec"), col("event_id"),
+        col("event_type"))
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .groupBy(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+        .as("path"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** TOP-K event-type paths: the [[PathTopK]] most frequent 3-step
+    * journeys across all users (windows overlap — an n-event user
+    * contributes n-2 paths). The sequence-mining question behind
+    * funnel design: [[eventFunnel]]'s signup→view→purchase order is an
+    * assumption; this table is where it gets checked against data.
+    *
+    * Scale: inherits [[eventPathCounts]]'s one-shuffle window + tiny
+    * aggregate; the rank is `orderBy(...).limit(k)` so the plan ends
+    * in TakeOrderedAndProject (partial top-k per task, pinned in
+    * SequencesSpec) — never a global sort. Ties at the cut are broken
+    * by path ASC — a total order, so the kept set is deterministic.
+    */
+  def eventTopPaths(t: Tables): DataFrame =
+    eventPathCounts(t)
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathTopK)
+
+  def eventTopPathsSql: String =
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+       |           FROM events),
+       |s AS (SELECT event_type AS t0,
+       |        LEAD(event_type, 1) OVER w AS t1,
+       |        LEAD(event_type, 2) OVER w AS t2
+       |      FROM e
+       |      WINDOW w AS (PARTITION BY user_id
+       |                   ORDER BY ts_sec, event_id))
+       |SELECT t0 || '>' || t1 || '>' || t2 AS path, COUNT(*) AS n
+       |FROM s WHERE t2 IS NOT NULL
+       |GROUP BY 1 ORDER BY n DESC, path LIMIT $PathTopK""".stripMargin
+
+  /** DAILY-count anomaly score per event type: each (type, day) cell's
+    * z-score against that type's own distribution of daily counts over
+    * the days it was observed — the volume-monitoring table behind
+    * "errors spiked on day 17". Days with zero events of a type simply
+    * don't appear (observed-days semantics, documented on purpose: a
+    * type's quiet day is an anomaly you detect as the ABSENT row's
+    * neighbours shifting the mean, and densifying would need a
+    * calendar spine the corpus doesn't carry).
+    *
+    * Portability: the moments are EXACT integer sums (count, Σn, Σn²)
+    * — the [[Windows.eventStats]] rule — so mean/variance/z are the
+    * same IEEE expression over the same exact inputs in both engines;
+    * round6 guards the last ulp. Types observed on a single day (no
+    * sample variance) and zero-variance types pin z = 0.
+    *
+    * Scale: daily cells are |types| × |days| regardless of corpus
+    * size; the per-type stats table is smaller still, so the join back
+    * is a broadcast (pinned) — two tiny aggregates after one
+    * (type, day) shuffle of pre-combined partials.
+    */
+  def eventDailyAnomaly(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    val daily = t.events
+      .select(col("event_type"),
+        expr(s"ts_sec div $RetentionBucketSec").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("d"), sum(col("n")).as("s1"),
+        sum(col("n") * col("n")).as("s2"))
+      .select(col("event_type"), col("d"),
+        (col("s1").cast("double") / col("d")).as("mu"),
+        when(col("d") > 1,
+          sqrt(greatest(lit(0.0),
+            (col("s2").cast("double") -
+              col("s1").cast("double") * col("s1") / col("d")) /
+              (col("d") - 1))))
+          .otherwise(lit(0.0)).as("sd"))
+    daily.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"),
+        round6(when(col("sd") > 0,
+          (col("n") - col("mu")) / col("sd")).otherwise(lit(0.0)))
+          .as("z"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def eventDailyAnomalySql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // $RetentionBucketSec AS day,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |st AS (
+       |  SELECT event_type, COUNT(*) AS d, SUM(n) AS s1,
+       |    SUM(n * n) AS s2
+       |  FROM daily GROUP BY 1),
+       |stats AS (
+       |  SELECT event_type, d, CAST(s1 AS DOUBLE) / d AS mu,
+       |    CASE WHEN d > 1 THEN
+       |      sqrt(greatest(0.0,
+       |        (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / d)
+       |          / (d - 1)))
+       |    ELSE 0.0 END AS sd
+       |  FROM st)
+       |SELECT daily.event_type, day, n,
+       |  ${round6Sql("CASE WHEN sd > 0 THEN (n - mu) / sd ELSE 0.0 END")}
+       |    AS z
+       |FROM daily JOIN stats USING (event_type)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   def eventFunnelSql: String =
     s"""WITH e AS (SELECT user_id, event_type,
        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec

@@ -2137,4 +2137,58 @@ object Jobs {
         .agg(count(lit(1)).as("n_users"))
     }
   }
+
+  // ---------------------------------------------------------------------
+  // PathCountStream — operators.Sequences.eventPathCounts as a running
+  // table: per-user trigram emission + one update-mode count.
+  // ---------------------------------------------------------------------
+  object PathCountStream {
+
+    /** Running journey-path counts: per-user fMGWS state = the last
+      * TWO event types on the user's timeline (two short strings —
+      * constant per key, the AsOfEnrichStream shape); each arriving
+      * event that completes a trigram emits its path marker, then ONE
+      * update-mode aggregation counts markers per path — aggregation
+      * state bounded by |event_types|³ cells, not by events. Two
+      * stateful ops, the IntakeSamplerStream discipline. The ranked
+      * [[graft.operators.Sequences.eventTopPaths]] cut stays a batch
+      * question over this running table (top-k of a tiny table is a
+      * read-side concern, not streaming state).
+      *
+      * Within a micro-batch rows process in (ts_sec, event_id) order —
+      * the batch window's order — so an IN-ORDER replay's final counts
+      * ≡ `eventPathCounts` exactly (spec-pinned across a batch split,
+      * which also pins that a trigram window CROSSES the boundary
+      * through state). At-arrival semantics under disorder documented:
+      * a late event splices into the path at arrival position, not
+      * timeline position — the nightly batch recompute reconciles
+      * (the AsOfEnrichStream rule).
+      */
+    def counts(events: DataFrame): DataFrame = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events
+        .select(col("user_id"), col("ts_sec"), col("event_id"),
+          col("event_type"))
+        .as[(Long, Long, Long, String)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.NoTimeout)(
+          (_: Long, it: Iterator[(Long, Long, Long, String)],
+           state: GroupState[(String, String)]) => {
+            var (p2, p1) = state.getOption.getOrElse(("", ""))
+            val out = Vector.newBuilder[String]
+            it.toVector.sortBy(r => (r._2, r._3)).foreach { r =>
+              val t = r._4
+              if (p2.nonEmpty) out += s"$p2>$p1>$t"
+              p2 = p1; p1 = t
+            }
+            state.update((p2, p1))
+            out.result().iterator
+          })
+        .toDF("path")
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+    }
+  }
 }

@@ -407,4 +407,68 @@ object TextAnalysis {
        |SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
        |  ${round6Sql("(CAST(SUM(p12) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 1000000000000.0")} AS lm_score
        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Collocation extraction floor and cut. */
+  val CollocMinPairCount = 3L
+  val CollocTopK = 50
+
+  /** Top-k COLLOCATIONS: word pairs that co-occur far above chance —
+    * the phrase-mining pass (multi-word entities, boilerplate idioms,
+    * tokenizer-merge candidates) over the same bigram/unigram model
+    * tables the LM score reuses. Ranked by `lift6`, the fixed-point
+    * PMI argument `c12·N_uni² / (N_bi·c1·c2)` (log-free ON PURPOSE —
+    * log is monotone so the ranking is identical, and libm `ln` is
+    * not bit-portable across engines; the tfidf_top_terms precedent).
+    * All inputs are EXACT integer counts, so the one double expression
+    * is IEEE-identical in both engines before its fixed-point floor.
+    *
+    * Scale: bigram counts shuffle once on (w1, w2); the `c12 ≥ 3`
+    * rarity floor prunes the long singleton tail BEFORE the two
+    * unigram joins (each a plain equi-shuffle — vocab is unbounded at
+    * corpus scale, so neither side is broadcast-hinted; AQE may still
+    * choose broadcast when small); totals ride a broadcast cross of
+    * two one-row aggregates; the cut is `orderBy().limit()` →
+    * TakeOrderedAndProject (partial top-k, (lift, w1, w2) total order
+    * — deterministic at the boundary).
+    */
+  def textCollocations(t: Tables): DataFrame = {
+    val big = lmModelBig(t).filter(col("c12") >= CollocMinPairCount)
+    val uni = lmModelUni(t)
+    val totals = lmModelBig(t).agg(sum(col("c12")).as("nbi"))
+      .crossJoin(t.documents
+        .select(explode(split(col("text"), " ")).as("w"))
+        .agg(count(lit(1)).as("nu")))
+    big
+      .join(uni.select(col("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(uni.select(col("w1").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        floor((col("c12").cast("double") * col("nu") * col("nu") /
+          (col("nbi").cast("double") * col("c1a") * col("c1b"))) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("lift6"))
+      .orderBy(col("lift6").desc, col("w1"), col("w2"))
+      .limit(CollocTopK)
+  }
+
+  def textCollocationsSql: String =
+    s"""WITH tok AS (SELECT string_split(text, ' ') ts FROM documents
+       |             WHERE len(string_split(text, ' ')) >= 2),
+       |bi AS (SELECT ts[i] w1, ts[i+1] w2
+       |       FROM tok, unnest(generate_series(1, len(ts) - 1)) t(i)),
+       |big AS (SELECT w1, w2, COUNT(*) c12 FROM bi GROUP BY 1, 2),
+       |alltok AS (SELECT unnest(string_split(text, ' ')) w
+       |           FROM documents),
+       |uni AS (SELECT w, COUNT(*) c1 FROM alltok GROUP BY 1),
+       |tot AS (SELECT (SELECT SUM(c12) FROM big) nbi,
+       |               (SELECT COUNT(*) FROM alltok) nu)
+       |SELECT w1, w2, c12,
+       |  CAST(floor((CAST(c12 AS DOUBLE) * nu * nu
+       |      / (CAST(nbi AS DOUBLE) * ua.c1 * ub.c1))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS lift6
+       |FROM big
+       |JOIN uni ua ON big.w1 = ua.w
+       |JOIN uni ub ON big.w2 = ub.w
+       |CROSS JOIN tot
+       |WHERE c12 >= $CollocMinPairCount
+       |ORDER BY lift6 DESC, w1, w2 LIMIT $CollocTopK""".stripMargin
 }

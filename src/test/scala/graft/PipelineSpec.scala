@@ -91,6 +91,39 @@ class PipelineSpec extends SparkSpec {
     assert(rows((3L, 3))._1 == "and")
   }
 
+  test("text_collocations: planted phrase lifts compute exactly; sub-floor pairs are cut") {
+    import spark.implicits._
+    import graft.textanalysis.TextAnalysis
+    // corpus: nu=15 tokens, nbi=13 bigrams; every unigram count is 3
+    // pairs at the c12>=3 floor: new>york, a>b, b>c (york>new and c>a
+    // are 2 — cut); lift = 3·15²/(13·3·3) = 675/117 for all three
+    val docs = Seq(
+      (1L, "new york new york new york"),
+      (2L, "a b c a b c a b c"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_colloc").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.textCollocations(Tables(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val lift = math.floor(675.0 / 117.0 * 1e6 + 0.5).toLong
+    assert(rows.toSeq == Seq(
+      ("a", "b", 3L, lift), ("b", "c", 3L, lift),
+      ("new", "york", 3L, lift)),
+      s"got ${rows.toSeq}")
+  }
+
+  test("text_collocations: real corpus — partial top-k plan, floor respected, ranked") {
+    import graft.textanalysis.TextAnalysis
+    val df = TextAnalysis.textCollocations(tables)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no partial top-k:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.CollocTopK)
+    assert(rows.forall(_.getLong(2) >= TextAnalysis.CollocMinPairCount))
+    val lifts = rows.map(_.getLong(3)).toSeq
+    assert(lifts == lifts.sorted.reverse)
+  }
+
   test("near-dup removal is one anti join over the clean plan") {
     val plan = CorpusClean.corpusCleanNearDup(tables)
       .queryExecution.executedPlan.toString

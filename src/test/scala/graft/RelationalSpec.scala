@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Relational
+import org.apache.spark.sql.functions.col
 
 class RelationalSpec extends SparkSpec {
   test("q1_pricing groups and sums") {
@@ -45,5 +46,33 @@ class RelationalSpec extends SparkSpec {
     // descending revenue with custkey tie-break
     val revs = rows.map(_.getAs[Double]("revenue")).toSeq
     assert(revs == revs.sorted.reverse)
+  }
+
+  test("q16: distinct-first link, broadcast anti + dim joins, counts reconcile with a direct recount") {
+    val t = tables
+    val df = Relational.q16SupplierDiversity(t)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin [^\\n]*LeftAnti".r.findFirstIn(plan).isDefined,
+      s"bad-supplier exclusion should be a broadcast ANTI join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"NLJ leaked:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"dims must broadcast:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // independent recount: per-(brand,size) distinct good suppliers
+    import spark.implicits._
+    val bad = t.supplier.filter(col("s_acctbal") < 0)
+      .select("s_suppkey").as[Long].collect().toSet
+    val dims = t.part.collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getInt(4))).toMap
+    val exp = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+      .as[(Long, Long)].collect()
+      .filter { case (pk, sk) => !bad.contains(sk) &&
+        dims.get(pk).exists { case (b, s) =>
+          b != Relational.Q16ExcludedBrand &&
+            Relational.Q16Sizes.contains(s) } }
+      .groupBy { case (pk, _) => dims(pk) }
+      .map { case (k, v) => k -> v.map(_._2).distinct.length.toLong }
+    assert(got == exp)
+    assert(got.nonEmpty)
   }
 }

@@ -170,6 +170,71 @@ class SequencesSpec extends SparkSpec {
     assert(!got.contains("error") && got.size == 2)
   }
 
+  test("top paths: overlapping trigram windows counted per user; cross-user never merges") {
+    val dir = writeEvents(Seq(
+      // user 1: A B C D -> A>B>C, B>C>D (overlap)
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "click"),
+      (3L, 30L, 1L, "view"), (4L, 40L, 1L, "purchase"),
+      // user 2: only two events -> no path (windows never span users)
+      (5L, 10L, 2L, "click"), (6L, 20L, 2L, "view"),
+      // user 3: same trigram as user 1's first -> global count 2
+      (7L, 10L, 3L, "view"), (8L, 20L, 3L, "click"),
+      (9L, 30L, 3L, "view")))
+    val got = Sequences.eventTopPaths(Tables(spark, dir)).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("view>click>view" -> 2L, "click>view>purchase" -> 1L))
+  }
+
+  test("top paths: real corpus total = Σ max(0, user events − 2); plan ends in TakeOrdered, no global Sort") {
+    val t = tables
+    val counts = Sequences.eventPathCounts(t)
+    val total = counts.agg(sum(col("n"))).collect().head.getLong(0)
+    val expected = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(greatest(col("c") - 2, lit(0L)))).collect().head.getLong(0)
+    assert(total == expected)
+    val plan = physical(Sequences.eventTopPaths(t))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k should be a partial TakeOrderedAndProject:\n$plan")
+    assert(!"Sort \\[n".r.findFirstIn(plan).isDefined,
+      s"no global sort on the count column:\n$plan")
+  }
+
+  test("daily anomaly: constant type pins z=0, spike day scores exactly, single-day type pins z=0") {
+    val dir = writeEvents(
+      // type "view": 2 events on each of days 0,1,2 -> sd 0 -> z 0
+      Seq((1L, 10L, 1L, "view"), (2L, 20L, 2L, "view"),
+        (3L, 86400L + 10L, 1L, "view"), (4L, 86400L + 20L, 2L, "view"),
+        (5L, 2 * 86400L + 10L, 1L, "view"),
+        (6L, 2 * 86400L + 20L, 2L, "view")) ++
+      // type "click": days 0,1 have 1, day 2 has 4
+      // mu=2, var=((1-2)^2+(1-2)^2+(4-2)^2)/2=3, sd=sqrt(3)
+      (Seq(10L -> 0L, 11L -> 86400L).map { case (id, base) =>
+        (id, base + 30L, 1L, "click") } ++
+       (0 until 4).map(i => (20L + i, 2 * 86400L + 40L + i, 1L, "click"))
+         .map(v => (v._1.toLong, v._2, v._3, v._4))) ++
+      // type "error": a single day -> no sample variance -> z 0
+      Seq((40L, 86400L + 50L, 9L, "error")))
+    val got = Sequences.eventDailyAnomaly(Tables(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(("view", 0L)) == ((2L, 0.0)))
+    assert(got(("view", 1L)) == ((2L, 0.0)))
+    assert(got(("view", 2L)) == ((2L, 0.0)))
+    val sd = math.sqrt(3.0)
+    def r6(x: Double) = graft.functions.Portable.round6Double(x)
+    assert(got(("click", 0L)) == ((1L, r6((1 - 2.0) / sd))))
+    assert(got(("click", 2L)) == ((4L, r6((4 - 2.0) / sd))))
+    assert(got(("error", 1L)) == ((1L, 0.0)))
+  }
+
+  test("daily anomaly: per-type stats join back by broadcast (cells are tiny at any corpus size)") {
+    val plan = physical(Sequences.eventDailyAnomaly(tables))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats join should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no SMJ:\n$plan")
+  }
+
   test("funnel: every shuffle in the plan keys on user_id") {
     val plan = physical(Sequences.eventFunnel(tables))
     val hashParts = "hashpartitioning\\(([a-z_]+)".r

@@ -2136,4 +2136,39 @@ class StreamingJobsSpec extends SparkSpec {
         "running matrix must converge to the batch retention cells")
     } finally q.stop()
   }
+
+  test("PathCountStream: in-order split replay ≡ batch path counts; trigrams cross the boundary") {
+    import spark.implicits._
+    val batch = graft.operators.Sequences.eventPathCounts(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val events = tables.events
+      .select("user_id", "ts_sec", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(r => (r._2, r._3))
+
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val counts = mutable.Map.empty[String, Long]
+    val q = Jobs.PathCountStream.counts(
+      in.toDF().toDF("user_id", "ts_sec", "event_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("graft-path-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        counts.synchronized {
+          b.collect().foreach(r => counts(r.getString(0)) = r.getLong(1))
+        }; ()
+      }.start()
+    try {
+      // split mid-stream: some user's trigram window MUST straddle it
+      // (150 users, thousands of events — every user is mid-journey)
+      val (a, b) = events.splitAt(events.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      val afterA = counts.synchronized(counts.values.sum)
+      in.addData(b.toSeq); q.processAllAvailable()
+      val got = counts.synchronized(counts.toMap)
+      assert(got == batch,
+        "running path counts must converge to batch eventPathCounts")
+      assert(afterA < got.values.sum,
+        "second batch must add paths (state carried the open window)")
+    } finally q.stop()
+  }
 }
