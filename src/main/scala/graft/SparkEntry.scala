@@ -32,6 +32,7 @@ object SparkEntry {
     "q7_nation_volume" -> q(Relational.q7NationVolume),
     "q10_returned_customers" -> q(Relational.q10ReturnedCustomers),
     "q16_supplier_diversity" -> q(Relational.q16SupplierDiversity),
+    "q14_promo_share" -> q(Relational.q14PromoShare),
     // wordcount family
     "word_count" -> q(WordCounts.wordCount),
     "word_count_salted" -> q(WordCounts.wordCountSalted),
@@ -81,6 +82,7 @@ object SparkEntry {
     "embed_ann_ivf_part" -> q(Ann.embedAnnIvfPartitioned),
     "embed_ann_ivf_pq_res" -> q(Ann.embedAnnIvfPqResidual),
     "embed_ann_opq_pq" -> q(graft.ann.Opq.embedAnnOpqPq),
+    "ann_recall_report" -> q(Ann.annRecallReport),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
@@ -119,6 +121,7 @@ object SparkEntry {
     "corpus_shuffle_order" -> q(graft.pipeline.Export.corpusShuffleOrder),
     "corpus_pack" -> q(graft.pipeline.Export.corpusPack),
     "corpus_pack_stats" -> q(graft.pipeline.Export.corpusPackStats),
+    "corpus_pack_delta" -> q(graft.pipeline.Export.corpusPackDelta),
     "embed_label_purity" -> q(graft.dedup.Dedup.embedLabelPurity),
     "pii_scrub" -> q(graft.textanalysis.Pii.piiScrub),
     "pii_stats" -> q(graft.textanalysis.Pii.piiStats),
@@ -131,11 +134,17 @@ object SparkEntry {
     "event_gap_stats" -> q(Sequences.eventGapStats),
     "event_top_paths" -> q(Sequences.eventTopPaths),
     "event_daily_anomaly" -> q(Sequences.eventDailyAnomaly),
+    "event_transitions" -> q(Sequences.eventTransitions),
     // bloom membership pre-filter
     "bloom_dup_candidates" -> q(graft.dedup.Bloom.bloomDupCandidates),
     // count-min sketch (bounded-memory frequency estimation)
     "sketch_countmin" -> q(Sketches.countMinSketch),
     "sketch_heavy_hitters" -> q(Sketches.countMinHeavyHitters),
+    "sketch_hll_registers" -> q(Sketches.hllRegisters),
+    "event_daily_uniques" -> q(Sketches.eventDailyUniques),
+    // rows-only: the linear-counting branch needs libm ln (not
+    // bit-portable); SketchesSpec value-gates it (see rowsOnly)
+    "event_daily_uniques_est" -> q(Sketches.eventDailyUniquesEst),
     // exact-count sampling (OrderStat threshold, no global sort)
     "corpus_sample_fixed" -> q(graft.pipeline.Mixing.sampleFixed),
     "corpus_sample_quota" -> q(graft.pipeline.Mixing.sampleQuota)
@@ -149,7 +158,10 @@ object SparkEntry {
     */
   val rowsOnly: Map[String, String] = Map(
     "event_stats_approx" ->
-      "WindowsSpec: exact moments match event_stats; sketch rank within 2%"
+      "WindowsSpec: exact moments match event_stats; sketch rank within 2%",
+    "event_daily_uniques_est" ->
+      ("SketchesSpec: est6 ≡ hllEstimateFromMoments over the oracle-checked " +
+        "moments exactly; within 5% of exact daily uniques")
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -168,6 +180,7 @@ object SparkEntry {
     "q7_nation_volume" -> Relational.q7NationVolumeSql,
     "q10_returned_customers" -> Relational.q10ReturnedCustomersSql,
     "q16_supplier_diversity" -> Relational.q16SupplierDiversitySql,
+    "q14_promo_share" -> Relational.q14PromoShareSql,
     "word_count" -> WordCounts.wordCountSql,
     "word_count_salted" -> WordCounts.wordCountSaltedSql,
     "hdfs_word_count" -> WordCounts.hdfsWordCountSql,
@@ -211,6 +224,7 @@ object SparkEntry {
     // inlines the per-corpus fitted rotation — Verify runs the query
     // (which fits + persists it) before dumping this SQL
     "embed_ann_opq_pq" -> graft.ann.Opq.embedAnnOpqPqSql,
+    "ann_recall_report" -> Ann.annRecallReportSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
@@ -243,6 +257,7 @@ object SparkEntry {
     "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,
     "corpus_pack" -> graft.pipeline.Export.corpusPackSql,
     "corpus_pack_stats" -> graft.pipeline.Export.corpusPackStatsSql,
+    "corpus_pack_delta" -> graft.pipeline.Export.corpusPackDeltaSql,
     "embed_label_purity" -> graft.dedup.Dedup.embedLabelPuritySql,
     "pii_scrub" -> graft.textanalysis.Pii.piiScrubSql,
     "pii_stats" -> graft.textanalysis.Pii.piiStatsSql,
@@ -254,9 +269,12 @@ object SparkEntry {
     "event_gap_stats" -> Sequences.eventGapStatsSql,
     "event_top_paths" -> Sequences.eventTopPathsSql,
     "event_daily_anomaly" -> Sequences.eventDailyAnomalySql,
+    "event_transitions" -> Sequences.eventTransitionsSql,
     "bloom_dup_candidates" -> graft.dedup.Bloom.bloomDupCandidatesSql,
     "sketch_countmin" -> Sketches.countMinSketchSql,
     "sketch_heavy_hitters" -> Sketches.countMinHeavyHittersSql,
+    "sketch_hll_registers" -> Sketches.hllRegistersSql,
+    "event_daily_uniques" -> Sketches.eventDailyUniquesSql,
     "corpus_sample_fixed" -> graft.pipeline.Mixing.sampleFixedSql,
     "corpus_sample_quota" -> graft.pipeline.Mixing.sampleQuotaSql
   )

@@ -1048,4 +1048,47 @@ object Ann {
        |  FROM scored)
        |WHERE rank <= $K ORDER BY q_id, rank""".stripMargin
   }
+
+  /** Recall@K of the IVF index against the exact scan, AS A QUERY —
+    * index validation belongs in the pipeline, not a notebook: every
+    * index publish (recenter, re-ingest, generation swap) should gate
+    * on this table the way corpus publishes gate on the dup matrix.
+    * Per query vector: how many of its true top-K the index returned.
+    *
+    * Scale: the exact side is the brute-force scan over the SAMPLED
+    * query panel ([[NumQueries]] — exactly how recall is audited on a
+    * real corpus: sample queries, not all), the index side is the
+    * production probe path; the semi join and the count run over
+    * ≤ queries·K rows — nothing here touches corpus scale beyond the
+    * two operand plans themselves. Composition, not new machinery:
+    * both operands are the SAME plans the `embed_topk` /
+    * `embed_ann_ivf` entries ship (AnnSpec already value-pins their
+    * recall relationship; this makes it a queryable artifact).
+    */
+  def annRecallReport(t: Tables): DataFrame = {
+    val exact = embedTopK(t).select(col("q_id"), col("vec_id"))
+    val hits = exact
+      .join(embedAnnIvf(t).select(col("q_id"), col("vec_id")),
+        Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+    exact.select(col("q_id")).distinct()
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round6(coalesce(col("n_hits"), lit(0L)).cast("double")
+          / lit(K.toDouble)).as("recall6"))
+      .orderBy(col("q_id"))
+  }
+
+  def annRecallReportSql: String =
+    s"""WITH ex AS ($embedTopKSql),
+       |ann AS (${embedAnnIvfSql}),
+       |h AS (SELECT ex.q_id, COUNT(*) AS n_hits
+       |      FROM ex JOIN ann ON ex.q_id = ann.q_id
+       |        AND ex.vec_id = ann.vec_id
+       |      GROUP BY 1)
+       |SELECT q.q_id, CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+       |  ${round6Sql(s"COALESCE(n_hits, 0)::DOUBLE / ${K}.0")} AS recall6
+       |FROM (SELECT DISTINCT q_id FROM ex) q
+       |LEFT JOIN h USING (q_id) ORDER BY q.q_id""".stripMargin
 }

@@ -391,6 +391,55 @@ object Relational {
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
   }
 
+  /** Promo revenue share per 1996 month (TPC-H Q14 shape): the
+    * conditional-aggregate ratio — one fact pass, the part dim rides a
+    * BROADCAST hash join, promo/total split by a `when` inside the
+    * same aggregate (never two scans, never a self-join). Numerators
+    * and denominators are EXACT decimal sums; the percentage is the
+    * only double (one identical IEEE division both engines, round6).
+    * The shipdate window is a pushed filter (PushedFilters reach the
+    * scan — pinned).
+    */
+  def q14PromoShare(t: Tables): DataFrame = {
+    val one = lit(1).cast("decimal(12,2)")
+    val rev = dec(col("l_extendedprice")) * (one - dec(col("l_discount")))
+    t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00"))
+      .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).as("mon"))
+      .agg(
+        sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast("decimal(12,2)"))).as("pr"),
+        sum(rev).as("tr"))
+      .select(col("mon"),
+        col("pr").cast("double").as("promo_rev"),
+        col("tr").cast("double").as("total_rev"),
+        graft.functions.Portable.round6(
+          lit(100.0) * col("pr").cast("double") / col("tr").cast("double"))
+          .as("promo_pct6"))
+      .orderBy(col("mon"))
+  }
+
+  def q14PromoShareSql: String = {
+    val rev = "CAST(l_extendedprice AS DECIMAL(12,2)) " +
+      "* (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))"
+    s"""WITH g AS (
+       |  SELECT CAST(month(l_shipdate) AS INT) AS mon,
+       |    SUM(CASE WHEN p_type LIKE 'PROMO%' THEN $rev
+       |        ELSE CAST(0 AS DECIMAL(12,2)) END) AS pr,
+       |    SUM($rev) AS tr
+       |  FROM lineitem JOIN part ON l_partkey = p_partkey
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+       |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+       |  GROUP BY 1)
+       |SELECT mon, CAST(pr AS DOUBLE) AS promo_rev,
+       |  CAST(tr AS DOUBLE) AS total_rev,
+       |  ${graft.functions.Portable.round6Sql(
+      "100.0 * CAST(pr AS DOUBLE) / CAST(tr AS DOUBLE)")} AS promo_pct6
+       |FROM g ORDER BY mon""".stripMargin
+  }
+
   def q16SupplierDiversitySql: String =
     s"""SELECT p_brand, p_size,
        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt

@@ -357,6 +357,53 @@ object Sequences {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  /** Markov TRANSITION matrix over event types: P(next | current) on
+    * each user's timeline — the model behind [[eventTopPaths]] (a
+    * trigram is two transitions) and the empirical prior for funnel
+    * step ordering. One `lead` over the same per-user (ts, event_id)
+    * window the path op uses (ONE user_id shuffle), then a count over
+    * ≤ |types|² cells and a row-normalization against per-from totals
+    * — the totals table is ≤ |types| rows, so the join back is a
+    * BROADCAST (pinned). n is exact; p6 is one rounded division of
+    * exact integers (IEEE-identical both engines).
+    */
+  def eventTransitions(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val pairs = t.events
+      .select(col("user_id"), col("ts_sec"), col("event_id"),
+        col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+    pairs.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round6(col("n").cast("double") / col("tot").cast("double"))
+          .as("p6"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  def eventTransitionsSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+       |           FROM events),
+       |p AS (SELECT event_type AS from_type,
+       |        LEAD(event_type, 1) OVER (PARTITION BY user_id
+       |          ORDER BY ts_sec, event_id) AS to_type
+       |      FROM e),
+       |c AS (SELECT from_type, to_type, COUNT(*) AS n FROM p
+       |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |tt AS (SELECT from_type, SUM(n) AS tot FROM c GROUP BY 1)
+       |SELECT from_type, to_type, n,
+       |  ${round6Sql("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)")} AS p6
+       |FROM c JOIN tt USING (from_type)
+       |ORDER BY from_type, to_type""".stripMargin
+  }
+
   def eventFunnelSql: String =
     s"""WITH e AS (SELECT user_id, event_type,
        |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec

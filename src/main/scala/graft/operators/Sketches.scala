@@ -108,4 +108,167 @@ object Sketches {
        |SELECT word, est FROM est
        |WHERE est * $HeavyFrac >= (SELECT COUNT(*) FROM toks)
        |ORDER BY word""".stripMargin
+
+  // -----------------------------------------------------------------
+  // HyperLogLog — bounded-memory DISTINCT estimation. The register
+  // table is pure integers over md5 bits (the count-min discipline),
+  // so the sketch itself is hash-checked cross-engine; only the final
+  // float estimate (which needs libm ln for the linear-counting
+  // branch) stays engine-side, spec-gated against exact counts.
+  // -----------------------------------------------------------------
+
+  /** 2^[[HllP]] registers; ~1.04/√m ≈ 3.3% standard error. */
+  val HllP = 10
+  val HllM = 1024
+  val HllAlpha: Double = 0.7213 / (1.0 + 1.079 / HllM)
+
+  /** Bits drawn for the rho scan (13 md5 hex chars). */
+  val HllRhoBits = 52
+  private val TwoPow52 = 4503599627370496L
+
+  private def hllHash(u: Column): Column =
+    md5(concat(lit("hll|"), u.cast("string")))
+
+  /** Register index: first 8 md5 hex chars mod m. */
+  private def hllBucket(u: Column): Column =
+    conv(substring(hllHash(u), 1, 8), 16, 10).cast("long") % HllM
+
+  /** rho = 1-based position of the first set bit in the NEXT 52 md5
+    * bits (capped at 52 when all-zero — keeps 2^(52−r) an exact
+    * integer). The bin/lpad/instr formulation is pure string/integer
+    * ops — bit-identical in Spark and DuckDB, no float log anywhere.
+    */
+  private def hllRho(u: Column): Column = {
+    val w = conv(substring(hllHash(u), 9, 13), 16, 10).cast("long")
+    val pos = instr(lpad(bin(w), HllRhoBits, "0"), "1")
+    when(pos === 0, lit(HllRhoBits)).otherwise(pos).cast("int")
+  }
+
+  /** (day, bucket, rho) cell expansion — shared with the streaming
+    * twin so the register definition cannot drift.
+    */
+  private[graft] def hllCells(events: DataFrame): DataFrame =
+    events.select(
+      expr(s"ts_sec div ${graft.operators.Sequences.RetentionBucketSec}")
+        .as("day"),
+      hllBucket(col("user_id")).as("bucket"),
+      hllRho(col("user_id")).as("rho"))
+
+  /** The per-day register table: (day, bucket, r = max rho). ≤ m rows
+    * per day NO MATTER how many events or users arrive — the bounded
+    * alternative to a per-day count-distinct shuffle. `max` is
+    * idempotent, so replays and duplicate events cannot move a
+    * register (spec-pinned).
+    */
+  def hllRegisters(t: Tables): DataFrame =
+    hllCells(t.events)
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .orderBy(col("day"), col("bucket"))
+
+  private def hllCellsSql: String =
+    s"""e AS (SELECT user_id,
+       |        CAST(floor(epoch(ts)) AS BIGINT)
+       |          // ${graft.operators.Sequences.RetentionBucketSec} AS day,
+       |        md5('hll|' || CAST(user_id AS VARCHAR)) AS h
+       |      FROM events),
+       |c AS (SELECT day,
+       |        (('0x' || substr(h, 1, 8))::BIGINT % $HllM) AS bucket,
+       |        CASE WHEN instr(lpad(bin(('0x' || substr(h, 9, 13))::BIGINT),
+       |                        $HllRhoBits, '0'), '1') = 0
+       |             THEN $HllRhoBits
+       |             ELSE instr(lpad(bin(('0x' || substr(h, 9, 13))::BIGINT),
+       |                        $HllRhoBits, '0'), '1') END AS rho
+       |      FROM e)""".stripMargin
+
+  def hllRegistersSql: String =
+    s"""WITH $hllCellsSql
+       |SELECT day, bucket, CAST(MAX(rho) AS INT) AS r
+       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Per-day moments over the register table — everything the HLL
+    * estimate needs, as EXACT integers: `v_zero` (untouched
+    * registers) and `z52` = 2^52·Z where Z = Σ 2^(−r) (each term
+    * 2^(52−r) is an exact integer because r ≤ 52; max total
+    * m·2^52 = 2^62 fits a long).
+    */
+  private def hllMoments(t: Tables): DataFrame =
+    hllRegisters(t)
+      .groupBy(col("day"))
+      .agg((lit(HllM) - count(lit(1))).cast("long").as("v_zero"),
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoBits - r)")) +
+          (lit(HllM) - count(lit(1))) * lit(TwoPow52)).as("z52"))
+
+  /** Daily uniques, exact AND sketched: `n_exact` (count-distinct —
+    * at audit scale; at 100 TB the register table IS the answer and
+    * this column is the reconciliation) beside the portable integer
+    * sketch moments. Fully oracle-checked — the float estimate
+    * derived from (v_zero, z52) lives in [[eventDailyUniquesEst]].
+    */
+  def eventDailyUniques(t: Tables): DataFrame = {
+    val exact = t.events
+      .select(expr(
+        s"ts_sec div ${graft.operators.Sequences.RetentionBucketSec}")
+        .as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(hllMoments(t), Seq("day")).orderBy(col("day"))
+  }
+
+  def eventDailyUniquesSql: String =
+    s"""WITH $hllCellsSql,
+       |regs AS (SELECT day, bucket, MAX(rho) AS r FROM c GROUP BY 1, 2),
+       |mom AS (SELECT day,
+       |          CAST($HllM - COUNT(*) AS BIGINT) AS v_zero,
+       |          CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoBits - r))
+       |            + ($HllM - COUNT(*)) * $TwoPow52 AS BIGINT) AS z52
+       |        FROM regs GROUP BY day),
+       |ex AS (SELECT day, COUNT(DISTINCT user_id) AS n_exact
+       |       FROM e GROUP BY day)
+       |SELECT day, n_exact, v_zero, z52
+       |FROM ex JOIN mom USING (day) ORDER BY day""".stripMargin
+
+  /** The corrected HLL estimate from exact integer moments — shared
+    * by the batch entry, the spec reference, and the streaming twin
+    * (same JVM, same expression, same values). Raw
+    * αm²·2^52/z52 with the standard linear-counting switch for the
+    * small range (raw ≤ 2.5m and empty registers remain).
+    */
+  private[graft] def hllEstimateFromMoments(vZero: Long, z52: Long): Double = {
+    val raw = HllAlpha * HllM * HllM * TwoPow52.toDouble / z52
+    if (raw <= 2.5 * HllM && vZero > 0)
+      HllM * math.log(HllM.toDouble / vZero)
+    else raw
+  }
+
+  /** [[hllEstimateFromMoments]] over a full register array. */
+  private[graft] def hllEstimate(regs: Array[Int]): Double = {
+    var z52 = 0L
+    var v = 0L
+    regs.foreach { r =>
+      if (r == 0) v += 1
+      z52 += 1L << (HllRhoBits - r)
+    }
+    hllEstimateFromMoments(v, z52)
+  }
+
+  /** The estimate as a first-class query: (day, n_buckets, est6).
+    * Declared rows-only — the linear-counting branch needs `ln`,
+    * which is not bit-portable across engines (the tfidf rule);
+    * SketchesSpec value-gates it against [[hllEstimateFromMoments]]
+    * exactly and against the exact daily uniques within 5%.
+    */
+  def eventDailyUniquesEst(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    val k = lit(HllAlpha * HllM * HllM * TwoPow52.toDouble)
+    val raw = k / col("z52").cast("double")
+    hllMoments(t)
+      .select(col("day"),
+        (lit(HllM) - col("v_zero")).cast("long").as("n_buckets"),
+        round6(when(raw <= lit(2.5 * HllM) && col("v_zero") > 0,
+          lit(HllM.toDouble) *
+            log(lit(HllM.toDouble) / col("v_zero").cast("double")))
+          .otherwise(raw)).as("est6"))
+      .orderBy(col("day"))
+  }
 }

@@ -184,6 +184,68 @@ object Export {
       s"total_tokens::DOUBLE / (((total_tokens - 1) // $PackBudget + 1) * $PackBudget)::DOUBLE")} AS fill_frac
        |FROM g ORDER BY shard""".stripMargin
 
+  /** Incremental packing — the append-only continuation of
+    * [[corpusPack]] for newly-admitted docs: shipped shard files are
+    * IMMUTABLE (a trainer may already hold them), so a recompute that
+    * re-permutes the whole corpus (new coins interleave into the
+    * shuffle order and shift every later doc's address) is not an
+    * option. The delta packs ONLY the new docs, per shard, starting
+    * exactly where the shipped pack ended — mid-block when the old
+    * total isn't budget-aligned (seq_off continuity, spec-pinned).
+    *
+    * Old/new split is the delta-family rule (doc_id ≤ max/2 — the
+    * `lm_rebucket_delta` convention standing in for the previous
+    * corpus generation; production passes the shipped generation's
+    * doc set).
+    *
+    * Scale: the old corpus contributes ONE 16-row aggregate (its
+    * per-shard token totals — never rescanned beyond a 2-column
+    * count pass, never shuffled); the new docs run the same
+    * distributed-prefix shape as the full pack (histogram → driver
+    * offsets → (shard, bucket) Window), sized by the DELTA, not the
+    * corpus. Both side tables broadcast (pinned).
+    */
+  def corpusPackDelta(t: Tables): DataFrame = {
+    val cutoff = t.documents.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val base = bucketed(t,
+      Seq(size(split(col("text"), " ")).cast("long").as("toks")))
+    val newDocs = base.filter(col("doc_id") > cutoff)
+    val oldTot = base.filter(col("doc_id") <= cutoff)
+      .groupBy(col("shard")).agg(sum(col("toks")).as("old_toks"))
+    val cumExcl = coalesce(col("old_toks"), lit(0L)) + col("off") +
+      coalesce(sum(col("toks")).over(
+        intraBucket.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    newDocs
+      .join(broadcast(bucketOffsets(newDocs, col("toks"))),
+        Seq("shard", "bkt"))
+      .join(broadcast(oldTot), Seq("shard"), "left")
+      .select(col("doc_id"), col("shard"),
+        floor(cumExcl / lit(PackBudget)).cast("long").as("seq_id"),
+        (cumExcl % lit(PackBudget)).cast("long").as("seq_off"))
+      .orderBy(col("shard"), col("seq_id"), col("seq_off"), col("doc_id"))
+  }
+
+  def corpusPackDeltaSql: String =
+    s"""WITH c AS (SELECT doc_id, ${Reports.shardOfSql} AS shard,
+       |             ${Mixing.uSql("shuf")} AS coin,
+       |             len(string_split(text, ' '))::BIGINT AS toks
+       |           FROM documents),
+       |cut AS (SELECT max(doc_id) // 2 AS k FROM documents),
+       |old AS (SELECT shard, SUM(toks)::BIGINT AS old_toks
+       |        FROM c, cut WHERE doc_id <= k GROUP BY shard),
+       |nw AS (SELECT c.* FROM c, cut WHERE doc_id > k),
+       |s AS (SELECT doc_id, shard,
+       |        COALESCE(SUM(toks) OVER (PARTITION BY shard
+       |          ORDER BY coin, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          0)::BIGINT AS cumn
+       |      FROM nw)
+       |SELECT s.doc_id, s.shard,
+       |  (COALESCE(old_toks, 0) + cumn) // $PackBudget AS seq_id,
+       |  (COALESCE(old_toks, 0) + cumn) % $PackBudget AS seq_off
+       |FROM s LEFT JOIN old USING (shard)
+       |ORDER BY shard, seq_id, seq_off, doc_id""".stripMargin
+
   def corpusPackSql: String =
     s"""WITH c AS (SELECT doc_id, ${Reports.shardOfSql} AS shard,
        |             ${Mixing.uSql("shuf")} AS coin,

@@ -2191,4 +2191,53 @@ object Jobs {
         .agg(count(lit(1)).as("n"))
     }
   }
+
+  // ---------------------------------------------------------------------
+  // HllUniquesStream — operators.Sketches' daily-uniques HLL as live
+  // bounded state: one m-register array per day, estimates at arrival.
+  // ---------------------------------------------------------------------
+  object HllUniquesStream {
+
+    /** Running daily-unique estimates: per-DAY fMGWS state = the m
+      * HLL registers (1024 small ints — CONSTANT per day no matter
+      * how many events or users arrive, the CountMinStream answer to
+      * "distinct users today" where a per-user set would grow without
+      * bound). Cells come from [[graft.operators.Sketches.hllCells]]
+      * — the identical md5 bucket/rho expressions the batch register
+      * table aggregates — and register update is `max`, so the stream
+      * is ORDER-INSENSITIVE and replay-idempotent: any-order replay
+      * converges to the batch registers exactly, and every emitted
+      * estimate is [[graft.operators.Sketches.hllEstimateFromMoments]]
+      * over those registers — the same JVM expression the batch
+      * `event_daily_uniques_est` entry evaluates (spec pins final
+      * stream estimates ≡ batch est6 bit-for-bit, plus duplicate
+      * delivery moving nothing).
+      *
+      * Emits (day, n_buckets, est6) per touched day per micro-batch,
+      * update mode.
+      */
+    def estimates(events: DataFrame): DataFrame = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      import graft.operators.Sketches
+      import graft.functions.Portable.round6Double
+      Sketches.hllCells(events)
+        .as[(Long, Long, Int)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(
+          (day: Long, it: Iterator[(Long, Long, Int)],
+           state: GroupState[Array[Int]]) => {
+            val regs = state.getOption.getOrElse(Array.fill(Sketches.HllM)(0))
+            it.foreach { case (_, b, r) =>
+              val i = b.toInt
+              if (r > regs(i)) regs(i) = r
+            }
+            state.update(regs)
+            Iterator((day, regs.count(_ > 0).toLong,
+              round6Double(Sketches.hllEstimate(regs))))
+          })
+        .toDF("day", "n_buckets", "est6")
+    }
+  }
 }

@@ -441,6 +441,29 @@ class AnnSpec extends SparkSpec {
       s"OPQ regressed MSE on isotropic data: $mseOpq vs $mseIdentity")
   }
 
+  test("ann_recall_report ≡ an independent set-intersection recount; complete query panel") {
+    val report = Ann.annRecallReport(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Ann.embedTopK(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    val ivf = Ann.embedAnnIvf(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, v) => q -> v.map(_._2).toSet }
+    assert(report.keySet == exact.keySet, "one row per query vector")
+    report.foreach { case (q, (hits, rec6)) =>
+      val expHits = (exact(q) & ivf.getOrElse(q, Set.empty)).size.toLong
+      assert(hits == expHits, s"q $q: $hits vs recount $expHits")
+      assert(rec6 == graft.functions.Portable.round6Double(
+        hits.toDouble / Ann.K))
+    }
+    // the panel is useful: some recall below perfect OR all perfect —
+    // either way the values are in range and nonempty
+    assert(report.nonEmpty &&
+      report.values.forall { case (h, r) =>
+        h >= 0L && h <= Ann.K && r >= 0.0 && r <= 1.0 })
+  }
+
   test("embed_ann_lsh never beats brute force and shares its top hit when buckets agree") {
     val exact = Ann.embedTopK(tables).collect()
       .map(r => (r.getLong(0), r.getInt(3)) -> (r.getLong(1), r.getDouble(2))).toMap

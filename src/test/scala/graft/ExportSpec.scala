@@ -102,6 +102,45 @@ class ExportSpec extends SparkSpec {
     assert(stats.values.map(_._1).sum == tables.documents.count())
   }
 
+  test("corpus_pack_delta: continues each shipped shard exactly where it ended; old never moves") {
+    val t = tables
+    val cutoff = t.documents.agg(max(col("doc_id"))).head.getLong(0) / 2
+    val toks = t.documents
+      .select(col("doc_id"), Reports.shardOf(col("doc_id")).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val oldTot = toks.toSeq
+      .collect { case (id, (s, tk)) if id <= cutoff => (s, tk) }
+      .groupBy(_._1).map { case (s, v) => s -> v.map(_._2).sum }
+    val delta = Export.corpusPackDelta(t).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(delta.nonEmpty && delta.forall(_._1 > cutoff),
+      "delta carries exactly the new docs")
+    // per shard: global token cursor (seq_id·B + seq_off) starts at the
+    // shipped total — mid-block when it isn't budget-aligned — and each
+    // next doc starts where the previous ended (gap-free concat)
+    delta.groupBy(_._2).foreach { case (shard, docs) =>
+      val inOrder = docs.sortBy(d => (d._3, d._4, d._1))
+      var cursor = oldTot.getOrElse(shard, 0L)
+      inOrder.foreach { case (id, _, seqId, seqOff) =>
+        assert(seqId * Export.PackBudget + seqOff == cursor,
+          s"shard $shard doc $id: cursor $cursor, got ${seqId} * B + $seqOff")
+        cursor += toks(id)._2
+      }
+      assert(oldTot.getOrElse(shard, 0L) % Export.PackBudget == 0L ||
+        inOrder.head._4 != 0L || oldTot.getOrElse(shard, 0L) == 0L)
+    }
+    // the delta is NOT a full repack: a full recompute re-permutes and
+    // moves at least one new doc's address (why the delta op exists)
+    val full = Export.corpusPack(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(delta.exists { case (id, _, s, o) => full(id) != ((s, o)) },
+      "full repack should interleave old+new — delta must differ")
+    // both side tables ride broadcast joins; fact never re-shuffles for them
+    val plan = physical(Export.corpusPackDelta(t))
+    assert(!plan.contains("SortMergeJoin"), s"sides must broadcast:\n$plan")
+  }
+
   test("corpus_pack: the cumsum Window partitions on (shard, bucket), not shard") {
     val plan = physical(Export.corpusPack(tables))
     assert("\\bWindow\\b".r.findAllIn(plan).length == 1,

@@ -75,4 +75,25 @@ class RelationalSpec extends SparkSpec {
     assert(got == exp)
     assert(got.nonEmpty)
   }
+
+  test("q14: conditional-aggregate ratio reconciles; part broadcasts; shipdate filter pushed") {
+    val t = tables
+    val df = Relational.q14PromoShare(t)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"part must broadcast:\n$plan")
+    assert(plan.contains("PushedFilters") &&
+      "PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate"
+        .r.findFirstIn(plan).isDefined,
+      s"shipdate window must reach the scan:\n$plan")
+    val rows = df.collect()
+      .map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows.keySet == (1 to 12).toSet, "full 1996 coverage")
+    rows.foreach { case (m, (pr, tr, pct)) =>
+      assert(pr >= 0 && pr <= tr, s"month $m promo > total")
+      assert(pct >= 0.0 && pct <= 100.0)
+      assert(math.abs(pct -
+        graft.functions.Portable.round6Double(100.0 * pr / tr)) < 1e-9)
+    }
+  }
 }

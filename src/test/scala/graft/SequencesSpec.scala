@@ -235,6 +235,39 @@ class SequencesSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"no SMJ:\n$plan")
   }
 
+  test("transitions: planted matrix counts and normalizes exactly; totals reconcile") {
+    val dir = writeEvents(Seq(
+      // user 1: A A B -> A>A, A>B ; user 2: A B -> A>B
+      (1L, 10L, 1L, "view"), (2L, 20L, 1L, "view"),
+      (3L, 30L, 1L, "click"),
+      (4L, 10L, 2L, "view"), (5L, 20L, 2L, "click")))
+    val got = Sequences.eventTransitions(Tables(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double) = graft.functions.Portable.round6Double(x)
+    assert(got == Map(
+      ("view", "view") -> ((1L, r6(1.0 / 3))),
+      ("view", "click") -> ((2L, r6(2.0 / 3)))))
+  }
+
+  test("transitions: real corpus — Σn = Σ(user events − 1); rows normalize; totals broadcast") {
+    val t = tables
+    val df = Sequences.eventTransitions(t)
+    val rows = df.collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    val expected = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1)).collect().head.getLong(0)
+    assert(rows.map(_._2).sum == expected)
+    rows.groupBy(_._1).foreach { case (from, cells) =>
+      assert(math.abs(cells.map(_._3).sum - 1.0) < 1e-4,
+        s"row $from must normalize to ~1")
+    }
+    val plan = physical(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"totals join should broadcast:\n$plan")
+  }
+
   test("funnel: every shuffle in the plan keys on user_id") {
     val plan = physical(Sequences.eventFunnel(tables))
     val hashParts = "hashpartitioning\\(([a-z_]+)".r

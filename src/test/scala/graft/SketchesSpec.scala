@@ -63,4 +63,58 @@ class SketchesSpec extends SparkSpec {
     assert(got.nonEmpty && got.size < exact.size,
       "bar must discriminate at this sf")
   }
+
+  /** Independent JVM recompute of a user's (bucket, rho) from raw md5
+    * bytes — mirrors none of the Column code.
+    */
+  private def hllCellOf(userId: Long): (Long, Int) = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"hll|$userId".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val bucket = java.lang.Long.parseLong(hex.take(8), 16) % Sketches.HllM
+    val w = java.lang.Long.parseLong(hex.slice(8, 21), 16)
+    val bits = w.toBinaryString.reverse.padTo(Sketches.HllRhoBits, '0')
+      .reverse
+    val first = bits.indexOf('1')
+    (bucket, if (first < 0) Sketches.HllRhoBits else first + 1)
+  }
+
+  test("hll: registers match an independent byte-level recompute; max is idempotent") {
+    val t = tables
+    val regs = Sketches.hllRegisters(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // brute reference: every (day, user) pair through the JVM hash
+    val pairs = t.events
+      .selectExpr("ts_sec div 86400 AS day", "user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val exp = pairs.map { case (d, u) =>
+      val (b, rho) = hllCellOf(u); ((d, b), rho)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).max }
+    assert(regs == exp)
+    // idempotence: a corpus unioned with itself moves no register
+    val twice = Sketches.hllCells(t.events.union(t.events))
+      .groupBy(col("day"), col("bucket"))
+      .agg(max(col("rho")).as("r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(twice == regs)
+  }
+
+  test("hll: estimate entry ≡ the shared moment formula exactly; within 5% of exact uniques") {
+    val t = tables
+    val est = Sketches.eventDailyUniquesEst(t).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val uniq = Sketches.eventDailyUniques(t).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(est.keySet == uniq.keySet && est.nonEmpty)
+    uniq.foreach { case (day, (nExact, vZero, z52)) =>
+      val (nBuckets, est6) = est(day)
+      assert(nBuckets == Sketches.HllM - vZero)
+      val ref = graft.functions.Portable.round6Double(
+        Sketches.hllEstimateFromMoments(vZero, z52))
+      assert(est6 == ref, s"day $day: catalyst $est6 vs jvm $ref")
+      assert(math.abs(est6 - nExact) <= 0.05 * nExact,
+        s"day $day: est $est6 vs exact $nExact drifts > 5%")
+    }
+  }
 }

@@ -2171,4 +2171,37 @@ class StreamingJobsSpec extends SparkSpec {
         "second batch must add paths (state carried the open window)")
     } finally q.stop()
   }
+
+  test("HllUniquesStream: any-order replay + duplicate delivery converge to batch est6 exactly") {
+    import spark.implicits._
+    val batchEst = graft.operators.Sketches.eventDailyUniquesEst(tables)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val events = tables.events
+      .select("user_id", "ts_sec").as[(Long, Long)].collect()
+
+    val in = MemoryStream[(Long, Long)]
+    val est = mutable.Map.empty[Long, (Long, Double)]
+    val q = Jobs.HllUniquesStream.estimates(
+      in.toDF().toDF("user_id", "ts_sec"))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("graft-hll-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        est.synchronized {
+          b.collect().foreach(r =>
+            est(r.getLong(0)) = (r.getLong(1), r.getDouble(2)))
+        }; ()
+      }.start()
+    try {
+      // REVERSE order + the first half delivered twice: register max
+      // is order-insensitive and idempotent, so the final estimates
+      // must still equal the batch entry bit-for-bit
+      val (a, b) = events.reverse.splitAt(events.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      in.addData(a.toSeq); q.processAllAvailable()
+      assert(est.synchronized(est.toMap) == batchEst,
+        "stream estimates must converge to batch est6 exactly")
+    } finally q.stop()
+  }
 }
