@@ -115,7 +115,32 @@ object PlanDump {
         "never window-ranked; the OrderStat threshold search paid " +
         "O(log n) scans once, outside this plan. PipelineSpec pins " +
         "result ≡ the naive per-language rank.",
-      graft.pipeline.Mixing.sampleQuota))
+      graft.pipeline.Mixing.sampleQuota),
+    ("event_top_paths",
+      "Sequence mining without blowup: two leads share ONE per-user " +
+        "Window (one hash Exchange + sort), the count key space is " +
+        "bounded by |types|^3, and the cut is TakeOrderedAndProject — " +
+        "partial top-k in every task, never a global sort. " +
+        "SequencesSpec pins both properties.",
+      graft.operators.Sequences.eventTopPaths),
+    ("q16_supplier_diversity",
+      "Distinct-first discipline: the fact collapses to its DISTINCT " +
+        "(partkey, suppkey) link set before ANY join (one shuffle of " +
+        "pre-combined partials); the excluded-supplier list rides a " +
+        "BroadcastHashJoin LeftAnti; the filter-pruned part dim " +
+        "broadcasts; count(DISTINCT) runs two-phase over the already-" +
+        "distinct link keys. RelationalSpec pins anti-broadcast and " +
+        "no SMJ.",
+      graft.operators.Relational.q16SupplierDiversity),
+    ("corpus_pack_delta",
+      "Append-only packing: the shipped corpus appears ONLY as a " +
+        "16-row per-shard token-total aggregate — partial-combined " +
+        "before its Exchange, so the shuffle carries ~16 rows per " +
+        "task, then broadcast back; the distributed-prefix machinery " +
+        "(histogram -> driver offsets -> (shard,bucket) Window) runs " +
+        "over the DELTA alone. ExportSpec walks every shard's cursor " +
+        "gap-free from the shipped totals.",
+      graft.pipeline.Export.corpusPackDelta))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)

@@ -141,6 +141,7 @@ object SparkEntry {
     "sketch_countmin" -> q(Sketches.countMinSketch),
     "sketch_heavy_hitters" -> q(Sketches.countMinHeavyHitters),
     "sketch_hll_registers" -> q(Sketches.hllRegisters),
+    "sketch_hll_merged" -> q(Sketches.hllMergedUniques),
     "event_daily_uniques" -> q(Sketches.eventDailyUniques),
     // rows-only: the linear-counting branch needs libm ln (not
     // bit-portable); SketchesSpec value-gates it (see rowsOnly)
@@ -274,6 +275,7 @@ object SparkEntry {
     "sketch_countmin" -> Sketches.countMinSketchSql,
     "sketch_heavy_hitters" -> Sketches.countMinHeavyHittersSql,
     "sketch_hll_registers" -> Sketches.hllRegistersSql,
+    "sketch_hll_merged" -> Sketches.hllMergedUniquesSql,
     "event_daily_uniques" -> Sketches.eventDailyUniquesSql,
     "corpus_sample_fixed" -> graft.pipeline.Mixing.sampleFixedSql,
     "corpus_sample_quota" -> graft.pipeline.Mixing.sampleQuotaSql

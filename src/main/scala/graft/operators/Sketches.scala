@@ -252,6 +252,41 @@ object Sketches {
     hllEstimateFromMoments(v, z52)
   }
 
+  /** MERGED sketch — the union property that makes HLL operational:
+    * register-wise `max` of per-day sketches IS the sketch of the
+    * union, so the month's total uniques come from the ≤ days·m-row
+    * register table with NO rescan of events (and cross-corpus /
+    * cross-cluster merges are the same one-line aggregate — sketches
+    * mail well; raw user sets don't). Output: one row of global
+    * (n_exact, v_zero, z52) — n_exact is the audit column, the
+    * moments are the sketch answer, all exact integers, fully
+    * oracle-checked. SketchesSpec pins the union property itself:
+    * merged registers ≡ registers built from all events in one pass,
+    * bucket for bucket.
+    */
+  def hllMergedUniques(t: Tables): DataFrame = {
+    val merged = hllRegisters(t)
+      .groupBy(col("bucket")).agg(max(col("r")).as("r"))
+    val mom = merged
+      .agg((lit(HllM) - count(lit(1))).cast("long").as("v_zero"),
+        (sum(expr(s"shiftleft(CAST(1 AS BIGINT), $HllRhoBits - r)")) +
+          (lit(HllM) - count(lit(1))) * lit(TwoPow52)).as("z52"))
+    t.events.agg(countDistinct(col("user_id")).as("n_exact"))
+      .crossJoin(mom)
+  }
+
+  def hllMergedUniquesSql: String =
+    s"""WITH $hllCellsSql,
+       |regs AS (SELECT day, bucket, MAX(rho) AS r FROM c GROUP BY 1, 2),
+       |mg AS (SELECT bucket, MAX(r) AS r FROM regs GROUP BY 1),
+       |mom AS (SELECT CAST($HllM - COUNT(*) AS BIGINT) AS v_zero,
+       |          CAST(SUM(CAST(1 AS BIGINT) << ($HllRhoBits - r))
+       |            + ($HllM - COUNT(*)) * $TwoPow52 AS BIGINT) AS z52
+       |        FROM mg)
+       |SELECT (SELECT COUNT(DISTINCT user_id) FROM e) AS n_exact,
+       |  v_zero, z52
+       |FROM mom""".stripMargin
+
   /** The estimate as a first-class query: (day, n_buckets, est6).
     * Declared rows-only — the linear-counting branch needs `ln`,
     * which is not bit-portable across engines (the tfidf rule);

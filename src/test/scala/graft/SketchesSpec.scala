@@ -99,6 +99,25 @@ class SketchesSpec extends SparkSpec {
     assert(twice == regs)
   }
 
+  test("hll: merged registers ≡ one-pass global sketch (the union property); estimate within 5%") {
+    val t = tables
+    // merge of per-day registers, bucket for bucket
+    val merged = Sketches.hllRegisters(t).collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+      .groupBy(_._1).map { case (b, v) => b -> v.map(_._2).max }
+    // one-pass sketch over all events (day collapsed before max)
+    val onePass = Sketches.hllCells(t.events)
+      .groupBy(col("bucket")).agg(max(col("rho")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(merged == onePass, "register max must commute with day split")
+    val row = Sketches.hllMergedUniques(t).collect().head
+    val (nExact, vZero, z52) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(vZero == Sketches.HllM - onePass.size)
+    val est = Sketches.hllEstimateFromMoments(vZero, z52)
+    assert(math.abs(est - nExact) <= 0.05 * nExact,
+      s"merged est $est vs exact $nExact drifts > 5%")
+  }
+
   test("hll: estimate entry ≡ the shared moment formula exactly; within 5% of exact uniques") {
     val t = tables
     val est = Sketches.eventDailyUniquesEst(t).collect()
