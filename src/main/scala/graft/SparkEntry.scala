@@ -33,6 +33,20 @@ object SparkEntry {
     "q10_returned_customers" -> q(Relational.q10ReturnedCustomers),
     "q16_supplier_diversity" -> q(Relational.q16SupplierDiversity),
     "q14_promo_share" -> q(Relational.q14PromoShare),
+    "q2_min_cost_supplier" -> q(RelationalTpch.q2MinCostSupplier),
+    "q4_priority_exists" -> q(RelationalTpch.q4PriorityExists),
+    "q9_product_profit" -> q(RelationalTpch.q9ProductProfit),
+    "q11_important_parts" -> q(RelationalTpch.q11ImportantParts),
+    "q12_priority_class" -> q(RelationalTpch.q12PriorityClass),
+    "q13_order_distribution" -> q(RelationalTpch.q13OrderDistribution),
+    "q15_top_supplier" -> q(RelationalTpch.q15TopSupplier),
+    "q17_small_qty_revenue" -> q(RelationalTpch.q17SmallQtyRevenue),
+    "q22_churn_balance" -> q(RelationalTpch.q22ChurnBalance),
+    "q6_forecast_revenue" -> q(RelationalTpch2.q6ForecastRevenue),
+    "q8_market_share" -> q(RelationalTpch2.q8MarketShare),
+    "q19_bracket_revenue" -> q(RelationalTpch2.q19BracketRevenue),
+    "q20_dominant_supplier" -> q(RelationalTpch2.q20DominantSupplier),
+    "q21_sole_blame" -> q(RelationalTpch2.q21SoleBlame),
     // wordcount family
     "word_count" -> q(WordCounts.wordCount),
     "word_count_salted" -> q(WordCounts.wordCountSalted),
@@ -117,6 +131,8 @@ object SparkEntry {
     "report_dup_matrix" -> q(graft.pipeline.Reports.sourceDupMatrix),
     "shard_manifest" -> q(graft.pipeline.Reports.shardManifest),
     "report_token_histogram" -> q(graft.pipeline.Reports.tokenHistogram),
+    "report_mix_rollup" -> q(graft.pipeline.Reports.mixRollup),
+    "report_lang_pivot" -> q(graft.pipeline.Reports.langPivot),
     // export + scrub + soft dedup (LLM pipeline)
     "corpus_shuffle_order" -> q(graft.pipeline.Export.corpusShuffleOrder),
     "corpus_pack" -> q(graft.pipeline.Export.corpusPack),
@@ -135,6 +151,8 @@ object SparkEntry {
     "event_top_paths" -> q(Sequences.eventTopPaths),
     "event_daily_anomaly" -> q(Sequences.eventDailyAnomaly),
     "event_transitions" -> q(Sequences.eventTransitions),
+    "event_interval_join" -> q(Sequences.eventIntervalJoin),
+    "event_interval_unmatched" -> q(Sequences.eventIntervalUnmatched),
     // bloom membership pre-filter
     "bloom_dup_candidates" -> q(graft.dedup.Bloom.bloomDupCandidates),
     // count-min sketch (bounded-memory frequency estimation)
@@ -182,6 +200,20 @@ object SparkEntry {
     "q10_returned_customers" -> Relational.q10ReturnedCustomersSql,
     "q16_supplier_diversity" -> Relational.q16SupplierDiversitySql,
     "q14_promo_share" -> Relational.q14PromoShareSql,
+    "q2_min_cost_supplier" -> RelationalTpch.q2MinCostSupplierSql,
+    "q4_priority_exists" -> RelationalTpch.q4PriorityExistsSql,
+    "q9_product_profit" -> RelationalTpch.q9ProductProfitSql,
+    "q11_important_parts" -> RelationalTpch.q11ImportantPartsSql,
+    "q12_priority_class" -> RelationalTpch.q12PriorityClassSql,
+    "q13_order_distribution" -> RelationalTpch.q13OrderDistributionSql,
+    "q15_top_supplier" -> RelationalTpch.q15TopSupplierSql,
+    "q17_small_qty_revenue" -> RelationalTpch.q17SmallQtyRevenueSql,
+    "q22_churn_balance" -> RelationalTpch.q22ChurnBalanceSql,
+    "q6_forecast_revenue" -> RelationalTpch2.q6ForecastRevenueSql,
+    "q8_market_share" -> RelationalTpch2.q8MarketShareSql,
+    "q19_bracket_revenue" -> RelationalTpch2.q19BracketRevenueSql,
+    "q20_dominant_supplier" -> RelationalTpch2.q20DominantSupplierSql,
+    "q21_sole_blame" -> RelationalTpch2.q21SoleBlameSql,
     "word_count" -> WordCounts.wordCountSql,
     "word_count_salted" -> WordCounts.wordCountSaltedSql,
     "hdfs_word_count" -> WordCounts.hdfsWordCountSql,
@@ -255,6 +287,8 @@ object SparkEntry {
     "report_dup_matrix" -> graft.pipeline.Reports.sourceDupMatrixSql,
     "shard_manifest" -> graft.pipeline.Reports.shardManifestSql,
     "report_token_histogram" -> graft.pipeline.Reports.tokenHistogramSql,
+    "report_mix_rollup" -> graft.pipeline.Reports.mixRollupSql,
+    "report_lang_pivot" -> graft.pipeline.Reports.langPivotSql,
     "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,
     "corpus_pack" -> graft.pipeline.Export.corpusPackSql,
     "corpus_pack_stats" -> graft.pipeline.Export.corpusPackStatsSql,
@@ -271,6 +305,8 @@ object SparkEntry {
     "event_top_paths" -> Sequences.eventTopPathsSql,
     "event_daily_anomaly" -> Sequences.eventDailyAnomalySql,
     "event_transitions" -> Sequences.eventTransitionsSql,
+    "event_interval_join" -> Sequences.eventIntervalJoinSql,
+    "event_interval_unmatched" -> Sequences.eventIntervalUnmatchedSql,
     "bloom_dup_candidates" -> graft.dedup.Bloom.bloomDupCandidatesSql,
     "sketch_countmin" -> Sketches.countMinSketchSql,
     "sketch_heavy_hitters" -> Sketches.countMinHeavyHittersSql,

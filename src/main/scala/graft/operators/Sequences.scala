@@ -432,4 +432,98 @@ object Sequences {
        |LEFT JOIN s2 USING (user_id)
        |LEFT JOIN s3 USING (user_id)
        |ORDER BY u.user_id""".stripMargin
+
+  /** Interval-join window: a click attributes to purchases within
+    * this many seconds after it.
+    */
+  val IntervalSec = 1800L
+
+  /** INTERVAL (range) join: ALL same-user (click → purchase) pairs
+    * with `0 ≤ purchase.ts − click.ts ≤ IntervalSec` — the all-pairs
+    * complement of [[eventAsofJoin]] (which keeps only the latest).
+    *
+    * Scale: the naive plan is an equi-join on user_id with the range
+    * as a residual — whale users make that a per-user cross product.
+    * Instead both sides TIME-BUCKET by `floor(ts / IntervalSec)`: a
+    * click can only meet purchases in its own or the next bucket, so
+    * the click side explodes to exactly 2 (user, bucket) keys and the
+    * join becomes a plain equi-join on (user_id, bucket) with the
+    * range filter residual. Fan-out is a fixed 2×, and whale users
+    * split across their time buckets instead of landing in one task.
+    * Each qualifying pair matches in exactly ONE bucket (the
+    * purchase's), so no dedup pass is needed.
+    */
+  def eventIntervalJoin(t: Tables): DataFrame = {
+    val e = t.events
+    val clicks = e.filter(col("event_type") === RefType)
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts_sec").as("c_ts"))
+      .withColumn("bucket", explode(array(
+        floor(col("c_ts") / IntervalSec),
+        floor(col("c_ts") / IntervalSec) + 1)))
+    val purchases = e.filter(col("event_type") === ProbeType)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_sec").as("p_ts"),
+        floor(col("ts_sec") / IntervalSec).as("bucket"))
+    purchases
+      .join(clicks, Seq("user_id", "bucket"))
+      .filter(col("p_ts") >= col("c_ts") &&
+        col("p_ts") - col("c_ts") <= IntervalSec)
+      .select(col("purchase_id"), col("user_id"), col("p_ts"),
+        col("click_id"), col("c_ts"),
+        (col("p_ts") - col("c_ts")).as("lag_sec"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  def eventIntervalJoinSql: String =
+    s"""WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+       |           FROM events)
+       |SELECT p.event_id AS purchase_id, p.user_id, p.ts_sec AS p_ts,
+       |  c.event_id AS click_id, c.ts_sec AS c_ts,
+       |  p.ts_sec - c.ts_sec AS lag_sec
+       |FROM e p JOIN e c
+       |  ON p.user_id = c.user_id
+       |  AND p.ts_sec >= c.ts_sec
+       |  AND p.ts_sec - c.ts_sec <= $IntervalSec
+       |WHERE p.event_type = '$ProbeType' AND c.event_type = '$RefType'
+       |ORDER BY purchase_id, click_id""".stripMargin
+
+  /** The outer complement: purchases NO click explains — same
+    * bucketed equi-join, as a LEFT ANTI. The pair with
+    * [[eventIntervalJoin]] partitions the purchase set (spec-pinned).
+    */
+  def eventIntervalUnmatched(t: Tables): DataFrame = {
+    val e = t.events
+    val clicks = e.filter(col("event_type") === RefType)
+      .select(col("user_id").as("c_user"), col("ts_sec").as("c_ts"))
+      .withColumn("c_bucket", explode(array(
+        floor(col("c_ts") / IntervalSec),
+        floor(col("c_ts") / IntervalSec) + 1)))
+    val purchases = e.filter(col("event_type") === ProbeType)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_sec").as("p_ts"),
+        floor(col("ts_sec") / IntervalSec).as("bucket"))
+    purchases
+      .join(clicks,
+        col("user_id") === col("c_user") && col("bucket") === col("c_bucket") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") - col("c_ts") <= IntervalSec,
+        "left_anti")
+      .select(col("purchase_id"), col("user_id"), col("p_ts"))
+      .orderBy(col("purchase_id"))
+  }
+
+  def eventIntervalUnmatchedSql: String =
+    s"""WITH e AS (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+       |           FROM events)
+       |SELECT p.event_id AS purchase_id, p.user_id, p.ts_sec AS p_ts
+       |FROM e p
+       |WHERE p.event_type = '$ProbeType'
+       |  AND NOT EXISTS (
+       |    SELECT 1 FROM e c
+       |    WHERE c.event_type = '$RefType'
+       |      AND c.user_id = p.user_id
+       |      AND p.ts_sec >= c.ts_sec
+       |      AND p.ts_sec - c.ts_sec <= $IntervalSec)
+       |ORDER BY purchase_id""".stripMargin
 }

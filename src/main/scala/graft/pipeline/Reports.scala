@@ -214,4 +214,75 @@ object Reports {
       |  COUNT(*) AS n_docs,
       |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
       |FROM tk GROUP BY source, bucket ORDER BY source, bucket""".stripMargin
+
+  /** ROLLUP mix report: (source, lang) cells + per-source subtotals +
+    * the grand total in ONE pass — Spark's `rollup` compiles to a
+    * single Expand (3 grouping sets) over the scan, so the corpus is
+    * read once, not three times; every aggregate is algebraic (no
+    * distincts), so partials collapse map-side BEFORE the 3×-Expanded
+    * shuffle... and the shuffle itself carries ≤ 3 × |source×lang|
+    * group rows, not 3× the corpus.
+    *
+    * NULL grouping keys mark subtotal rows in standard SQL; they're
+    * surfaced as '<all>' sentinels (portable value hashing — the
+    * dedup_clusters_delta rule).
+    */
+  def mixRollup(t: Tables): DataFrame =
+    t.documents
+      .rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        max(col("n_chars")).cast("long").as("max_chars"))
+      .select(coalesce(col("source"), lit("<all>")).as("source"),
+        coalesce(col("lang"), lit("<all>")).as("lang"),
+        col("n_docs"), col("total_chars"), col("max_chars"))
+      .orderBy(col("source"), col("lang"))
+
+  def mixRollupSql: String =
+    """SELECT COALESCE(source, '<all>') AS source,
+      |  COALESCE(lang, '<all>') AS lang,
+      |  COUNT(*) AS n_docs,
+      |  SUM(n_chars)::BIGINT AS total_chars,
+      |  MAX(n_chars)::BIGINT AS max_chars
+      |FROM documents
+      |GROUP BY ROLLUP(source, lang)
+      |ORDER BY source, lang""".stripMargin
+
+  /** The fixed language inventory the pivot report columns span.
+    * Pinned (not discovered) so the output schema is static — a
+    * PIVOT whose columns depend on the data can't be planned without
+    * a driver-side distinct pass, and its schema would drift with the
+    * corpus. Unknown langs land in `other`.
+    */
+  val PivotLangs: Seq[String] = Seq("de", "en", "es", "fr", "zh")
+
+  /** Language-mix PIVOT: one row per source, one doc-count column per
+    * language — the wide-format report dashboards ingest. Spark's
+    * `pivot(col, values)` with pinned values compiles to ONE
+    * aggregation pass with a `when` per cell (no per-lang scan, no
+    * driver-side distinct); the oracle spells the same conditional
+    * aggregation — PIVOT is syntax, not a plan shape.
+    */
+  def langPivot(t: Tables): DataFrame = {
+    val langOrOther = when(col("lang").isin(PivotLangs: _*), col("lang"))
+      .otherwise(lit("other"))
+    t.documents
+      .withColumn("lg", langOrOther)
+      .groupBy(col("source"))
+      .pivot("lg", PivotLangs :+ "other")
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotLangs :+ "other")
+      .orderBy(col("source"))
+  }
+
+  def langPivotSql: String = {
+    val cells = (PivotLangs.map(l =>
+      s"COUNT(*) FILTER (WHERE lang = '$l') AS $l") :+
+      s"COUNT(*) FILTER (WHERE lang NOT IN (${PivotLangs.map(l => s"'$l'").mkString(", ")})) AS other")
+      .mkString(",\n      |  ")
+    s"""SELECT source,
+       |  $cells
+       |FROM documents
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
 }

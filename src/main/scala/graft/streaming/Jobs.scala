@@ -2240,4 +2240,72 @@ object Jobs {
         .toDF("day", "n_buckets", "est6")
     }
   }
+
+  // ---------------------------------------------------------------------
+  // IntervalJoinStream — operators.Sequences.eventIntervalJoin live: the
+  // watermarked stream-stream INTERVAL join between two DIFFERENT event
+  // substreams (clicks ↔ purchases). MinhashCandidates exercises the
+  // self-join form; this is the two-sided attribution form, including
+  // the LEFT OUTER variant whose null rows the watermark releases.
+  // ---------------------------------------------------------------------
+  object IntervalJoinStream {
+
+    import graft.operators.Sequences.{IntervalSec, ProbeType, RefType}
+
+    private def sides(events: DataFrame): (DataFrame, DataFrame) = {
+      // two filters over ONE source subscription per side; the engine
+      // requires a watermark on both inputs to bound the join state
+      val clicks = events.filter(col("event_type") === RefType)
+        .select(col("ts").as("c_time"), col("user_id").as("c_user"),
+          col("event_id").as("click_id"))
+        .withWatermark("c_time", "30 seconds")
+      val purchases = events.filter(col("event_type") === ProbeType)
+        .select(col("ts").as("p_time"), col("user_id"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_time", "30 seconds")
+      (clicks, purchases)
+    }
+
+    private val joinCond =
+      col("user_id") === col("c_user") &&
+        col("p_time") >= col("c_time") &&
+        col("p_time") <= col("c_time") + expr(s"INTERVAL $IntervalSec seconds")
+
+    /** All attributed (click → purchase) pairs from a live
+      * (ts, user_id, event_type, event_id) stream — replay of the
+      * events table ≡ the batch [[graft.operators.Sequences
+      * .eventIntervalJoin]] row set (spec-pinned, modulo the batch
+      * op's output ordering).
+      *
+      * State stays bounded: the event-time range condition lets the
+      * engine drop click state once the watermark passes
+      * `c_time + IntervalSec` and purchase state at `p_time` — neither
+      * side is keyed state that lives forever. Append mode.
+      */
+    def pairs(events: DataFrame): DataFrame = {
+      val (clicks, purchases) = sides(events)
+      purchases.join(clicks, joinCond)
+        .select(col("purchase_id"), col("user_id"),
+          unix_timestamp(col("p_time")).as("p_ts"),
+          col("click_id"),
+          unix_timestamp(col("c_time")).as("c_ts"),
+          (unix_timestamp(col("p_time")) - unix_timestamp(col("c_time")))
+            .as("lag_sec"))
+    }
+
+    /** LEFT OUTER variant: every purchase, attributed or not — the
+      * unmatched ones surface with null click columns only once the
+      * watermark proves no in-window click can still arrive (the
+      * streaming analog of [[graft.operators.Sequences
+      * .eventIntervalUnmatched]]'s anti join). Append mode.
+      */
+    def pairsOuter(events: DataFrame): DataFrame = {
+      val (clicks, purchases) = sides(events)
+      purchases.join(clicks, joinCond, "left_outer")
+        .select(col("purchase_id"), col("user_id"),
+          unix_timestamp(col("p_time")).as("p_ts"),
+          col("click_id"),
+          unix_timestamp(col("c_time")).as("c_ts"))
+    }
+  }
 }

@@ -146,4 +146,47 @@ class ReportsSpec extends SparkSpec {
     assert(nExchange == 2,
       s"expected exactly 2 exchanges (16-group agg + 16-row sort), got $nExchange:\n$plan")
   }
+
+  test("mix_rollup: subtotals and grand total reconcile; ONE Expand, one scan") {
+    val dir = writeDocs(Seq(
+      (1L, "aa", "en", "a"), (2L, "bbb", "en", "a"),
+      (3L, "cccc", "fr", "a"), (4L, "ddddd", "en", "b")))
+    val t = Tables(spark, dir)
+    val got = Reports.mixRollup(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(("a", "en")) == ((2L, 5L, 3L)))
+    assert(got(("a", "fr")) == ((1L, 4L, 4L)))
+    assert(got(("a", "<all>")) == ((3L, 9L, 4L)))
+    assert(got(("b", "<all>")) == ((1L, 5L, 5L)))
+    assert(got(("<all>", "<all>")) == ((4L, 14L, 5L)))
+    assert(got.size == 6) // 3 cells + 2 source subtotals + 1 grand total
+    val plan = physical(Reports.mixRollup(tables))
+    assert("Expand".r.findAllIn(plan).length == 1,
+      s"rollup must be one Expand pass:\n$plan")
+    assert("FileScan".r.findAllIn(plan).length == 1,
+      s"rollup must read the corpus once:\n$plan")
+  }
+
+  test("lang_pivot: static schema, cells reconcile with long-format counts, unknown lang lands in other") {
+    val dir = writeDocs(Seq(
+      (1L, "x", "en", "a"), (2L, "y", "en", "a"), (3L, "z", "zh", "a"),
+      (4L, "w", "xx", "b"))) // xx: not in the pinned inventory
+    val rows = Reports.langPivot(Tables(spark, dir)).collect()
+    assert(rows.head.schema.fieldNames.toSeq ==
+      "source" +: Reports.PivotLangs :+ "other")
+    val byS = rows.map(r => r.getString(0) -> r).toMap
+    assert(byS("a").getAs[Long]("en") == 2L)
+    assert(byS("a").getAs[Long]("zh") == 1L)
+    assert(byS("a").getAs[Long]("other") == 0L)
+    assert(byS("b").getAs[Long]("other") == 1L)
+    assert(byS("b").getAs[Long]("en") == 0L)
+    // real corpus: pivot cells sum to the per-source doc counts
+    val wide = Reports.langPivot(tables).collect()
+    val totals = wide.map(r => r.getString(0) ->
+      (Reports.PivotLangs :+ "other").map(c => r.getAs[Long](c)).sum).toMap
+    val direct = tables.documents.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(totals == direct)
+  }
 }

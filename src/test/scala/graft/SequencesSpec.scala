@@ -275,4 +275,60 @@ class SequencesSpec extends SparkSpec {
     assert(hashParts.subsetOf(Set("user_id")),
       s"non-user_id shuffle keys: $hashParts\n$plan")
   }
+
+  test("interval join: planted in-window/cross-bucket/out-of-window pairs resolve exactly") {
+    val W = Sequences.IntervalSec // 1800
+    val dir = writeEvents(Seq(
+      (1L, 100L, 1L, "click"), (4L, 1000L, 1L, "click"),
+      (2L, 200L, 1L, "purchase"), // ← click 1 (lag 100)
+      (3L, 2500L, 1L, "purchase"), // ← click 4 only (click 1 is 2400 s away)
+      (5L, 9000L, 1L, "purchase"), // no click in window
+      (6L, 1700L, 2L, "click"), // bucket 0...
+      (7L, 1900L, 2L, "purchase"))) // ...purchase in bucket 1: must still pair
+    val t = Tables(spark, dir)
+    val got = Sequences.eventIntervalJoin(t).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(5))).toSet
+    assert(got == Set((2L, 1L, 100L), (3L, 4L, 1500L), (7L, 6L, 200L)))
+    val un = Sequences.eventIntervalUnmatched(t).collect()
+      .map(_.getLong(0)).toSet
+    assert(un == Set(5L))
+    assert(W == 1800L)
+  }
+
+  test("interval join: real corpus ≡ naive range-join formulation; matched ∪ unmatched partitions purchases") {
+    val pairs = Sequences.eventIntervalJoin(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val naive = tables.events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("event_id").as("pid"),
+        col("ts_sec").as("pt"))
+      .join(tables.events.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), col("event_id").as("cid"),
+          col("ts_sec").as("ct")),
+        col("u") === col("cu") && col("pt") >= col("ct") &&
+          col("pt") - col("ct") <= Sequences.IntervalSec)
+      .select(col("pid"), col("cid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == naive)
+    val matched = pairs.map(_._1)
+    val unmatched = Sequences.eventIntervalUnmatched(tables).collect()
+      .map(_.getLong(0)).toSet
+    val all = tables.events.filter(col("event_type") === "purchase")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert((matched intersect unmatched).isEmpty)
+    assert((matched union unmatched) == all)
+  }
+
+  test("interval join: bucketing makes it an equi-join — no NLJ/cartesian; shuffles key on (user, bucket)") {
+    val plan = physical(Sequences.eventIntervalJoin(tables))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must ride the bucket equi-join:\n$plan")
+    // the join must be an EQUI join keyed on (user_id, bucket) with the
+    // range as a residual — broadcast form at small scale, hash shuffle
+    // on exactly those keys at large scale
+    assert(
+      "(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[user_id#\\d+L?, bucket"
+        .r.findFirstIn(plan).isDefined,
+      s"join must key on (user_id, bucket):\n$plan")
+  }
 }

@@ -2204,4 +2204,76 @@ class StreamingJobsSpec extends SparkSpec {
         "stream estimates must converge to batch est6 exactly")
     } finally q.stop()
   }
+
+  test("IntervalJoinStream: replay ≡ batch event_interval_join; cross-batch pairs survive") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 100L, 1L, "click"), (4L, 1000L, 1L, "click"),
+      (2L, 200L, 1L, "purchase"),  // ← click 1
+      (3L, 2500L, 1L, "purchase"), // ← click 4 only (2400 s from click 1)
+      (5L, 9000L, 1L, "purchase"), // unattributed
+      (6L, 1700L, 2L, "click"),
+      (7L, 1900L, 2L, "purchase"), // ← click 6
+      (8L, 99L, 1L, "view"))       // ignored type
+    val dir = tmp("graft-ivj-batch")
+    writeSeqEvents(dir, events)
+    val batch = graft.operators.Sequences
+      .eventIntervalJoin(graft.Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(5))).toSet
+
+    val in = MemoryStream[(Timestamp, Long, String, Long)]
+    val pairs = Jobs.IntervalJoinStream.pairs(
+      in.toDF().toDF("ts", "user_id", "event_type", "event_id"))
+    val q = pairs.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ivj_pairs").start()
+    try {
+      val t = (s: Long) => new Timestamp(s * 1000)
+      val rows = events.map { case (id, ts, u, ty) => (t(ts), u, ty, id) }
+      // split mid-stream: click 4 arrives in batch 1, the purchase it
+      // attributes (id 3) in batch 2 — the pair must cross the boundary
+      in.addData(rows.take(4))
+      q.processAllAvailable()
+      in.addData(rows.drop(4))
+      q.processAllAvailable()
+      val got = spark.table("ivj_pairs")
+        .select("purchase_id", "click_id", "lag_sec")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == batch, s"stream $got != batch $batch")
+      assert(got == Set((2L, 1L, 100L), (3L, 4L, 1500L), (7L, 6L, 200L)))
+    } finally q.stop()
+  }
+
+  test("IntervalJoinStream.pairsOuter: watermark releases unattributed purchases with null clicks") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String, Long)]
+    val outer = Jobs.IntervalJoinStream.pairsOuter(
+      in.toDF().toDF("ts", "user_id", "event_type", "event_id"))
+    val q = outer.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ivj_outer").start()
+    try {
+      val t = (s: Long) => new Timestamp(s * 1000)
+      in.addData(Seq(
+        (t(100), 1L, "click", 1L),
+        (t(200), 1L, "purchase", 2L),   // attributed
+        (t(9000), 2L, "purchase", 3L))) // nothing can ever attribute it...
+      q.processAllAvailable()
+      val early = spark.table("ivj_outer")
+        .filter(col("purchase_id") === 3L).count()
+      assert(early == 0L,
+        "null row must NOT emit before the watermark proves no click can come")
+      // ...but only the watermark may say so: push it far past 9000+1800
+      in.addData(Seq((t(50000), 3L, "click", 90L),
+        (t(50000), 3L, "purchase", 91L)))
+      q.processAllAvailable()
+      in.addData(Seq((t(99000), 4L, "click", 92L),
+        (t(99000), 4L, "purchase", 93L)))
+      q.processAllAvailable()
+      val got = spark.table("ivj_outer")
+        .select("purchase_id", "click_id")
+        .as[(Long, Option[Long])].collect()
+        .filter(p => p._1 <= 3L).toSet
+      assert(got == Set((2L, Some(1L)), (3L, None)),
+        s"outer join must attribute 2 and null-release 3, got $got")
+    } finally q.stop()
+  }
 }
