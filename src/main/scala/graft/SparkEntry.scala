@@ -145,6 +145,7 @@ object SparkEntry {
     "dedup_clusters_quality" -> q(graft.dedup.Dedup.nearDupClustersQuality),
     // event sequences (as-of / funnel / retention)
     "event_asof_join" -> q(Sequences.eventAsofJoin),
+    "event_asof_join_native" -> q(Sequences.eventAsofJoinNative),
     "event_funnel" -> q(Sequences.eventFunnel),
     "event_retention" -> q(Sequences.eventRetention),
     "event_gap_stats" -> q(Sequences.eventGapStats),
@@ -299,6 +300,7 @@ object SparkEntry {
     "dedup_weighted" -> graft.dedup.Dedup.dedupWeightedSql,
     "dedup_clusters_quality" -> graft.dedup.Dedup.nearDupClustersQualitySql,
     "event_asof_join" -> Sequences.eventAsofJoinSql,
+    "event_asof_join_native" -> Sequences.eventAsofJoinSql,
     "event_funnel" -> Sequences.eventFunnelSql,
     "event_retention" -> Sequences.eventRetentionSql,
     "event_gap_stats" -> Sequences.eventGapStatsSql,

@@ -433,6 +433,25 @@ object Sequences {
        |LEFT JOIN s3 USING (user_id)
        |ORDER BY u.user_id""".stripMargin
 
+  /** [[eventAsofJoin]] through the NATIVE operator
+    * ([[graft.plans.AsofJoinNode]] → AsofJoinExec, injected by
+    * [[graft.GraftExtensions]]): same semantics, same oracle — but the
+    * plan is two user_id-clustered exchanges feeding a per-partition
+    * two-pointer merge (three longs of carry state), instead of a
+    * union shuffle + WindowExec frame. The top-level orderBy is the
+    * output contract's, identical to the composed form's.
+    */
+  def eventAsofJoinNative(t: Tables): DataFrame = {
+    val e = t.events
+    def side(tpe: String) = e.filter(col("event_type") === tpe)
+      .select(col("user_id"), col("ts_sec"), col("event_id"))
+    val node = graft.plans.AsofJoinNode(
+      side(ProbeType).queryExecution.analyzed,
+      side(RefType).queryExecution.analyzed)
+    org.apache.spark.sql.graft.Bridge.ofRows(e.sparkSession, node)
+      .orderBy(col("event_id"))
+  }
+
   /** Interval-join window: a click attributes to purchases within
     * this many seconds after it.
     */

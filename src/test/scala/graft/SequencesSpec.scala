@@ -276,6 +276,41 @@ class SequencesSpec extends SparkSpec {
       s"non-user_id shuffle keys: $hashParts\n$plan")
   }
 
+  test("asof native: planted ties/sentinels match the composed op's pinned semantics") {
+    // the exact corpus the composed-op planted test uses
+    val dir = writeEvents(Seq(
+      (10L, 100L, 1L, "click"), (11L, 100L, 1L, "click"),
+      (20L, 100L, 1L, "purchase"), // same-second tie -> ref 11, gap 0
+      (21L, 50L, 1L, "purchase"),  // pre-click -> -1
+      (12L, 200L, 1L, "click"),
+      (22L, 250L, 1L, "purchase"), // -> ref 12
+      (30L, 10L, 2L, "purchase"))) // user without refs -> -1
+    val t = Tables(spark, dir)
+    val got = Sequences.eventAsofJoinNative(t).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toSet
+    assert(got == Set((20L, 100L, 11L, 0L), (21L, -1L, -1L, -1L),
+      (22L, 200L, 12L, 50L), (30L, -1L, -1L, -1L)))
+  }
+
+  test("asof native: real corpus ≡ composed union-and-carry op bit-for-bit") {
+    val native = Sequences.eventAsofJoinNative(tables).collect()
+      .map(r => (0 until 6).map(r.getLong).toList).toSeq
+    val composed = Sequences.eventAsofJoin(tables).collect()
+      .map(r => (0 until 6).map(r.getLong).toList).toSeq
+    assert(native == composed)
+  }
+
+  test("asof native: plan is AsofJoinExec over two user_id-clustered sorts — no Window, no Union") {
+    val df = Sequences.eventAsofJoinNative(tables)
+    val plan = physical(df)
+    assert(plan.contains("AsofJoin"), s"native operator must plan:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Union"),
+      s"native form must not fall back to the composed shape:\n$plan")
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(plan).length == 2,
+      s"each side shuffles once on user_id:\n$plan")
+  }
+
   test("interval join: planted in-window/cross-bucket/out-of-window pairs resolve exactly") {
     val W = Sequences.IntervalSec // 1800
     val dir = writeEvents(Seq(
