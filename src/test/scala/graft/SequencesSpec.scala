@@ -311,6 +311,88 @@ class SequencesSpec extends SparkSpec {
       s"each side shuffles once on user_id:\n$plan")
   }
 
+  test("asof property: random collision-heavy corpora — native ≡ composed ≡ in-memory model") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // small user/ts domains force same-second ties, interleaved users,
+    // ref-less users, and probe-before-ref orderings
+    val corpusGen: Gen[Seq[(Long, Long, Long, String)]] = for {
+      nUsers <- Gen.choose(1, 5)
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, nUsers.toLong)
+        ts <- Gen.choose(0L, 30L)
+        ty <- Gen.oneOf("click", "purchase", "view")
+      } yield (u, ts, ty))
+    } yield rows.zipWithIndex.map { case ((u, ts, ty), i) =>
+      (i + 1L, ts, u, ty)
+    }
+
+    def model(rows: Seq[(Long, Long, Long, String)])
+        : Map[Long, (Long, Long, Long)] = {
+      val refs = rows.filter(_._4 == "click")
+      rows.filter(_._4 == "purchase").map { case (pid, pts, pu, _) =>
+        val cands = refs.filter(r => r._3 == pu && r._2 <= pts)
+        if (cands.isEmpty) pid -> ((-1L, -1L, -1L))
+        else {
+          val (rid, rts, _, _) = cands.maxBy(r => (r._2, r._1))
+          pid -> ((rts, rid, pts - rts))
+        }
+      }.toMap
+    }
+
+    (0 until 6).foreach { k =>
+      val rows = corpusGen(Gen.Parameters.default, Seed(k.toLong)).get
+      val dir = writeEvents(rows)
+      val t = Tables(spark, dir)
+      val expect = model(rows)
+      for ((name, df) <- Seq("native" -> Sequences.eventAsofJoinNative(t),
+        "composed" -> Sequences.eventAsofJoin(t))) {
+        val got = df.collect()
+          .map(r => r.getLong(0) -> ((r.getLong(3), r.getLong(4),
+            r.getLong(5)))).toMap
+        assert(got == expect, s"seed=$k $name diverged from the model: " +
+          s"got $got expected $expect over ${rows.size} rows")
+      }
+    }
+  }
+
+  test("interval join property: random corpora — bucketed join ≡ in-memory all-pairs model") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val W = Sequences.IntervalSec
+    // ts domain straddles several buckets AND the window boundary
+    val corpusGen: Gen[Seq[(Long, Long, Long, String)]] = for {
+      nUsers <- Gen.choose(1, 4)
+      n <- Gen.choose(1, 50)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, nUsers.toLong)
+        ts <- Gen.choose(0L, 4 * W)
+        ty <- Gen.oneOf("click", "purchase")
+      } yield (u, ts, ty))
+    } yield rows.zipWithIndex.map { case ((u, ts, ty), i) =>
+      (i + 1L, ts, u, ty)
+    }
+    (0 until 5).foreach { k =>
+      val rows = corpusGen(Gen.Parameters.default, Seed(100L + k)).get
+      val clicks = rows.filter(_._4 == "click")
+      val expect = rows.filter(_._4 == "purchase").flatMap {
+        case (pid, pts, pu, _) =>
+          clicks.filter(c => c._3 == pu && pts >= c._2 && pts - c._2 <= W)
+            .map(c => (pid, c._1))
+      }.toSet
+      val t = Tables(spark, writeEvents(rows))
+      val got = Sequences.eventIntervalJoin(t).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      assert(got == expect, s"seed=${100 + k} diverged: got $got expected $expect")
+      val un = Sequences.eventIntervalUnmatched(t).collect()
+        .map(_.getLong(0)).toSet
+      val expectUn = rows.filter(_._4 == "purchase").map(_._1).toSet --
+        expect.map(_._1)
+      assert(un == expectUn)
+    }
+  }
+
   test("interval join: planted in-window/cross-bucket/out-of-window pairs resolve exactly") {
     val W = Sequences.IntervalSec // 1800
     val dir = writeEvents(Seq(
