@@ -140,7 +140,41 @@ object PlanDump {
         "(histogram -> driver offsets -> (shard,bucket) Window) runs " +
         "over the DELTA alone. ExportSpec walks every shard's cursor " +
         "gap-free from the shipped totals.",
-      graft.pipeline.Export.corpusPackDelta))
+      graft.pipeline.Export.corpusPackDelta),
+    ("event_asof_join_native",
+      "The as-of join as a NATIVE operator (AsofJoinNode -> " +
+        "AsofJoinStrategy -> AsofJoinExec via injectPlannerStrategy): " +
+        "each side shuffles ONCE on user_id, EnsureRequirements " +
+        "inserts the spill-able (user, ts, id) partition sorts, and " +
+        "the operator itself is a per-partition two-pointer merge " +
+        "carrying three longs — no union materialization, no " +
+        "WindowExec. Same oracle as the composed form; 22% faster at " +
+        "sf0.1. SequencesSpec pins AsofJoinExec + no Window/Union + " +
+        "exactly 2 user_id exchanges.",
+      graft.operators.Sequences.eventAsofJoinNative),
+    ("event_interval_join",
+      "The range join rewritten as an equi-join: both sides key on " +
+        "(user_id, floor(ts/W)), clicks explode to exactly 2 buckets " +
+        "(fixed fan-out), the time range is a residual filter on the " +
+        "join — no BroadcastNestedLoopJoin, no per-user cross " +
+        "product; whale users split across their time buckets. " +
+        "SequencesSpec pins the equi-join keys and cross-checks a " +
+        "naive range-join formulation.",
+      graft.operators.Sequences.eventIntervalJoin),
+    ("q21_sole_blame",
+      "The exists/not-exists self-join pair of TPC-H Q21 collapsed " +
+        "to ONE aggregation pass over the fact: two predicate-" +
+        "filtered COUNT(DISTINCT)s + a MIN recover the sole offender " +
+        "per order — no second lineitem scan, no self-join; the " +
+        "supplier dim broadcasts onto the per-supplier counts.",
+      graft.operators.RelationalTpch2.q21SoleBlame),
+    ("report_mix_rollup",
+      "GROUPING SETS surface: rollup(source, lang) compiles to a " +
+        "single Expand (3 grouping sets) over ONE corpus scan; all " +
+        "aggregates are algebraic so partials collapse map-side " +
+        "BEFORE the Expanded shuffle. ReportsSpec pins 1 Expand + " +
+        "1 FileScan.",
+      graft.pipeline.Reports.mixRollup))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
