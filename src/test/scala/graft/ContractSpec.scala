@@ -54,6 +54,17 @@ class ContractSpec extends SparkSpec {
       e.getMessage.contains("doc_id=7"), s"unhelpful message: ${e.getMessage}")
   }
 
+  test("SURVEY.md section 2 names every registered query (no doc drift)") {
+    // the checklist is the contract coverage is judged against —
+    // a registry key absent from it is a silent coverage gap
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val missing = SparkEntry.queries.keys.filterNot(k =>
+      survey.contains(s"`$k`")).toSeq.sorted
+    assert(missing.isEmpty,
+      s"registry keys missing from SURVEY.md: ${missing.mkString(", ")}")
+  }
+
   test("every query EXECUTES at sf0.001 (not just analyzes)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)
