@@ -275,6 +275,39 @@ object Reports {
       .orderBy(col("source"))
   }
 
+  /** Cross-SNAPSHOT diff: per source, how many docs a new corpus build
+    * added / removed / changed / kept vs the previous build — the
+    * audit run between two crawl snapshots before the new one is
+    * promoted. Doc identity is `doc_id`; "changed" is an md5(text)
+    * mismatch (the 128-bit hash travels through the join, never the
+    * text).
+    *
+    * Scale: one FULL OUTER join shuffled on doc_id (both sides carry
+    * 3 columns: id, source, hash), then an aggregate over |sources|
+    * groups. Not a `SparkEntry` query (it takes TWO corpus dirs);
+    * ReportsSpec gates it with planted snapshots.
+    */
+  def snapshotDiff(prev: Tables, cur: Tables): DataFrame = {
+    def keyed(t: Tables, tag: String): DataFrame =
+      t.documents.select(col("doc_id").as(s"${tag}_id"),
+        col("source").as(s"${tag}_src"), md5(col("text")).as(s"${tag}_h"))
+    keyed(prev, "p")
+      .join(keyed(cur, "c"), col("p_id") === col("c_id"), "full_outer")
+      .select(coalesce(col("c_src"), col("p_src")).as("source"),
+        when(col("p_id").isNull, 1L).otherwise(0L).as("added"),
+        when(col("c_id").isNull, 1L).otherwise(0L).as("removed"),
+        when(col("p_id").isNotNull && col("c_id").isNotNull &&
+          col("p_h") =!= col("c_h"), 1L).otherwise(0L).as("changed"),
+        when(col("p_id").isNotNull && col("c_id").isNotNull &&
+          col("p_h") === col("c_h"), 1L).otherwise(0L).as("unchanged"))
+      .groupBy(col("source"))
+      .agg(sum(col("added")).as("n_added"),
+        sum(col("removed")).as("n_removed"),
+        sum(col("changed")).as("n_changed"),
+        sum(col("unchanged")).as("n_unchanged"))
+      .orderBy(col("source"))
+  }
+
   def langPivotSql: String = {
     val cells = (PivotLangs.map(l =>
       s"COUNT(*) FILTER (WHERE lang = '$l') AS $l") :+

@@ -168,6 +168,26 @@ class ReportsSpec extends SparkSpec {
       s"rollup must read the corpus once:\n$plan")
   }
 
+  test("snapshot_diff: planted add/remove/change/keep classify exactly; a doc is in exactly one class") {
+    val prev = writeDocs(Seq(
+      (1L, "alpha", "en", "a"),   // unchanged
+      (2L, "beta", "en", "a"),    // changed in cur
+      (3L, "gamma", "fr", "a"),   // removed
+      (10L, "keep", "en", "b")))  // unchanged
+    val cur = writeDocs(Seq(
+      (1L, "alpha", "en", "a"),
+      (2L, "beta v2", "en", "a"),
+      (4L, "delta", "en", "a"),   // added
+      (10L, "keep", "en", "b")))
+    val got = Reports.snapshotDiff(Tables(spark, prev), Tables(spark, cur))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((1L, 1L, 1L, 1L)))
+    assert(got("b") == ((0L, 0L, 0L, 1L)))
+    // partition property: classes sum to |prev ∪ cur| per source
+    assert(got.values.map(v => v._1 + v._2 + v._3 + v._4).sum == 5)
+  }
+
   test("lang_pivot: static schema, cells reconcile with long-format counts, unknown lang lands in other") {
     val dir = writeDocs(Seq(
       (1L, "x", "en", "a"), (2L, "y", "en", "a"), (3L, "z", "zh", "a"),
