@@ -133,6 +133,10 @@ object SparkEntry {
     "report_token_histogram" -> q(graft.pipeline.Reports.tokenHistogram),
     "report_mix_rollup" -> q(graft.pipeline.Reports.mixRollup),
     "report_lang_pivot" -> q(graft.pipeline.Reports.langPivot),
+    "report_key_skew" -> q(graft.pipeline.Reports.keySkew),
+    // delete propagation (right-to-be-forgotten)
+    "forget_keepers" -> q(graft.pipeline.Forget.forgetKeepers),
+    "forget_stats" -> q(graft.pipeline.Forget.forgetStats),
     // export + scrub + soft dedup (LLM pipeline)
     "corpus_shuffle_order" -> q(graft.pipeline.Export.corpusShuffleOrder),
     "corpus_pack" -> q(graft.pipeline.Export.corpusPack),
@@ -162,12 +166,21 @@ object SparkEntry {
     "sketch_hll_registers" -> q(Sketches.hllRegisters),
     "sketch_hll_merged" -> q(Sketches.hllMergedUniques),
     "event_daily_uniques" -> q(Sketches.eventDailyUniques),
+    "sketch_kmv" -> q(Sketches.kmvSketch),
+    "sketch_kmv_est" -> q(Sketches.kmvEstimate),
+    "report_source_overlap" -> q(Sketches.reportSourceOverlap),
     // rows-only: the linear-counting branch needs libm ln (not
     // bit-portable); SketchesSpec value-gates it (see rowsOnly)
     "event_daily_uniques_est" -> q(Sketches.eventDailyUniquesEst),
     // exact-count sampling (OrderStat threshold, no global sort)
     "corpus_sample_fixed" -> q(graft.pipeline.Mixing.sampleFixed),
-    "corpus_sample_quota" -> q(graft.pipeline.Mixing.sampleQuota)
+    "corpus_sample_quota" -> q(graft.pipeline.Mixing.sampleQuota),
+    // data layout (Z-order clustering + zone-map pruning audit)
+    "layout_zorder_stats" -> q(Layout.zorderStats),
+    "layout_compare" -> q(Layout.layoutCompare),
+    // warehouse maintenance (incremental rollup, compaction planning)
+    "event_rollup_incremental" -> q(graft.pipeline.Maintenance.eventRollupIncremental),
+    "compaction_plan" -> q(graft.pipeline.Maintenance.compactionPlan)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -290,6 +303,9 @@ object SparkEntry {
     "report_token_histogram" -> graft.pipeline.Reports.tokenHistogramSql,
     "report_mix_rollup" -> graft.pipeline.Reports.mixRollupSql,
     "report_lang_pivot" -> graft.pipeline.Reports.langPivotSql,
+    "report_key_skew" -> graft.pipeline.Reports.keySkewSql,
+    "forget_keepers" -> graft.pipeline.Forget.forgetKeepersSql,
+    "forget_stats" -> graft.pipeline.Forget.forgetStatsSql,
     "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,
     "corpus_pack" -> graft.pipeline.Export.corpusPackSql,
     "corpus_pack_stats" -> graft.pipeline.Export.corpusPackStatsSql,
@@ -315,7 +331,14 @@ object SparkEntry {
     "sketch_hll_registers" -> Sketches.hllRegistersSql,
     "sketch_hll_merged" -> Sketches.hllMergedUniquesSql,
     "event_daily_uniques" -> Sketches.eventDailyUniquesSql,
+    "sketch_kmv" -> Sketches.kmvSketchSql,
+    "sketch_kmv_est" -> Sketches.kmvEstimateSql,
+    "report_source_overlap" -> Sketches.reportSourceOverlapSql,
     "corpus_sample_fixed" -> graft.pipeline.Mixing.sampleFixedSql,
-    "corpus_sample_quota" -> graft.pipeline.Mixing.sampleQuotaSql
+    "corpus_sample_quota" -> graft.pipeline.Mixing.sampleQuotaSql,
+    "layout_zorder_stats" -> Layout.zorderStatsSql,
+    "layout_compare" -> Layout.layoutCompareSql,
+    "event_rollup_incremental" -> graft.pipeline.Maintenance.eventRollupIncrementalSql,
+    "compaction_plan" -> graft.pipeline.Maintenance.compactionPlanSql
   )
 }

@@ -287,6 +287,179 @@ object Sketches {
        |  v_zero, z52
        |FROM mom""".stripMargin
 
+  // -----------------------------------------------------------------
+  // KMV (k-minimum-values) — bounded-memory set sketches whose UNION
+  // and INTERSECTION estimates stay portable integers: the sketch is
+  // the k smallest 60-bit md5 values of a source's distinct texts, so
+  // Jaccard between sources is counted (not log-estimated) over the
+  // union's k smallest — the cross-source overlap planner that never
+  // joins corpora pairwise. Unlike HLL (union-only), KMV supports the
+  // intersection estimate a dedup planner needs.
+  // -----------------------------------------------------------------
+
+  /** Sketch size. 64 keeps the relative error of the distinct-count
+    * estimate near 1/√(k−2) ≈ 13% while letting the small-corpus
+    * (< k distinct) EXACT branch exercise at sf0.01 and the estimator
+    * branch at sf0.1 — both paths oracle-checked.
+    */
+  val KmvK = 64
+
+  /** Per-source shard fan-out for the two-phase top-k (the
+    * word_count_salted discipline): phase 1 takes each shard's k
+    * smallest in a (source, hv % [[KmvShards]])-partitioned window —
+    * every global top-k value is necessarily in its shard's top-k —
+    * phase 2 ranks the ≤ shards·k survivors per source. No window ever
+    * sees a full source's distinct set in one task.
+    */
+  val KmvShards = 32
+
+  private val TwoPow60 = 1152921504606846976L
+
+  /** 60 bits of md5 in the `kmv|` seed namespace (15 hex chars: always
+    * positive in a long, identical in DuckDB's `('0x'||…)::BIGINT`).
+    * Shared with the streaming twin so the hash cannot drift.
+    */
+  private[graft] def kmvHashCol(text: Column): Column =
+    conv(substring(md5(concat(lit("kmv|"), text)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Distinct (source, hv) pairs over a document set. */
+  private[graft] def kmvHashes(docs: DataFrame): DataFrame =
+    docs.select(col("source"), kmvHashCol(col("text")).as("hv"))
+      .distinct()
+
+  /** The per-source sketch: (source, rk, hv), rk = 1..k over ascending
+    * hv. ≤ [[KmvK]] rows per source no matter the corpus size.
+    *
+    * Scale: the distinct is one corpus shuffle with map-side partials;
+    * the top-k is two-phase (see [[KmvShards]]) so no single task sorts
+    * a whole source; the output is |sources|·k rows — mail-size, like
+    * the HLL register table, and mergeable: the union sketch of two
+    * sources is the k smallest of their sketches' union, computed
+    * without touching the corpora again ([[reportSourceOverlap]]).
+    */
+  def kmvSketch(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hv = kmvHashes(t.documents)
+    val shardW = Window.partitionBy(col("source"), pmod(col("hv"), lit(KmvShards)))
+      .orderBy(col("hv"))
+    val srcW = Window.partitionBy(col("source")).orderBy(col("hv"))
+    hv.withColumn("srk", row_number().over(shardW))
+      .filter(col("srk") <= KmvK)
+      .withColumn("rk", row_number().over(srcW))
+      .filter(col("rk") <= KmvK)
+      .select(col("source"), col("rk"), col("hv"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  def kmvSketchSql: String =
+    s"""WITH d AS (SELECT DISTINCT source,
+       |             ('0x' || substr(md5('kmv|' || text), 1, 15))::BIGINT AS hv
+       |           FROM documents),
+       |s1 AS (SELECT source, hv,
+       |         row_number() OVER (PARTITION BY source, hv % $KmvShards
+       |                            ORDER BY hv) AS srk
+       |       FROM d)
+       |SELECT source, rk, hv FROM (
+       |  SELECT source, hv,
+       |    CAST(row_number() OVER (PARTITION BY source ORDER BY hv) AS INT)
+       |      AS rk
+       |  FROM s1 WHERE srk <= $KmvK)
+       |WHERE rk <= $KmvK
+       |ORDER BY source, rk""".stripMargin
+
+  /** Per-source distinct-text estimate FROM the sketch: when the
+    * sketch is full, est = (k−1)·2^60 / hv_k (hv_k = the kth minimum);
+    * when a source has fewer than k distinct texts the sketch IS the
+    * set and the count is exact. (n_sketch, kth_hv) are exact integers;
+    * `est6` is one IEEE multiply-divide + round6 — the q14 discipline.
+    */
+  def kmvEstimate(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    kmvSketch(t)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("hv")).as("kth_hv"))
+      .select(col("source"), col("n_sketch"), col("kth_hv"),
+        round6(when(col("n_sketch") < KmvK, col("n_sketch").cast("double"))
+          .otherwise(lit((KmvK - 1).toDouble) * lit(TwoPow60.toDouble)
+            / col("kth_hv").cast("double"))).as("est6"))
+      .orderBy(col("source"))
+  }
+
+  def kmvEstimateSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH sk AS ($kmvSketchSql),
+       |ag AS (SELECT source, COUNT(*) AS n_sketch, MAX(hv) AS kth_hv
+       |       FROM sk GROUP BY source)
+       |SELECT source, n_sketch, kth_hv,
+       |  ${round6Sql(
+        s"CASE WHEN n_sketch < $KmvK THEN n_sketch::DOUBLE " +
+          s"ELSE ${(KmvK - 1).toDouble}::DOUBLE * ${TwoPow60.toDouble}::DOUBLE " +
+          s"/ kth_hv::DOUBLE END")} AS est6
+       |FROM ag ORDER BY source""".stripMargin
+  }
+
+  /** Pairwise cross-source overlap from the sketches ALONE: for every
+    * unordered source pair, take the k smallest distinct values of the
+    * two sketches' union (a valid KMV sketch of the union set); count
+    * how many of those live in BOTH sketches → Jaccard ≈ n_both/k_used.
+    * The planner's answer to "which source pairs need a shared dedup
+    * pass" at 100 TB: |S|²/2 pairs × k rows of SKETCH data — the
+    * corpora themselves are never re-read, never joined.
+    *
+    * All counting is exact-integer and oracle-checked; `jacc_est6` is
+    * one IEEE division + round6.
+    */
+  def reportSourceOverlap(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    import org.apache.spark.sql.expressions.Window
+    val sk = kmvSketch(t).select(col("source"), col("hv"))
+    val srcs = sk.select(col("source")).distinct()
+    val pairs = srcs.select(col("source").as("src_a"))
+      .crossJoin(srcs.select(col("source").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    // tiny × tiny: tag each pair's member rows, dedup values present in
+    // both sides, rank the union, keep its k smallest
+    val tagged = broadcast(pairs)
+      .join(sk, sk("source") === col("src_a") || sk("source") === col("src_b"))
+      .groupBy(col("src_a"), col("src_b"), col("hv"))
+      .agg(max(when(col("source") === col("src_a"), 1).otherwise(0)).as("in_a"),
+        max(when(col("source") === col("src_b"), 1).otherwise(0)).as("in_b"))
+    val unionW = Window.partitionBy(col("src_a"), col("src_b")).orderBy(col("hv"))
+    tagged.withColumn("rk", row_number().over(unionW))
+      .filter(col("rk") <= KmvK)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("k_used"),
+        sum(col("in_a") * col("in_b")).as("n_both"))
+      .select(col("src_a"), col("src_b"), col("k_used"), col("n_both"),
+        round6(col("n_both").cast("double") / col("k_used").cast("double"))
+          .as("jacc_est6"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def reportSourceOverlapSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH sk AS ($kmvSketchSql),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |pairs AS (SELECT a.source AS src_a, b.source AS src_b
+       |          FROM srcs a, srcs b WHERE a.source < b.source),
+       |tagged AS (SELECT p.src_a, p.src_b, s.hv,
+       |             MAX(CASE WHEN s.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+       |             MAX(CASE WHEN s.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+       |           FROM pairs p JOIN sk s
+       |             ON s.source = p.src_a OR s.source = p.src_b
+       |           GROUP BY 1, 2, 3),
+       |rk AS (SELECT src_a, src_b, hv, in_a, in_b,
+       |         row_number() OVER (PARTITION BY src_a, src_b
+       |                            ORDER BY hv) AS rk
+       |       FROM tagged)
+       |SELECT src_a, src_b, COUNT(*) AS k_used,
+       |  SUM(in_a * in_b)::BIGINT AS n_both,
+       |  ${round6Sql("SUM(in_a * in_b)::DOUBLE / COUNT(*)::DOUBLE")} AS jacc_est6
+       |FROM rk WHERE rk <= $KmvK
+       |GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+  }
+
   /** The estimate as a first-class query: (day, n_buckets, est6).
     * Declared rows-only — the linear-counting branch needs `ln`,
     * which is not bit-portable across engines (the tfidf rule);

@@ -318,4 +318,47 @@ object Reports {
        |FROM documents
        |GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** Top heavy keys reported. */
+  val KeySkewK = 20
+
+  /** Join-key skew diagnosis: the [[KeySkewK]] heaviest `user_id`s in
+    * the event stream with their share of all events — the table that
+    * decides whether a keyed join/aggregation needs the salting
+    * machinery ([[graft.functions.Salting]], the sessionize_split
+    * whale cap) BEFORE the job hits a straggler task. Every skew
+    * mitigation in this repo has a constant (salt count, whale cap)
+    * that this report calibrates.
+    *
+    * Scale: one partial-aggregated groupBy over the fact, then the
+    * top-k as TakeOrderedAndProject (per-task partial top-k — never a
+    * global sort); the final ranking window sees k rows by
+    * construction. The total is a one-row broadcast (q22 discipline).
+    */
+  def keySkew(t: Tables): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = t.events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val total = t.events.agg(count(lit(1)).as("total"))
+    counts.orderBy(col("cnt").desc, col("user_id")).limit(KeySkewK)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("user_id"))))
+      .select(col("rank"), col("user_id"), col("cnt"),
+        round6(col("cnt").cast("double") / col("total").cast("double"))
+          .as("share6"))
+      .orderBy(col("rank"))
+  }
+
+  def keySkewSql: String =
+    s"""WITH c AS (SELECT user_id, COUNT(*) AS cnt
+       |           FROM events GROUP BY 1),
+       |t AS (SELECT COUNT(*) AS total FROM events),
+       |top AS (SELECT user_id, cnt FROM c
+       |        ORDER BY cnt DESC, user_id LIMIT $KeySkewK)
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, user_id) AS INT)
+       |    AS rank,
+       |  user_id, cnt,
+       |  ${round6Sql("cnt::DOUBLE / total::DOUBLE")} AS share6
+       |FROM top, t ORDER BY rank""".stripMargin
 }

@@ -2054,6 +2054,53 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // KmvSketchStream — operators.Sketches' KMV source sketches as live
+  // bounded state: one ≤ k sorted-hash array per source, the overlap
+  // planner's input maintained at ingest instead of by corpus rescans.
+  // ---------------------------------------------------------------------
+  object KmvSketchStream {
+
+    /** Running per-source KMV sketches: per-SOURCE fMGWS state = the
+      * ≤ k smallest distinct 60-bit hashes seen (a sorted long array —
+      * CONSTANT size per source no matter how many docs arrive). The
+      * hash is [[graft.operators.Sketches.kmvHashCol]] — the identical
+      * md5 expression the batch sketch ranks — and the state merge
+      * (distinct-insert, truncate to k) is idempotent AND
+      * order-insensitive, so any-order replay with duplicate delivery
+      * converges to the batch `sketch_kmv` rows exactly (spec-pinned).
+      * Each micro-batch emits the source's full refreshed sketch as
+      * (source, rk, hv) rows, update mode — the latest emission per
+      * source IS the publishable sketch, and pairwise overlap is then
+      * [[graft.operators.Sketches.reportSourceOverlap]]'s k-row math
+      * against the published table, never a corpus join.
+      *
+      * Input: (source, text) rows.
+      */
+    def sketches(docs: DataFrame): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      import graft.operators.Sketches
+      docs.select(col("source"),
+        Sketches.kmvHashCol(col("text")).as("hv"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(
+          (source: String, it: Iterator[(String, Long)],
+           state: GroupState[Array[Long]]) => {
+            val prev = state.getOption.getOrElse(Array.empty[Long])
+            val merged = (prev.toSet ++ it.map(_._2)).toArray
+            java.util.Arrays.sort(merged)
+            val kept = merged.take(Sketches.KmvK)
+            state.update(kept)
+            kept.iterator.zipWithIndex
+              .map { case (hv, i) => (source, i + 1, hv) }
+          })
+        .toDF("source", "rk", "hv")
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // MediaFeaturesStream — multimodal.Pipeline.features on a live
   // media stream: decode → resize → frame-sample per arriving record.
   // ---------------------------------------------------------------------

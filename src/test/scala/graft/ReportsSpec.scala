@@ -209,4 +209,25 @@ class ReportsSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(totals == direct)
   }
+
+  test("report_key_skew: top-k ranking matches an independent recompute; shares sum below 1; plan is partial top-k") {
+    val events = tables.events.select("user_id").collect().map(_.getLong(0))
+    val total = events.length.toDouble
+    val expect = events.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy { case (u, c) => (-c, u) }.take(Reports.KeySkewK)
+    val got = Reports.keySkew(tables).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(r => (r._2, r._3)).toSeq == expect,
+      "top-k order must match the independent recompute")
+    assert(got.map(_._1).toSeq == (1 to got.length), "ranks dense from 1")
+    got.foreach { case (_, _, c, share) =>
+      val ref = graft.functions.Portable.round6Double(c / total)
+      assert(share == ref, s"share6 $share vs jvm $ref")
+    }
+    assert(got.map(_._4).sum <= 1.0 + 1e-9)
+    // the heavy groupBy output is cut by TakeOrderedAndProject, never
+    // globally sorted before the limit
+    assert(physical(Reports.keySkew(tables)).contains("TakeOrderedAndProject"),
+      "top-k must compile to a partial top-k")
+  }
 }

@@ -136,4 +136,79 @@ class SketchesSpec extends SparkSpec {
         s"day $day: est $est6 vs exact $nExact drifts > 5%")
     }
   }
+
+  /** Independent JVM recompute of the 60-bit KMV hash from raw md5
+    * bytes — mirrors none of the Column code.
+    */
+  private def kmvHashOf(text: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"kmv|$text".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.take(15), 16)
+  }
+
+  test("kmv: sketch is exactly the k smallest distinct hashes per source") {
+    val docs = tables.documents.select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val expect = docs.groupBy(_._1).map { case (s, rows) =>
+      s -> rows.map(r => kmvHashOf(r._2)).distinct.sorted
+        .take(Sketches.KmvK).toSeq
+    }
+    val got = Sketches.kmvSketch(tables).collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rows) =>
+        s -> rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+      }
+    assert(got == expect, "two-phase top-k must equal the direct sort")
+    // ranks are 1..n with no gaps
+    Sketches.kmvSketch(tables).collect().groupBy(_.getString(0))
+      .foreach { case (s, rows) =>
+        assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+          s"source $s rank gap")
+      }
+  }
+
+  test("kmv: planted-overlap jaccard estimate tracks the exact value; disjoint pair reads zero") {
+    import spark.implicits._
+    // A: texts 0..299, B: 150..449 (jaccard 150/450 = 1/3), C disjoint
+    val docs =
+      (0 until 300).map(i => ("srcA", s"kmv overlap text $i")) ++
+        (150 until 450).map(i => ("srcB", s"kmv overlap text $i")) ++
+        (0 until 300).map(i => ("srcC", s"kmv disjoint text $i"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv").toString
+    docs.toDF("source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val got = Sketches.reportSourceOverlap(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.keySet ==
+      Set(("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")))
+    val (kAB, _, jAB) = got(("srcA", "srcB"))
+    assert(kAB == Sketches.KmvK, "union sketch must be full here")
+    // σ ≈ √(j(1−j)/k) ≈ 0.059 at k=64; 4σ bound (deterministic anyway)
+    assert(math.abs(jAB - 1.0 / 3.0) <= 0.25, s"jacc est $jAB vs 1/3")
+    assert(got(("srcA", "srcC"))._3 == 0.0 && got(("srcB", "srcC"))._3 == 0.0,
+      "disjoint sources must estimate zero overlap")
+    // distinct-count estimate: full-sketch branch within 35% of 300
+    // (1/√(k−2) ≈ 13% σ), and the n_sketch/kth moments are exact
+    val est = Sketches.kmvEstimate(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    est.foreach { case (s, (nSketch, e)) =>
+      assert(nSketch == Sketches.KmvK, s"$s sketch must fill")
+      assert(math.abs(e - 300.0) <= 105.0, s"$s est $e vs 300")
+    }
+  }
+
+  test("kmv: under-k source takes the exact branch — estimate equals the distinct count") {
+    import spark.implicits._
+    val docs = (0 until 20).map(i => ("tiny", s"few text $i")) ++
+      (0 until 20).map(i => ("tiny", s"few text $i")) // exact dups collapse
+    val dir = java.nio.file.Files.createTempDirectory("graft_kmv_tiny").toString
+    docs.toDF("source", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val row = Sketches.kmvEstimate(Tables(spark, dir)).collect().head
+    assert(row.getLong(1) == 20L && row.getDouble(3) == 20.0,
+      "partial sketch must report the exact distinct count")
+  }
 }

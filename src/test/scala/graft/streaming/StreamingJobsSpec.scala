@@ -2205,6 +2205,46 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("KmvSketchStream: any-order replay + duplicate delivery converge to batch sketch_kmv exactly; state bounded by k") {
+    import spark.implicits._
+    val batchSketch = graft.operators.Sketches.kmvSketch(tables).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val docs = tables.documents
+      .select("source", "text").as[(String, String)].collect()
+
+    val in = MemoryStream[(String, String)]
+    // latest full-sketch emission per source wins (update-mode publish)
+    val sk = mutable.Map.empty[String, Seq[(Int, Long)]]
+    val q = Jobs.KmvSketchStream.sketches(
+      in.toDF().toDF("source", "text"))
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("graft-kmv-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        sk.synchronized {
+          b.collect().groupBy(_.getString(0)).foreach { case (s, rows) =>
+            sk(s) = rows.map(r => (r.getInt(1), r.getLong(2))).toSeq.sortBy(_._1)
+          }
+        }; ()
+      }.start()
+    try {
+      // REVERSE order + the first half delivered twice: the
+      // distinct-insert/truncate merge is order-insensitive and
+      // idempotent, so the final sketches equal batch exactly
+      val (a, b) = docs.reverse.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      in.addData(a.toSeq); q.processAllAvailable()
+      val got = sk.synchronized(sk.toMap).flatMap { case (s, rows) =>
+        rows.map { case (rk, hv) => (s, rk) -> hv }
+      }
+      assert(got == batchSketch,
+        "stream sketches must converge to the batch sketch exactly")
+      // state bound: no source's sketch ever exceeds k rows
+      assert(sk.synchronized(sk.values.forall(
+        _.length <= graft.operators.Sketches.KmvK)))
+    } finally q.stop()
+  }
+
   test("IntervalJoinStream: replay ≡ batch event_interval_join; cross-batch pairs survive") {
     import spark.implicits._
     val events = Seq(
