@@ -174,7 +174,32 @@ object PlanDump {
         "aggregates are algebraic so partials collapse map-side " +
         "BEFORE the Expanded shuffle. ReportsSpec pins 1 Expand + " +
         "1 FileScan.",
-      graft.pipeline.Reports.mixRollup))
+      graft.pipeline.Reports.mixRollup),
+    ("sketch_kmv",
+      "KMV source sketches via two-phase salted top-k: the distinct " +
+        "(source, hv) shuffle carries map-side partials, phase-1 " +
+        "row_number partitions on (source, hv % 32) so no task sorts " +
+        "a whole source's distinct set, phase 2 ranks the <= 32k " +
+        "survivors per source. Output |sources|*k rows — mail-size, " +
+        "mergeable; SketchesSpec pins sketch ≡ direct global sort.",
+      graft.operators.Sketches.kmvSketch),
+    ("event_rollup_incremental",
+      "The lambda merge: history reads the materialized " +
+        "graft_rollup_base store (<= days*|types| rows) while the " +
+        "fact scan carries the LITERAL 7-day bound in PushedFilters " +
+        "on raw ts — at 100 TB the same literal prunes date " +
+        "partitions, so the nightly cost is one week of data + a " +
+        "store read. MaintenanceSpec pins both plan properties and " +
+        "union ≡ the full one-pass aggregation bit-for-bit.",
+      graft.pipeline.Maintenance.eventRollupIncremental),
+    ("layout_zorder_stats",
+      "Z-order zone maps: range scalars come from a one-row " +
+        "aggregate broadcast back (BroadcastNestedLoopJoin of one " +
+        "row — never a shuffle of the fact), the Morton address is " +
+        "pure shift/mask projection inside WholeStageCodegen, and " +
+        "the zone-map aggregation is two-phase down to 16 shards. " +
+        "LayoutSpec pins every bound against a JVM Morton recompute.",
+      graft.operators.Layout.zorderStats))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)

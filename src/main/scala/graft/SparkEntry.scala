@@ -134,6 +134,7 @@ object SparkEntry {
     "report_mix_rollup" -> q(graft.pipeline.Reports.mixRollup),
     "report_lang_pivot" -> q(graft.pipeline.Reports.langPivot),
     "report_key_skew" -> q(graft.pipeline.Reports.keySkew),
+    "report_join_cardinality" -> q(graft.pipeline.Reports.joinCardinality),
     // delete propagation (right-to-be-forgotten)
     "forget_keepers" -> q(graft.pipeline.Forget.forgetKeepers),
     "forget_stats" -> q(graft.pipeline.Forget.forgetStats),
@@ -304,6 +305,7 @@ object SparkEntry {
     "report_mix_rollup" -> graft.pipeline.Reports.mixRollupSql,
     "report_lang_pivot" -> graft.pipeline.Reports.langPivotSql,
     "report_key_skew" -> graft.pipeline.Reports.keySkewSql,
+    "report_join_cardinality" -> graft.pipeline.Reports.joinCardinalitySql,
     "forget_keepers" -> graft.pipeline.Forget.forgetKeepersSql,
     "forget_stats" -> graft.pipeline.Forget.forgetStatsSql,
     "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,

@@ -361,4 +361,67 @@ object Reports {
        |  user_id, cnt,
        |  ${round6Sql("cnt::DOUBLE / total::DOUBLE")} AS share6
        |FROM top, t ORDER BY rank""".stripMargin
+
+  /** Histogram buckets for the join-size estimate. */
+  val JcBuckets = 64L
+
+  /** Join-cardinality estimation as a query — the planner's
+    * decide-before-you-shuffle tool: the orders↔lineitem equi-join's
+    * output size ESTIMATED from 64-bucket hashed key histograms
+    * (Σ_b c₁(b)·c₂(b) — the coarse upper bound a cost model keeps as
+    * table stats) next to the EXACT size computed from per-key counts
+    * (Σ_k c₁(k)·c₂(k) — the join's true cardinality WITHOUT
+    * materializing a single joined row). The ratio is how much the
+    * bucketed stats overestimate on this data — the number that
+    * decides whether stats are fresh enough to trust.
+    *
+    * Scale: two fact aggregations with map-side partials (64 groups
+    * for the estimate; per-key groups for the exact side, carrying
+    * two longs each) and joins over count rows only — the actual
+    * join output (≥ fact-sized) is never produced. All integers; the
+    * ratio is one IEEE division (q14 discipline).
+    */
+  def joinCardinality(t: Tables): DataFrame = {
+    def bucket(k: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("jc|"), k.cast("string"))), 1, 2),
+        16, 10).cast("long") % JcBuckets
+    val oB = t.orders.groupBy(bucket(col("o_orderkey")).as("b"))
+      .agg(count(lit(1)).as("co"))
+    val lB = t.lineitem.groupBy(bucket(col("l_orderkey")).as("b"))
+      .agg(count(lit(1)).as("cl"))
+    val est = oB.join(lB, Seq("b"))
+      .agg(sum(col("co") * col("cl")).as("est_rows"))
+    val oK = t.orders.groupBy(col("o_orderkey").as("k"))
+      .agg(count(lit(1)).as("co"))
+    val lK = t.lineitem.groupBy(col("l_orderkey").as("k"))
+      .agg(count(lit(1)).as("cl"))
+    val act = oK.join(lK, Seq("k"))
+      .agg(sum(col("co") * col("cl")).as("actual_rows"))
+    est.crossJoin(act)
+      .select(col("est_rows"), col("actual_rows"),
+        lit(JcBuckets).as("n_buckets"),
+        round6(col("est_rows").cast("double")
+          / col("actual_rows").cast("double")).as("overest6"))
+  }
+
+  def joinCardinalitySql: String = {
+    def bucketSql(k: String) =
+      s"(('0x' || substr(md5('jc|' || CAST($k AS VARCHAR)), 1, 2))::BIGINT" +
+        s" % $JcBuckets)"
+    s"""WITH ob AS (SELECT ${bucketSql("o_orderkey")} AS b, COUNT(*) AS co
+       |            FROM orders GROUP BY 1),
+       |lb AS (SELECT ${bucketSql("l_orderkey")} AS b, COUNT(*) AS cl
+       |       FROM lineitem GROUP BY 1),
+       |est AS (SELECT SUM(co * cl)::BIGINT AS est_rows
+       |        FROM ob JOIN lb USING (b)),
+       |ok AS (SELECT o_orderkey AS k, COUNT(*) AS co
+       |       FROM orders GROUP BY 1),
+       |lk AS (SELECT l_orderkey AS k, COUNT(*) AS cl
+       |       FROM lineitem GROUP BY 1),
+       |act AS (SELECT SUM(co * cl)::BIGINT AS actual_rows
+       |        FROM ok JOIN lk USING (k))
+       |SELECT est_rows, actual_rows, $JcBuckets::BIGINT AS n_buckets,
+       |  ${round6Sql("est_rows::DOUBLE / actual_rows::DOUBLE")} AS overest6
+       |FROM est, act""".stripMargin
+  }
 }

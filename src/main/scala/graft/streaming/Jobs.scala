@@ -2054,6 +2054,62 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // ForgetStream — pipeline.Forget's keeper re-election LIVE: deletion
+  // requests land as a stream and each touched cluster's verdict
+  // updates per micro-batch, against the published cluster store.
+  // ---------------------------------------------------------------------
+  object ForgetStream {
+
+    /** Running keeper re-election for a live tombstone stream: each
+      * request (doc_id) joins the PUBLISHED cluster label table (a
+      * broadcast stream-static join — non-clustered docs need no
+      * re-election and drop out, exactly the batch op's domain), then
+      * per-CLUSTER fMGWS state accumulates the dropped-member set and
+      * re-emits (cluster_id, new_keeper, n_dropped, n_left) — the same
+      * verdict row [[graft.pipeline.Forget.forgetKeepers]] computes in
+      * batch. Set union is idempotent and order-insensitive, so
+      * any-order replay with duplicate delivery of a deletion batch
+      * converges to the batch rows exactly (spec-pinned).
+      *
+      * State honesty: one dropped-id set per touched cluster, bounded
+      * by cluster size (itself band-cap bounded); the membership array
+      * rides the broadcast label table, not state. Update mode — the
+      * latest emission per cluster IS the current verdict, and a NULL
+      * new_keeper is a full retraction the consumer replays downstream
+      * (the `ClusterStore.relabelDelta` shape).
+      */
+    def reelections(tombstones: DataFrame, t: Tables): DataFrame = {
+      val spark = tombstones.sparkSession
+      import spark.implicits._
+      val labels = StaticCache.of(t, "forgetLabels") {
+        val l = graft.dedup.Dedup.nearDupClusters(t)
+          .select(col("doc_id"), col("keeper_id").as("cluster_id"))
+        l.join(l.groupBy(col("cluster_id"))
+          .agg(collect_list(col("doc_id")).as("members")), Seq("cluster_id"))
+          .select(col("doc_id"), col("cluster_id"), col("members"))
+      }
+      tombstones.select(col("doc_id"))
+        .join(broadcast(labels), Seq("doc_id"))
+        .as[(Long, Long, Seq[Long])]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(
+          (cid: Long, it: Iterator[(Long, Long, Seq[Long])],
+           state: GroupState[Set[Long]]) => {
+            var dropped = state.getOption.getOrElse(Set.empty[Long])
+            var members: Seq[Long] = Nil
+            it.foreach { case (d, _, m) => dropped += d; members = m }
+            state.update(dropped)
+            val left = members.filterNot(dropped)
+            Iterator((cid,
+              if (left.isEmpty) None else Some(left.min),
+              dropped.size.toLong, left.size.toLong))
+          })
+        .toDF("cluster_id", "new_keeper", "n_dropped", "n_left")
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // KmvSketchStream — operators.Sketches' KMV source sketches as live
   // bounded state: one ≤ k sorted-hash array per source, the overlap
   // planner's input maintained at ingest instead of by corpus rescans.

@@ -230,4 +230,16 @@ class ReportsSpec extends SparkSpec {
     assert(physical(Reports.keySkew(tables)).contains("TakeOrderedAndProject"),
       "top-k must compile to a partial top-k")
   }
+
+  test("report_join_cardinality: exact side equals the real join size; histogram only over-estimates") {
+    val row = Reports.joinCardinality(tables).collect().head
+    val (est, act) = (row.getLong(0), row.getLong(1))
+    val direct = tables.orders.join(tables.lineitem,
+      org.apache.spark.sql.functions.col("o_orderkey") ===
+        org.apache.spark.sql.functions.col("l_orderkey")).count()
+    assert(act == direct, s"per-key-count product $act vs real join $direct")
+    assert(est >= act, "bucketed histograms can only over-estimate")
+    val ref = graft.functions.Portable.round6Double(est.toDouble / act.toDouble)
+    assert(row.getDouble(3) == ref)
+  }
 }

@@ -2205,6 +2205,47 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ForgetStream: any-order tombstone replay + duplicate delivery ≡ batch forget_keepers; non-clustered requests drop out") {
+    import spark.implicits._
+    val batch = graft.pipeline.Forget.forgetKeepers(tables).collect()
+      .map(r => r.getLong(0) -> (
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3))).toMap
+    assume(batch.nonEmpty, "corpus must have touched clusters at this sf")
+    // the deletion batch = every doc the hash rule tombstones,
+    // INCLUDING non-clustered docs (the stream must ignore those)
+    def tomb(id: Long): Boolean =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"forget|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.startsWith("0")
+    val requests = tables.documents.select("doc_id").collect()
+      .map(_.getLong(0)).filter(tomb)
+
+    val in = MemoryStream[Long]
+    val out = mutable.Map.empty[Long, (Option[Long], Long, Long)]
+    val q = Jobs.ForgetStream.reelections(
+      in.toDF().toDF("doc_id"), tables)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("graft-forget-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          b.collect().foreach(r => out(r.getLong(0)) = (
+            if (r.isNullAt(1)) None else Some(r.getLong(1)),
+            r.getLong(2), r.getLong(3)))
+        }; ()
+      }.start()
+    try {
+      // REVERSE order, first half delivered twice: set union is
+      // idempotent and order-insensitive
+      val (a, b) = requests.reverse.splitAt(requests.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      in.addData(a.toSeq); q.processAllAvailable()
+      assert(out.synchronized(out.toMap) == batch,
+        "final re-election verdicts must equal batch forget_keepers")
+    } finally q.stop()
+  }
+
   test("KmvSketchStream: any-order replay + duplicate delivery converge to batch sketch_kmv exactly; state bounded by k") {
     import spark.implicits._
     val batchSketch = graft.operators.Sketches.kmvSketch(tables).collect()
