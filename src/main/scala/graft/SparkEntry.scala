@@ -64,6 +64,7 @@ object SparkEntry {
     // there is deliberately no oracleSql entry (WindowsSpec pins values
     // against the exact event_stats instead)
     "event_stats_approx" -> q(t => Windows.eventStatsApprox(t)),
+    "event_stats_bounded" -> q(Windows.eventStatsBounded),
     // dedup family (LLM pipeline)
     "dedup_exact" -> q(Dedup.dedupExact),
     "dedup_ngram_jaccard" -> q(t => Dedup.dedupNgramJaccard(t)),
@@ -240,6 +241,7 @@ object SparkEntry {
     "sessionize" -> Windows.sessionizeSql,
     "sessionize_split" -> Windows.sessionizeSql,
     "event_stats" -> Windows.eventStatsSql,
+    "event_stats_bounded" -> Windows.eventStatsBoundedSql,
     "dedup_exact" -> Dedup.dedupExactSql,
     "dedup_ngram_jaccard" -> Dedup.dedupNgramJaccardSql,
     "dedup_ngram_jaccard_mat" -> Dedup.dedupNgramJaccardSql,

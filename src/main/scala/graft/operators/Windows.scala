@@ -124,6 +124,77 @@ object Windows {
       .orderBy(col("event_type"))
   }
 
+  /** [[eventStats]] with EXACT quantiles at UNBOUNDED group
+    * cardinality — the third leg of the stats trio: `event_stats`
+    * (exact `percentile`, materializes each group in one task),
+    * `event_stats_approx` (t-digest sketch, bounded but approximate),
+    * and this — exact DISCRETE quantiles (the value at ascending rank
+    * ⌈q·n⌉, an actual data value, no interpolation) found by
+    * [[graft.functions.OrderStat]] histogram narrowing: O(log n)
+    * distributed aggregations, ≤1024-row driver histograms, NO
+    * per-group sort or materialization anywhere (the
+    * ccnetBucketBounded discipline applied to event values).
+    *
+    * The quantile search runs OUTSIDE the final plan (driver scalars,
+    * broadcast back as a literal table — WindowsSpec pins no Window
+    * node and no `percentile` aggregate in the plan); count/mean/
+    * min/max are the shared exact formulas. Discrete ranks make the
+    * output portable doubles BY IDENTITY (data values pass through —
+    * no float quantile arithmetic crosses the oracle boundary), so
+    * unlike the t-digest twin this one is fully hash-checked.
+    */
+  def eventStatsBounded(t: Tables): DataFrame = {
+    import graft.functions.OrderStat
+    val spark = t.spark
+    val counts = t.events
+      .groupBy(col("event_type").as("g"), col("value").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    // per-type totals: |types| rows, the bounded scalar collect
+    val ns = counts.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def ascRank(q: Double, n: Long): Long =
+      math.max(1L, math.ceil(q * n).toLong)
+    val targets = ns.keys.toSeq.sorted.flatMap { g =>
+      val n = ns(g)
+      Seq(OrderStat.RankTarget(g, n - ascRank(0.50, n) + 1),
+        OrderStat.RankTarget(g, n - ascRank(0.95, n) + 1))
+    }.distinct
+    val resolved = OrderStat.valuesAtDescRanks(counts, targets)
+    val qRows = ns.keys.toSeq.sorted.map { g =>
+      val n = ns(g)
+      (g,
+        resolved(OrderStat.RankTarget(g, n - ascRank(0.50, n) + 1)),
+        resolved(OrderStat.RankTarget(g, n - ascRank(0.95, n) + 1)))
+    }
+    import spark.implicits._
+    val quantiles = qRows.toDF("event_type", "p50", "p95")
+    t.events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value").cast("decimal(12,2)")).cast("double") / count(lit(1)))
+          .as("mean_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .join(broadcast(quantiles), Seq("event_type"))
+      .orderBy(col("event_type"))
+  }
+
+  def eventStatsBoundedSql: String =
+    s"""WITH r AS (SELECT event_type, value,
+       |             row_number() OVER (PARTITION BY event_type
+       |                                ORDER BY value) AS rk,
+       |             COUNT(*) OVER (PARTITION BY event_type) AS n
+       |           FROM events)
+       |SELECT event_type, MAX(n) AS n,
+       |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) / MAX(n)
+       |    AS mean_value,
+       |  MIN(value) AS min_value, MAX(value) AS max_value,
+       |  MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+       |      THEN value END) AS p50,
+       |  MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))
+       |      THEN value END) AS p95
+       |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val SessionGapSec = 1800L // 30 min inactivity closes a session
 
   /** Per-user sessionization (gaps-and-islands): a session breaks after

@@ -200,6 +200,66 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmv property: random collision-heavy corpora — sketch and overlap ≡ in-memory model; under-k pairs read exact jaccard") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // tiny text domain forces cross-source overlap, within-source dups,
+    // and sources both under and over no sketch bound in one corpus
+    val corpusGen: Gen[Seq[(String, String)]] = for {
+      nSrc <- Gen.choose(2, 3)
+      n <- Gen.choose(5, 90)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.choose(0, nSrc - 1)
+        w <- Gen.choose(0, 40)
+      } yield (s"s$s", s"prop text $w"))
+    } yield rows
+
+    def modelSketch(rows: Seq[(String, String)]): Map[String, Seq[Long]] =
+      rows.groupBy(_._1).map { case (s, rs) =>
+        s -> rs.map(r => kmvHashOf(r._2)).distinct.sorted
+          .take(Sketches.KmvK).toSeq
+      }
+
+    (0 until 6).foreach { k =>
+      val rows = corpusGen(Gen.Parameters.default, Seed(100L + k)).get
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"graft_kmv_prop$k").toString
+      rows.toDF("source", "text").write.mode("overwrite")
+        .parquet(s"$dir/documents.parquet")
+      val t = Tables(spark, dir)
+      val expect = modelSketch(rows)
+      val got = Sketches.kmvSketch(t).collect()
+        .groupBy(_.getString(0)).map { case (s, rs) =>
+          s -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+        }
+      assert(got == expect, s"seed=$k sketch diverged")
+      // overlap rows ≡ the union-k model; under-k pairs must read the
+      // EXACT jaccard of the distinct-text sets
+      val sets = rows.groupBy(_._1).map { case (s, rs) =>
+        s -> rs.map(_._2).toSet }
+      val overlap = Sketches.reportSourceOverlap(t).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      overlap.foreach { case ((a, b), (kUsed, nBoth, j6)) =>
+        val union = (expect(a) ++ expect(b)).distinct.sorted
+          .take(Sketches.KmvK)
+        val inBoth = union.count(v =>
+          expect(a).contains(v) && expect(b).contains(v))
+        assert(kUsed == union.length && nBoth == inBoth,
+          s"seed=$k ($a,$b) union-k model mismatch")
+        // when the DISTINCT union fits inside one sketch, the "estimate"
+        // degenerates to the exact jaccard of the hash sets
+        val (hA, hB) = (sets(a).map(kmvHashOf), sets(b).map(kmvHashOf))
+        if ((hA | hB).size <= Sketches.KmvK) {
+          val exact = (hA & hB).size.toDouble / (hA | hB).size.toDouble
+          assert(j6 == graft.functions.Portable.round6Double(exact),
+            s"seed=$k ($a,$b) under-k estimate must be the exact jaccard")
+        }
+      }
+    }
+  }
+
   test("kmv: under-k source takes the exact branch — estimate equals the distinct count") {
     import spark.implicits._
     val docs = (0 until 20).map(i => ("tiny", s"few text $i")) ++

@@ -114,4 +114,33 @@ class WindowsSpec extends SparkSpec {
       s"a (user, day) exceeded the $cap-row cap: ${perDay.filter(_.getLong(2) > cap).toSeq}")
     assert(perDay.filter(_.getLong(0) == 1L).length >= 200) // really spread out
   }
+
+  test("event_stats_bounded: discrete quantiles exactly the rank-k values; plan has no Window or percentile") {
+    import org.apache.spark.sql.functions.col
+    // independent recompute: sort each type's values, pick rank ⌈q·n⌉
+    val byType = tables.events.select("event_type", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+      .map { case (ty, rows) => ty -> rows.map(_._2).sorted }
+    val got = Windows.eventStatsBounded(tables).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(got.keySet == byType.keySet)
+    byType.foreach { case (ty, vs) =>
+      val n = vs.length
+      def atQ(q: Double) = vs(math.max(1, math.ceil(q * n).toLong).toInt - 1)
+      val (gn, gmax, p50, p95) = got(ty)
+      assert(gn == n)
+      assert(gmax == vs.last)
+      assert(p50 == atQ(0.50), s"$ty p50 $p50 vs ${atQ(0.50)}")
+      assert(p95 == atQ(0.95), s"$ty p95 $p95 vs ${atQ(0.95)}")
+    }
+    // the scale pin: no per-group sort (Window) and no percentile
+    // aggregate anywhere in the final plan — the quantile search ran
+    // outside it (OrderStat histogram narrowing, driver scalars)
+    val plan = Windows.eventStatsBounded(tables)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no per-group sort allowed")
+    assert(!plan.toLowerCase.contains("percentile"), "no percentile agg")
+  }
 }
