@@ -98,6 +98,7 @@ object SparkEntry {
     "embed_ann_ivf_pq_res" -> q(Ann.embedAnnIvfPqResidual),
     "embed_ann_opq_pq" -> q(graft.ann.Opq.embedAnnOpqPq),
     "ann_recall_report" -> q(Ann.annRecallReport),
+    "embed_margin_mine" -> q(Ann.embedMarginMine),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
@@ -275,6 +276,7 @@ object SparkEntry {
     // (which fits + persists it) before dumping this SQL
     "embed_ann_opq_pq" -> graft.ann.Opq.embedAnnOpqPqSql,
     "ann_recall_report" -> Ann.annRecallReportSql,
+    "embed_margin_mine" -> Ann.embedMarginMineSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,

@@ -1091,4 +1091,88 @@ object Ann {
        |  ${round6Sql(s"COALESCE(n_hits, 0)::DOUBLE / ${K}.0")} AS recall6
        |FROM (SELECT DISTINCT q_id FROM ex) q
        |LEFT JOIN h USING (q_id) ORDER BY q.q_id""".stripMargin
+
+  /** Absolute similarity floor for a mined pair — set against this
+    * corpus's cross-group cosine distribution (top-1 median ≈ 0.32 at
+    * sf0.1), selecting the clearly-above-background tail.
+    */
+  val MarginCosMin = 0.35
+
+  /** Best-vs-runner-up separation floor — the margin criterion of
+    * public bitext mining (Artetxe & Schwenk): a best match that
+    * barely beats its runner-up is a dense-region coincidence, not an
+    * alignment; a clear margin is the signal.
+    */
+  val MarginMin = 0.01
+
+  /** Margin-based cross-group pair mining — the bitext-mining shape
+    * over this schema: anchors (even `label`) matched to candidates
+    * (odd `label`; stand-ins for the two languages of a parallel-
+    * corpus mine) by best-cosine WITH the margin criterion — emit
+    * (vec_a, best vec_b, cos6, margin6 = cos1 − cos2) only when the
+    * best match clears [[MarginCosMin]] AND beats the in-bucket
+    * runner-up by [[MarginMin]]. A sole-candidate anchor competes
+    * against the −1 sentinel (no runner-up ⇒ maximal margin —
+    * defensible and portable).
+    *
+    * Scale: candidates come from the same adaptive sign-LSH bucket
+    * (the [[embedAnnLsh]] ladder — occupancy-targeted, so the
+    * per-bucket cross join is bounded at any corpus size); the top-2
+    * rank is a per-anchor WindowGroupLimit inside the bucket, never a
+    * global sort. Both cosines are round6 before the subtraction, so
+    * margin6 is an identical IEEE difference in both engines —
+    * hash-checked end to end.
+    */
+  def embedMarginMine(t: Tables): DataFrame = {
+    val p = prepared(t)
+      .join(t.embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val anchors = p.filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id").as("a_id"), col("v"), col("norm"), col("bucket"))
+    val cands = p.filter(pmod(col("label"), lit(2)) === 1)
+      .select(col("vec_id").as("b_id"), col("v"), col("norm"), col("bucket"))
+    val scored = anchors.as("q").join(cands.as("c"), Seq("bucket"))
+      .select(col("a_id"), col("b_id"), cosine.as("cos"))
+    val top2 = scored.withColumn("rk", row_number().over(
+      Window.partitionBy(col("a_id")).orderBy(col("cos").desc, col("b_id"))))
+      .filter(col("rk") <= 2)
+    top2.groupBy(col("a_id"))
+      .agg(max(when(col("rk") === 1, col("b_id"))).as("b_id"),
+        max(when(col("rk") === 1, col("cos"))).as("cos1"),
+        max(when(col("rk") === 2, col("cos"))).as("cos2"))
+      .select(col("a_id").as("vec_a"), col("b_id").as("vec_b"),
+        col("cos1").as("cos6"),
+        (col("cos1") - coalesce(col("cos2"), lit(-1.0))).as("margin6"))
+      .filter(col("cos6") >= MarginCosMin && col("margin6") >= MarginMin)
+      .orderBy(col("vec_a"))
+  }
+
+  def embedMarginMineSql: String = {
+    val ladder = Portable.bucketBitsSql(
+      "COUNT(*)", BucketBits, BucketBitsMax, BucketTarget)
+    val full = Portable.signBucketExpr(BucketBitsMax, oneBasedIndex = true)
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
+       |           FROM embeddings),
+       |nb AS (SELECT $ladder bits FROM e),
+       |b AS (SELECT vec_id, label, v, norm,
+       |        ($full) >> ($BucketBitsMax - nb.bits) AS bucket FROM e, nb),
+       |scored AS (SELECT q.vec_id a_id, c.vec_id b_id,
+       |    ${round6Sql("list_dot_product(q.v, c.v) / (q.norm * c.norm)")} cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket
+       |   AND q.label % 2 = 0 AND c.label % 2 = 1),
+       |rk AS (SELECT a_id, b_id, cos, row_number() OVER
+       |         (PARTITION BY a_id ORDER BY cos DESC, b_id) AS rk
+       |       FROM scored),
+       |agg AS (SELECT a_id,
+       |          MAX(CASE WHEN rk = 1 THEN b_id END) AS b_id,
+       |          MAX(CASE WHEN rk = 1 THEN cos END) AS cos1,
+       |          MAX(CASE WHEN rk = 2 THEN cos END) AS cos2
+       |        FROM rk WHERE rk <= 2 GROUP BY a_id)
+       |SELECT a_id AS vec_a, b_id AS vec_b, cos1 AS cos6,
+       |  (cos1 - COALESCE(cos2, -1.0)) AS margin6
+       |FROM agg
+       |WHERE cos1 >= $MarginCosMin
+       |  AND (cos1 - COALESCE(cos2, -1.0)) >= $MarginMin
+       |ORDER BY vec_a""".stripMargin
+  }
 }

@@ -2062,7 +2062,7 @@ object Jobs {
 
     /** Running keeper re-election for a live tombstone stream: each
       * request (doc_id) joins the PUBLISHED cluster label table (a
-      * broadcast stream-static join — non-clustered docs need no
+      * stream-static equi-join on doc_id — non-clustered docs need no
       * re-election and drop out, exactly the batch op's domain), then
       * per-CLUSTER fMGWS state accumulates the dropped-member set and
       * re-emits (cluster_id, new_keeper, n_dropped, n_left) — the same
@@ -2071,12 +2071,18 @@ object Jobs {
       * any-order replay with duplicate delivery of a deletion batch
       * converges to the batch rows exactly (spec-pinned).
       *
-      * State honesty: one dropped-id set per touched cluster, bounded
-      * by cluster size (itself band-cap bounded); the membership array
-      * rides the broadcast label table, not state. Update mode — the
-      * latest emission per cluster IS the current verdict, and a NULL
-      * new_keeper is a full retraction the consumer replays downstream
-      * (the `ClusterStore.relabelDelta` shape).
+      * Scale honesty: the label table is deliberately NOT broadcast-
+      * hinted — it is graph-sized (a vanishing fraction of the corpus,
+      * but at 100 TB still potentially too large for executor heaps);
+      * the join keys on doc_id so Spark picks broadcast only when the
+      * persisted table actually fits, and the membership array it
+      * carries is band-cap bounded per cluster (≤ cap² bytes per
+      * member row in the worst case — the same bound every verify
+      * join in [[graft.dedup.Dedup]] rides). State is one dropped-id
+      * set per TOUCHED cluster only. Update mode — the latest emission
+      * per cluster IS the current verdict, and a NULL new_keeper is a
+      * full retraction the consumer replays downstream (the
+      * `ClusterStore.relabelDelta` shape).
       */
     def reelections(tombstones: DataFrame, t: Tables): DataFrame = {
       val spark = tombstones.sparkSession
@@ -2089,7 +2095,7 @@ object Jobs {
           .select(col("doc_id"), col("cluster_id"), col("members"))
       }
       tombstones.select(col("doc_id"))
-        .join(broadcast(labels), Seq("doc_id"))
+        .join(labels, Seq("doc_id"))
         .as[(Long, Long, Seq[Long])]
         .groupByKey(_._2)
         .flatMapGroupsWithState(OutputMode.Update,

@@ -441,6 +441,43 @@ class AnnSpec extends SparkSpec {
       s"OPQ regressed MSE on isotropic data: $mseOpq vs $mseIdentity")
   }
 
+  test("embed_margin_mine ≡ an independent JVM model (bucket, top-2, margin rule)") {
+    import graft.functions.Portable
+    val rows = tables.embeddings
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val bits = Portable.bucketBits(rows.length.toLong,
+      Ann.BucketBits, Ann.BucketBitsMax, Ann.BucketTarget)
+    def bucket(v: Array[Double]): Int =
+      (0 until Ann.BucketBitsMax).map(i =>
+        if (v(i) > 0) 1 << (Ann.BucketBitsMax - 1 - i) else 0).sum >>
+        (Ann.BucketBitsMax - bits)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def cos(a: Array[Double], b: Array[Double]) =
+      graft.functions.Portable.round6Double(
+        a.zip(b).map { case (x, y) => x * y }.sum / (norm(a) * norm(b)))
+    val cands = rows.filter(_._2 % 2 == 1)
+    val expect = rows.filter(_._2 % 2 == 0).flatMap { case (aId, _, av) =>
+      val inBucket = cands.filter(c => bucket(c._3) == bucket(av))
+        .map(c => (cos(av, c._3), c._1))
+        .sortBy { case (s, id) => (-s, id) }
+      inBucket.headOption.flatMap { case (c1, b1) =>
+        val c2 = inBucket.drop(1).headOption.map(_._1).getOrElse(-1.0)
+        val margin = c1 - c2
+        if (c1 >= Ann.MarginCosMin && margin >= Ann.MarginMin)
+          Some(aId -> ((b1, c1, margin)))
+        else None
+      }
+    }.toMap
+    val got = Ann.embedMarginMine(tables).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(got == expect, s"margin mine diverged from the model")
+    assert(got.values.forall { case (_, c, m) =>
+      c >= Ann.MarginCosMin && m >= Ann.MarginMin })
+  }
+
   test("ann_recall_report ≡ an independent set-intersection recount; complete query panel") {
     val report = Ann.annRecallReport(tables).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
