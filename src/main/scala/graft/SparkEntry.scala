@@ -109,6 +109,7 @@ object SparkEntry {
     "tfidf_top_terms" -> q(TextAnalysis.tfidfTopTerms),
     "top_ngrams" -> q(t => TextAnalysis.topNgrams(t)),
     "text_collocations" -> q(TextAnalysis.textCollocations),
+    "quality_classify" -> q(graft.textanalysis.QualityModel.qualityClassify),
     // multimodal
     "multimodal_meta" -> q(Multimodal.multimodalMeta),
     "multimodal_features" -> q(Multimodal.multimodalFeatures),
@@ -286,6 +287,9 @@ object SparkEntry {
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsSql,
     "top_ngrams" -> TextAnalysis.topNgramsSql,
     "text_collocations" -> TextAnalysis.textCollocationsSql,
+    // inlines the per-corpus fitted weights — Verify runs the query
+    // (which fits + persists them) before dumping this SQL
+    "quality_classify" -> graft.textanalysis.QualityModel.qualityClassifySql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql,

@@ -1,0 +1,187 @@
+package graft.textanalysis
+
+import graft.Tables
+import graft.functions.Portable.{round6, round6Sql}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed logistic-regression quality classifier — the model-FIT
+  * op a corpus pipeline runs to DISTILL an expensive gate into a
+  * linear scorer: the teacher here is the heuristic quality gate
+  * ([[TextAnalysis.qualityExpr]] ≥ 0.5), the student a 6-weight
+  * logistic model over the same portable count features, fit by IRLS
+  * (iteratively reweighted least squares) where each iteration is ONE
+  * distributed aggregation (27 map-side-partial sums: the 6×6 upper
+  * Hessian + 6-gradient) and a driver-side 6×6 solve — the `ivfFit` /
+  * `Opq` fit discipline: corpus-sized work stays declarative, the
+  * driver sees only scalar-sized moments.
+  *
+  * The fitted weights are persisted per corpus
+  * ([[graft.storage.Materialize.ensureStore]]) and read back, so every
+  * JVM — and the DuckDB oracle, which inlines the stored weights as
+  * full-precision literals ([[qualityClassifySql]], the Opq rotation
+  * pattern) — scores with the identical model. The SCORING query is
+  * then map-side arithmetic in a fixed literal order: bit-portable,
+  * fully hash-checked; only the fit (which needs `exp`) stays
+  * engine-side, spec-gated.
+  */
+object QualityModel {
+
+  val Iters = 6
+  val Ridge = 1e-6
+  val NumFeatures = 6
+
+  /** Per-doc integer count frame shared by fit and scoring. */
+  private def counts(t: Tables): DataFrame =
+    t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"),
+        col("n_chars"))
+      .groupBy(col("doc_id"), col("n_chars"))
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("w")).as("n_distinct"))
+
+  /** The 6 features, fixed order — scaled count ratios only (every
+    * term one cast + one or two divisions, the identical literal
+    * sequence in [[featureSqls]]).
+    */
+  private def features: Seq[Column] = Seq(
+    lit(1.0),
+    col("n_chars").cast("double") / lit(1000.0),
+    col("n_tok").cast("double") / lit(100.0),
+    col("n_distinct").cast("double") / lit(100.0),
+    col("n_distinct").cast("double") / col("n_tok").cast("double"),
+    (col("n_chars").cast("double") / col("n_tok").cast("double"))
+      / lit(10.0))
+
+  private def featureSqls: Seq[String] = Seq(
+    "1.0",
+    "(n_chars::DOUBLE / 1000.0)",
+    "(n_tok::DOUBLE / 100.0)",
+    "(n_distinct::DOUBLE / 100.0)",
+    "(n_distinct::DOUBLE / n_tok::DOUBLE)",
+    "((n_chars::DOUBLE / n_tok::DOUBLE) / 10.0)")
+
+  /** w·x in the fixed left-associated order both engines share. */
+  private def scoreCol(w: Array[Double]): Column =
+    features.zipWithIndex.map { case (f, i) => f * lit(w(i)) }
+      .reduce(_ + _)
+
+  private def scoreSql(w: Array[Double]): String =
+    featureSqls.zipWithIndex
+      // Double.toString round-trips exactly; DuckDB parses to the bit
+      .map { case (f, i) => s"($f * ${w(i)})" }
+      .mkString(" + ")
+
+  /** Solve (A + ridge·I) x = b for symmetric A — Gaussian elimination
+    * with partial pivoting over the 6×6 driver-side system.
+    */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val m = Array.tabulate(n, n + 1)((i, j) =>
+      if (j < n) a(i)(j) + (if (i == j) Ridge else 0.0) else b(i))
+    for (col <- 0 until n) {
+      val piv = (col until n).maxBy(r => math.abs(m(r)(col)))
+      val tmp = m(col); m(col) = m(piv); m(piv) = tmp
+      for (r <- col + 1 until n) {
+        val f = m(r)(col) / m(col)(col)
+        for (c <- col to n) m(r)(c) -= f * m(col)(c)
+      }
+    }
+    val x = new Array[Double](n)
+    for (i <- (n - 1) to 0 by -1) {
+      var s = m(i)(n)
+      for (j <- i + 1 until n) s -= m(i)(j) * x(j)
+      x(i) = s / m(i)(i)
+    }
+    x
+  }
+
+  /** IRLS fit against the heuristic teacher. Engine-side `exp` is
+    * fine here — the fit never crosses the oracle boundary; only its
+    * PERSISTED weights do.
+    */
+  private[graft] def fit(t: Tables): Array[Double] = {
+    val base = counts(t).withColumn("y",
+      when(TextAnalysis.qualityExpr(col("n_chars"), col("n_tok"),
+        col("n_distinct")) >= 0.5, 1.0).otherwise(0.0))
+      .persist()
+    var w = Array.fill(NumFeatures)(0.0)
+    try {
+      for (_ <- 1 to Iters) {
+        val s = scoreCol(w)
+        val p = lit(1.0) / (lit(1.0) + exp(-s))
+        val wt = p * (lit(1.0) - p) + lit(Ridge)
+        val aggs =
+          (for (i <- 0 until NumFeatures; j <- i until NumFeatures)
+            yield sum(wt * features(i) * features(j)).as(s"h_${i}_$j")) ++
+            (0 until NumFeatures).map(i =>
+              sum((col("y") - p) * features(i)).as(s"g_$i"))
+        val row = base.agg(aggs.head, aggs.tail: _*).head()
+        val h = Array.ofDim[Double](NumFeatures, NumFeatures)
+        var k = 0
+        for (i <- 0 until NumFeatures; j <- i until NumFeatures) {
+          h(i)(j) = row.getDouble(k); h(j)(i) = row.getDouble(k); k += 1
+        }
+        val g = (0 until NumFeatures)
+          .map(i => row.getDouble(k + i)).toArray
+        val dw = solve(h, g)
+        w = w.zip(dw).map { case (a, b) => a + b }
+      }
+      w
+    } finally { base.unpersist(); () }
+  }
+
+  private def weightsStore = graft.storage.Materialize.StoreDef(
+    "graft_quality_lr", "documents", s"iters=$Iters,ridge=$Ridge,v1")
+
+  /** The canonical per-corpus weights: fit once, persisted, read back
+    * — every caller (and the oracle literals) sees the STORED doubles.
+    */
+  private[graft] def storedWeights(t: Tables): Array[Double] = {
+    val spark = t.spark
+    import spark.implicits._
+    graft.storage.Materialize.ensureStore(t, weightsStore, {
+        val w = fit(t)
+        w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+          .toDF("idx", "wv")
+      })
+      .collect().sortBy(_.getInt(0)).map(_.getDouble(1))
+  }
+
+  /** Set by [[qualityClassify]]; consumed by [[qualityClassifySql]]
+    * (Verify runs every query before dumping oracle SQL — the Opq
+    * `lastFitted` protocol).
+    */
+  @volatile private var lastWeights: Option[Array[Double]] = None
+
+  /** The distilled gate as a QUERY: per doc, the linear score (round6)
+    * and the admit bit (score ≥ 0 on the UNROUNDED value — the same
+    * full-precision comparison in both engines). Map-side arithmetic
+    * over the count aggregation — at 100 TB this is the cheap
+    * classifier the intake stream runs per doc, no bigram tables, no
+    * joins.
+    */
+  def qualityClassify(t: Tables): DataFrame = {
+    val w = storedWeights(t)
+    lastWeights = Some(w)
+    val s = scoreCol(w)
+    counts(t)
+      .select(col("doc_id"), round6(s).as("score6"),
+        when(s >= 0.0, 1).otherwise(0).as("admit"))
+      .orderBy(col("doc_id"))
+  }
+
+  def qualityClassifySql: String = {
+    val w = lastWeights.getOrElse(Array.fill(NumFeatures)(0.0))
+    val s = scoreSql(w)
+    s"""WITH tok AS (SELECT doc_id, n_chars,
+       |               unnest(string_split(text, ' ')) w
+       |             FROM documents),
+       |agg AS (SELECT doc_id, n_chars, count(*) n_tok,
+       |          count(DISTINCT w) n_distinct
+       |        FROM tok GROUP BY doc_id, n_chars)
+       |SELECT doc_id, ${round6Sql(s)} AS score6,
+       |  CASE WHEN ($s) >= 0.0 THEN 1 ELSE 0 END AS admit
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.textanalysis.{QualityModel, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Distilled quality classifier: the IRLS fit must actually learn the
+  * teacher, the stored weights must be the canonical copy every caller
+  * sees, and the scoring query must reproduce a JVM recompute of the
+  * same literal arithmetic.
+  */
+class QualityModelSpec extends SparkSpec {
+
+  test("fit learns the teacher: distilled admit agrees with the heuristic gate on >= 85% of docs") {
+    val teacher = TextAnalysis.qualityScore(tables).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3) >= 0.5)).toMap
+    val student = QualityModel.qualityClassify(tables).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2) == 1)).toMap
+    assert(student.keySet == teacher.keySet)
+    val agree = teacher.count { case (id, y) => student(id) == y }
+    val frac = agree.toDouble / teacher.size
+    assert(frac >= 0.85, s"distillation agreement $frac below 0.85")
+    // both classes must actually occur — a constant classifier can
+    // score high agreement on a skewed corpus and learn nothing
+    assert(student.values.exists(identity) && student.values.exists(!_),
+      "classifier must separate, not emit a constant")
+  }
+
+  test("stored weights are canonical: repeated calls read identical doubles; scores ≡ a JVM recompute") {
+    val w1 = QualityModel.storedWeights(tables)
+    val w2 = QualityModel.storedWeights(tables)
+    assert(w1.toSeq == w2.toSeq, "store must serve the same bits")
+    assert(w1.length == QualityModel.NumFeatures)
+    // independent JVM recompute of score6/admit from raw counts with
+    // the same fixed-order arithmetic
+    val docs = tables.documents
+      .select(col("doc_id"), col("n_chars"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val expect = docs.map { case (id, nChars, text) =>
+      val toks = text.split(" ", -1)
+      val nTok = toks.length.toDouble
+      val nDist = toks.distinct.length.toDouble
+      val f = Array(1.0, nChars / 1000.0, nTok / 100.0, nDist / 100.0,
+        nDist / nTok, (nChars / nTok) / 10.0)
+      var s = 0.0
+      for (i <- 0 until QualityModel.NumFeatures) s += f(i) * w1(i)
+      id -> ((graft.functions.Portable.round6Double(s), s >= 0.0))
+    }.toMap
+    val got = QualityModel.qualityClassify(tables).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2) == 1))).toMap
+    assert(got == expect, "catalyst scores must equal the JVM recompute")
+  }
+}
