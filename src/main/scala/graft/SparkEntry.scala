@@ -110,6 +110,9 @@ object SparkEntry {
     "top_ngrams" -> q(t => TextAnalysis.topNgrams(t)),
     "text_collocations" -> q(TextAnalysis.textCollocations),
     "quality_classify" -> q(graft.textanalysis.QualityModel.qualityClassify),
+    // rows-only driver check: the BPE greedy fold is not portably
+    // SQL-expressible (see rowsOnly) — BpeSpec gates values instead
+    "token_count_bpe" -> q(graft.functions.Bpe.tokenCountBpe),
     // multimodal
     "multimodal_meta" -> q(Multimodal.multimodalMeta),
     "multimodal_features" -> q(Multimodal.multimodalFeatures),
@@ -198,7 +201,11 @@ object SparkEntry {
       "WindowsSpec: exact moments match event_stats; sketch rank within 2%",
     "event_daily_uniques_est" ->
       ("SketchesSpec: est6 ≡ hllEstimateFromMoments over the oracle-checked " +
-        "moments exactly; within 5% of exact daily uniques")
+        "moments exactly; within 5% of exact daily uniques"),
+    "token_count_bpe" ->
+      ("BpeSpec: every row ≡ a JVM reference tokenizer applying the stored " +
+        "merge table; fit ≡ the reference merge sequence; chained merges " +
+        "pinned on a planted corpus")
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

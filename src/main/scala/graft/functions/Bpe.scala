@@ -1,0 +1,142 @@
+package graft.functions
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) merge-rule fitting — the
+  * tokenizer-fit op of a training-data pipeline (Sennrich et al.
+  * 2016, the public BPE construction): iteratively merge the most
+  * frequent adjacent symbol pair until the merge table is full.
+  *
+  * The classic fit is a single-machine loop over the corpus; the
+  * Spark-native form works over the VOCABULARY (distinct words with
+  * counts — the corpus collapses once, map-side-combined, and every
+  * later round is vocabulary-sized, not corpus-sized): each round is
+  * one pair-count aggregation (explode adjacent pairs weighted by
+  * word count → map-side partial sums) + a driver-side argmax
+  * (count desc, pair lexicographic — deterministic tie-break), then
+  * a map-side greedy left-fold merge application. The driver sees one
+  * (pair, count) row per round — the `ivfFit`/`Opq`/IRLS fit
+  * discipline.
+  *
+  * Fit and application are spec-gated against a byte-identical JVM
+  * reference implementation (no SQL oracle: the greedy fold is not
+  * expressible portably — the `event_stats_approx` precedent, declared
+  * rows-only); the `token_count_bpe` QUERY applies the PERSISTED
+  * merge table so every JVM tokenizes with the same rules.
+  */
+object Bpe {
+
+  /** Merge-table size. Real tokenizers carry 30–100k rules; 12 keeps
+    * the fit's O(rules) rounds test-sized while exercising every
+    * mechanism (chained merges included — rule k can merge outputs of
+    * rule j < k).
+    */
+  val NumMerges = 12
+
+  /** A pair must occur at least this often (weighted) to merge. */
+  val MinPairCount = 2L
+
+  private def esc(s: String): String = s.replace("'", "''")
+
+  /** Characters of `w` as a symbol array (split-on-empty keeps a
+    * trailing empty element — filtered).
+    */
+  private val initSymsExpr = "filter(split(w, ''), x -> x != '')"
+
+  /** One greedy left-to-right merge pass of rule (l, r) over a symbol
+    * array expression: the accumulator fold that replaces each
+    * non-overlapping adjacent (l, r) with the fused symbol. Matches
+    * the reference tokenizer's semantics: a symbol produced by THIS
+    * rule cannot re-merge with the next element in the same pass.
+    */
+  private def mergeExpr(inner: String, l: String, r: String): String = {
+    val (ql, qr, qm) = (s"'${esc(l)}'", s"'${esc(r)}'", s"'${esc(l + r)}'")
+    s"aggregate($inner, cast(array() as array<string>), (acc, x) -> " +
+      s"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = $ql AND x = $qr " +
+      s"THEN concat(slice(acc, 1, size(acc) - 1), array($qm)) " +
+      s"ELSE concat(acc, array(x)) END)"
+  }
+
+  /** The symbol-array expression applying `merges` in rule order. */
+  private[graft] def applyMergesExpr(merges: Seq[(String, String)]): String =
+    merges.foldLeft(initSymsExpr) { case (e, (l, r)) => mergeExpr(e, l, r) }
+
+  /** (word, cnt) vocabulary of the corpus — the only corpus-sized
+    * aggregation the fit pays.
+    */
+  private def vocab(t: Tables): DataFrame =
+    t.documents
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+
+  /** Fit the merge table: Seq of (left, right) in merge order. */
+  private[graft] def fit(t: Tables): Seq[(String, String)] = {
+    var merges = Vector.empty[(String, String)]
+    val v = vocab(t).persist()
+    try {
+      var done = false
+      while (merges.length < NumMerges && !done) {
+        val syms = expr(applyMergesExpr(merges))
+        val best = v
+          .select(col("cnt"), syms.as("s"))
+          .filter(size(col("s")) >= 2)
+          .select(col("cnt"), explode(expr(
+            "transform(sequence(1, size(s) - 1), " +
+              "i -> struct(element_at(s, i) as l, element_at(s, i + 1) as r))"))
+            .as("p"))
+          .groupBy(col("p.l"), col("p.r"))
+          .agg(sum(col("cnt")).as("n"))
+          .orderBy(col("n").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (best.isEmpty || best.head.getLong(2) < MinPairCount) done = true
+        else merges :+= ((best.head.getString(0), best.head.getString(1)))
+      }
+      merges
+    } finally { v.unpersist(); () }
+  }
+
+  private def mergesStore = graft.storage.Materialize.StoreDef(
+    "graft_bpe_merges", "documents",
+    s"m=$NumMerges,min=$MinPairCount,v1")
+
+  /** The canonical per-corpus merge table: fit once, persisted, read
+    * back in rank order.
+    */
+  private[graft] def storedMerges(t: Tables): Seq[(String, String)] = {
+    val spark = t.spark
+    import spark.implicits._
+    graft.storage.Materialize.ensureStore(t, mergesStore, {
+        fit(t).zipWithIndex.map { case ((l, r), i) => (i, l, r) }
+          .toDF("rank", "l", "r")
+      })
+      .collect().sortBy(_.getInt(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
+  /** Token counts under the fitted subword vocabulary, per doc:
+    * whitespace tokens, pre-BPE character symbols, post-BPE tokens —
+    * the table that prices a corpus in actual training tokens instead
+    * of the whitespace proxy. Rows-only by design (the greedy fold is
+    * not portably expressible in SQL); BpeSpec value-gates every row
+    * against the JVM reference tokenizer.
+    *
+    * Scale: the merge table is a literal in the plan (vocabulary-fit
+    * paid once, stored); application is one map-side expression per
+    * word occurrence; the per-doc rollup is a two-phase aggregation.
+    */
+  def tokenCountBpe(t: Tables): DataFrame = {
+    val merges = storedMerges(t)
+    val syms = expr(applyMergesExpr(merges))
+    t.documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), size(expr(initSymsExpr)).cast("long").as("nc"),
+        size(syms).cast("long").as("nb"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok_ws"),
+        sum(col("nc")).as("n_sym_chars"),
+        sum(col("nb")).as("n_tok_bpe"))
+      .orderBy(col("doc_id"))
+  }
+}

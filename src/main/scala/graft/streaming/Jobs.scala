@@ -2026,6 +2026,37 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // QualityGateStream — textanalysis.QualityModel's distilled linear
+  // gate at intake speed: published weights, zero joins, zero state.
+  // ---------------------------------------------------------------------
+  object QualityGateStream {
+
+    /** STATELESS distilled-quality verdicts: the per-doc count
+      * features come from pure array projections (`size(split(...))` /
+      * `size(array_distinct(...))` — value-identical to the batch
+      * explode+groupBy, with no per-doc aggregation state), and the
+      * score is [[graft.textanalysis.QualityModel.scoreProjection]]
+      * compiled against the PUBLISHED weight generation (the
+      * BloomGateStream boundary-table shape: a periodic batch refit
+      * republishes weights, the stream pins the generation at start).
+      * Pure map-side ⇒ replay ≡ batch `quality_classify` bit-for-bit
+      * in any order (spec-pinned). This is why the distillation
+      * exists: the full teacher gate needs per-doc bigram tables; this
+      * runs per arriving doc at wire speed.
+      *
+      * Input: (doc_id, text, n_chars) rows.
+      */
+    def verdicts(docs: DataFrame, w: Array[Double]): DataFrame = {
+      val toks = split(col("text"), " ")
+      docs
+        .withColumn("n_tok", size(toks).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+        .select(col("doc_id") +:
+          graft.textanalysis.QualityModel.scoreProjection(w): _*)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // CountMinStream — operators.Sketches' grid as RUNNING STATE: the
   // bounded-memory alternative to RunningCounts when keys are
   // unbounded (the reference's updateStateByKey holds one state entry

@@ -164,11 +164,19 @@ object QualityModel {
   def qualityClassify(t: Tables): DataFrame = {
     val w = storedWeights(t)
     lastWeights = Some(w)
-    val s = scoreCol(w)
     counts(t)
-      .select(col("doc_id"), round6(s).as("score6"),
-        when(s >= 0.0, 1).otherwise(0).as("admit"))
+      .select(col("doc_id") +: scoreProjection(w): _*)
       .orderBy(col("doc_id"))
+  }
+
+  /** (score6, admit) projection columns over a frame carrying
+    * (n_chars, n_tok, n_distinct) — shared by the batch query and the
+    * stateless streaming gate so the scoring arithmetic cannot drift.
+    */
+  private[graft] def scoreProjection(w: Array[Double]): Seq[Column] = {
+    val s = scoreCol(w)
+    Seq(round6(s).as("score6"),
+      when(s >= 0.0, 1).otherwise(0).as("admit"))
   }
 
   def qualityClassifySql: String = {

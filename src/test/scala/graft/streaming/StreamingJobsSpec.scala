@@ -2205,6 +2205,36 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("QualityGateStream: stateless replay ≡ batch quality_classify bit-for-bit in any order") {
+    import spark.implicits._
+    val w = graft.textanalysis.QualityModel.storedWeights(tables)
+    val batch = graft.textanalysis.QualityModel.qualityClassify(tables)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2))))
+      .toMap
+    val docs = tables.documents.select("doc_id", "text", "n_chars")
+      .as[(Long, String, Long)].collect()
+
+    val in = MemoryStream[(Long, String, Long)]
+    val out = mutable.Map.empty[Long, (Double, Int)]
+    val q = Jobs.QualityGateStream.verdicts(
+      in.toDF().toDF("doc_id", "text", "n_chars"), w)
+      .writeStream.outputMode(OutputMode.Append())
+      .option("checkpointLocation", tmp("graft-qgate-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          b.collect().foreach(r =>
+            out(r.getLong(0)) = (r.getDouble(1), r.getInt(2)))
+        }; ()
+      }.start()
+    try {
+      val (a, b) = docs.reverse.splitAt(docs.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      assert(out.synchronized(out.toMap) == batch,
+        "streamed verdicts must equal the batch entry bit-for-bit")
+    } finally q.stop()
+  }
+
   test("ForgetStream: any-order tombstone replay + duplicate delivery ≡ batch forget_keepers; non-clustered requests drop out") {
     import spark.implicits._
     val batch = graft.pipeline.Forget.forgetKeepers(tables).collect()
