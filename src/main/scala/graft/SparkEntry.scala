@@ -110,6 +110,8 @@ object SparkEntry {
     "top_ngrams" -> q(t => TextAnalysis.topNgrams(t)),
     "text_collocations" -> q(TextAnalysis.textCollocations),
     "quality_classify" -> q(graft.textanalysis.QualityModel.qualityClassify),
+    "report_distill_confusion" ->
+      q(graft.textanalysis.QualityModel.distillConfusion),
     // rows-only driver check: the BPE greedy fold is not portably
     // SQL-expressible (see rowsOnly) — BpeSpec gates values instead
     "token_count_bpe" -> q(graft.functions.Bpe.tokenCountBpe),
@@ -297,6 +299,8 @@ object SparkEntry {
     // inlines the per-corpus fitted weights — Verify runs the query
     // (which fits + persists them) before dumping this SQL
     "quality_classify" -> graft.textanalysis.QualityModel.qualityClassifySql,
+    "report_distill_confusion" ->
+      graft.textanalysis.QualityModel.distillConfusionSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql,

@@ -305,14 +305,23 @@ object Sequences {
     * is a broadcast (pinned) — two tiny aggregates after one
     * (type, day) shuffle of pre-combined partials.
     */
-  def eventDailyAnomaly(t: Tables): DataFrame = {
-    import graft.functions.Portable.round6
-    val daily = t.events
+  /** Per-type daily counts — shared by the batch anomaly entry and
+    * the streaming twin's spec so the frame cannot drift.
+    */
+  private[graft] def dailyCounts(events: DataFrame): DataFrame =
+    events
       .select(col("event_type"),
         expr(s"ts_sec div $RetentionBucketSec").as("day"))
       .groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"))
-    val stats = daily.groupBy(col("event_type"))
+
+  /** The published per-type (mu, sd) table the z-scores compare
+    * against — the boundary-table half of the anomaly op: a periodic
+    * batch job republishes it; [[graft.streaming.Jobs.AnomalyStream]]
+    * pins the generation at start and scores live counts against it.
+    */
+  private[graft] def dailyStats(t: Tables): DataFrame =
+    dailyCounts(t.events).groupBy(col("event_type"))
       .agg(count(lit(1)).as("d"), sum(col("n")).as("s1"),
         sum(col("n") * col("n")).as("s2"))
       .select(col("event_type"), col("d"),
@@ -323,6 +332,11 @@ object Sequences {
               col("s1").cast("double") * col("s1") / col("d")) /
               (col("d") - 1))))
           .otherwise(lit(0.0)).as("sd"))
+
+  def eventDailyAnomaly(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    val daily = dailyCounts(t.events)
+    val stats = dailyStats(t)
     daily.join(broadcast(stats), Seq("event_type"))
       .select(col("event_type"), col("day"), col("n"),
         round6(when(col("sd") > 0,

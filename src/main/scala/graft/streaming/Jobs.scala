@@ -2026,6 +2026,55 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // AnomalyStream — operators.Sequences.eventDailyAnomaly LIVE: the
+  // volume monitor that pages before a day closes, scored against the
+  // published per-type baseline.
+  // ---------------------------------------------------------------------
+  object AnomalyStream {
+
+    /** Running per-(type, day) z-scores: fMGWS state = one running
+      * count per (type, day) — bounded by |types|·|days in flight|,
+      * the retention-matrix discipline — scored on every update
+      * against the PUBLISHED (mu, sd) baseline (`Sequences.dailyStats`
+      * collected by the caller — the boundary-table shape: a periodic
+      * batch job republishes the baseline, the stream pins its
+      * generation at start; types absent from the baseline score 0,
+      * same rule as the batch `sd > 0` guard). The z arithmetic is
+      * [[graft.functions.Portable.round6Double]] over the identical
+      * IEEE sequence the batch Column computes, so once all of a day's
+      * events are delivered the final emission per (type, day) equals
+      * the batch `event_daily_anomaly` row bit-for-bit (spec-pinned
+      * on a shuffled two-batch replay).
+      *
+      * Input: (event_type, ts_sec) rows; `stats`: type → (mu, sd).
+      */
+    def zscores(events: DataFrame,
+                stats: Map[String, (Double, Double)]): DataFrame = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      import graft.functions.Portable.round6Double
+      events.select(col("event_type"),
+        expr(s"ts_sec div ${graft.operators.Sequences.RetentionBucketSec}")
+          .as("day"))
+        .as[(String, Long)]
+        .groupByKey(identity)
+        .flatMapGroupsWithState(OutputMode.Update,
+          GroupStateTimeout.NoTimeout)(
+          (key: (String, Long), it: Iterator[(String, Long)],
+           state: GroupState[Long]) => {
+            val n = state.getOption.getOrElse(0L) + it.size
+            state.update(n)
+            val z = stats.get(key._1) match {
+              case Some((mu, sd)) if sd > 0 => round6Double((n - mu) / sd)
+              case _ => 0.0
+            }
+            Iterator((key._1, key._2, n, z))
+          })
+        .toDF("event_type", "day", "n", "z")
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // QualityGateStream — textanalysis.QualityModel's distilled linear
   // gate at intake speed: published weights, zero joins, zero state.
   // ---------------------------------------------------------------------

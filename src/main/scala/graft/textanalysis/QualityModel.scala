@@ -192,4 +192,57 @@ object QualityModel {
        |  CASE WHEN ($s) >= 0.0 THEN 1 ELSE 0 END AS admit
        |FROM agg ORDER BY doc_id""".stripMargin
   }
+
+  /** The distillation's acceptance audit — teacher-vs-student
+    * confusion matrix as ONE row: (n_docs, tp, fp, fn, tn, agree6),
+    * teacher = the heuristic gate ([[TextAnalysis.qualityExpr]] ≥
+    * 0.5), student = the stored linear model. The number a rollout
+    * reads before swapping the intake gate: counts are exact integers
+    * over one count-aggregation pass (both classifiers are map-side
+    * expressions over the same frame — no joins), `agree6` one IEEE
+    * division. The same audit re-run nightly catches drift: a corpus
+    * whose feature distribution moved shows up as falling agreement
+    * before it shows up as bad training data.
+    */
+  def distillConfusion(t: Tables): DataFrame = {
+    val w = storedWeights(t)
+    lastWeights = Some(w)
+    val s = scoreCol(w)
+    val teacher = TextAnalysis.qualityExpr(col("n_chars"), col("n_tok"),
+      col("n_distinct")) >= 0.5
+    val student = s >= 0.0
+    counts(t)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(teacher && student, 1L).otherwise(0L)).as("tp"),
+        sum(when(!teacher && student, 1L).otherwise(0L)).as("fp"),
+        sum(when(teacher && !student, 1L).otherwise(0L)).as("fn"),
+        sum(when(!teacher && !student, 1L).otherwise(0L)).as("tn"))
+      .select(col("n_docs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round6((col("tp") + col("tn")).cast("double")
+          / col("n_docs").cast("double")).as("agree6"))
+  }
+
+  def distillConfusionSql: String = {
+    val w = lastWeights.getOrElse(Array.fill(NumFeatures)(0.0))
+    val s = scoreSql(w)
+    val teacher =
+      s"(${TextAnalysis.qualityExprSql("n_chars", "n_tok", "n_distinct")}" +
+        s" >= 0.5)"
+    val student = s"(($s) >= 0.0)"
+    s"""WITH tok AS (SELECT doc_id, n_chars,
+       |               unnest(string_split(text, ' ')) w
+       |             FROM documents),
+       |agg AS (SELECT doc_id, n_chars, count(*) n_tok,
+       |          count(DISTINCT w) n_distinct
+       |        FROM tok GROUP BY doc_id, n_chars)
+       |SELECT COUNT(*) AS n_docs,
+       |  SUM(CASE WHEN $teacher AND $student THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |  SUM(CASE WHEN NOT $teacher AND $student THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |  SUM(CASE WHEN $teacher AND NOT $student THEN 1 ELSE 0 END)::BIGINT AS fn,
+       |  SUM(CASE WHEN NOT $teacher AND NOT $student THEN 1 ELSE 0 END)::BIGINT AS tn,
+       |  ${round6Sql(
+        "(SUM(CASE WHEN " + teacher + " = " + student +
+          " THEN 1 ELSE 0 END))::DOUBLE / COUNT(*)::DOUBLE")} AS agree6
+       |FROM agg""".stripMargin
+  }
 }

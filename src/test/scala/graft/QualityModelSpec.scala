@@ -49,4 +49,20 @@ class QualityModelSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getDouble(1), r.getInt(2) == 1))).toMap
     assert(got == expect, "catalyst scores must equal the JVM recompute")
   }
+
+  test("distill confusion: cells partition the corpus and reconcile with per-doc verdicts") {
+    val teacher = TextAnalysis.qualityScore(tables).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3) >= 0.5)).toMap
+    val student = QualityModel.qualityClassify(tables).collect()
+      .map(r => r.getLong(0) -> (r.getInt(2) == 1)).toMap
+    val row = QualityModel.distillConfusion(tables).collect().head
+    val (n, tp, fp, fn, tn, agree) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getDouble(5))
+    assert(n == teacher.size && tp + fp + fn + tn == n)
+    assert(tp == teacher.count { case (id, y) => y && student(id) })
+    assert(fp == teacher.count { case (id, y) => !y && student(id) })
+    assert(fn == teacher.count { case (id, y) => y && !student(id) })
+    assert(agree == graft.functions.Portable.round6Double(
+      (tp + tn).toDouble / n.toDouble))
+  }
 }

@@ -2205,6 +2205,41 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("AnomalyStream: shuffled replay converges to batch event_daily_anomaly bit-for-bit") {
+    import spark.implicits._
+    val batch = graft.operators.Sequences.eventDailyAnomaly(tables)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val stats = graft.operators.Sequences.dailyStats(tables).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    val events = tables.events
+      .select("event_type", "ts_sec").as[(String, Long)].collect()
+
+    val in = MemoryStream[(String, Long)]
+    val out = mutable.Map.empty[(String, Long), (Long, Double)]
+    val q = Jobs.AnomalyStream.zscores(
+      in.toDF().toDF("event_type", "ts_sec"), stats)
+      .writeStream.outputMode(OutputMode.Update())
+      .option("checkpointLocation", tmp("graft-anom-ck"))
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          b.collect().foreach(r =>
+            out((r.getString(0), r.getLong(1))) =
+              (r.getLong(2), r.getDouble(3)))
+        }; ()
+      }.start()
+    try {
+      // reverse order across two micro-batches: counts accumulate in
+      // any order; only the FINAL emission per (type, day) must match
+      val (a, b) = events.reverse.splitAt(events.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      assert(out.synchronized(out.toMap) == batch,
+        "final streamed z-scores must equal the batch entry")
+    } finally q.stop()
+  }
+
   test("QualityGateStream: stateless replay ≡ batch quality_classify bit-for-bit in any order") {
     import spark.implicits._
     val w = graft.textanalysis.QualityModel.storedWeights(tables)
