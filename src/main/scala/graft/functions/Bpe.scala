@@ -129,14 +129,26 @@ object Bpe {
   def tokenCountBpe(t: Tables): DataFrame = {
     val merges = storedMerges(t)
     val syms = expr(applyMergesExpr(merges))
-    t.documents
+    // Tokenize the VOCABULARY, not the corpus: the merge fold is the
+    // expensive expression (M chained HOF passes per word), so it runs
+    // once per DISTINCT word and the per-occurrence cost collapses to
+    // a join + integer multiply (measured 14.6s → ~1s at sf0.1; at
+    // 100 TB the same Zipf skew makes the vocabulary smaller still
+    // relative to the corpus). The vocab side is broadcast here — at
+    // a scale where it outgrows executor memory, drop the hint and the
+    // same plan shuffles on `w`.
+    val occ = t.documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), size(expr(initSymsExpr)).cast("long").as("nc"),
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("occ"))
+    val vocabTok = occ.select(col("w")).distinct()
+      .select(col("w"), size(expr(initSymsExpr)).cast("long").as("nc"),
         size(syms).cast("long").as("nb"))
+    occ.join(broadcast(vocabTok), Seq("w"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tok_ws"),
-        sum(col("nc")).as("n_sym_chars"),
-        sum(col("nb")).as("n_tok_bpe"))
+      .agg(sum(col("occ")).as("n_tok_ws"),
+        sum(col("nc") * col("occ")).as("n_sym_chars"),
+        sum(col("nb") * col("occ")).as("n_tok_bpe"))
       .orderBy(col("doc_id"))
   }
 }
