@@ -145,6 +145,7 @@ object SparkEntry {
     "report_join_cardinality" -> q(graft.pipeline.Reports.joinCardinality),
     // delete propagation (right-to-be-forgotten)
     "forget_keepers" -> q(graft.pipeline.Forget.forgetKeepers),
+    "forget_exact_keepers" -> q(graft.pipeline.Forget.forgetExactKeepers),
     "forget_stats" -> q(graft.pipeline.Forget.forgetStats),
     // export + scrub + soft dedup (LLM pipeline)
     "corpus_shuffle_order" -> q(graft.pipeline.Export.corpusShuffleOrder),
@@ -326,6 +327,7 @@ object SparkEntry {
     "report_key_skew" -> graft.pipeline.Reports.keySkewSql,
     "report_join_cardinality" -> graft.pipeline.Reports.joinCardinalitySql,
     "forget_keepers" -> graft.pipeline.Forget.forgetKeepersSql,
+    "forget_exact_keepers" -> graft.pipeline.Forget.forgetExactKeepersSql,
     "forget_stats" -> graft.pipeline.Forget.forgetStatsSql,
     "corpus_shuffle_order" -> graft.pipeline.Export.corpusShuffleOrderSql,
     "corpus_pack" -> graft.pipeline.Export.corpusPackSql,

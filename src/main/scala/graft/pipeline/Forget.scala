@@ -71,6 +71,53 @@ object Forget {
        |HAVING SUM(CASE WHEN ts THEN 1 ELSE 0 END) >= 1
        |ORDER BY cluster_id""".stripMargin
 
+  /** [[forgetKeepers]] for EXACT-duplicate classes — the other half of
+    * the dedup surface a deletion touches: `dedup_exact` keeps the min
+    * doc_id per md5(text) class, so a tombstone on that keeper orphans
+    * the class the same way a cluster keeper deletion does. Emits, per
+    * multi-member class with ≥ 1 tombstoned member, (class_h,
+    * old_keeper, new_keeper, n_dropped, n_left) — NULL new_keeper is a
+    * full retraction. Single-member classes need no election (deleting
+    * the doc deletes the class) and stay out, matching the near-dup
+    * op's touched-clusters-only contract.
+    *
+    * Scale: one (hash, id) corpus aggregation with map-side partials —
+    * the `dedup_exact` pass itself — with the tombstone predicate
+    * folded into the same aggregate; output = touched multi-member
+    * classes only. (Legitimately empty at sf0.01 — the synthetic
+    * corpus plants exact dups only at sf0.1, the `report_dup_matrix`
+    * precedent; ForgetSpec plants both classes.)
+    */
+  def forgetExactKeepers(t: Tables): DataFrame =
+    t.documents
+      .select(md5(col("text")).as("class_h"), col("doc_id"),
+        tombstoned(col("doc_id")).as("ts"))
+      .groupBy(col("class_h"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("old_keeper"),
+        sum(when(col("ts"), 1L).otherwise(0L)).as("n_dropped"),
+        min(when(!col("ts"), col("doc_id"))).as("new_keeper"),
+        sum(when(!col("ts"), 1L).otherwise(0L)).as("n_left"))
+      .filter(col("n_members") >= 2 && col("n_dropped") >= 1)
+      .select(col("class_h"), col("old_keeper"), col("new_keeper"),
+        col("n_dropped"), col("n_left"))
+      .orderBy(col("class_h"))
+
+  def forgetExactKeepersSql: String =
+    s"""SELECT class_h, old_keeper, new_keeper, n_dropped, n_left
+       |FROM (
+       |  SELECT md5(text) AS class_h, COUNT(*) AS n_members,
+       |    MIN(doc_id) AS old_keeper,
+       |    SUM(CASE WHEN $tombstonedSql THEN 1 ELSE 0 END)::BIGINT
+       |      AS n_dropped,
+       |    MIN(CASE WHEN NOT ($tombstonedSql) THEN doc_id END)
+       |      AS new_keeper,
+       |    SUM(CASE WHEN $tombstonedSql THEN 0 ELSE 1 END)::BIGINT
+       |      AS n_left
+       |  FROM documents GROUP BY md5(text))
+       |WHERE n_members >= 2 AND n_dropped >= 1
+       |ORDER BY class_h""".stripMargin
+
   /** The deletion batch's corpus-level audit: one row — how many docs
     * the rule tombstones, how many survive, how many near-dup clusters
     * need relabeling (keeper deleted, survivors remain) vs full

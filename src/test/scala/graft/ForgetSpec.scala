@@ -100,4 +100,38 @@ class ForgetSpec extends SparkSpec {
     assert(st.getLong(3) == 1L, "clusters_relabeled")
     assert(st.getLong(4) == 1L, "clusters_thinned")
   }
+
+  test("forget_exact_keepers: planted exact-dup classes re-elect; singletons and untouched classes stay out") {
+    import spark.implicits._
+    val ids = 0L until 4000L
+    val dead = ids.filter(tomb)
+    val live = ids.filterNot(tomb)
+    // class A: dead keeper (min id) + two live copies → relabeled
+    // class B: two dead copies → retracted
+    // class C: two live copies → untouched (no row)
+    // class D: singleton dead → no row (no election needed)
+    val firstDead = dead.find(d => live.count(_ > d) >= 2).get
+    val liveA = live.filter(_ > firstDead).take(2)
+    val deadB = dead.filter(_ != firstDead).take(2)
+    val liveC = live.filterNot(liveA.contains).take(2)
+    val deadD = dead.filterNot(d => d == firstDead || deadB.contains(d)).head
+    val docs =
+      Seq(firstDead, liveA(0), liveA(1)).map(id => (id, "exact copy aa")) ++
+        deadB.map(id => (id, "exact copy bb")) ++
+        liveC.map(id => (id, "exact copy cc")) ++
+        Seq((deadD, "exact copy dd"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_forget_ex").toString
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Forget.forgetExactKeepers(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(1), (
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set(firstDead, deadB.min),
+      s"exactly the touched multi-member classes: $rows")
+    assert(rows(firstDead) == ((Some(liveA.min), 1L, 2L)), "relabel class")
+    assert(rows(deadB.min) == ((None, 2L, 0L)), "retraction class")
+  }
 }
