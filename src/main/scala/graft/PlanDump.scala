@@ -199,7 +199,27 @@ object PlanDump {
         "pure shift/mask projection inside WholeStageCodegen, and " +
         "the zone-map aggregation is two-phase down to 16 shards. " +
         "LayoutSpec pins every bound against a JVM Morton recompute.",
-      graft.operators.Layout.zorderStats))
+      graft.operators.Layout.zorderStats),
+    ("quality_classify",
+      "The distilled gate: stored IRLS weights inlined as literals " +
+        "into a map-side fixed-order score over the count " +
+        "aggregation — no joins, no bigram tables; the expensive " +
+        "teacher ran once at fit time, outside this plan.",
+      graft.textanalysis.QualityModel.qualityClassify),
+    ("token_count_bpe",
+      "BPE pricing at vocabulary cost: the M-chained merge-fold HOF " +
+        "runs once per DISTINCT word (the small side, broadcast " +
+        "back); per-occurrence cost collapses to a join + integer " +
+        "multiply. 14.6s -> 1.21s at sf0.1 when re-pointed from " +
+        "occurrences to vocab (BENCH_NOTES).",
+      graft.functions.Bpe.tokenCountBpe),
+    ("event_stats_bounded",
+      "Exact discrete quantiles with NO Window and NO percentile " +
+        "aggregate anywhere in the plan (both pinned): the OrderStat " +
+        "histogram search ran outside as driver scalars, broadcast " +
+        "back as a literal quantile table joined to the shared " +
+        "count/mean/min/max aggregation.",
+      graft.operators.Windows.eventStatsBounded))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
