@@ -99,9 +99,11 @@ object SparkEntry {
     "embed_ann_opq_pq" -> q(graft.ann.Opq.embedAnnOpqPq),
     "ann_recall_report" -> q(Ann.annRecallReport),
     "embed_margin_mine" -> q(Ann.embedMarginMine),
+    "contrastive_pairs" -> q(Ann.contrastivePairs),
     // text analysis
     "token_count" -> q(TextAnalysis.tokenCount),
     "lang_id" -> q(TextAnalysis.langId),
+    "report_lang_confusion" -> q(TextAnalysis.langIdConfusion),
     "quality_score" -> q(TextAnalysis.qualityScore),
     "doc_fingerprint" -> q(TextAnalysis.docFingerprint),
     "lm_bigram_score" -> q(TextAnalysis.lmBigramScore),
@@ -288,8 +290,10 @@ object SparkEntry {
     "embed_ann_opq_pq" -> graft.ann.Opq.embedAnnOpqPqSql,
     "ann_recall_report" -> Ann.annRecallReportSql,
     "embed_margin_mine" -> Ann.embedMarginMineSql,
+    "contrastive_pairs" -> Ann.contrastivePairsSql,
     "token_count" -> TextAnalysis.tokenCountSql,
     "lang_id" -> TextAnalysis.langIdSql,
+    "report_lang_confusion" -> TextAnalysis.langIdConfusionSql,
     "quality_score" -> TextAnalysis.qualityScoreSql,
     "doc_fingerprint" -> TextAnalysis.docFingerprintSql,
     "lm_bigram_score" -> TextAnalysis.lmBigramScoreSql,

@@ -1146,6 +1146,79 @@ object Ann {
       .orderBy(col("vec_a"))
   }
 
+  /** Hard negatives emitted per anchor. */
+  val ContrastiveNegK = 2
+
+  /** Contrastive training-pair generation — the embedding-model data
+    * prep op: per anchor vector, its best SAME-label in-bucket
+    * neighbor as the positive and the [[ContrastiveNegK]] most-similar
+    * CROSS-label in-bucket vectors as hard negatives (similar-but-
+    * wrong is the negative that teaches; random negatives are free
+    * wins the loss ignores — the public hard-negative-mining
+    * practice). Output (anchor, role, rk, pair_id, cos6); anchors
+    * missing a same-label bucket mate emit no positive, mirroring the
+    * mining reality.
+    *
+    * Scale: one adaptive-LSH bucket self-join (occupancy-targeted,
+    * never a corpus cross product) feeds BOTH roles; the per-anchor
+    * ranks are in-bucket windows. Same discipline as
+    * [[embedMarginMine]] — this op IS that plan with a role split.
+    */
+  def contrastivePairs(t: Tables): DataFrame = {
+    val p = prepared(t)
+      .join(t.embeddings.select(col("vec_id"), col("label")), Seq("vec_id"))
+    val scored = p.as("q").join(p.as("c"),
+        col("q.bucket") === col("c.bucket") &&
+          col("q.vec_id") =!= col("c.vec_id"))
+      .select(col("q.vec_id").as("anchor"),
+        col("q.label").as("a_label"), col("c.label").as("b_label"),
+        col("c.vec_id").as("pair_id"), cosine.as("cos"))
+    def ranked(f: Column, role: String, k: Int) =
+      scored.filter(f)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("anchor"))
+            .orderBy(col("cos").desc, col("pair_id"))))
+        .filter(col("rk") <= k)
+        .select(col("anchor"), lit(role).as("role"), col("rk"),
+          col("pair_id"), col("cos").as("cos6"))
+    ranked(col("a_label") === col("b_label"), "pos", 1)
+      .unionAll(ranked(col("a_label") =!= col("b_label"), "neg",
+        ContrastiveNegK))
+      .orderBy(col("anchor"), col("role"), col("rk"))
+  }
+
+  def contrastivePairsSql: String = {
+    val ladder = Portable.bucketBitsSql(
+      "COUNT(*)", BucketBits, BucketBitsMax, BucketTarget)
+    val full = Portable.signBucketExpr(BucketBitsMax, oneBasedIndex = true)
+    s"""WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v,
+       |             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) norm
+       |           FROM embeddings),
+       |nb AS (SELECT $ladder bits FROM e),
+       |b AS (SELECT vec_id, label, v, norm,
+       |        ($full) >> ($BucketBitsMax - nb.bits) AS bucket FROM e, nb),
+       |scored AS (SELECT q.vec_id anchor, q.label a_label,
+       |    c.label b_label, c.vec_id pair_id,
+       |    ${round6Sql("list_dot_product(q.v, c.v) / (q.norm * c.norm)")} cos
+       |  FROM b q JOIN b c ON q.bucket = c.bucket
+       |   AND q.vec_id <> c.vec_id),
+       |pos AS (SELECT anchor, 'pos' AS role,
+       |          CAST(row_number() OVER (PARTITION BY anchor
+       |            ORDER BY cos DESC, pair_id) AS INT) AS rk,
+       |          pair_id, cos AS cos6
+       |        FROM scored WHERE a_label = b_label),
+       |neg AS (SELECT anchor, 'neg' AS role,
+       |          CAST(row_number() OVER (PARTITION BY anchor
+       |            ORDER BY cos DESC, pair_id) AS INT) AS rk,
+       |          pair_id, cos AS cos6
+       |        FROM scored WHERE a_label <> b_label)
+       |SELECT * FROM (
+       |  SELECT * FROM pos WHERE rk <= 1
+       |  UNION ALL
+       |  SELECT * FROM neg WHERE rk <= $ContrastiveNegK)
+       |ORDER BY anchor, role, rk""".stripMargin
+  }
+
   def embedMarginMineSql: String = {
     val ladder = Portable.bucketBitsSql(
       "COUNT(*)", BucketBits, BucketBitsMax, BucketTarget)

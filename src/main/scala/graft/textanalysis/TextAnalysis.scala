@@ -48,16 +48,66 @@ object TextAnalysis {
     * form; the lang column in the testdata is a label, not derivable
     * from its synthetic text.)
     */
-  def langId(t: Tables): DataFrame = {
+  /** The language-ID frame, optionally carrying the stored `lang`
+    * label in the same single-scan aggregation (no join) — shared by
+    * [[langId]] and [[langIdConfusion]] so the predictor cannot drift.
+    */
+  private[graft] def langPredFrame(t: Tables, carryLang: Boolean): DataFrame = {
     val isStop = Stopwords.map(w => col("w") === w).reduce(_ || _)
+    val keys =
+      if (carryLang) Seq(col("doc_id"), col("lang")) else Seq(col("doc_id"))
     t.documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"))
+      .select(keys :+ explode(split(col("text"), " ")).as("w"): _*)
+      .groupBy(keys: _*)
       .agg(round6(sum(when(isStop, 1).otherwise(0)).cast("double")
         / count(lit(1))).as("stop_ratio"))
       .withColumn("lang_pred",
         when(col("stop_ratio") >= StopRatioEn, "en").otherwise("other"))
-      .orderBy(col("doc_id"))
+  }
+
+  def langId(t: Tables): DataFrame =
+    langPredFrame(t, carryLang = false).orderBy(col("doc_id"))
+
+  /** Language-ID validation — predictor-vs-label confusion cells: per
+    * (lang, lang_pred), the doc count and its share of that label's
+    * docs. The acceptance audit for the n-gram/stopword predictor (the
+    * `report_distill_confusion` discipline applied to language ID):
+    * run per corpus snapshot, falling `en`→`en` share flags predictor
+    * or corpus drift. ONE scan — the label rides the same aggregation
+    * as the prediction, no join back to documents; cells are
+    * |langs|·2 rows, totals a broadcast of a tiny re-aggregate.
+    */
+  def langIdConfusion(t: Tables): DataFrame = {
+    val cells = langPredFrame(t, carryLang = true)
+      .groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n")).as("tot"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        round6(col("n").cast("double") / col("tot").cast("double"))
+          .as("share6"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  def langIdConfusionSql: String = {
+    val set = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tok AS (SELECT doc_id, lang,
+       |               unnest(string_split(text, ' ')) w
+       |             FROM documents),
+       |r AS (SELECT doc_id, lang,
+       |    ${round6Sql("sum(CASE WHEN w IN (" + set + ") THEN 1 ELSE 0 END)::DOUBLE / count(*)")} stop_ratio
+       |  FROM tok GROUP BY doc_id, lang),
+       |p AS (SELECT lang,
+       |        CASE WHEN stop_ratio >= $StopRatioEn
+       |             THEN 'en' ELSE 'other' END AS lang_pred
+       |      FROM r),
+       |cells AS (SELECT lang, lang_pred, COUNT(*) AS n
+       |          FROM p GROUP BY 1, 2),
+       |tot AS (SELECT lang, SUM(n) AS t FROM cells GROUP BY 1)
+       |SELECT c.lang, c.lang_pred, c.n,
+       |  ${round6Sql("c.n::DOUBLE / tot.t::DOUBLE")} AS share6
+       |FROM cells c JOIN tot USING (lang)
+       |ORDER BY c.lang, c.lang_pred""".stripMargin
   }
 
   def langIdSql: String = {

@@ -478,6 +478,46 @@ class AnnSpec extends SparkSpec {
       c >= Ann.MarginCosMin && m >= Ann.MarginMin })
   }
 
+  test("contrastive_pairs: positives same-label top-1, hard negatives cross-label top-k — ≡ the JVM model") {
+    import graft.functions.Portable
+    val rows = tables.embeddings
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    val bits = Portable.bucketBits(rows.length.toLong,
+      Ann.BucketBits, Ann.BucketBitsMax, Ann.BucketTarget)
+    def bucket(v: Array[Double]): Int =
+      (0 until Ann.BucketBitsMax).map(i =>
+        if (v(i) > 0) 1 << (Ann.BucketBitsMax - 1 - i) else 0).sum >>
+        (Ann.BucketBitsMax - bits)
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    def cos(a: Array[Double], b: Array[Double]) =
+      Portable.round6Double(
+        a.zip(b).map { case (x, y) => x * y }.sum / (norm(a) * norm(b)))
+    val expect = rows.flatMap { case (aId, aLab, av) =>
+      val mates = rows.filter(r => r._1 != aId && bucket(r._3) == bucket(av))
+        .map(r => (cos(av, r._3), r._1, r._2))
+        .sortBy { case (s, id, _) => (-s, id) }
+      val pos = mates.filter(_._3 == aLab).take(1).zipWithIndex
+        .map { case ((s, id, _), i) => (aId, "pos", i + 1, id, s) }
+      val neg = mates.filter(_._3 != aLab).take(Ann.ContrastiveNegK)
+        .zipWithIndex
+        .map { case ((s, id, _), i) => (aId, "neg", i + 1, id, s) }
+      pos ++ neg
+    }.toSet
+    val got = Ann.contrastivePairs(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == expect, "pair set must equal the JVM model")
+    // every anchor's negative really is cross-label and its positive
+    // really shares the label
+    val labels = rows.map(r => r._1 -> r._2).toMap
+    got.foreach { case (a, role, _, b, _) =>
+      if (role == "pos") assert(labels(a) == labels(b))
+      else assert(labels(a) != labels(b))
+    }
+  }
+
   test("ann_recall_report ≡ an independent set-intersection recount; complete query panel") {
     val report = Ann.annRecallReport(tables).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap

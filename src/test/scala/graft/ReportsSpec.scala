@@ -231,6 +231,28 @@ class ReportsSpec extends SparkSpec {
       "top-k must compile to a partial top-k")
   }
 
+  test("report_lang_confusion: cells ≡ a label-joined recompute of lang_id; shares partition each label") {
+    import org.apache.spark.sql.functions.col
+    val labels = tables.documents.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val preds = graft.textanalysis.TextAnalysis.langId(tables).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expect = labels.toSeq
+      .groupBy { case (id, lang) => (lang, preds(id)) }
+      .view.mapValues(_.size.toLong).toMap
+    val got = graft.textanalysis.TextAnalysis.langIdConfusion(tables)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expect, "cells must match the per-doc recompute")
+    // shares partition each label exactly
+    graft.textanalysis.TextAnalysis.langIdConfusion(tables).collect()
+      .groupBy(_.getString(0)).foreach { case (lang, rows) =>
+        assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-6,
+          s"$lang shares must sum to 1")
+      }
+    assert(got.values.sum == labels.size)
+  }
+
   test("report_join_cardinality: exact side equals the real join size; histogram only over-estimates") {
     val row = Reports.joinCardinality(tables).collect().head
     val (est, act) = (row.getLong(0), row.getLong(1))
