@@ -75,6 +75,7 @@ object SparkEntry {
     "dedup_minhash_verified" -> q(Dedup.dedupMinhashVerified),
     "dedup_minhash_verified_mat" -> q(Dedup.dedupMinhashVerifiedMat),
     "dedup_minhash_verified_salted" -> q(Dedup.dedupMinhashVerifiedSalted),
+    "dedup_pair_evidence" -> q(Dedup.dedupPairEvidence),
     "dedup_clusters" -> q(Dedup.nearDupClusters),
     "dedup_clusters_delta" -> q(Dedup.nearDupClustersDelta),
     "dedup_simhash" -> q(t => Dedup.dedupSimhash(t)),
@@ -265,6 +266,7 @@ object SparkEntry {
     "dedup_minhash_verified" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_minhash_verified_mat" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_minhash_verified_salted" -> Dedup.dedupMinhashVerifiedSql,
+    "dedup_pair_evidence" -> Dedup.dedupPairEvidenceSql,
     "dedup_clusters" -> Dedup.nearDupClustersSql,
     "dedup_clusters_delta" -> Dedup.nearDupClustersDeltaSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,

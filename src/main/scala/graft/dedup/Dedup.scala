@@ -1102,6 +1102,49 @@ object Dedup {
        |SELECT doc_a, doc_b, jaccard FROM ver
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared shingles sampled per pair in the evidence report. */
+  val EvidenceSampleK = 3
+
+  /** Dedup EVIDENCE — per verified near-dup pair, the audit trail a
+    * takedown/appeal process needs: the exact jaccard, the shared-
+    * shingle count, and the [[EvidenceSampleK]] lexicographically-first
+    * shared shingles as a human-readable sample ("these passages are
+    * why"). A dedup decision that can't be explained can't be appealed;
+    * this is the explainer AS A QUERY, composable into case tooling.
+    *
+    * Scale: the evidence join is exactly the verify join's shape
+    * (pairs semi-bound the shingle store, fan-out capped by the
+    * band/doc-freq caps); the sample is a bounded sort_array slice per
+    * pair — output is pair-sized, strings only in the 3-shingle
+    * sample. Portable: the sample is concat_ws over a binary-collation
+    * sort — identical both engines.
+    */
+  def dedupPairEvidence(t: Tables): DataFrame = {
+    val pairs = verifiedPairsUnsorted(t)
+    val sh = keeperShinglesMaterialized(t)
+    pairs
+      .join(sh.as("ex"), col("doc_a") === col("ex.doc_id"))
+      .join(sh.as("ey"),
+        col("doc_b") === col("ey.doc_id") && col("ex.s") === col("ey.s"))
+      .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
+      .agg(count(lit(1)).as("n_shared"),
+        concat_ws(" | ",
+          slice(sort_array(collect_list(col("ex.s"))), 1, EvidenceSampleK))
+          .as("sample_shingles"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def dedupPairEvidenceSql: String =
+    s"""WITH $verifiedPairCtes,
+       |ev AS (SELECT v.doc_a, v.doc_b, v.jaccard, x.s
+       |       FROM ver v JOIN sh x ON x.doc_id = v.doc_a
+       |                  JOIN sh y ON y.doc_id = v.doc_b AND y.s = x.s)
+       |SELECT doc_a, doc_b, jaccard, COUNT(*) AS n_shared,
+       |  array_to_string((list(s ORDER BY s))[1:$EvidenceSampleK], ' | ')
+       |    AS sample_shingles
+       |FROM ev GROUP BY doc_a, doc_b, jaccard
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // ------------------------------------------------------------ clusters
 
   /** Iteration ceiling for [[clusterKeepers]] — generous: label

@@ -791,4 +791,29 @@ class DedupSpec extends SparkSpec {
     assert(reaped2.contains(t2Shingles), reaped2.toString)
     assert(!new java.io.File(wh, t2Shingles).exists())
   }
+
+  test("dedup_pair_evidence: one row per verified pair; counts reconcile the jaccard; samples really occur in both texts") {
+    import org.apache.spark.sql.functions.col
+    val verified = Dedup.dedupMinhashVerified(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rows = Dedup.dedupPairEvidence(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(rows.keySet == verified.keySet, "evidence covers exactly the pairs")
+    val texts = tables.documents.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case ((a, b), (j, nShared, sample)) =>
+      assert(j == verified((a, b)), s"pair ($a,$b) jaccard drift")
+      assert(nShared >= 1)
+      val shingles = sample.split(" \\| ")
+      assert(shingles.nonEmpty &&
+        shingles.length <= Dedup.EvidenceSampleK)
+      // every sampled shingle is a real passage of BOTH documents
+      shingles.foreach { s =>
+        assert(texts(a).contains(s), s"pair ($a,$b): '$s' not in doc $a")
+        assert(texts(b).contains(s), s"pair ($a,$b): '$s' not in doc $b")
+      }
+    }
+  }
 }
