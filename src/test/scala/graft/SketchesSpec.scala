@@ -200,6 +200,25 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmv: two-phase plan — phase 1 ranks inside (source, shard) partitions with map-side partial top-k") {
+    val plan = Sketches.kmvSketch(tables).queryExecution.executedPlan.toString
+    // phase 1's window must partition on TWO keys (source + the pmod
+    // shard, projected as _w0): a plan ranking on source alone sorts
+    // each source's full distinct set in ONE task — the exact shape
+    // this op exists to avoid at 100 TB
+    assert("windowspecdefinition\\(source#\\d+, _w0".r
+      .findFirstIn(plan).isDefined,
+      s"phase-1 shard key missing from the window partitioning:\n$plan")
+    assert("hashpartitioning\\(source#\\d+, _w0".r
+      .findFirstIn(plan).isDefined,
+      s"phase-1 exchange must key on (source, shard):\n$plan")
+    // Spark's WindowGroupLimit truncates to k per task BEFORE every
+    // exchange — even the phase-2 per-source rank receives <= k rows
+    // per upstream task, so no shuffle ever carries a full source
+    assert("WindowGroupLimit .*Partial".r.findAllIn(plan).length >= 2,
+      s"both phases must pre-truncate map-side:\n$plan")
+  }
+
   test("kmv property: random collision-heavy corpora — sketch and overlap ≡ in-memory model; under-k pairs read exact jaccard") {
     import spark.implicits._
     import org.scalacheck.Gen
