@@ -80,9 +80,9 @@ object RelationalTpch {
   def q12PriorityClassSql: String =
     """SELECT l_returnflag,
       |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
       |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |      THEN 0 ELSE 1 END) AS low_line_count
+      |      THEN 0 ELSE 1 END)::BIGINT AS low_line_count
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'

@@ -111,10 +111,10 @@ object Maintenance {
        |c AS (SELECT shard, chars,
        |        COALESCE(SUM(chars) OVER (ORDER BY shard
        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |          AS cum_before
+       |          ::BIGINT AS cum_before
        |      FROM m),
        |t AS (SELECT SUM(chars)::BIGINT AS total FROM m)
        |SELECT shard, chars, cum_before,
-       |  ((cum_before * $CompactionGroups) // total) AS grp
+       |  ((cum_before * $CompactionGroups) // total)::BIGINT AS grp
        |FROM c, t ORDER BY shard""".stripMargin
 }

@@ -19,6 +19,22 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
+def render_class(dtype) -> str:
+    """How the driver's hash renders values of this dtype. int64 and
+    int32 render identically ("11853"); float64 renders "11853.0" —
+    so an int-vs-float pair hashes red even when numerically equal
+    (the DuckDB HUGEINT trap: SUM(BIGINT) -> HUGEINT -> float64)."""
+    k = dtype.kind
+    if k in "iu":
+        return "int"
+    if k == "f":
+        return f"float{dtype.itemsize * 8}"
+    if k == "b":
+        return "bool"
+    if k == "M":
+        return "datetime"
+    return "object"
+
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
@@ -41,13 +57,30 @@ def main():
             failures += 1; continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} vs {len(exp)}"); failures += 1; continue
-        # exact value compare (the driver hashes values)
+        # oracle-type audit: HUGEINT anywhere is a latent driver
+        # failure (surfaces as float64 in pandas) — name the cause.
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").df()
+            huge = [r["column_name"] for _, r in desc.iterrows()
+                    if "HUGEINT" in str(r["column_type"])]
+        except Exception:
+            huge = []
+        if huge:
+            print(f"FAIL {name}: oracle HUGEINT cols {huge} (add ::BIGINT)")
+            failures += 1; continue
+        # dtype-strict: the driver hashes raw rendered values, so a
+        # float64-vs-int64 pair fails there even when numerically
+        # equal. NO coercion before compare — mirror the driver.
+        badtype = [(c, str(got[c].dtype), str(exp[c].dtype))
+                   for c in got.columns
+                   if render_class(got[c].dtype) != render_class(exp[c].dtype)]
+        if badtype:
+            c, ga, ea = badtype[0]
+            print(f"FAIL {name}: dtype col {c}: spark={ga} duckdb={ea}")
+            failures += 1; continue
         mismatch = None
         for c in got.columns:
-            try:
-                b = exp[c].astype(got[c].dtype)
-            except (TypeError, ValueError):
-                b = exp[c]
+            b = exp[c]
             a = got[c]
             try:
                 eq = (a.values == b.values) | (pd.isna(a.values) & pd.isna(b.values))
