@@ -56,8 +56,6 @@ object Bench {
       val ts = samples.map(_(name)).sorted
       name -> ts(Passes / 2)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // candidate-pair count next to the timings (VERDICT r8 #5): the
     // multiprobe entry's cost driver as deterministic DATA, so a scale
@@ -65,7 +63,28 @@ object Bench {
     val mpPairs =
       try graft.dedup.Dedup.multiprobeCandidates(Tables(spark, sfDir)).count()
       catch { case _: Throwable => -1L }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"mp_pairs":$mpPairs,"sf":"$sfDir"}""")
+    def json(rs: Iterable[(String, Double)]): String = rs
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(results)},"mp_pairs":$mpPairs,"sf":"$sfDir"}"""
+    // The driver's round artifact keeps only the LAST ~2000 chars of
+    // stdout, so a 148-entry queries map on the final line arrives
+    // truncated and unparseable (VERDICT r12 #7). Three outputs:
+    //   1. the complete per-query JSON as the FIRST stdout line,
+    //   2. the same JSON as a repo artifact (BENCH_FULL.json — the
+    //      driver's end-of-round commit preserves it, so cross-round
+    //      per-query comparison covers the whole registry via git),
+    //   3. a final contract line small enough to survive the tail
+    //      whole: total + the 40 slowest queries + a pointer.
+    println(full)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_FULL.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    val slowest = results.toSeq.sortBy(-_._2).take(40)
+      .map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(slowest)},"n_queries":${results.size},"queries_full":"BENCH_FULL.json","mp_pairs":$mpPairs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
