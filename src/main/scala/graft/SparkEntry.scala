@@ -193,7 +193,12 @@ object SparkEntry {
     "layout_compare" -> q(Layout.layoutCompare),
     // warehouse maintenance (incremental rollup, compaction planning)
     "event_rollup_incremental" -> q(graft.pipeline.Maintenance.eventRollupIncremental),
-    "compaction_plan" -> q(graft.pipeline.Maintenance.compactionPlan)
+    "compaction_plan" -> q(graft.pipeline.Maintenance.compactionPlan),
+    // calendar timeline (gap-filled resample, SCD-2 history)
+    "event_gapfill" -> q(Timeline.eventGapfill),
+    "scd2_history" -> q(Timeline.scd2History),
+    // planner column stats (equi-depth histogram)
+    "report_equidepth_hist" -> q(graft.pipeline.Reports.equidepthHist)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -368,6 +373,9 @@ object SparkEntry {
     "layout_zorder_stats" -> Layout.zorderStatsSql,
     "layout_compare" -> Layout.layoutCompareSql,
     "event_rollup_incremental" -> graft.pipeline.Maintenance.eventRollupIncrementalSql,
-    "compaction_plan" -> graft.pipeline.Maintenance.compactionPlanSql
+    "compaction_plan" -> graft.pipeline.Maintenance.compactionPlanSql,
+    "event_gapfill" -> Timeline.eventGapfillSql,
+    "scd2_history" -> Timeline.scd2HistorySql,
+    "report_equidepth_hist" -> graft.pipeline.Reports.equidepthHistSql
   )
 }

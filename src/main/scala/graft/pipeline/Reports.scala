@@ -424,4 +424,67 @@ object Reports {
        |  ${round6Sql("est_rows::DOUBLE / actual_rows::DOUBLE")} AS overest6
        |FROM est, act""".stripMargin
   }
+
+  /** Equi-depth buckets for the column-stats histogram. */
+  val EqdBuckets = 8
+
+  /** Equi-depth (equal-height) histogram of `orders.o_totalprice` —
+    * the ANALYZE-grade column statistic next to
+    * [[joinCardinality]]'s hashed count histogram: boundaries at the
+    * ascending ranks ⌈k·n/B⌉ (exact DATA values, ties by
+    * multiplicity), then per-bucket row count and actual value bounds.
+    * Equal-height is what a planner keeps for range selectivity — the
+    * equal-WIDTH `report_token_histogram` wastes resolution wherever
+    * the data clusters.
+    *
+    * Scale: the `event_stats_bounded` discipline end to end — the
+    * corpus collapses once to a (value, multiplicity) frame, boundary
+    * values come from [[graft.functions.OrderStat]] histogram
+    * narrowing (O(log n) distributed aggregations, ≤1024-row driver
+    * histograms, NO global sort anywhere), and bucket assignment is a
+    * codegen'd chain of B−1 literal comparisons over that same
+    * distinct-value frame. Ranks use pure integer arithmetic
+    * (`(k·n + B−1) div B`) so no float crosses the oracle boundary;
+    * boundaries/bounds are data values — hash-exact.
+    */
+  def equidepthHist(t: Tables): DataFrame = {
+    import graft.functions.OrderStat
+    val B = EqdBuckets
+    val counts = t.orders
+      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt"))
+      .select(lit("all").as("g"), col("v"), col("cnt"))
+    val n = counts.agg(sum(col("cnt"))).head().getLong(0)
+    def ascRank(k: Int): Long = (k.toLong * n + B - 1) / B // ceil(k·n/B)
+    val targets = (1 until B)
+      .map(k => OrderStat.RankTarget("all", n - ascRank(k) + 1)).distinct
+    val bounds = OrderStat.valuesAtDescRanks(counts, targets)
+    val bs = (1 until B).map(k =>
+      bounds(OrderStat.RankTarget("all", n - ascRank(k) + 1)))
+    val bucket = bs.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when(col("v") > lit(b), 1L).otherwise(0L)
+    }
+    counts
+      .groupBy(bucket.as("bucket"))
+      .agg(sum(col("cnt")).as("n"), min(col("v")).as("lo"),
+        max(col("v")).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
+  def equidepthHistSql: String =
+    s"""WITH r AS (SELECT o_totalprice AS v,
+       |             row_number() OVER (ORDER BY o_totalprice) AS rk,
+       |             COUNT(*) OVER () AS n
+       |           FROM orders),
+       |bd AS (SELECT ks.k,
+       |         MAX(CASE WHEN rk = (ks.k * n + $EqdBuckets - 1)
+       |                         // $EqdBuckets THEN v END) AS b
+       |       FROM r CROSS JOIN
+       |         (SELECT unnest(range(1, $EqdBuckets)) AS k) ks
+       |       GROUP BY 1),
+       |a AS (SELECT v,
+       |        1 + (SELECT COUNT(*) FROM bd WHERE bd.b < r0.v) AS bucket
+       |      FROM r r0)
+       |SELECT bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS n,
+       |  MIN(v) AS lo, MAX(v) AS hi
+       |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1,0 +1,162 @@
+package graft
+
+import graft.operators.{Sequences, Timeline}
+import org.apache.spark.sql.functions._
+
+/** Value gates for the calendar-timeline family: each op against an
+  * independent JVM recompute over the collected sf0.001 events, plus
+  * the plan shapes the 100 TB story depends on.
+  */
+class TimelineSpec extends SparkSpec {
+
+  private val D = Sequences.RetentionBucketSec
+
+  // (user_id, ts_sec, event_id, event_type, value) collected once
+  private lazy val evts: Array[(Long, Long, Long, String, Double)] =
+    tables.events
+      .select(col("user_id"), col("ts_sec"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getDouble(4)))
+
+  test("event_gapfill ≡ JVM calendar model: full span, zeros on silent days") {
+    val got = Timeline.eventGapfill(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+
+    val byCell = evts.groupBy(e => (e._4, e._2 / D))
+    val days = evts.map(_._2 / D)
+    val (d0, d1) = (days.min, days.max)
+    val types = evts.map(_._4).distinct
+    val want = (for { ty <- types; d <- d0 to d1 } yield {
+      val cell = byCell.getOrElse((ty, d), Array.empty[(Long, Long, Long, String, Double)])
+      // the decimal(12,2) sum convention: cents-exact integer math
+      val cents = cell.map(e => BigDecimal(e._5).setScale(2,
+        BigDecimal.RoundingMode.HALF_UP)).sum
+      (ty, d) -> (cell.length.toLong, cents.toDouble)
+    }).toMap
+
+    assert(got.keySet == want.keySet,
+      s"spine mismatch: missing ${want.keySet -- got.keySet}, " +
+        s"extra ${got.keySet -- want.keySet}")
+    got.foreach { case (k, (n, s)) =>
+      assert((n, s) == want(k), s"cell $k: got ($n,$s) want ${want(k)}")
+    }
+  }
+
+  test("event_gapfill zero path: silent days materialize as zero rows") {
+    // the driver corpus is DENSE (every type × every day populated at
+    // all sfs), so the zero path needs a planted sparse corpus:
+    // type a on days 0 and 3 (gap: 1, 2), type b on day 1 only
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-gapfill-sparse").toString
+    Seq((1L, 10L, 1L, "a", 1.5), (2L, 86400L * 3 + 20, 1L, "a", 2.0),
+      (3L, 86400L + 5, 2L, "b", 4.25))
+      .toDF("event_id", "ts_sec_in", "user_id", "event_type", "value")
+      .selectExpr("event_id", "ts_sec_in * 1000000000 AS ts", "user_id",
+        "event_type", "value", "'' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Timeline.eventGapfill(Tables(spark, dir)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got == Set(
+      ("a", 0L, 1L, 1.5), ("a", 1L, 0L, 0.0), ("a", 2L, 0L, 0.0),
+      ("a", 3L, 1L, 2.0),
+      ("b", 0L, 0L, 0.0), ("b", 1L, 1L, 4.25), ("b", 2L, 0L, 0.0),
+      ("b", 3L, 0L, 0.0)), s"sparse gap fill wrong: $got")
+  }
+
+  test("event_gapfill plan: ONE fact scan, broadcast join, no shuffle join") {
+    val plan = Timeline.eventGapfill(tables).queryExecution.executedPlan.toString
+    // span + type list are a bounded driver collect and the spine is
+    // literals, so the FINAL plan reads the fact exactly once (the
+    // derive-from-one-frame alternative looks shared but Catalyst
+    // re-expands it into three separately-pruned fact scans)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected exactly 1 fact scan, got $scans:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"calendar-sized join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"no shuffle join belongs in a calendar-sized frame:\n$plan")
+  }
+
+  test("scd2_history ≡ JVM run-length model; intervals tile each user") {
+    val got = Timeline.scd2History(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+
+    val want = evts.groupBy(_._1).toSeq.flatMap { case (user, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3))
+      // collapse consecutive same-type runs
+      val runs = sorted.foldLeft(Vector.empty[(String, Long, Long)]) {
+        case (acc, e) =>
+          if (acc.nonEmpty && acc.last._1 == e._4)
+            acc.init :+ ((acc.last._1, acc.last._2, acc.last._3 + 1))
+          else acc :+ ((e._4, e._2, 1L))
+      }
+      runs.zipWithIndex.map { case ((state, from, n), i) =>
+        val to = if (i + 1 < runs.length) Some(runs(i + 1)._2) else None
+        (user, (i + 1).toLong, state, from, to, n)
+      }
+    }
+    assert(got.sorted.toSeq == want.sorted,
+      s"SCD-2 intervals diverge from the JVM model " +
+        s"(got ${got.length}, want ${want.length})")
+
+    // structural properties: per user the intervals tile the timeline
+    got.groupBy(_._1).foreach { case (user, ivs) =>
+      val s = ivs.sortBy(_._2)
+      assert(s.init.forall(_._5.isDefined) && s.last._5.isEmpty,
+        s"user $user: exactly the last interval must be open")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._5.contains(b._4), s"user $user: intervals must tile")
+          assert(a._3 != b._3,
+            s"user $user: consecutive intervals must change state")
+        case _ => ()
+      }
+    }
+  }
+
+  test("report_equidepth_hist ≡ JVM rank model; depths balanced") {
+    val got = graft.pipeline.Reports.equidepthHist(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+
+    val B = graft.pipeline.Reports.EqdBuckets
+    val vs = tables.orders.select(col("o_totalprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vs.length.toLong
+    val bs = (1 until B).map(k => vs((((k.toLong * n + B - 1) / B) - 1).toInt))
+    val byBucket = vs.groupBy(v => 1L + bs.count(_ < v))
+    val want = byBucket.toSeq.map { case (b, xs) =>
+      (b, xs.length.toLong, xs.min, xs.max)
+    }.sortBy(_._1)
+    assert(got.toSeq == want,
+      s"equi-depth cells diverge: got ${got.toSeq} want $want")
+
+    assert(got.map(_._2).sum == n, "bucket depths must sum to the row count")
+    // bounds ordered and non-overlapping across buckets
+    got.sliding(2).foreach {
+      case Array(a, b) => assert(a._4 <= b._3,
+        s"bucket ranges overlap: ${a._1} hi=${a._4} vs ${b._1} lo=${b._3}")
+      case _ => ()
+    }
+    // equal-height up to ties: every bucket within 2x of the ideal depth
+    // (sf0.001 has few heavy ties on o_totalprice)
+    got.foreach { case (b, cnt, _, _) =>
+      assert(cnt <= 2 * (n / B + 1),
+        s"bucket $b depth $cnt vs ideal ${n / B} — not equi-depth")
+    }
+  }
+
+  test("report_equidepth_hist plan: no global sort of the fact") {
+    val plan = graft.pipeline.Reports.equidepthHist(tables)
+      .queryExecution.executedPlan.toString
+    // boundary search runs OUTSIDE the plan (OrderStat, driver
+    // scalars); the final plan is agg → literal-comparison bucketing →
+    // agg — a global Sort would mean the histogram sorted the corpus
+    assert(!plan.contains("Window"), s"no Window belongs here:\n$plan")
+  }
+}

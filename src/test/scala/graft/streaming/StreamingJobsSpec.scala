@@ -2422,4 +2422,105 @@ class StreamingJobsSpec extends SparkSpec {
         s"outer join must attribute 2 and null-release 3, got $got")
     } finally q.stop()
   }
+
+  test("stream-stream joins carry state-cleanup watermarks on BOTH sides") {
+    // VERDICT r12 #5: StreamingJoinHelper logs a "[INTERNAL_ERROR]
+    // Cannot evaluate expression" WARN per non-time conjunct it probes
+    // while solving the state watermark (MinhashCandidates' `doc_a <
+    // doc_b`, the interval join's `user_id = c_user`) — the solver
+    // tries EVERY `<`/`<=` conjunct and logs before discarding the
+    // ones that don't relate the two event-time columns. The noise is
+    // harmless ONLY IF extraction then succeeds from the time-interval
+    // conjuncts; this pins that it did — a defined predicate per side
+    // in the executed plan is the engine's own proof it can evict
+    // state at the watermark, i.e. join state is bounded, not
+    // accumulate-forever.
+    import spark.implicits._
+    def bothSides(q: org.apache.spark.sql.streaming.StreamingQuery,
+                  label: String): Unit = {
+      val wms = org.apache.spark.sql.graft.StreamingPlanProbe
+        .joinStateWatermarks(q)
+      assert(wms.nonEmpty, s"$label: no stream-stream join in plan")
+      wms.foreach { case (l, r) =>
+        assert(l.isDefined && r.isDefined,
+          s"$label: missing state watermark (left=$l, right=$r) — " +
+            "that side's join state would grow forever")
+      }
+    }
+    val t = (s: Long) => new Timestamp(s * 1000)
+
+    val ivIn = MemoryStream[(Timestamp, Long, String, Long)]
+    val ivq = Jobs.IntervalJoinStream.pairs(
+      ivIn.toDF().toDF("ts", "user_id", "event_type", "event_id"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ivj_wm_pin").start()
+    try {
+      ivIn.addData(Seq((t(100), 1L, "click", 1L), (t(200), 1L, "purchase", 2L)))
+      ivq.processAllAvailable()
+      bothSides(ivq, "IntervalJoinStream.pairs")
+    } finally ivq.stop()
+
+    val mhIn = MemoryStream[(Timestamp, Long, String)]
+    val mhq = Jobs.MinhashCandidates.candidates(
+      mhIn.toDF().toDF("ts", "doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("mh_wm_pin").start()
+    try {
+      val txt = (1 to 12).map(i => s"tok$i").mkString(" ")
+      mhIn.addData(Seq((t(10), 1L, txt), (t(11), 2L, txt)))
+      mhq.processAllAvailable()
+      bothSides(mhq, "MinhashCandidates.candidates")
+    } finally mhq.stop()
+  }
+
+  test("Scd2Stream: in-order two-batch replay ≡ batch scd2_history; state = one row per user") {
+    import spark.implicits._
+    val rows = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("ts_sec"), col("event_id"),
+        col("event_type"))
+      .as[(Long, Long, Long, String)].collect()
+      .sortBy(e => (e._2, e._3)) // global event-time order ⇒ per-user order
+    assert(rows.length > 10)
+
+    val in = MemoryStream[(Long, Long, Long, String)]
+    val out = mutable.Buffer.empty[(Long, (Long, Long, String, Long, Option[Long], Long))]
+    val q = Jobs.Scd2Stream.intervals(
+      in.toDF().toDF("user_id", "ts_sec", "event_id", "event_type"))
+      .writeStream.outputMode(OutputMode.Update())
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        df.collect().foreach { r =>
+          out += id -> ((r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)),
+            r.getLong(5)))
+        }
+        ()
+      }.start()
+    try {
+      // split mid-timeline: open intervals from batch 1 must close or
+      // grow correctly in batch 2
+      in.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.length / 2).toSeq)
+      q.processAllAvailable()
+
+      // upsert semantics: last batch's write per (user, version) wins
+      val live = out.sortBy(_._1).map(_._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.last).toSet
+      val batch = graft.operators.Timeline.scd2History(
+        graft.Tables(spark, sfDir)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+        .toSet
+      assert(live == batch,
+        s"stream upsert view diverges from batch SCD-2: " +
+          s"extra=${live -- batch} missing=${batch -- live}")
+
+      // bounded state: exactly ONE open-interval row per user
+      val nUsers = rows.map(_._1).distinct.length.toLong
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal)
+      assert(stateRows.contains(nUsers),
+        s"state must be one row per user ($nUsers), got $stateRows")
+    } finally q.stop()
+  }
 }
