@@ -191,6 +191,7 @@ object SparkEntry {
     // data layout (Z-order clustering + zone-map pruning audit)
     "layout_zorder_stats" -> q(Layout.zorderStats),
     "layout_compare" -> q(Layout.layoutCompare),
+    "layout_bloom_skip" -> q(Layout.layoutBloomSkip),
     // warehouse maintenance (incremental rollup, compaction planning)
     "event_rollup_incremental" -> q(graft.pipeline.Maintenance.eventRollupIncremental),
     "compaction_plan" -> q(graft.pipeline.Maintenance.compactionPlan),
@@ -374,6 +375,7 @@ object SparkEntry {
     "layout_compare" -> Layout.layoutCompareSql,
     "event_rollup_incremental" -> graft.pipeline.Maintenance.eventRollupIncrementalSql,
     "compaction_plan" -> graft.pipeline.Maintenance.compactionPlanSql,
+    "layout_bloom_skip" -> Layout.layoutBloomSkipSql,
     "event_gapfill" -> Timeline.eventGapfillSql,
     "scd2_history" -> Timeline.scd2HistorySql,
     "report_equidepth_hist" -> graft.pipeline.Reports.equidepthHistSql

@@ -184,4 +184,115 @@ object Layout {
        |FROM cu JOIN ns USING (layout)
        |ORDER BY layout, dim""".stripMargin
   }
+
+  /** Per-shard Bloom sizing: 64 words × 63 usable bits = 4032 bits,
+    * k = 4 — ~0.1% FP at the sf0.1 per-shard user counts. The m ≈
+    * 1.44·k·n rule sizes it for a real corpus; an undersized filter
+    * degrades to more false passes, never to wrong counts.
+    */
+  val LbWords = 64
+  val LbK = 4
+
+  /** Zone maps answer RANGE pruning; point lookups deserve better: a
+    * zone map passes a shard whenever the probed user falls inside
+    * its [min_u, max_u] span, present or not, while a per-shard Bloom
+    * filter over the shard's actual user SET (the parquet
+    * column-index/bloom story, a few KB per shard) rejects absent
+    * users up to its FP rate. This audit measures that gap on the
+    * Z-ordered layout: per shard, the distinct users present
+    * (`n_users` — what an exact index would read), the probe users a
+    * zone map passes (`zone_pass`), a Bloom passes (`bloom_pass`),
+    * and the production read set — zone AND bloom (`both_pass`).
+    * Probes = every distinct user (corpus-wide average, the
+    * layoutCompare discipline). Blooms have no false negatives, so
+    * n_users ≤ both_pass ≤ min(zone_pass, bloom_pass) — spec-pinned.
+    *
+    * Scale: the corpus collapses once to the distinct (shard, user)
+    * frame; filters are ONE bit_or aggregation to |shards|·words
+    * rows; the probe join is (users·k) × word-matched filter rows —
+    * metadata-sized, never the fact. All integer/md5 arithmetic (the
+    * Bloom.scala bit discipline: 63-bit words, seed-namespaced md5
+    * positions) — the filters, pass counts, and even the false-pass
+    * sets are deterministic and hash-checked cross-engine.
+    */
+  def layoutBloomSkip(t: Tables): DataFrame = {
+    val m = LbWords * 63L
+    def posArr(u: Column): Column = array((0 until LbK).map(i =>
+      conv(substring(md5(concat(lit(s"lb$i|"), u.cast("string"))), 1, 8),
+        16, 10).cast("long") % m): _*)
+    val su = zFrame(t)
+      .select(expr(s"z div $ZShardDiv").as("shard"), col("u")).distinct()
+    val bloom = su
+      .select(col("shard"), explode(posArr(col("u"))).as("pos"))
+      .select(col("shard"), expr("pos div 63").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+          .as("mask"))
+      .groupBy(col("shard"), col("word_idx"))
+      .agg(expr("bit_or(mask)").as("bits"))
+    val probes = su.select(col("u")).distinct()
+    val ppos = probes
+      .select(col("u"), explode(posArr(col("u"))).as("pos"))
+      .select(col("u"), expr("pos div 63").as("word_idx"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))")
+          .as("mask"))
+    // (u, shard) Bloom verdict: all k position rows matched AND set
+    val bp = ppos
+      .join(broadcast(bloom), Seq("word_idx"))
+      .filter(expr("bits & mask") === col("mask"))
+      .groupBy(col("u"), col("shard")).agg(count(lit(1)).as("c"))
+      .filter(col("c") === LbK)
+      .select(col("u"), col("shard"))
+    val zm = su.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_users"),
+        min(col("u")).as("min_u"), max(col("u")).as("max_u"))
+    val zonePass = zm.join(broadcast(probes),
+        col("u") >= col("min_u") && col("u") <= col("max_u"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("zone_pass"))
+    val bloomPass = bp.groupBy(col("shard"))
+      .agg(count(lit(1)).as("bloom_pass"))
+    val bothPass = bp.join(broadcast(zm), Seq("shard"))
+      .filter(col("u") >= col("min_u") && col("u") <= col("max_u"))
+      .groupBy(col("shard")).agg(count(lit(1)).as("both_pass"))
+    zm.select(col("shard"), col("n_users"))
+      .join(broadcast(zonePass), Seq("shard"))
+      .join(broadcast(bloomPass), Seq("shard"))
+      .join(broadcast(bothPass), Seq("shard"))
+      .orderBy(col("shard"))
+  }
+
+  def layoutBloomSkipSql: String = {
+    val m = LbWords * 63L
+    def posSql(u: String) =
+      s"(('0x' || substr(md5('lb' || i || '|' || CAST($u AS VARCHAR)), 1, 8))::BIGINT % $m)"
+    s"""WITH $zFrameSql,
+       |su AS (SELECT DISTINCT z // $ZShardDiv AS shard, u FROM z),
+       |bpos AS (SELECT shard, ${posSql("u")} AS pos
+       |         FROM su, range($LbK) t(i)),
+       |blm AS (SELECT shard, pos // 63 AS word_idx,
+       |          bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS bits
+       |        FROM bpos GROUP BY 1, 2),
+       |probes AS (SELECT DISTINCT u FROM su),
+       |ppos AS (SELECT u, pos // 63 AS word_idx,
+       |           1::BIGINT << CAST(pos % 63 AS INT) AS mask
+       |         FROM (SELECT u, ${posSql("u")} AS pos
+       |               FROM probes, range($LbK) t(i))),
+       |bp AS (SELECT p.u, b.shard FROM ppos p JOIN blm b
+       |         ON p.word_idx = b.word_idx AND (b.bits & p.mask) = p.mask
+       |       GROUP BY 1, 2 HAVING COUNT(*) = $LbK),
+       |zm AS (SELECT shard, COUNT(*)::BIGINT AS n_users,
+       |         MIN(u) AS min_u, MAX(u) AS max_u
+       |       FROM su GROUP BY 1),
+       |zp AS (SELECT shard, COUNT(*)::BIGINT AS zone_pass FROM zm
+       |       JOIN probes ON u BETWEEN min_u AND max_u GROUP BY 1),
+       |blp AS (SELECT shard, COUNT(*)::BIGINT AS bloom_pass
+       |        FROM bp GROUP BY 1),
+       |bop AS (SELECT bp.shard, COUNT(*)::BIGINT AS both_pass
+       |        FROM bp JOIN zm ON bp.shard = zm.shard
+       |          AND bp.u BETWEEN min_u AND max_u
+       |        GROUP BY 1)
+       |SELECT shard, n_users, zone_pass, bloom_pass, both_pass
+       |FROM zm JOIN zp USING (shard) JOIN blp USING (shard)
+       |  JOIN bop USING (shard)
+       |ORDER BY shard""".stripMargin
+  }
 }
