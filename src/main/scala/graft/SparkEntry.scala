@@ -115,6 +115,8 @@ object SparkEntry {
     "quality_classify" -> q(graft.textanalysis.QualityModel.qualityClassify),
     "report_distill_confusion" ->
       q(graft.textanalysis.QualityModel.distillConfusion),
+    "report_distill_calibration" ->
+      q(graft.textanalysis.QualityModel.distillCalibration),
     // rows-only driver check: the BPE greedy fold is not portably
     // SQL-expressible (see rowsOnly) — BpeSpec gates values instead
     "token_count_bpe" -> q(graft.functions.Bpe.tokenCountBpe),
@@ -314,6 +316,8 @@ object SparkEntry {
     "quality_classify" -> graft.textanalysis.QualityModel.qualityClassifySql,
     "report_distill_confusion" ->
       graft.textanalysis.QualityModel.distillConfusionSql,
+    "report_distill_calibration" ->
+      graft.textanalysis.QualityModel.distillCalibrationSql,
     "multimodal_meta" -> Multimodal.multimodalMetaSql,
     "multimodal_features" -> Multimodal.multimodalFeaturesSql,
     "corpus_clean" -> CorpusClean.corpusCleanSql,

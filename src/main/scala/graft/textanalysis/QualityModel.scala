@@ -245,4 +245,84 @@ object QualityModel {
           " THEN 1 ELSE 0 END))::DOUBLE / COUNT(*)::DOUBLE")} AS agree6
        |FROM agg""".stripMargin
   }
+
+  /** Score bins for the calibration report. */
+  val CalibBins = 8
+
+  /** Set by [[distillCalibration]]; consumed by
+    * [[distillCalibrationSql]] (the [[lastWeights]] protocol).
+    */
+  @volatile private var lastCalibRange: Option[(Double, Double)] = None
+
+  /** The distillation's CALIBRATION audit — the reliability diagram
+    * next to [[distillConfusion]]'s single agreement number: student
+    * scores split into [[CalibBins]] equal-width bins over the
+    * observed [lo, hi] range, and per bin the doc count, the
+    * teacher-positive count, and the empirical teacher-positive rate.
+    * `distillConfusion` can report 95% agreement while every
+    * disagreement hides in one score band; this table shows WHERE the
+    * linear student stops ranking like the teacher (a healthy
+    * distillation shows pos_rate6 rising with the bin; a flat or
+    * non-monotone band is the score region to retrain on).
+    *
+    * Bin range scalars are a bounded driver collect inlined as
+    * full-precision literals into BOTH engines (the stored-weights
+    * protocol), so the bin arithmetic is the identical IEEE sequence
+    * cross-engine over round6 scores — fully hash-checked. One
+    * count-aggregation pass; cells are |bins| rows.
+    */
+  def distillCalibration(t: Tables): DataFrame = {
+    val w = storedWeights(t)
+    lastWeights = Some(w)
+    val teacher = TextAnalysis.qualityExpr(col("n_chars"), col("n_tok"),
+      col("n_distinct")) >= 0.5
+    val scored = counts(t)
+      .select(round6(scoreCol(w)).as("score6"),
+        when(teacher, 1L).otherwise(0L).as("pos"))
+    val rngRow = scored.agg(min(col("score6")), max(col("score6"))).head()
+    val (lo, hi) = (rngRow.getDouble(0), rngRow.getDouble(1))
+    lastCalibRange = Some((lo, hi))
+    val denom = hi - lo
+    val bin =
+      if (denom == 0.0) lit(0L)
+      else least(floor((col("score6") - lit(lo)) * lit(CalibBins.toDouble)
+        / lit(denom)), lit(CalibBins - 1L)).cast("long")
+    scored
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+        min(col("score6")).as("lo6"), max(col("score6")).as("hi6"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round6(col("n_pos").cast("double") / col("n").cast("double"))
+          .as("pos_rate6"),
+        col("lo6"), col("hi6"))
+      .orderBy(col("bin"))
+  }
+
+  def distillCalibrationSql: String = {
+    val w = lastWeights.getOrElse(Array.fill(NumFeatures)(0.0))
+    val (lo, hi) = lastCalibRange.getOrElse((0.0, 0.0))
+    val denom = hi - lo
+    val s = scoreSql(w)
+    val teacher =
+      s"(${TextAnalysis.qualityExprSql("n_chars", "n_tok", "n_distinct")}" +
+        s" >= 0.5)"
+    val binSql =
+      if (denom == 0.0) "0"
+      else s"LEAST(FLOOR((score6 - $lo) * ${CalibBins.toDouble} / $denom)," +
+        s" ${CalibBins - 1})"
+    s"""WITH tok AS (SELECT doc_id, n_chars,
+       |               unnest(string_split(text, ' ')) w
+       |             FROM documents),
+       |agg AS (SELECT doc_id, n_chars, count(*) n_tok,
+       |          count(DISTINCT w) n_distinct
+       |        FROM tok GROUP BY doc_id, n_chars),
+       |sc AS (SELECT ${round6Sql(s)} AS score6,
+       |         CASE WHEN $teacher THEN 1 ELSE 0 END AS pos
+       |       FROM agg)
+       |SELECT ($binSql)::BIGINT AS bin, COUNT(*)::BIGINT AS n,
+       |  SUM(pos)::BIGINT AS n_pos,
+       |  ${round6Sql("SUM(pos)::DOUBLE / COUNT(*)::DOUBLE")} AS pos_rate6,
+       |  MIN(score6) AS lo6, MAX(score6) AS hi6
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

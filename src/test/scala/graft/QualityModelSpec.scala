@@ -65,4 +65,41 @@ class QualityModelSpec extends SparkSpec {
     assert(agree == graft.functions.Portable.round6Double(
       (tp + tn).toDouble / n.toDouble))
   }
+
+  test("distill calibration: bins ≡ a JVM recompute; cells reconcile with the confusion totals") {
+    import graft.functions.Portable.round6Double
+    val got = QualityModel.distillCalibration(tables).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+
+    // per-doc (score6, teacher) from the already-pinned queries
+    val score = QualityModel.qualityClassify(tables).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val teacher = TextAnalysis.qualityScore(tables).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(3) >= 0.5)).toMap
+    val lo = score.values.min; val hi = score.values.max
+    val B = QualityModel.CalibBins
+    def binOf(s: Double): Long =
+      if (hi == lo) 0L
+      else math.min(math.floor((s - lo) * B.toDouble / (hi - lo)).toLong,
+        (B - 1).toLong)
+    val want = score.toSeq.groupBy { case (_, s) => binOf(s) }
+      .map { case (b, docs) =>
+        val pos = docs.count { case (id, _) => teacher(id) }
+        val ss = docs.map(_._2)
+        b -> (docs.size.toLong, pos.toLong,
+          round6Double(pos.toDouble / docs.size), ss.min, ss.max)
+      }
+    assert(got == want, s"calibration cells diverge:\ngot  $got\nwant $want")
+
+    // reconciliation: Σn = n_docs, Σn_pos = teacher positives (tp+fn)
+    val conf = QualityModel.distillConfusion(tables).collect().head
+    assert(got.values.map(_._1).sum == conf.getLong(0))
+    assert(got.values.map(_._2).sum == conf.getLong(1) + conf.getLong(3))
+    // bins sit inside their arithmetic edges and don't overlap
+    got.toSeq.sortBy(_._1).sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a._5 <= b._4, "bin ranges overlap")
+      case _ => ()
+    }
+  }
 }
