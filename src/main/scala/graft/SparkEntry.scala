@@ -190,6 +190,7 @@ object SparkEntry {
     // exact-count sampling (OrderStat threshold, no global sort)
     "corpus_sample_fixed" -> q(graft.pipeline.Mixing.sampleFixed),
     "corpus_sample_quota" -> q(graft.pipeline.Mixing.sampleQuota),
+    "corpus_sample_priority" -> q(graft.pipeline.Mixing.samplePriority),
     // data layout (Z-order clustering + zone-map pruning audit)
     "layout_zorder_stats" -> q(Layout.zorderStats),
     "layout_compare" -> q(Layout.layoutCompare),
@@ -375,6 +376,7 @@ object SparkEntry {
     "report_source_overlap" -> Sketches.reportSourceOverlapSql,
     "corpus_sample_fixed" -> graft.pipeline.Mixing.sampleFixedSql,
     "corpus_sample_quota" -> graft.pipeline.Mixing.sampleQuotaSql,
+    "corpus_sample_priority" -> graft.pipeline.Mixing.samplePrioritySql,
     "layout_zorder_stats" -> Layout.zorderStatsSql,
     "layout_compare" -> Layout.layoutCompareSql,
     "event_rollup_incremental" -> graft.pipeline.Maintenance.eventRollupIncrementalSql,

@@ -721,4 +721,84 @@ object Mixing {
        |  FROM documents) s
        |WHERE rn <= $QuotaN
        |ORDER BY doc_id""".stripMargin
+
+  /** Sample size for [[samplePriority]] — small enough that even the
+    * sf0.001 spec corpus exercises the real selection branch.
+    */
+  val PriorityN = 20L
+
+  /** Exactly-N WEIGHTED sample, inclusion probability ∝ `n_chars` —
+    * priority sampling (Duffield–Lund–Thorup, JACM 2007): per doc the
+    * priority q = u / w (identity coin over weight, ONE portable IEEE
+    * division), keep the N smallest q. A char-budget pipeline wants
+    * heavy documents overrepresented exactly this way: the naive
+    * implementation is `ORDER BY u/w LIMIT N` — a corpus sort — while
+    * this reuses [[sampleFixed]]'s OrderStat threshold discipline
+    * (O(log n) scans, map-side filter, tie-set bounded-collect)
+    * unchanged on the weighted priority.
+    *
+    * Each kept doc also carries the DLT unbiased weight estimate
+    * `est6 = round6(max(w, τ))` where τ = 1/q₍N+1₎ (the N+1-st
+    * priority fixes the inclusion threshold): Σ est6 over the sample
+    * estimates Σ n_chars over the CORPUS — the property that makes a
+    * tiny sample answer "how many chars does the corpus hold per
+    * slice" (spec-pinned within the DLT error bound; the estimator
+    * rides from the same OrderStat batch, one extra rank target).
+    */
+  def samplePriority(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    val docs = t.documents
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .withColumn("prio",
+        u("pri", col("doc_id")) / col("n_chars").cast("double"))
+    val (thr, cutoff, tau) = priorityThreshold(t)
+    docs
+      .filter(col("prio") < thr ||
+        (col("prio") === thr && col("doc_id") <= cutoff))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("prio"),
+        round6(greatest(col("n_chars").cast("double"), lit(tau)))
+          .as("est6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The published membership rule + estimator scalar behind
+    * [[samplePriority]]: (thr, cutoff, τ). [[fixedThreshold]]'s
+    * protocol on the weighted priority, with the N+1-st rank riding
+    * the same OrderStat batch for τ; n ≤ N publishes keep-everything
+    * and τ = 0 (estimate = own weight — the exact-census case).
+    */
+  private[graft] def priorityThreshold(t: Tables): (Double, Long, Double) = {
+    val docs = t.documents.select(col("doc_id"), col("n_chars"))
+      .withColumn("prio",
+        u("pri", col("doc_id")) / col("n_chars").cast("double"))
+    val n = docs.count()
+    if (n <= PriorityN) return (2.0, Long.MaxValue, 0.0)
+    import graft.functions.OrderStat
+    val counts = docs.groupBy(lit("all").as("g"), col("prio").as("v"))
+      .agg(count(lit(1)).as("cnt"))
+    val tgtN = OrderStat.RankTarget("all", n - PriorityN + 1)
+    val tgtN1 = OrderStat.RankTarget("all", n - PriorityN)
+    val vals = OrderStat.valuesAtDescRanks(counts, Seq(tgtN, tgtN1))
+    val thr = vals(tgtN)
+    val m = PriorityN - docs.filter(col("prio") < thr).count()
+    val ties = docs.filter(col("prio") === thr)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    (thr, ties(m.toInt - 1), 1.0 / vals(tgtN1))
+  }
+
+  def samplePrioritySql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH s AS (SELECT doc_id, lang, source, n_chars,
+       |             (${uSql("pri")} / n_chars::DOUBLE) AS prio
+       |           FROM documents),
+       |tau AS (SELECT CASE WHEN t.p IS NULL THEN 0.0 ELSE 1.0 / t.p END
+       |            AS tv
+       |        FROM (SELECT (SELECT prio FROM s ORDER BY prio, doc_id
+       |                      OFFSET $PriorityN LIMIT 1) AS p) t),
+       |sel AS (SELECT * FROM s ORDER BY prio, doc_id LIMIT $PriorityN)
+       |SELECT doc_id, lang, source, n_chars, prio,
+       |  ${round6Sql("GREATEST(n_chars::DOUBLE, tv)")} AS est6
+       |FROM sel, tau ORDER BY doc_id""".stripMargin
+  }
 }

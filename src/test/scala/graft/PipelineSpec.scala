@@ -500,4 +500,47 @@ class PipelineSpec extends SparkSpec {
     val again = Mixing.sampleQuota(tables).collect()
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("mix: priority sample = N smallest u/w with the DLT estimator; heavy docs overrepresented") {
+    import graft.pipeline.Mixing
+    import graft.functions.Portable.round6Double
+    import org.apache.spark.sql.functions._
+    val got = Mixing.samplePriority(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.length.toLong == Mixing.PriorityN, s"got ${got.length}")
+
+    // JVM model: md5 coin / weight, N smallest by (prio, doc_id),
+    // est = round6(max(w, 1/q_{N+1}))
+    val docs = tables.documents
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def coin(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"pri|$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(8), 16).toDouble / 4294967296.0
+    }
+    val prios = docs.map { case (id, w) => (id, w, coin(id) / w.toDouble) }
+      .sortBy(p => (p._3, p._1))
+    val tau = 1.0 / prios(Mixing.PriorityN.toInt)._3
+    val want = prios.take(Mixing.PriorityN.toInt).map { case (id, w, p) =>
+      (id, w, p, round6Double(math.max(w.toDouble, tau)))
+    }.sortBy(_._1)
+    assert(got.toSeq == want.toSeq,
+      s"priority sample diverges from the JVM model")
+
+    // the DLT property: the 20-doc sample's Σest estimates the CORPUS
+    // char total (loose 2x band — N is small by design)
+    val totalChars = docs.map(_._2).sum.toDouble
+    val est = got.map(_._4).sum
+    assert(est > totalChars / 2 && est < totalChars * 2,
+      s"DLT estimate $est vs corpus $totalChars outside the 2x band")
+
+    // inclusion ∝ weight: the weighted sample's mean doc must be
+    // heavier than the corpus mean (deterministic for the fixed coins)
+    val meanSample = got.map(_._2).sum.toDouble / got.length
+    val meanCorpus = totalChars / docs.length
+    assert(meanSample > meanCorpus,
+      s"weighting had no effect: sample mean $meanSample vs $meanCorpus")
+  }
 }
