@@ -746,20 +746,29 @@ object Mixing {
     * rides from the same OrderStat batch, one extra rank target).
     */
   def samplePriority(t: Tables): DataFrame = {
+    val (thr, cutoff, tau) = priorityThreshold(t)
+    priorityKeep(
+      t.documents.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars")), thr, cutoff, tau)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The shared membership + estimator projection: priority below
+    * `thr` (or at it up to the tie `cutoff`) is in, carrying the DLT
+    * estimate against the published τ. Map-side only — consumed
+    * verbatim by the batch entry AND `streaming.SamplePriorityStream`
+    * so the two cannot drift (the quotaKeep pattern).
+    */
+  private[graft] def priorityKeep(docs: DataFrame, thr: Double,
+                                  cutoff: Long, tau: Double): DataFrame = {
     import graft.functions.Portable.round6
-    val docs = t.documents
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    docs
       .withColumn("prio",
         u("pri", col("doc_id")) / col("n_chars").cast("double"))
-    val (thr, cutoff, tau) = priorityThreshold(t)
-    docs
       .filter(col("prio") < thr ||
         (col("prio") === thr && col("doc_id") <= cutoff))
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
-        col("prio"),
-        round6(greatest(col("n_chars").cast("double"), lit(tau)))
-          .as("est6"))
-      .orderBy(col("doc_id"))
+      .withColumn("est6",
+        round6(greatest(col("n_chars").cast("double"), lit(tau))))
   }
 
   /** The published membership rule + estimator scalar behind

@@ -2004,6 +2004,29 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // SamplePriorityStream — pipeline.Mixing.samplePriority as an intake
+  // gate: the weighted-membership rule published by the batch run,
+  // applied stateless per arriving doc.
+  // ---------------------------------------------------------------------
+  object SamplePriorityStream {
+
+    /** Keep a streamed doc iff the PUBLISHED priority rule admits it —
+      * literally [[graft.pipeline.Mixing.priorityKeep]] (the batch
+      * entry's own membership + DLT-estimate projection), compiled
+      * against the (thr, cutoff, τ) scalars a batch
+      * `Mixing.priorityThreshold` run published (the boundary-table
+      * deployment shape: batch recompute publishes, stream pins at
+      * start, roll republishes). Pure map-side — no join, no state;
+      * replaying the corpus reproduces `corpus_sample_priority`
+      * bit-for-bit in any arrival order (spec-pinned).
+      */
+    def sample(docs: DataFrame, thr: Double, cutoff: Long,
+               tau: Double): DataFrame =
+      graft.pipeline.Mixing.priorityKeep(docs, thr, cutoff, tau)
+        .select(col("doc_id"), col("n_chars"), col("prio"), col("est6"))
+  }
+
+  // ---------------------------------------------------------------------
   // BloomGateStream — dedup.Bloom as the intake PRE-FILTER: the
   // sublinear-memory "possibly seen before?" gate in front of the
   // exact-dedup stage.

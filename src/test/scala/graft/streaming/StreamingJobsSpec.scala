@@ -2016,6 +2016,38 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SamplePriorityStream: any-order replay against the published rule ≡ batch corpus_sample_priority") {
+    import spark.implicits._
+    val batch = graft.pipeline.Mixing.samplePriority(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+      .toSet
+    val (thr, cutoff, tau) = graft.pipeline.Mixing.priorityThreshold(tables)
+    val docs = tables.documents.select("doc_id", "n_chars")
+      .as[(Long, Long)].collect()
+
+    val in = MemoryStream[(Long, Long)]
+    val out = mutable.Buffer.empty[(Long, Long, Double, Double)]
+    val q = Jobs.SamplePriorityStream.sample(
+      in.toDF().toDF("doc_id", "n_chars"), thr, cutoff, tau)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        }; ()
+      }.start()
+    try {
+      // reversed + split: the rule is stateless, order cannot matter
+      val (a, b) = docs.reverse.splitAt(docs.length / 3)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val got = out.synchronized(out.toSet)
+      assert(got == batch,
+        s"stream-only ${got -- batch}, batch-only ${batch -- got}")
+      assert(got.size.toLong == graft.pipeline.Mixing.PriorityN)
+    } finally q.stop()
+  }
+
   test("BloomGateStream: any-order replay against the published filter ≡ batch bloom_dup_candidates") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, max => smax}
