@@ -198,6 +198,9 @@ object SparkEntry {
     // warehouse maintenance (incremental rollup, compaction planning)
     "event_rollup_incremental" -> q(graft.pipeline.Maintenance.eventRollupIncremental),
     "compaction_plan" -> q(graft.pipeline.Maintenance.compactionPlan),
+    "corpus_refresh_merge" -> q(graft.pipeline.Maintenance.corpusRefreshMerge),
+    "corpus_refresh_merge_bucketed" ->
+      q(graft.pipeline.Maintenance.corpusRefreshMergeBucketed),
     // calendar timeline (gap-filled resample, SCD-2 history)
     "event_gapfill" -> q(Timeline.eventGapfill),
     "scd2_history" -> q(Timeline.scd2History),
@@ -381,6 +384,10 @@ object SparkEntry {
     "layout_compare" -> Layout.layoutCompareSql,
     "event_rollup_incremental" -> graft.pipeline.Maintenance.eventRollupIncrementalSql,
     "compaction_plan" -> graft.pipeline.Maintenance.compactionPlanSql,
+    "corpus_refresh_merge" ->
+      graft.pipeline.Maintenance.corpusRefreshMergeSql,
+    "corpus_refresh_merge_bucketed" ->
+      graft.pipeline.Maintenance.corpusRefreshMergeSql,
     "layout_bloom_skip" -> Layout.layoutBloomSkipSql,
     "event_gapfill" -> Timeline.eventGapfillSql,
     "scd2_history" -> Timeline.scd2HistorySql,

@@ -117,4 +117,90 @@ object Maintenance {
        |SELECT shard, chars, cum_before,
        |  ((cum_before * $CompactionGroups) // total)::BIGINT AS grp
        |FROM c, t ORDER BY shard""".stripMargin
+
+  /** The (base, refresh) frames behind [[corpusRefreshMerge]] — the
+    * deterministic re-crawl convention: base = the prefix half of the
+    * corpus (doc_id ≤ max/2, the bloomDupCandidates growth rule);
+    * refresh = the suffix half REKEYED to doc_id − cut + cut/2, so its
+    * low ids collide with base keys (content updates for re-crawled
+    * pages) and its high ids are genuinely new (inserts). Production
+    * swaps in its real landing batch — same two-frame shape.
+    */
+  private def refreshFrames(t: Tables): (DataFrame, DataFrame) = {
+    val cut = t.documents.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val base = t.documents.filter(col("doc_id") <= cut)
+      .select(col("doc_id"), col("n_chars"))
+    val refresh = t.documents.filter(col("doc_id") > cut)
+      .select((col("doc_id") - cut + cut / 2).as("doc_id"), col("n_chars"))
+    (base, refresh)
+  }
+
+  /** Shared MERGE body — one definition for the shuffled and bucketed
+    * entries so the semantics cannot drift.
+    */
+  private def mergeBody(base: DataFrame, refresh: DataFrame): DataFrame = {
+    val b = base.select(col("doc_id").as("b_id"), col("n_chars").as("b_chars"))
+    val r = refresh.select(col("doc_id").as("r_id"),
+      col("n_chars").as("r_chars"))
+    b.join(r, col("b_id") === col("r_id"), "full_outer")
+      .select(coalesce(col("b_id"), col("r_id")).as("doc_id"),
+        when(col("b_id").isNotNull && col("r_id").isNotNull, "update")
+          .when(col("r_id").isNotNull, "insert")
+          .otherwise("keep").as("op"),
+        coalesce(col("r_chars"), col("b_chars")).as("n_chars"),
+        when(col("r_id").isNotNull, "refresh").otherwise("base").as("src"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MERGE-INTO as a query — the warehouse upsert every periodically
+    * re-crawled corpus needs: a refresh batch applied onto the base
+    * snapshot, each output key tagged `update` (both sides — refresh
+    * content wins), `insert` (refresh only), or `keep` (base only);
+    * deletes ride the separate tombstone pipeline
+    * ([[graft.pipeline.Forget]]). Keys are unique per side, so the
+    * merge is exactly one FULL OUTER equi-join plus map-side CASEs —
+    * ONE shuffle of two pruned columns per side at any corpus size.
+    * All integers + tags; hash-exact.
+    */
+  def corpusRefreshMerge(t: Tables): DataFrame = {
+    val (base, refresh) = refreshFrames(t)
+    mergeBody(base, refresh)
+  }
+
+  /** [[corpusRefreshMerge]] over PRE-BUCKETED sides: both frames are
+    * written bucketed+sorted by doc_id once per corpus version
+    * (inventory-keyed tags — the q3Bucketed protocol), and the merge
+    * join then runs with ZERO exchanges (spec-pinned). The production
+    * shape: a corpus that refreshes nightly pays the doc_id shuffle at
+    * landing, not in every merge.
+    */
+  def corpusRefreshMergeBucketed(t: Tables): DataFrame = {
+    import graft.storage.{Bucketing, Materialize}
+    val bTable = s"graft_b_mergebase_${Materialize.corpusTag(
+      t, "documents", s"merge|b=${Bucketing.Q3Buckets}")}"
+    val rTable = s"graft_b_mergeref_${Materialize.corpusTag(
+      t, "documents", s"merge|r|b=${Bucketing.Q3Buckets}")}"
+    val (base, refresh) = refreshFrames(t)
+    Bucketing.ensureBucketed(t.spark, base, bTable, "doc_id",
+      Bucketing.Q3Buckets)
+    Bucketing.ensureBucketed(t.spark, refresh, rTable, "doc_id",
+      Bucketing.Q3Buckets)
+    mergeBody(t.spark.table(bTable), t.spark.table(rTable))
+  }
+
+  def corpusRefreshMergeSql: String =
+    """WITH c AS (SELECT MAX(doc_id) // 2 AS cut FROM documents),
+      |b AS (SELECT doc_id, n_chars FROM documents, c WHERE doc_id <= cut),
+      |r AS (SELECT doc_id - cut + cut // 2 AS doc_id, n_chars
+      |      FROM documents, c WHERE doc_id > cut)
+      |SELECT COALESCE(b.doc_id, r.doc_id) AS doc_id,
+      |  CASE WHEN b.doc_id IS NOT NULL AND r.doc_id IS NOT NULL
+      |         THEN 'update'
+      |       WHEN r.doc_id IS NOT NULL THEN 'insert'
+      |       ELSE 'keep' END AS op,
+      |  COALESCE(r.n_chars, b.n_chars) AS n_chars,
+      |  CASE WHEN r.doc_id IS NOT NULL THEN 'refresh' ELSE 'base' END
+      |    AS src
+      |FROM b FULL OUTER JOIN r ON b.doc_id = r.doc_id
+      |ORDER BY doc_id""".stripMargin
 }

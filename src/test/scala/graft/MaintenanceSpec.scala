@@ -62,4 +62,39 @@ class MaintenanceSpec extends SparkSpec {
         s"group $g volume $vol exceeds the greedy bound")
     }
   }
+
+  test("corpus_refresh_merge ≡ JVM set model; all three op classes present") {
+    import org.apache.spark.sql.functions._
+    val got = Maintenance.corpusRefreshMerge(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+
+    val docs = tables.documents.select(col("doc_id"), col("n_chars"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cut = docs.map(_._1).max / 2
+    val base = docs.filter(_._1 <= cut).toMap
+    val refresh = docs.filter(_._1 > cut)
+      .map { case (id, ch) => (id - cut + cut / 2, ch) }.toMap
+    val want = (base.keySet ++ refresh.keySet).toSeq.sorted.map { id =>
+      (base.contains(id), refresh.contains(id)) match {
+        case (true, true)  => (id, "update", refresh(id), "refresh")
+        case (false, true) => (id, "insert", refresh(id), "refresh")
+        case _             => (id, "keep", base(id), "base")
+      }
+    }
+    assert(got.toSeq == want, "merge diverges from the JVM set model")
+    val ops = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(Set("update", "insert", "keep").subsetOf(ops.keySet),
+      s"fixture must exercise all three op classes, got $ops")
+  }
+
+  test("corpus_refresh_merge_bucketed ≡ shuffled merge; ZERO exchanges in the join") {
+    val plain = Maintenance.corpusRefreshMerge(tables).collect()
+      .map(_.toSeq)
+    val bucketed = Maintenance.corpusRefreshMergeBucketed(tables)
+    assert(bucketed.collect().map(_.toSeq).toSeq == plain.toSeq,
+      "bucketed merge must be value-identical to the shuffled one")
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed merge must not shuffle either side:\n$plan")
+  }
 }
