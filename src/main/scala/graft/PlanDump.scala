@@ -219,7 +219,29 @@ object PlanDump {
         "histogram search ran outside as driver scalars, broadcast " +
         "back as a literal quantile table joined to the shared " +
         "count/mean/min/max aggregation.",
-      graft.operators.Windows.eventStatsBounded))
+      graft.operators.Windows.eventStatsBounded),
+    ("event_gapfill",
+      "Calendar gap-fill with exactly ONE fact scan (pinned): the " +
+        "span/type scalars were a bounded driver collect, the spine " +
+        "is a literal LocalTableScan, and the calendar-sized left " +
+        "join is a BroadcastHashJoin — Catalyst would otherwise " +
+        "re-expand shared subtrees into three pruned fact scans.",
+      graft.operators.Timeline.eventGapfill),
+    ("corpus_refresh_merge_bucketed",
+      "MERGE-INTO over pre-bucketed sides: the full-outer equi-join " +
+        "runs as SortMergeJoin with NO Exchange on either side — the " +
+        "doc_id shuffle was paid once at landing (inventory-keyed " +
+        "bucketed tables), so the nightly merge is shuffle-free. " +
+        "MaintenanceSpec pins zero exchanges and value-identity to " +
+        "the shuffled twin.",
+      graft.pipeline.Maintenance.corpusRefreshMergeBucketed),
+    ("corpus_sample_priority",
+      "Weighted exactly-N sampling (DLT priority sampling) with no " +
+        "corpus sort: the membership rule is two literal scalars in a " +
+        "map-side filter over a 4-column scan; the OrderStat " +
+        "threshold search paid its O(log n) scans once, outside this " +
+        "plan, with the estimator's tau riding the same batch.",
+      graft.pipeline.Mixing.samplePriority))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)

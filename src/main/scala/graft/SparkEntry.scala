@@ -170,6 +170,7 @@ object SparkEntry {
     "event_gap_stats" -> q(Sequences.eventGapStats),
     "event_top_paths" -> q(Sequences.eventTopPaths),
     "event_daily_anomaly" -> q(Sequences.eventDailyAnomaly),
+    "event_daily_anomaly_robust" -> q(Sequences.eventDailyAnomalyRobust),
     "event_transitions" -> q(Sequences.eventTransitions),
     "event_interval_join" -> q(Sequences.eventIntervalJoin),
     "event_interval_unmatched" -> q(Sequences.eventIntervalUnmatched),
@@ -365,6 +366,7 @@ object SparkEntry {
     "event_gap_stats" -> Sequences.eventGapStatsSql,
     "event_top_paths" -> Sequences.eventTopPathsSql,
     "event_daily_anomaly" -> Sequences.eventDailyAnomalySql,
+    "event_daily_anomaly_robust" -> Sequences.eventDailyAnomalyRobustSql,
     "event_transitions" -> Sequences.eventTransitionsSql,
     "event_interval_join" -> Sequences.eventIntervalJoinSql,
     "event_interval_unmatched" -> Sequences.eventIntervalUnmatchedSql,

@@ -371,6 +371,102 @@ object Sequences {
        |ORDER BY event_type, day""".stripMargin
   }
 
+  /** [[eventDailyAnomaly]]'s ROBUST twin: z-scores against the
+    * median/MAD baseline instead of mean/sd. One anomalous day
+    * inflates the mean AND the sd, so classical z both flags the
+    * outlier less and poisons every other day's score; the median and
+    * the median-absolute-deviation ignore up to half the days, which
+    * is what a volume monitor wants its baseline to do. The 1.4826
+    * factor rescales MAD to sd units (the standard consistency
+    * constant for a normal bulk).
+    *
+    * Discrete medians (the value at rank ⌈d/2⌉ — an actual daily
+    * count) found by [[graft.functions.OrderStat]] over the
+    * |types|·|days| daily frame: no per-type sort, no percentile
+    * aggregate; MAD is a second OrderStat pass over the absolute
+    * deviations. Both are data values, so unlike a mean they cross
+    * the oracle boundary exactly; z is one guarded round6 division.
+    *
+    * Scale: the corpus collapses once to daily cells; both rank
+    * searches and the med/mad tables are calendar-sized; the join
+    * back is a broadcast.
+    */
+  def eventDailyAnomalyRobust(t: Tables): DataFrame = {
+    import graft.functions.{OrderStat, Portable}
+    import Portable.round6
+    val spark = t.spark
+    import spark.implicits._
+    val daily = dailyCounts(t.events)
+    def medianOf(vals: DataFrame): Map[String, Double] = {
+      // vals: (g, v) — value at ascending rank ceil(d/2) per group
+      val counts = vals.groupBy(col("g"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val ds = counts.groupBy(col("g")).agg(sum(col("cnt")).as("d"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      def target(g: String) = {
+        val d = ds(g)
+        val asc = math.max(1L, math.ceil(0.5 * d).toLong)
+        OrderStat.RankTarget(g, d - asc + 1)
+      }
+      val res = OrderStat.valuesAtDescRanks(counts,
+        ds.keys.toSeq.sorted.map(target))
+      ds.keys.map(g => g -> res(target(g))).toMap
+    }
+    val med = medianOf(daily.select(col("event_type").as("g"),
+      col("n").cast("double").as("v")))
+    val medDf = broadcast(med.toSeq.toDF("event_type", "med"))
+    val dev = daily.join(medDf, Seq("event_type"))
+      .select(col("event_type").as("g"),
+        abs(col("n") - col("med")).as("v"))
+    val mad = medianOf(dev)
+    val madDf = broadcast(mad.toSeq.toDF("event_type", "mad"))
+    daily.join(medDf, Seq("event_type")).join(madDf, Seq("event_type"))
+      .select(col("event_type"), col("day"), col("n"), col("med"),
+        col("mad"),
+        round6(when(col("mad") > 0,
+          (col("n") - col("med")) / (col("mad") * lit(1.4826)))
+          .otherwise(lit(0.0))).as("zmad6"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  def eventDailyAnomalyRobustSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH daily AS (
+       |  SELECT event_type,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // $RetentionBucketSec AS day,
+       |    COUNT(*) AS n
+       |  FROM events GROUP BY 1, 2),
+       |r1 AS (
+       |  SELECT event_type, n,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY n) AS rk,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS d
+       |  FROM daily),
+       |med AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.5 * d) AS BIGINT))
+       |        THEN n END)::DOUBLE AS med
+       |  FROM r1 GROUP BY 1),
+       |dv AS (
+       |  SELECT daily.event_type, abs(n - med) AS v
+       |  FROM daily JOIN med USING (event_type)),
+       |r2 AS (
+       |  SELECT event_type, v,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+       |    COUNT(*) OVER (PARTITION BY event_type) AS d
+       |  FROM dv),
+       |mad AS (
+       |  SELECT event_type,
+       |    MAX(CASE WHEN rk = GREATEST(1, CAST(ceil(0.5 * d) AS BIGINT))
+       |        THEN v END) AS mad
+       |  FROM r2 GROUP BY 1)
+       |SELECT daily.event_type, day, n, med, mad,
+       |  ${round6Sql(
+        "CASE WHEN mad > 0 THEN (n - med) / (mad * 1.4826) ELSE 0.0 END")}
+       |    AS zmad6
+       |FROM daily JOIN med USING (event_type) JOIN mad USING (event_type)
+       |ORDER BY event_type, day""".stripMargin
+  }
+
   /** Markov TRANSITION matrix over event types: P(next | current) on
     * each user's timeline — the model behind [[eventTopPaths]] (a
     * trigram is two transitions) and the empirical prior for funnel

@@ -228,6 +228,53 @@ class SequencesSpec extends SparkSpec {
     assert(got(("error", 1L)) == ((1L, 0.0)))
   }
 
+  test("daily anomaly robust ≡ JVM median/MAD model; outlier day scores where classical z underreacts") {
+    // type "burst": days 0-3 hold 10,11,10,11 events, day 4 holds 40.
+    // median 11, MAD 1 (deviations 1,0,1,0,29 -> sorted rank-3 = 1):
+    // robust z of the spike = (40-11)/(1*1.4826) ~ 19.6, while the
+    // spike's own inflation of mean AND sd caps classical z at ~1.78
+    // — the poisoned-baseline failure this op exists to fix
+    val rows =
+      (0 until 10).map(i => (100L + i, i % 2 * 7L, 1L, "burst")) ++      // day 0: 10
+      (0 until 11).map(i => (200L + i, 86400L + i % 3 * 7L, 1L, "burst")) ++
+      (0 until 10).map(i => (300L + i, 2 * 86400L + i % 2 * 7L, 1L, "burst")) ++
+      (0 until 11).map(i => (400L + i, 3 * 86400L + i % 3 * 7L, 1L, "burst")) ++
+      (0 until 40).map(i => (500L + i, 4 * 86400L + i % 5 * 7L, 1L, "burst"))
+    val dir = writeEvents(rows.map(v => (v._1.toLong, v._2, v._3, v._4)))
+    val t = Tables(spark, dir)
+    def r6(x: Double) = graft.functions.Portable.round6Double(x)
+
+    val got = Sequences.eventDailyAnomalyRobust(t).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // JVM model: discrete median at rank ceil(d/2), MAD likewise
+    def medOf(xs: Seq[Double]): Double =
+      xs.sorted.apply(math.max(1, math.ceil(0.5 * xs.size).toInt) - 1)
+    val counts = Map(0L -> 10L, 1L -> 11L, 2L -> 10L, 3L -> 11L, 4L -> 40L)
+    val med = medOf(counts.values.map(_.toDouble).toSeq)
+    val mad = medOf(counts.values.map(n => math.abs(n - med)).toSeq)
+    assert(med == 11.0 && mad == 1.0, s"fixture drift: med=$med mad=$mad")
+    counts.foreach { case (d, n) =>
+      val want = (n, med, mad, r6((n - med) / (mad * 1.4826)))
+      assert(got(("burst", d)) == want,
+        s"day $d: got ${got(("burst", d))} want $want")
+    }
+    // the robustness claim, measured on the same corpus
+    val classical = Sequences.eventDailyAnomaly(t).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val zR = got(("burst", 4L))._4
+    val zC = classical(("burst", 4L))
+    assert(zR > 5 * zC && zC < 2.0,
+      s"robust z $zR must dwarf the self-poisoned classical z $zC")
+
+    // zero-MAD guard: a constant type pins zmad = 0
+    val dir2 = writeEvents(Seq((1L, 10L, 1L, "flat"), (2L, 86400L + 10L, 1L, "flat")))
+    val flat = Sequences.eventDailyAnomalyRobust(Tables(spark, dir2))
+      .collect().map(r => r.getDouble(5))
+    assert(flat.forall(_ == 0.0), "constant series must score 0 under MAD=0")
+  }
+
   test("daily anomaly: per-type stats join back by broadcast (cells are tiny at any corpus size)") {
     val plan = physical(Sequences.eventDailyAnomaly(tables))
     assert(plan.contains("BroadcastHashJoin"),
