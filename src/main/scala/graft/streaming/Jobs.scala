@@ -2522,6 +2522,82 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // GapfillStream — operators.Timeline.eventGapfill LIVE: final daily
+  // rows per type INCLUDING the zeros, via event-time timers. The
+  // no-data-no-row blindness is structural in streaming aggregation —
+  // a silent day produces no row anywhere downstream — and "type X
+  // went silent" is the one alert a volume monitor must not miss.
+  // ---------------------------------------------------------------------
+  object GapfillStream {
+
+    private val DayMs = 86400000L
+
+    /** Per-type gap-fill state: the last day already emitted as final,
+      * and in-flight counts for still-open days.
+      */
+    final case class GapState(lastClosed: Long, counts: Map[Long, Long])
+
+    /** FINAL (event_type, day, n) rows — one per type per day once the
+      * watermark proves the day complete, n = 0 for silent days. State
+      * per type = open-day counts only (bounded by days-in-flight);
+      * closing is driven by data AND by event-time TIMERS, so a type
+      * that stops sending still emits its zeros as long as anything
+      * advances the watermark — the alert case. A type's spine starts
+      * at its own first observed day (a stream cannot know a type
+      * exists before its first event — the batch twin's global spine
+      * needs the corpus); days already closed reject late arrivals by
+      * construction (documented CDC-style contract, same as the batch
+      * op re-run nightly). Append mode, emissions are immutable.
+      */
+    def dailyFinal(events: DataFrame,
+                   watermarkLag: String = "0 seconds"): DataFrame = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      events
+        .withWatermark("ts", watermarkLag)
+        .select(col("event_type"), col("ts"))
+        .as[(String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+          (ty: String, it: Iterator[(String, java.sql.Timestamp)],
+           state: GroupState[GapState]) => {
+            val wmDay = state.getCurrentWatermarkMs() / DayMs
+            var st = state.getOption.getOrElse(GapState(Long.MinValue, Map.empty))
+            if (!state.hasTimedOut) {
+              it.foreach { case (_, ts) =>
+                val d = ts.getTime / DayMs
+                if (st.lastClosed == Long.MinValue) st = st.copy(lastClosed = d - 1)
+                if (d > st.lastClosed)
+                  st = st.copy(counts =
+                    st.counts.updated(d, st.counts.getOrElse(d, 0L) + 1L))
+                // else: the day is already final — late beyond closure
+              }
+            }
+            // close every day the watermark has completed
+            val out = if (st.lastClosed == Long.MinValue) Iterator.empty
+            else {
+              val closable = (st.lastClosed + 1) until wmDay
+              val rows = closable.map(d =>
+                (ty, d, st.counts.getOrElse(d, 0L))).iterator
+              if (closable.nonEmpty)
+                st = st.copy(lastClosed = wmDay - 1,
+                  counts = st.counts.filter(_._1 >= wmDay))
+              rows
+            }
+            state.update(st)
+            // wake when the watermark completes the next open day
+            if (st.lastClosed != Long.MinValue)
+              state.setTimeoutTimestamp(math.max(
+                (st.lastClosed + 2) * DayMs,
+                state.getCurrentWatermarkMs() + 1))
+            out
+          })
+        .toDF("event_type", "day", "n")
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Scd2Stream — operators.Timeline.scd2History LIVE: CDC-style
   // dimension-history compaction as events arrive, one open interval of
   // state per user no matter how long the history grows.

@@ -2505,6 +2505,70 @@ class StreamingJobsSpec extends SparkSpec {
     } finally mhq.stop()
   }
 
+  test("GapfillStream: watermark-closed days emit FINAL counts including zeros; timers close silent types") {
+    import spark.implicits._
+    val t = (daySec: Long) => new Timestamp(daySec * 1000)
+    val day = 86400L
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Jobs.GapfillStream.dailyFinal(
+      in.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gapfill_stream").start()
+    try {
+      // batch 1: a on days 0 (twice) and 3, b on day 1, sentinel c on
+      // day 6. processAllAvailable runs the follow-up batch where the
+      // watermark (= the day-6 event) is already applied, so days 0..5
+      // close for a and b right here — with NO a/b data in that
+      // follow-up batch, their rows (including every zero) arrive via
+      // event-time TIMERS
+      in.addData(Seq(
+        (t(10), "a"), (t(20), "a"), (t(3 * day + 5), "a"),
+        (t(day + 7), "b"), (t(6 * day + 10), "c")))
+      q.processAllAvailable()
+
+      // a later day-9 sentinel advances the watermark again: days 6..8
+      // close for every type — a and b keep emitting pure zeros (the
+      // went-silent alert), c's day 6 count finalizes — and no closed
+      // row is ever re-emitted or changed
+      in.addData(Seq((t(9 * day + 10), "c")))
+      q.processAllAvailable()
+      val got = spark.table("gapfill_stream")
+        .as[(String, Long, Long)].collect().toSet
+      val want = Set(
+        ("a", 0L, 2L), ("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L),
+        ("a", 4L, 0L), ("a", 5L, 0L), ("a", 6L, 0L), ("a", 7L, 0L),
+        ("a", 8L, 0L),
+        ("b", 1L, 1L), ("b", 2L, 0L), ("b", 3L, 0L), ("b", 4L, 0L),
+        ("b", 5L, 0L), ("b", 6L, 0L), ("b", 7L, 0L), ("b", 8L, 0L),
+        ("c", 6L, 1L), ("c", 7L, 0L), ("c", 8L, 0L))
+      assert(got == want,
+        s"closed-day rows wrong: extra=${got -- want} missing=${want -- got}")
+      assert(spark.table("gapfill_stream").count() == want.size,
+        "closed rows must be emitted exactly once")
+
+      // the closed span agrees with the batch gap-fill on the same
+      // rows (restricted to each type's own spine start, days < 9)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-gapfill-live").toString
+      Seq((1L, 10L, "a"), (2L, 20L, "a"), (3L, 3 * day + 5, "a"),
+        (4L, day + 7, "b"), (5L, 6 * day + 10, "c"),
+        (6L, 9 * day + 10, "c"))
+        .toDF("event_id", "ts_sec_in", "event_type")
+        .selectExpr("event_id", "ts_sec_in * 1000000000 AS ts",
+          "CAST(1 AS BIGINT) AS user_id", "event_type",
+          "CAST(1.0 AS DOUBLE) AS value", "'' AS props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val firstDay = Map("a" -> 0L, "b" -> 1L, "c" -> 6L)
+      val batch = graft.operators.Timeline.eventGapfill(
+        graft.Tables(spark, dir)).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .filter { case (ty, d, _) =>
+          d < 9 && firstDay.get(ty).exists(d >= _) }
+        .toSet
+      assert(got == batch, s"stream ${got} != batch-closed-span $batch")
+    } finally q.stop()
+  }
+
   test("Scd2Stream: in-order two-batch replay ≡ batch scd2_history; state = one row per user") {
     import spark.implicits._
     val rows = graft.Tables(spark, sfDir).events
