@@ -63,4 +63,45 @@ private[graft] object Generations {
     retire.foreach(n => fs.delete(new Path(s"$root/gen=$n"), true))
     retire
   }
+
+  /** What [[vacuum]] would delete — the GC audit a long-lived store
+    * root needs and [[retireOld]] doesn't cover: committed generations
+    * beyond the newest `keep`, PLUS dead uncommitted directories
+    * (a crashed write leaves `gen=<n>/` with no `_SUCCESS`; it is
+    * provably dead once a HIGHER generation has committed, because
+    * [[publish]] numbers strictly above the last committed one — an
+    * uncommitted dir at or above the current generation may be a
+    * write in flight and is never touched). Returns
+    * (gen, wasCommitted) ascending; nothing is deleted.
+    */
+  def vacuumPlan(root: String, artifact: String, keep: Int,
+                 conf: Configuration = new Configuration())
+      : Seq[(Long, Boolean)] = {
+    val r = new Path(root)
+    val fs = r.getFileSystem(conf)
+    if (!fs.exists(r)) return Nil
+    val all = fs.listStatus(r).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .flatMap(s => s.getPath.getName.stripPrefix("gen=").toLongOption)
+    val comm = committed(root, artifact, conf)
+    val cur = comm.lastOption.getOrElse(Long.MinValue)
+    val retire = comm.dropRight(keep).map(_ -> true)
+    val orphans = all.filterNot(comm.contains).filter(_ < cur)
+      .map(_ -> false)
+    (retire ++ orphans).sortBy(_._1)
+  }
+
+  /** Execute [[vacuumPlan]]: delete the planned directories, return
+    * the deleted generation numbers. Run after pinned readers drain,
+    * like [[retireOld]].
+    */
+  def vacuum(root: String, artifact: String, keep: Int,
+             conf: Configuration = new Configuration()): Seq[Long] = {
+    val plan = vacuumPlan(root, artifact, keep, conf)
+    val fs = new Path(root).getFileSystem(conf)
+    plan.foreach { case (n, _) =>
+      fs.delete(new Path(s"$root/gen=$n"), true); ()
+    }
+    plan.map(_._1)
+  }
 }
