@@ -2545,9 +2545,11 @@ object Jobs {
       * advances the watermark — the alert case. A type's spine starts
       * at its own first observed day (a stream cannot know a type
       * exists before its first event — the batch twin's global spine
-      * needs the corpus); days already closed reject late arrivals by
-      * construction (documented CDC-style contract, same as the batch
-      * op re-run nightly). Append mode, emissions are immutable.
+      * needs the corpus). Arrivals for an already-closed day never
+      * reach this operator at all: `FlatMapGroupsWithStateExec` drops
+      * watermark-late rows before the function runs, which is exactly
+      * what keeps the final rows immutable — run [[lateLedger]]
+      * alongside to OBSERVE those rejections. Append mode.
       */
     def dailyFinal(events: DataFrame,
                    watermarkLag: String = "0 seconds"): DataFrame = {
@@ -2571,7 +2573,8 @@ object Jobs {
                 if (d > st.lastClosed)
                   st = st.copy(counts =
                     st.counts.updated(d, st.counts.getOrElse(d, 0L) + 1L))
-                // else: the day is already final — late beyond closure
+                // d <= lastClosed is unreachable: the exec's late-row
+                // filter drops those before the function (see ledger)
               }
             }
             // close every day the watermark has completed
@@ -2594,6 +2597,55 @@ object Jobs {
             out
           })
         .toDF("event_type", "day", "n")
+    }
+
+    /** The LATE-DATA ledger [[dailyFinal]] cannot keep itself (the
+      * engine drops its late rows pre-operator): per micro-batch, a
+      * DELTA row (event_type, day, n_late) for every arrival whose
+      * day [[dailyFinal]] has already closed — consumers sum deltas
+      * per (type, day). The observability an exactly-once daily
+      * pipeline needs before trusting its zeros: a zero day with a
+      * nonzero ledger means wrong, not silent.
+      *
+      * Mechanics: a SECOND subscription over the same source whose
+      * watermark lags `slackDays` behind, so rows the main operator's
+      * watermark already rejected still reach this one; the main
+      * closure threshold is reconstructed as
+      * `ledger watermark + slack` (both derive from the same max
+      * event time). Rows later than the slack horizon are lost to the
+      * ledger too — the horizon is the documented audit window.
+      * Append mode, no timers, trivial state.
+      */
+    def lateLedger(events: DataFrame, slackDays: Int = 10,
+                   mainLagMs: Long = 0L): DataFrame = {
+      val spark = events.sparkSession
+      import spark.implicits._
+      val slackMs = slackDays * DayMs
+      events
+        .withWatermark("ts", s"$slackDays days")
+        .select(col("event_type"), col("ts"))
+        .as[(String, java.sql.Timestamp)]
+        .groupByKey(_._1)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (ty: String, it: Iterator[(String, java.sql.Timestamp)],
+           state: GroupState[Long]) => {
+            // main watermark = ledger watermark + slack − main lag.
+            // A reported 0 means the lagged watermark is still unset
+            // (or clamped: event times within slackDays of the epoch
+            // — impossible for real data) → nothing is closed yet.
+            val wm = state.getCurrentWatermarkMs()
+            val mainWmDay =
+              if (wm == 0L) Long.MinValue
+              else (wm + slackMs - mainLagMs) / DayMs
+            val late = scala.collection.mutable.Map.empty[Long, Long]
+            it.foreach { case (_, ts) =>
+              val d = ts.getTime / DayMs
+              if (d < mainWmDay) late(d) = late.getOrElse(d, 0L) + 1L
+            }
+            late.toSeq.sorted.map { case (d, n) => (ty, d, n) }.iterator
+          })
+        .toDF("event_type", "day", "n_late")
     }
   }
 

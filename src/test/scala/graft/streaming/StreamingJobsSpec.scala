@@ -2569,6 +2569,49 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GapfillStream.lateLedger: rejected late arrivals surface as delta rows; finals stay immutable") {
+    import spark.implicits._
+    val t = (daySec: Long) => new Timestamp(daySec * 1000)
+    val day = 86400L
+    val in = MemoryStream[(Timestamp, String)]
+    val qf = Jobs.GapfillStream.dailyFinal(
+      in.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gapfill_final2").start()
+    val ql = Jobs.GapfillStream.lateLedger(
+      in.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gapfill_late").start()
+    try {
+      // base at day 100 (the ledger's slack-lagged watermark clamps
+      // at 0 for event times within slackDays of the epoch — real
+      // data is decades past it). Day-100 data + a day-106 sentinel;
+      // the follow-up batch closes 100..105
+      val b = 100L
+      in.addData(Seq((t(b * day + 10), "a"), (t((b + 6) * day + 10), "a")))
+      qf.processAllAvailable(); ql.processAllAvailable()
+      // two arrivals for the long-closed day 100, one for day 103:
+      // the main query's watermark (day 106) rejects all three
+      // pre-operator
+      in.addData(Seq((t(b * day + 20), "a"), (t(b * day + 30), "a"),
+        (t((b + 3) * day + 1), "a")))
+      qf.processAllAvailable(); ql.processAllAvailable()
+
+      val finals = spark.table("gapfill_final2")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._2, r._3)).toSet
+      assert(finals == Set((b, 1L), (b + 1, 0L), (b + 2, 0L), (b + 3, 0L),
+        (b + 4, 0L), (b + 5, 0L)),
+        s"finals must not change on late data: $finals")
+      val late = spark.table("gapfill_late")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._2, r._3)).toSet
+      assert(late == Set((b, 2L), (b + 3, 1L)),
+        s"late deltas wrong: $late — a zero day with a nonzero ledger " +
+          "means wrong, not silent")
+    } finally { qf.stop(); ql.stop() }
+  }
+
   test("Scd2Stream: in-order two-batch replay ≡ batch scd2_history; state = one row per user") {
     import spark.implicits._
     val rows = graft.Tables(spark, sfDir).events
