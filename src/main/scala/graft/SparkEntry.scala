@@ -206,7 +206,8 @@ object SparkEntry {
     "event_gapfill" -> q(Timeline.eventGapfill),
     "scd2_history" -> q(Timeline.scd2History),
     // planner column stats (equi-depth histogram)
-    "report_equidepth_hist" -> q(graft.pipeline.Reports.equidepthHist)
+    "report_equidepth_hist" -> q(graft.pipeline.Reports.equidepthHist),
+    "report_selectivity_est" -> q(graft.pipeline.Reports.selectivityEst)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -393,6 +394,7 @@ object SparkEntry {
     "layout_bloom_skip" -> Layout.layoutBloomSkipSql,
     "event_gapfill" -> Timeline.eventGapfillSql,
     "scd2_history" -> Timeline.scd2HistorySql,
-    "report_equidepth_hist" -> graft.pipeline.Reports.equidepthHistSql
+    "report_equidepth_hist" -> graft.pipeline.Reports.equidepthHistSql,
+    "report_selectivity_est" -> graft.pipeline.Reports.selectivityEstSql
   )
 }

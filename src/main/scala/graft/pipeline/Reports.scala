@@ -447,7 +447,11 @@ object Reports {
     * (`(k·n + B−1) div B`) so no float crosses the oracle boundary;
     * boundaries/bounds are data values — hash-exact.
     */
-  def equidepthHist(t: Tables): DataFrame = {
+  /** The B−1 equi-depth boundary values (ascending) — shared by
+    * [[equidepthHist]] and [[selectivityEst]] so the stats and their
+    * consumer can't disagree on the histogram.
+    */
+  private def equidepthBounds(t: Tables): Seq[Double] = {
     import graft.functions.OrderStat
     val B = EqdBuckets
     val counts = t.orders
@@ -458,8 +462,14 @@ object Reports {
     val targets = (1 until B)
       .map(k => OrderStat.RankTarget("all", n - ascRank(k) + 1)).distinct
     val bounds = OrderStat.valuesAtDescRanks(counts, targets)
-    val bs = (1 until B).map(k =>
+    (1 until B).map(k =>
       bounds(OrderStat.RankTarget("all", n - ascRank(k) + 1)))
+  }
+
+  def equidepthHist(t: Tables): DataFrame = {
+    val bs = equidepthBounds(t)
+    val counts = t.orders
+      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt"))
     val bucket = bs.foldLeft(lit(1L)) { (acc, b) =>
       acc + when(col("v") > lit(b), 1L).otherwise(0L)
     }
@@ -487,4 +497,123 @@ object Reports {
        |SELECT bucket::BIGINT AS bucket, COUNT(*)::BIGINT AS n,
        |  MIN(v) AS lo, MAX(v) AS hi
        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Probe ranges for [[selectivityEst]], as (loMid, hiMid) indices
+    * into the inter-boundary midpoints m₁..m₆ — deliberately NOT
+    * aligned to bucket edges, so the estimate must over-cover.
+    */
+  val SelProbes: Seq[(Int, Int)] = Seq((1, 3), (2, 5), (4, 6), (1, 6))
+
+  /** Range-selectivity estimation from the equi-depth histogram next
+    * to the EXACT counts — the audit that says whether the stats are
+    * trustworthy, completing the planner loop ([[equidepthHist]]
+    * builds the statistic, this consumes it the way a cost model
+    * would): per probe range [lo, hi), `est_rows` = Σ depth of every
+    * bucket intersecting the range (bucket granularity — ALWAYS ≥
+    * exact, the conservative planner bound), `exact_rows` from one
+    * corpus scan, and the over-estimation ratio. Probe bounds are the
+    * midpoints between boundary values — worst-case alignment for a
+    * bucket-granular estimate (edge-aligned probes would make it
+    * exact and audit nothing).
+    *
+    * All integer counting; probe bounds and bucket edges are driver
+    * doubles inlined as literals on the Spark side and INDEPENDENTLY
+    * recomputed by the oracle from its own rank boundaries (identical
+    * IEEE midpoint arithmetic) — hash-exact. Plan: the stats side
+    * joins |probes| × B metadata rows; the exact side is one map-side
+    * filtered scan against the broadcast probe table.
+    */
+  def selectivityEst(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val B = EqdBuckets
+    val bs = equidepthBounds(t) // b₁..b₇ ascending
+    def mid(i: Int): Double = (bs(i - 1) + bs(i)) / 2.0
+    val probes = broadcast(SelProbes.zipWithIndex.map {
+      case ((a, b), idx) => ((idx + 1).toLong, mid(a), mid(b))
+    }.toDF("probe", "lo", "hi"))
+    val edges = broadcast((1 to B).map { k =>
+      (k.toLong,
+        if (k == 1) -Double.MaxValue else bs(k - 2),
+        if (k == B) Double.MaxValue else bs(k - 1))
+    }.toDF("bucket", "blo", "bhi"))
+    val bucket = bs.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when(col("v") > lit(b), 1L).otherwise(0L)
+    }
+    val hist = t.orders.select(col("o_totalprice").as("v"))
+      .groupBy(bucket.as("bucket")).agg(count(lit(1)).as("bn"))
+      .join(edges, Seq("bucket"))
+    val est = probes.join(hist,
+        col("blo") < col("hi") && col("bhi") >= col("lo"))
+      .groupBy(col("probe")).agg(sum(col("bn")).as("est_rows"))
+    val exact = t.orders.select(col("o_totalprice").as("v"))
+      .crossJoin(probes)
+      .filter(col("v") >= col("lo") && col("v") < col("hi"))
+      .groupBy(col("probe")).agg(count(lit(1)).as("exact_rows"))
+    probes
+      .join(est, Seq("probe"), "left")
+      .join(exact, Seq("probe"), "left")
+      .select(col("probe"), col("lo"), col("hi"),
+        coalesce(col("est_rows"), lit(0L)).as("est_rows"),
+        coalesce(col("exact_rows"), lit(0L)).as("exact_rows"),
+        round6(when(coalesce(col("exact_rows"), lit(0L)) > 0,
+          coalesce(col("est_rows"), lit(0L)).cast("double")
+            / col("exact_rows").cast("double"))
+          .otherwise(lit(0.0))).as("overest6"))
+      .orderBy(col("probe"))
+  }
+
+  def selectivityEstSql: String = {
+    val probesSql = SelProbes.zipWithIndex.map { case ((a, b), idx) =>
+      s"SELECT ${idx + 1}::BIGINT AS probe, " +
+        s"(SELECT m FROM mids WHERE k = $a) AS lo, " +
+        s"(SELECT m FROM mids WHERE k = $b) AS hi"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH r AS (SELECT o_totalprice AS v,
+       |             row_number() OVER (ORDER BY o_totalprice) AS rk,
+       |             COUNT(*) OVER () AS n
+       |           FROM orders),
+       |bd AS (SELECT ks.k,
+       |         MAX(CASE WHEN rk = (ks.k * n + $EqdBuckets - 1)
+       |                         // $EqdBuckets THEN v END) AS b
+       |       FROM r CROSS JOIN
+       |         (SELECT unnest(range(1, $EqdBuckets)) AS k) ks
+       |       GROUP BY 1),
+       |hist AS (SELECT bucket, COUNT(*)::BIGINT AS bn FROM
+       |           (SELECT v, 1 + (SELECT COUNT(*) FROM bd
+       |                           WHERE bd.b < r0.v) AS bucket
+       |            FROM r r0) GROUP BY 1),
+       |e AS (SELECT k AS bucket,
+       |        COALESCE(LAG(b) OVER (ORDER BY k),
+       |                 -1.7976931348623157E308) AS blo,
+       |        b AS bhi
+       |      FROM bd
+       |      UNION ALL
+       |      SELECT $EqdBuckets, (SELECT b FROM bd
+       |                           WHERE k = ${EqdBuckets - 1}),
+       |        1.7976931348623157E308),
+       |mids AS (SELECT k, (b + LEAD(b) OVER (ORDER BY k)) / 2.0 AS m
+       |         FROM bd),
+       |probes AS (
+       |  $probesSql),
+       |he AS (SELECT h.bucket, bn, blo, bhi
+       |       FROM hist h JOIN e USING (bucket)),
+       |est AS (SELECT probe, SUM(bn)::BIGINT AS est_rows
+       |        FROM probes p JOIN he
+       |          ON he.blo < p.hi AND he.bhi >= p.lo
+       |        GROUP BY 1),
+       |ex AS (SELECT probe, COUNT(*)::BIGINT AS exact_rows
+       |       FROM orders o JOIN probes p
+       |         ON o.o_totalprice >= p.lo AND o.o_totalprice < p.hi
+       |       GROUP BY 1)
+       |SELECT p.probe, p.lo, p.hi,
+       |  COALESCE(est_rows, 0)::BIGINT AS est_rows,
+       |  COALESCE(exact_rows, 0)::BIGINT AS exact_rows,
+       |  ${round6Sql("CASE WHEN COALESCE(exact_rows, 0) > 0 THEN " +
+          "COALESCE(est_rows, 0)::DOUBLE / exact_rows::DOUBLE " +
+          "ELSE 0.0 END")} AS overest6
+       |FROM probes p LEFT JOIN est USING (probe)
+       |  LEFT JOIN ex USING (probe)
+       |ORDER BY probe""".stripMargin
+  }
 }

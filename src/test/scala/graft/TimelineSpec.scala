@@ -151,6 +151,42 @@ class TimelineSpec extends SparkSpec {
     }
   }
 
+  test("report_selectivity_est ≡ JVM model; estimate is the conservative bound") {
+    import graft.functions.Portable.round6Double
+    import graft.pipeline.Reports
+    val got = Reports.selectivityEst(tables).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+
+    val B = Reports.EqdBuckets
+    val vs = tables.orders.select(col("o_totalprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vs.length.toLong
+    val bs = (1 until B).map(k => vs((((k.toLong * n + B - 1) / B) - 1).toInt))
+    def mid(i: Int) = (bs(i - 1) + bs(i)) / 2.0
+    val want = Reports.SelProbes.zipWithIndex.map { case ((a, b), idx) =>
+      val (lo, hi) = (mid(a), mid(b))
+      val exact = vs.count(v => v >= lo && v < hi).toLong
+      // bucket k covers (b_{k-1}, b_k]; sum depths of intersecting ones
+      val est = (1 to B).filter { k =>
+        val blo = if (k == 1) -Double.MaxValue else bs(k - 2)
+        val bhi = if (k == B) Double.MaxValue else bs(k - 1)
+        blo < hi && bhi >= lo
+      }.map { k =>
+        vs.count { v =>
+          (k == 1 || v > bs(k - 2)) && (k == B || v <= bs(k - 1))
+        }.toLong
+      }.sum
+      ((idx + 1).toLong, lo, hi, est, exact,
+        round6Double(est.toDouble / exact.toDouble))
+    }
+    assert(got.toSeq == want, s"selectivity audit diverges:\n$got\n$want")
+    got.foreach { case (p, _, _, est, exact, _) =>
+      assert(est >= exact, s"probe $p: histogram estimate must over-cover")
+      assert(exact > 0, s"probe $p: degenerate fixture — empty range")
+    }
+  }
+
   test("report_equidepth_hist plan: no global sort of the fact") {
     val plan = graft.pipeline.Reports.equidepthHist(tables)
       .queryExecution.executedPlan.toString
