@@ -207,7 +207,8 @@ object SparkEntry {
     "scd2_history" -> q(Timeline.scd2History),
     // planner column stats (equi-depth histogram)
     "report_equidepth_hist" -> q(graft.pipeline.Reports.equidepthHist),
-    "report_selectivity_est" -> q(graft.pipeline.Reports.selectivityEst)
+    "report_selectivity_est" -> q(graft.pipeline.Reports.selectivityEst),
+    "report_equidepth_merge" -> q(graft.pipeline.Reports.equidepthMerge)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -395,6 +396,7 @@ object SparkEntry {
     "event_gapfill" -> Timeline.eventGapfillSql,
     "scd2_history" -> Timeline.scd2HistorySql,
     "report_equidepth_hist" -> graft.pipeline.Reports.equidepthHistSql,
-    "report_selectivity_est" -> graft.pipeline.Reports.selectivityEstSql
+    "report_selectivity_est" -> graft.pipeline.Reports.selectivityEstSql,
+    "report_equidepth_merge" -> graft.pipeline.Reports.equidepthMergeSql
   )
 }

@@ -451,12 +451,17 @@ object Reports {
     * [[equidepthHist]] and [[selectivityEst]] so the stats and their
     * consumer can't disagree on the histogram.
     */
-  private def equidepthBounds(t: Tables): Seq[Double] = {
+  private def equidepthBounds(t: Tables): Seq[Double] =
+    boundsOfCounts(t.orders
+      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt")))
+
+  /** Boundary values at the ascending ranks ⌈k·n/B⌉, k = 1..B−1, over
+    * a (v, cnt) multiplicity frame — OrderStat narrowing, no sort.
+    */
+  private def boundsOfCounts(counts0: DataFrame): Seq[Double] = {
     import graft.functions.OrderStat
     val B = EqdBuckets
-    val counts = t.orders
-      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt"))
-      .select(lit("all").as("g"), col("v"), col("cnt"))
+    val counts = counts0.select(lit("all").as("g"), col("v"), col("cnt"))
     val n = counts.agg(sum(col("cnt"))).head().getLong(0)
     def ascRank(k: Int): Long = (k.toLong * n + B - 1) / B // ceil(k·n/B)
     val targets = (1 until B)
@@ -616,4 +621,103 @@ object Reports {
        |  LEFT JOIN ex USING (probe)
        |ORDER BY probe""".stripMargin
   }
+
+  /** Incremental-ANALYZE merge: refreshed equi-depth boundaries for
+    * base ∪ delta computed from the BASE HISTOGRAM plus the exact
+    * delta — the base corpus is never re-ranked (its contribution is
+    * the B-row statistic: per-bucket mass at the bucket's hi value,
+    * the standard histogram-merge approximation), next to the TRUE
+    * boundaries from a full re-rank so the table audits its own
+    * approximation error. Base = the orderkey prefix half (the
+    * bloomDupCandidates growth convention); production swaps in its
+    * last-ANALYZE artifact and landing batch.
+    *
+    * Upper bias by construction: every base value is represented at
+    * its bucket hi (≥ itself), so the merged multiset dominates the
+    * true one elementwise and `b_est ≥ b_exact` at every rank
+    * (spec-pinned) — the estimate errs toward wider buckets, never
+    * phantom-narrow ones. Both rank searches are OrderStat narrowing
+    * (delta is aggregated to a multiplicity frame, never sorted);
+    * every emitted number is a data value or an integer rank —
+    * hash-exact.
+    */
+  def equidepthMerge(t: Tables): DataFrame = {
+    import graft.functions.OrderStat
+    val spark = t.spark
+    import spark.implicits._
+    val B = EqdBuckets
+    val cut = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    val baseVals = t.orders.filter(col("o_orderkey") <= cut)
+      .select(col("o_totalprice").as("v"))
+    val bs = boundsOfCounts(
+      baseVals.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+    val bucket = bs.foldLeft(lit(1L)) { (acc, b) =>
+      acc + when(col("v") > lit(b), 1L).otherwise(0L)
+    }
+    // the ANALYZE artifact the merge consumes: B rows of (mass, hi)
+    val baseHist = baseVals.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("v")).as("hi"))
+      .collect().map(r => (r.getDouble(2), r.getLong(1)))
+    val deltaCounts = t.orders.filter(col("o_orderkey") > cut)
+      .select(col("o_totalprice").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val merged = deltaCounts
+      .unionAll(baseHist.toSeq.toDF("v", "cnt"))
+      .groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
+      .select(lit("all").as("g"), col("v"), col("cnt"))
+    val full = t.orders.select(col("o_totalprice").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      .select(lit("all").as("g"), col("v"), col("cnt"))
+    val n = t.orders.count()
+    def ascRank(j: Int): Long = (j.toLong * n + B - 1) / B
+    def target(j: Int) = OrderStat.RankTarget("all", n - ascRank(j) + 1)
+    val targets = (1 until B).map(target)
+    val est = OrderStat.valuesAtDescRanks(merged, targets)
+    val exact = OrderStat.valuesAtDescRanks(full, targets)
+    (1 until B).map { j =>
+      (j.toLong, ascRank(j), est(target(j)), exact(target(j)))
+    }.toDF("j", "rank_target", "b_est", "b_exact").orderBy(col("j"))
+  }
+
+  def equidepthMergeSql: String =
+    s"""WITH c AS (SELECT MAX(o_orderkey) // 2 AS cut FROM orders),
+       |base AS (SELECT o_totalprice AS v FROM orders, c
+       |         WHERE o_orderkey <= cut),
+       |delta AS (SELECT o_totalprice AS v FROM orders, c
+       |          WHERE o_orderkey > cut),
+       |rb AS (SELECT v, row_number() OVER (ORDER BY v) AS rk,
+       |         COUNT(*) OVER () AS n
+       |       FROM base),
+       |bdb AS (SELECT ks.k,
+       |          MAX(CASE WHEN rk = (ks.k * n + $EqdBuckets - 1)
+       |                          // $EqdBuckets THEN v END) AS b
+       |        FROM rb CROSS JOIN
+       |          (SELECT unnest(range(1, $EqdBuckets)) AS k) ks
+       |        GROUP BY 1),
+       |hb AS (SELECT bucket, COUNT(*)::BIGINT AS cnt, MAX(v) AS hi FROM
+       |         (SELECT v, 1 + (SELECT COUNT(*) FROM bdb
+       |                         WHERE bdb.b < rb0.v) AS bucket
+       |          FROM rb rb0) GROUP BY 1),
+       |m AS (SELECT hi AS v, cnt FROM hb
+       |      UNION ALL SELECT v, 1::BIGINT FROM delta),
+       |mr AS (SELECT v,
+       |         SUM(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |           ::BIGINT AS cum
+       |       FROM (SELECT v, SUM(cnt)::BIGINT AS cnt FROM m GROUP BY v)),
+       |tot AS (SELECT COUNT(*)::BIGINT AS nt FROM orders),
+       |tgt AS (SELECT ks.k AS j,
+       |          ((ks.k * nt + $EqdBuckets - 1) // $EqdBuckets)::BIGINT
+       |            AS r
+       |        FROM tot CROSS JOIN
+       |          (SELECT unnest(range(1, $EqdBuckets)) AS k) ks),
+       |est AS (SELECT j, r, MIN(v) AS b_est
+       |        FROM tgt JOIN mr ON mr.cum >= tgt.r GROUP BY 1, 2),
+       |rf AS (SELECT o_totalprice AS v,
+       |         row_number() OVER (ORDER BY o_totalprice) AS rk
+       |       FROM orders),
+       |ex AS (SELECT tgt.j, rf.v AS b_exact
+       |       FROM tgt JOIN rf ON rf.rk = tgt.r)
+       |SELECT j, r AS rank_target, b_est, b_exact
+       |FROM est JOIN ex USING (j)
+       |ORDER BY j""".stripMargin
 }

@@ -187,6 +187,40 @@ class TimelineSpec extends SparkSpec {
     }
   }
 
+  test("report_equidepth_merge ≡ JVM weighted-multiset model; upper-biased, never phantom-narrow") {
+    import graft.pipeline.Reports
+    val B = Reports.EqdBuckets
+    val got = Reports.equidepthMerge(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+
+    val rows = tables.orders
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val cut = rows.map(_._1).max / 2
+    val base = rows.filter(_._1 <= cut).map(_._2).sorted
+    val delta = rows.filter(_._1 > cut).map(_._2)
+    val nb = base.length.toLong
+    val bs = (1 until B).map(k =>
+      base((((k.toLong * nb + B - 1) / B) - 1).toInt))
+    // base histogram: mass at each assigned bucket's hi value
+    val byBucket = base.groupBy(v => 1 + bs.count(_ < v))
+    val mass = byBucket.toSeq.flatMap { case (_, vs) =>
+      Seq.fill(vs.length)(vs.max)
+    }
+    val mergedSorted = (mass ++ delta).sorted
+    val fullSorted = rows.map(_._2).sorted
+    val n = fullSorted.length.toLong
+    val want = (1 until B).map { j =>
+      val r = (j.toLong * n + B - 1) / B
+      (j.toLong, r, mergedSorted((r - 1).toInt), fullSorted((r - 1).toInt))
+    }
+    assert(got.toSeq == want, s"merge diverges:\ngot  ${got.toSeq}\nwant $want")
+    got.foreach { case (j, _, est, exact) =>
+      assert(est >= exact,
+        s"boundary $j: merge must be upper-biased (est $est < exact $exact)")
+    }
+  }
+
   test("report_equidepth_hist plan: no global sort of the fact") {
     val plan = graft.pipeline.Reports.equidepthHist(tables)
       .queryExecution.executedPlan.toString
