@@ -205,6 +205,7 @@ object SparkEntry {
     // calendar timeline (gap-filled resample, SCD-2 history)
     "event_gapfill" -> q(Timeline.eventGapfill),
     "scd2_history" -> q(Timeline.scd2History),
+    "scd2_history_split" -> q(Timeline.scd2HistorySplit),
     // planner column stats (equi-depth histogram)
     "report_equidepth_hist" -> q(graft.pipeline.Reports.equidepthHist),
     "report_selectivity_est" -> q(graft.pipeline.Reports.selectivityEst),
@@ -395,6 +396,7 @@ object SparkEntry {
     "layout_bloom_skip" -> Layout.layoutBloomSkipSql,
     "event_gapfill" -> Timeline.eventGapfillSql,
     "scd2_history" -> Timeline.scd2HistorySql,
+    "scd2_history_split" -> Timeline.scd2HistorySql,
     "report_equidepth_hist" -> graft.pipeline.Reports.equidepthHistSql,
     "report_selectivity_est" -> graft.pipeline.Reports.selectivityEstSql,
     "report_equidepth_merge" -> graft.pipeline.Reports.equidepthMergeSql

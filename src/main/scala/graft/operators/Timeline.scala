@@ -124,6 +124,62 @@ object Timeline {
       .orderBy(col("user_id"), col("version"))
   }
 
+  /** [[scd2History]] with the WHALE discipline applied (the
+    * `sessionize_split` pattern): the event-level window partitions by
+    * (user_id, DAY) — a flooded user key sorts one day per task, never
+    * its whole history — producing per-day state RUNS; a second,
+    * run-level pass per user then merges runs across day boundaries
+    * (same state on both sides of midnight collapses) and numbers the
+    * intervals. The run frame is ≤ one row per state CHANGE plus one
+    * per (user, day) — typically orders of magnitude smaller than the
+    * event log (adversarial every-event-alternates data degrades it to
+    * event-sized, the same documented bound sessionize_split carries).
+    *
+    * Output ≡ [[scd2History]] bit-for-bit (same oracle SQL; spec pins
+    * equality plus a planted midnight-straddling run), so the two
+    * entries are interchangeable — this one is the production plan
+    * once any user key can flood.
+    */
+  def scd2HistorySplit(t: Tables): DataFrame = {
+    val byTimeInDay = Window
+      .partitionBy(col("user_id"), col("day"))
+      .orderBy(col("ts_sec"), col("event_id"))
+    val runsInDay = t.events
+      .select(col("user_id"), col("ts_sec"), col("event_id"),
+        col("event_type"),
+        expr(s"ts_sec div ${Sequences.RetentionBucketSec}").as("day"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byTimeInDay))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(byTimeInDay
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("day"), col("run"))
+      .agg(min(col("event_type")).as("state"), // constant within a run
+        min(col("ts_sec")).as("from"),
+        count(lit(1)).as("n"))
+    val byRun = Window.partitionBy(col("user_id"))
+      .orderBy(col("day"), col("run"))
+    val merged = runsInDay
+      .withColumn("pstate", lag(col("state"), 1).over(byRun))
+      .withColumn("chg2",
+        when(col("pstate").isNull || col("pstate") =!= col("state"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg2")).over(byRun
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("state")).as("state"),
+        min(col("from")).as("valid_from"),
+        sum(col("n")).as("n_events"))
+    val byVersion = Window.partitionBy(col("user_id"))
+      .orderBy(col("version"))
+    merged
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   def scd2HistorySql: String =
     """WITH e AS (
       |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,

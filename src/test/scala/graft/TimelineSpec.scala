@@ -120,6 +120,70 @@ class TimelineSpec extends SparkSpec {
     }
   }
 
+  test("scd2_history_split ≡ scd2_history bit-for-bit on the real corpus") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5))
+    val base = Timeline.scd2History(tables).collect().map(key).toSeq
+    val split = Timeline.scd2HistorySplit(tables).collect().map(key).toSeq
+    assert(split == base,
+      s"split plan diverges from the baseline " +
+        s"(got ${split.length}, want ${base.length})")
+  }
+
+  test("scd2_history_split: midnight-straddling runs merge across days") {
+    // planted: user 1 holds "a" across the day0/day1 boundary (must
+    // collapse to ONE interval even though the first pass closes runs
+    // at midnight), switches to "b" inside day1, holds "b" across the
+    // day1/day2 boundary, and user 2 changes state EXACTLY at midnight
+    import spark.implicits._
+    val D = Sequences.RetentionBucketSec // 86400
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scd2-straddle").toString
+    Seq(
+      (1L, D - 10, 1L, "a"), (2L, D - 5, 1L, "a"), // day0 tail
+      (3L, D + 20, 1L, "a"),                       // day1 head: same run
+      (4L, D + 100, 1L, "b"),                      // change inside day1
+      (5L, 2 * D - 1, 1L, "b"), (6L, 2 * D + 1, 1L, "b"), // straddle again
+      (7L, D - 1, 2L, "x"), (8L, D, 2L, "y")       // change AT midnight
+    ).toDF("event_id", "ts_sec_in", "user_id", "event_type")
+      .selectExpr("event_id", "ts_sec_in * 1000000000 AS ts", "user_id",
+        "event_type", "0.0 AS value", "'' AS props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val t = Tables(spark, dir)
+    val got = Timeline.scd2HistorySplit(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+      .toSeq
+    val want = Seq(
+      (1L, 1L, "a", D - 10, Some(D + 100), 3L),
+      (1L, 2L, "b", D + 100, None, 3L),
+      (2L, 1L, "x", D - 1, Some(D), 1L),
+      (2L, 2L, "y", D, None, 1L))
+    assert(got == want, s"straddle merge wrong:\ngot  $got\nwant $want")
+    // and the split plan still matches the baseline on this corpus
+    val base = Timeline.scd2History(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)), r.getLong(5)))
+      .toSeq
+    assert(got == base, "split ≠ baseline on the planted corpus")
+  }
+
+  test("scd2_history_split plan: event-level window partitions by (user, day)") {
+    val plan = Timeline.scd2HistorySplit(tables)
+      .queryExecution.executedPlan.toString
+    // the whale guarantee: the ONLY event-sized sort keys on
+    // (user_id, day) — a flooded user sorts one day per task; the
+    // per-user windows run over the collapsed run frame
+    val winSpecs = "windowspecdefinition\\(([^)]*)\\)".r
+      .findAllMatchIn(plan.toLowerCase).map(_.group(1)).toSeq
+    assert(winSpecs.nonEmpty, s"no window specs found:\n$plan")
+    val eventLevel = winSpecs.filter(s =>
+      s.contains("user_id") && s.contains("day#") && s.contains("ts_sec"))
+    assert(eventLevel.nonEmpty,
+      s"event-level window must partition by (user_id, day):\n$plan")
+  }
+
   test("report_equidepth_hist ≡ JVM rank model; depths balanced") {
     val got = graft.pipeline.Reports.equidepthHist(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
