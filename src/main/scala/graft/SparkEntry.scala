@@ -209,7 +209,8 @@ object SparkEntry {
     // planner column stats (equi-depth histogram)
     "report_equidepth_hist" -> q(graft.pipeline.Reports.equidepthHist),
     "report_selectivity_est" -> q(graft.pipeline.Reports.selectivityEst),
-    "report_equidepth_merge" -> q(graft.pipeline.Reports.equidepthMerge)
+    "report_equidepth_merge" -> q(graft.pipeline.Reports.equidepthMerge),
+    "report_column_stats" -> q(graft.pipeline.Reports.columnStats)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -399,6 +400,7 @@ object SparkEntry {
     "scd2_history_split" -> Timeline.scd2HistorySql,
     "report_equidepth_hist" -> graft.pipeline.Reports.equidepthHistSql,
     "report_selectivity_est" -> graft.pipeline.Reports.selectivityEstSql,
-    "report_equidepth_merge" -> graft.pipeline.Reports.equidepthMergeSql
+    "report_equidepth_merge" -> graft.pipeline.Reports.equidepthMergeSql,
+    "report_column_stats" -> graft.pipeline.Reports.columnStatsSql
   )
 }

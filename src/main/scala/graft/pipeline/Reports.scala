@@ -720,4 +720,91 @@ object Reports {
        |SELECT j, r AS rank_target, b_est, b_exact
        |FROM est JOIN ex USING (j)
        |ORDER BY j""".stripMargin
+
+  /** ANALYZE-table column statistics — one row per `orders` column:
+    * row count, null count, EXACT distinct count, numeric min/max
+    * (strings NULL), string min/max (numerics NULL), and mean string
+    * width (round6). The per-column summary a planner pairs with the
+    * [[equidepthHist]] value distribution: NDV drives join-cardinality
+    * and group-by estimates, null fraction discounts predicates,
+    * min/max seed range selectivity before a histogram exists, width
+    * feeds row-size and shuffle-volume costing.
+    *
+    * Scale: the naive `COUNT(DISTINCT c1), …, COUNT(DISTINCT ck)`
+    * formulation Expands the fact k× before ONE aggregation — k copies
+    * of the corpus through a single shuffle. Here the fact fans out
+    * map-side (`stack`, a Generate: no shuffle, no materialization)
+    * and collapses IMMEDIATELY to the (column, value, multiplicity)
+    * frame via a partial-aggregated exchange — the same frame NDV,
+    * nulls, bounds, and width all reduce from, so the second
+    * aggregation is over ~NDV-sized input, not the corpus. Exact NDV
+    * in two phases, zero Expand (spec-pinned). Timestamps compare as
+    * UTC epoch seconds; no float arithmetic crosses the oracle
+    * boundary except the round6 width.
+    */
+  def columnStats(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    val stacked = t.orders.selectExpr(
+      """stack(6,
+        |  'o_orderkey',      CAST(o_orderkey AS DOUBLE),  CAST(NULL AS STRING),
+        |  'o_custkey',       CAST(o_custkey AS DOUBLE),   CAST(NULL AS STRING),
+        |  'o_orderstatus',   CAST(NULL AS DOUBLE),        o_orderstatus,
+        |  'o_totalprice',    o_totalprice,                CAST(NULL AS STRING),
+        |  'o_orderdate',     CAST(unix_timestamp(o_orderdate) AS DOUBLE),
+        |                                                  CAST(NULL AS STRING),
+        |  'o_orderpriority', CAST(NULL AS DOUBLE),        o_orderpriority
+        |) AS (col_name, nval, sval)""".stripMargin)
+    val byValue = stacked
+      .groupBy(col("col_name"), col("nval"), col("sval"))
+      .agg(count(lit(1)).as("cnt"))
+    val isNullV = col("nval").isNull && col("sval").isNull
+    val strChars = sum(when(col("sval").isNotNull,
+      length(col("sval")).cast("long") * col("cnt")).otherwise(0L))
+    val strRows = sum(when(col("sval").isNotNull, col("cnt")).otherwise(0L))
+    byValue
+      .groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_rows"),
+        sum(when(isNullV, col("cnt")).otherwise(0L)).as("n_null"),
+        sum(when(!isNullV, 1L).otherwise(0L)).as("ndv"),
+        min(col("nval")).as("min_num"), max(col("nval")).as("max_num"),
+        min(col("sval")).as("min_str"), max(col("sval")).as("max_str"),
+        when(strRows > 0,
+          round6(strChars.cast("double") / strRows.cast("double")))
+          .as("avg_len6"))
+      .orderBy(col("col_name"))
+  }
+
+  def columnStatsSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH st AS (
+       |  SELECT 'o_orderkey' AS col_name,
+       |    CAST(o_orderkey AS DOUBLE) AS nval, NULL::VARCHAR AS sval
+       |  FROM orders
+       |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS DOUBLE), NULL
+       |  FROM orders
+       |  UNION ALL SELECT 'o_orderstatus', NULL, o_orderstatus FROM orders
+       |  UNION ALL SELECT 'o_totalprice', o_totalprice, NULL FROM orders
+       |  UNION ALL SELECT 'o_orderdate',
+       |    CAST(floor(epoch(o_orderdate)) AS DOUBLE), NULL
+       |  FROM orders
+       |  UNION ALL SELECT 'o_orderpriority', NULL, o_orderpriority
+       |  FROM orders),
+       |g AS (SELECT col_name, nval, sval, COUNT(*)::BIGINT AS cnt
+       |      FROM st GROUP BY 1, 2, 3)
+       |SELECT col_name,
+       |  SUM(cnt)::BIGINT AS n_rows,
+       |  SUM(CASE WHEN nval IS NULL AND sval IS NULL THEN cnt ELSE 0 END)
+       |    ::BIGINT AS n_null,
+       |  SUM(CASE WHEN nval IS NOT NULL OR sval IS NOT NULL THEN 1 ELSE 0
+       |      END)::BIGINT AS ndv,
+       |  MIN(nval) AS min_num, MAX(nval) AS max_num,
+       |  MIN(sval) AS min_str, MAX(sval) AS max_str,
+       |  CASE WHEN SUM(CASE WHEN sval IS NOT NULL THEN cnt ELSE 0 END) > 0
+       |    THEN ${round6Sql(
+      "SUM(CASE WHEN sval IS NOT NULL THEN length(sval) * cnt ELSE 0 END)" +
+        "::DOUBLE / SUM(CASE WHEN sval IS NOT NULL THEN cnt ELSE 0 END)" +
+        "::DOUBLE")}
+       |  END AS avg_len6
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 }

@@ -264,4 +264,97 @@ class ReportsSpec extends SparkSpec {
     val ref = graft.functions.Portable.round6Double(est.toDouble / act.toDouble)
     assert(row.getDouble(3) == ref)
   }
+
+  private type ColStat = (String, Long, Long, Long, Option[Double],
+    Option[Double], Option[String], Option[String], Option[Double])
+
+  private def collectColumnStats(t: Tables): Seq[ColStat] =
+    Reports.columnStats(t).collect().toSeq.map(r => (
+      r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+      if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+      Option(r.getString(6)), Option(r.getString(7)),
+      if (r.isNullAt(8)) None else Some(r.getDouble(8))))
+
+  private def modelColumnStats(
+      name: String, vs: Seq[(Option[Double], Option[String])]): ColStat = {
+    import graft.functions.Portable.round6Double
+    val present = vs.filter(v => v._1.nonEmpty || v._2.nonEmpty)
+    val nums = vs.flatMap(_._1)
+    val strs = vs.flatMap(_._2)
+    (name, vs.length.toLong, (vs.length - present.length).toLong,
+      present.distinct.length.toLong,
+      if (nums.nonEmpty) Some(nums.min) else None,
+      if (nums.nonEmpty) Some(nums.max) else None,
+      if (strs.nonEmpty) Some(strs.min) else None,
+      if (strs.nonEmpty) Some(strs.max) else None,
+      if (strs.nonEmpty)
+        Some(round6Double(strs.map(_.length.toLong).sum.toDouble /
+          strs.length))
+      else None)
+  }
+
+  test("report_column_stats ≡ JVM model on the real corpus") {
+    val rows = tables.orders.selectExpr("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice",
+        "CAST(unix_timestamp(o_orderdate) AS DOUBLE) AS ods",
+        "o_orderpriority")
+      .collect()
+    def num(i: Int) = rows.toSeq.map(r =>
+      (if (r.isNullAt(i)) None else Some(r.get(i) match {
+        case l: java.lang.Long => l.toDouble
+        case d: java.lang.Double => d.doubleValue
+      }), Option.empty[String]))
+    def str(i: Int) = rows.toSeq.map(r =>
+      (Option.empty[Double], Option(r.getString(i))))
+    val want = Seq(
+      modelColumnStats("o_custkey", num(1)),
+      modelColumnStats("o_orderdate", num(4)),
+      modelColumnStats("o_orderkey", num(0)),
+      modelColumnStats("o_orderpriority", str(5)),
+      modelColumnStats("o_orderstatus", str(2)),
+      modelColumnStats("o_totalprice", num(3)))
+    val got = collectColumnStats(tables)
+    assert(got == want, s"column stats diverge:\ngot  $got\nwant $want")
+  }
+
+  test("report_column_stats: planted nulls, exact NDV, widths") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_colstats").toString
+    Seq(
+      (1L, Option(10L), "O", 1.5, "2020-01-01 00:00:00", Option("HIGH")),
+      (2L, Option.empty[Long], "O", 2.5, "2020-01-02 00:00:00",
+        Option.empty[String]),
+      (3L, Option(10L), "F", 1.5, "2020-01-01 00:00:00", Option("LOW")))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "od_str", "o_orderpriority")
+      .selectExpr("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "CAST(od_str AS TIMESTAMP) AS o_orderdate",
+        "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val got = collectColumnStats(Tables(spark, dir)).map(s => s._1 -> s).toMap
+    // o_custkey: one null, ONE distinct non-null value
+    assert(got("o_custkey") ==
+      ("o_custkey", 3L, 1L, 1L, Some(10.0), Some(10.0), None, None, None))
+    // o_orderpriority: null + HIGH/LOW; width = (4 + 3) / 2
+    assert(got("o_orderpriority") == ("o_orderpriority", 3L, 1L, 2L,
+      None, None, Some("HIGH"), Some("LOW"), Some(3.5)))
+    assert(got("o_orderstatus") == ("o_orderstatus", 3L, 0L, 2L,
+      None, None, Some("F"), Some("O"), Some(1.0)))
+    assert(got("o_totalprice") == ("o_totalprice", 3L, 0L, 2L,
+      Some(1.5), Some(2.5), None, None, None))
+    assert(got("o_orderkey")._4 == 3L && got("o_orderdate")._4 == 2L)
+  }
+
+  test("report_column_stats plan: map-side stack, two-phase NDV, no Expand") {
+    val plan = physical(Reports.columnStats(tables))
+    // COUNT(DISTINCT c1..ck) would Expand the fact k-fold through one
+    // exchange; the stacked two-phase plan must never contain one
+    assert(!plan.contains("Expand"), s"Expand leaked into ANALYZE:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"ANALYZE must read the fact once, got $scans")
+    assert(plan.contains("Generate"),
+      s"stack should lower to a map-side Generate:\n$plan")
+  }
 }
