@@ -192,6 +192,7 @@ object SparkEntry {
     "corpus_sample_fixed" -> q(graft.pipeline.Mixing.sampleFixed),
     "corpus_sample_quota" -> q(graft.pipeline.Mixing.sampleQuota),
     "corpus_sample_priority" -> q(graft.pipeline.Mixing.samplePriority),
+    "corpus_sample_block" -> q(graft.pipeline.Mixing.sampleBlock),
     // data layout (Z-order clustering + zone-map pruning audit)
     "layout_zorder_stats" -> q(Layout.zorderStats),
     "layout_compare" -> q(Layout.layoutCompare),
@@ -386,6 +387,7 @@ object SparkEntry {
     "corpus_sample_fixed" -> graft.pipeline.Mixing.sampleFixedSql,
     "corpus_sample_quota" -> graft.pipeline.Mixing.sampleQuotaSql,
     "corpus_sample_priority" -> graft.pipeline.Mixing.samplePrioritySql,
+    "corpus_sample_block" -> graft.pipeline.Mixing.sampleBlockSql,
     "layout_zorder_stats" -> Layout.zorderStatsSql,
     "layout_compare" -> Layout.layoutCompareSql,
     "event_rollup_incremental" -> graft.pipeline.Maintenance.eventRollupIncrementalSql,

@@ -810,4 +810,103 @@ object Mixing {
        |  ${round6Sql("GREATEST(n_chars::DOUBLE, tv)")} AS est6
        |FROM sel, tau ORDER BY doc_id""".stripMargin
   }
+
+  /** Block-sampling inverse rate: shards whose identity coin clears
+    * 1/[[BlockDiv]] are read; every sampled row weighs [[BlockDiv]].
+    */
+  val BlockDiv = 4
+
+  /** Shard coin for [[sampleBlock]]: uniform from SHARD identity (own
+    * seed namespace) — every doc in a shard shares one coin, so the
+    * sample is a union of whole shards.
+    */
+  private def shardCoin(shard: Column): Column =
+    conv(substring(md5(concat(lit("blk|"), shard.cast("string"))), 1, 8),
+      16, 10).cast("double") / lit(4294967296.0)
+
+  private def shardCoinSql(shard: String): String =
+    s"(('0x' || substr(md5('blk|' || CAST($shard AS VARCHAR)), 1, 8))::BIGINT / 4294967296.0)"
+
+  /** BLOCK (cluster) sampling audit — the corpus-statistics shape that
+    * actually scales to 100 TB: row-Bernoulli sampling touches every
+    * file (the coin is per ROW, so no block can be skipped), while
+    * block sampling keeps whole shards whose IDENTITY coin clears
+    * 1/[[BlockDiv]] and reads nothing else — on a shard-partitioned
+    * layout the unselected ~¾ of the corpus is pruned at the manifest,
+    * IO proportional to the sampling rate. Every kept row carries the
+    * Horvitz-Thompson weight [[BlockDiv]] (inclusion probability
+    * 1/[[BlockDiv]], an exact integer — no float weight arithmetic).
+    *
+    * This table is the ESTIMATOR'S AUDIT, so it deliberately reads the
+    * unsampled remainder too: per source, the shards/docs/chars the
+    * sample kept, the weighted estimates (sampled × [[BlockDiv]]),
+    * the true totals, and the round6 est/exact ratios. The ratio
+    * spread across sources is the clustering penalty a design doc
+    * cites when choosing block over row sampling (rows within a shard
+    * are correlated; variance grows with intra-shard homogeneity —
+    * Cochran's classic cluster-sampling tradeoff). The production
+    * sample is the same map-side predicate WITHOUT the exact side.
+    *
+    * Scale: ONE fact scan collapsing map-side to the (source, shard,
+    * sel) frame (≤ |sources|·[[Reports.NumShards]]·2 groups — the
+    * two-phase discipline: shard counting never needs a distinct
+    * aggregation because shard is already a group key), then a
+    * |sources|-row reduction. No Expand, no Window, no second scan
+    * (spec-pinned).
+    */
+  def sampleBlock(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6
+    val perCell = t.documents
+      .select(col("source"), Reports.shardOf(col("doc_id")).as("shard"),
+        col("n_chars"))
+      .withColumn("sel", shardCoin(col("shard")) < lit(1.0 / BlockDiv))
+      .groupBy(col("source"), col("shard"), col("sel"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+    val selN = sum(when(col("sel"), col("n")).otherwise(0L))
+    val selChars = sum(when(col("sel"), col("chars")).otherwise(0L))
+    perCell
+      .groupBy(col("source"))
+      .agg(sum(when(col("sel"), 1L).otherwise(0L)).as("n_shards_sel"),
+        selN.as("n_docs_sampled"),
+        (selN * lit(BlockDiv.toLong)).as("est_docs"),
+        sum(col("n")).as("exact_docs"),
+        (selChars * lit(BlockDiv.toLong)).as("est_chars"),
+        sum(col("chars")).as("exact_chars"))
+      .withColumn("docs_ratio6",
+        round6(col("est_docs").cast("double") /
+          col("exact_docs").cast("double")))
+      .withColumn("chars_ratio6",
+        round6(col("est_chars").cast("double") /
+          col("exact_chars").cast("double")))
+      .orderBy(col("source"))
+  }
+
+  def sampleBlockSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH d AS (SELECT source, ${Reports.shardOfSql} AS shard, n_chars
+       |           FROM documents),
+       |c AS (SELECT source, shard,
+       |        ${shardCoinSql("shard")} < ${1.0 / BlockDiv} AS sel,
+       |        COUNT(*)::BIGINT AS n, SUM(n_chars)::BIGINT AS chars
+       |      FROM d GROUP BY 1, 2, 3),
+       |s AS (SELECT source,
+       |        SUM(CASE WHEN sel THEN 1 ELSE 0 END)::BIGINT
+       |          AS n_shards_sel,
+       |        SUM(CASE WHEN sel THEN n ELSE 0 END)::BIGINT
+       |          AS n_docs_sampled,
+       |        (SUM(CASE WHEN sel THEN n ELSE 0 END) * $BlockDiv)::BIGINT
+       |          AS est_docs,
+       |        SUM(n)::BIGINT AS exact_docs,
+       |        (SUM(CASE WHEN sel THEN chars ELSE 0 END) * $BlockDiv)
+       |          ::BIGINT AS est_chars,
+       |        SUM(chars)::BIGINT AS exact_chars
+       |      FROM c GROUP BY 1)
+       |SELECT source, n_shards_sel, n_docs_sampled, est_docs, exact_docs,
+       |  est_chars, exact_chars,
+       |  ${round6Sql("est_docs::DOUBLE / exact_docs::DOUBLE")}
+       |    AS docs_ratio6,
+       |  ${round6Sql("est_chars::DOUBLE / exact_chars::DOUBLE")}
+       |    AS chars_ratio6
+       |FROM s ORDER BY source""".stripMargin
+  }
 }

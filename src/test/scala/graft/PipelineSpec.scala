@@ -543,4 +543,67 @@ class PipelineSpec extends SparkSpec {
     assert(meanSample > meanCorpus,
       s"weighting had no effect: sample mean $meanSample vs $meanCorpus")
   }
+
+  test("mix: block sample audit ≡ JVM cluster model; weights exact integers") {
+    import graft.pipeline.Mixing
+    import graft.functions.Portable.round6Double
+    import org.apache.spark.sql.functions._
+    val got = Mixing.sampleBlock(tables).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7),
+        r.getDouble(8)))
+
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def shardOf(id: Long): Int =
+      Integer.parseInt(md5hex(s"shard|$id").take(1), 16)
+    def shardSel(s: Int): Boolean =
+      java.lang.Long.parseLong(md5hex(s"blk|$s").take(8), 16).toDouble /
+        4294967296.0 < 1.0 / Mixing.BlockDiv
+    val selSet = (0 until graft.pipeline.Reports.NumShards)
+      .filter(shardSel).toSet
+    // the whole point of an identity coin: the kept shard set is a
+    // GLOBAL constant, not per-source — every source reads the same ~¼
+    assert(selSet.nonEmpty &&
+      selSet.size < graft.pipeline.Reports.NumShards,
+      s"degenerate shard selection $selSet")
+
+    val docs = tables.documents
+      .select(col("doc_id"), col("source"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = docs.groupBy(_._2).toSeq.sortBy(_._1).map { case (src, ds) =>
+      val cells = ds.groupBy(d => shardOf(d._1))
+      val selCells = cells.filter(c => selSet.contains(c._1))
+      val (sn, sc) = (selCells.values.map(_.length.toLong).sum,
+        selCells.values.map(_.map(_._3).sum).sum)
+      val (en, ec) = (ds.length.toLong, ds.map(_._3).sum)
+      (src, selCells.size.toLong, sn, sn * Mixing.BlockDiv, en,
+        sc * Mixing.BlockDiv, ec,
+        round6Double(sn.toDouble * Mixing.BlockDiv / en.toDouble),
+        round6Double(sc.toDouble * Mixing.BlockDiv / ec.toDouble))
+    }
+    assert(got.toSeq == want, s"block audit diverges:\ngot  ${got.toSeq}\nwant $want")
+    // estimator sanity: per-source ratios live in [0, BlockDiv] by
+    // construction (a tiny source CAN land 0.48 or 1.6 — that spread
+    // IS the cluster-variance penalty the scaladoc documents); the
+    // POOLED corpus estimate is what must land near 1
+    got.foreach { case (src, _, _, _, _, _, _, dr, _) =>
+      assert(dr >= 0.0 && dr <= Mixing.BlockDiv.toDouble,
+        s"$src doc ratio $dr outside the possible range")
+    }
+    val pooled = got.map(_._4).sum.toDouble / got.map(_._5).sum.toDouble
+    assert(pooled > 0.5 && pooled < 2.0,
+      s"pooled corpus estimate ratio $pooled outside the 2x band")
+  }
+
+  test("mix: block sample plan — one scan, no Expand, no Window") {
+    val plan = graft.pipeline.Mixing.sampleBlock(tables)
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"audit must read the corpus once, got $scans")
+    assert(!plan.contains("Expand"),
+      s"shard counting must not need a distinct Expand:\n$plan")
+    assert(!plan.contains("Window"), s"no Window belongs here:\n$plan")
+  }
 }
