@@ -197,6 +197,7 @@ object SparkEntry {
     "layout_zorder_stats" -> q(Layout.zorderStats),
     "layout_compare" -> q(Layout.layoutCompare),
     "layout_bloom_skip" -> q(Layout.layoutBloomSkip),
+    "layout_hilbert_compare" -> q(Layout.layoutHilbertCompare),
     // warehouse maintenance (incremental rollup, compaction planning)
     "event_rollup_incremental" -> q(graft.pipeline.Maintenance.eventRollupIncremental),
     "compaction_plan" -> q(graft.pipeline.Maintenance.compactionPlan),
@@ -397,6 +398,7 @@ object SparkEntry {
     "corpus_refresh_merge_bucketed" ->
       graft.pipeline.Maintenance.corpusRefreshMergeSql,
     "layout_bloom_skip" -> Layout.layoutBloomSkipSql,
+    "layout_hilbert_compare" -> Layout.layoutHilbertCompareSql,
     "event_gapfill" -> Timeline.eventGapfillSql,
     "scd2_history" -> Timeline.scd2HistorySql,
     "scd2_history_split" -> Timeline.scd2HistorySql,

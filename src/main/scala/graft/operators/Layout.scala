@@ -295,4 +295,179 @@ object Layout {
        |  JOIN bop USING (shard)
        |ORDER BY shard""".stripMargin
   }
+
+  /** Shard count for the Hilbert bake-off — deliberately NOT a power
+    * of 4: at power-of-4 segment sizes both curves tile the grid into
+    * identical axis-aligned squares and the comparison is vacuous
+    * (measured: 16 shards → both 0.250 on both dims). Off the
+    * power-of-4 grid, Z-order's bit interleave favors the dimension
+    * holding the higher bit while Hilbert's rotational recursion stays
+    * isotropic — the difference this table exists to show.
+    */
+  val HcShards = 12
+
+  /** Grid side for the curve helpers: 2^[[ZBits]]. */
+  val HGrid: Int = 1 << ZBits
+
+  /** Hilbert xy→d on the [[HGrid]]² grid — the public-domain
+    * Wikipedia/Warren recurrence (mask-test, quadrant digit, reflect +
+    * transpose), pure integer JVM arithmetic. The spec pins the two
+    * defining properties (bijective onto 0..n²−1, consecutive indices
+    * are grid neighbors), so this is a genuine Hilbert curve, not a
+    * curve-like hash.
+    */
+  def hilbertIndex(x0: Int, y0: Int): Int = {
+    var (x, y, d) = (x0, y0, 0)
+    var s = HGrid / 2
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1 else 0
+      val ry = if ((y & s) > 0) 1 else 0
+      d += s * s * (if (ry > 0) { if (rx > 0) 2 else 1 }
+        else { if (rx > 0) 3 else 0 })
+      if (ry == 0) {
+        if (rx == 1) { x = HGrid - 1 - x; y = HGrid - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s /= 2
+    }
+    d
+  }
+
+  /** JVM twin of [[zInterleave]] (u odd bits, d even). */
+  def mortonIndex(u: Int, d: Int): Int =
+    (0 until ZBits).map { i =>
+      (((u >> i) & 1) << (2 * i + 1)) + (((d >> i) & 1) << (2 * i))
+    }.sum
+
+  /** One Hilbert recurrence step as a generated SQL CTE — the same
+    * mask/quadrant/reflect arithmetic as [[hilbertIndex]], unrolled so
+    * the oracle carries no procedural code.
+    */
+  private def hilbertSqlSteps(steps: Seq[Int]): String =
+    steps.zipWithIndex.map { case (s, i) =>
+      val f = HGrid - 1
+      s"""h${i + 1} AS (SELECT un, dn, cnt,
+         |  CASE WHEN (hy & $s) = 0 THEN
+         |    CASE WHEN (hx & $s) > 0 THEN $f - hy ELSE hy END
+         |  ELSE hx END AS hx,
+         |  CASE WHEN (hy & $s) = 0 THEN
+         |    CASE WHEN (hx & $s) > 0 THEN $f - hx ELSE hx END
+         |  ELSE hy END AS hy,
+         |  hd + ${s * s} * (CASE WHEN (hy & $s) > 0 THEN
+         |    CASE WHEN (hx & $s) > 0 THEN 2 ELSE 1 END
+         |  ELSE CASE WHEN (hx & $s) > 0 THEN 3 ELSE 0 END END) AS hd
+         |FROM h$i)""".stripMargin
+    }.mkString(",\n")
+
+  /** Hilbert vs Z-order, measured — the follow-up [[layoutCompare]]
+    * begs: both curves cut into [[HcShards]] EQUI-POPULATED segments
+    * (what a writer actually produces: equal-row files from the
+    * curve-sorted stream, boundaries from the cumulative row count —
+    * not the equal-KEY-RANGE cut of `z div 64`, which at power-of-4
+    * sizes makes the two curves identical tilings), zone maps per
+    * shard at cell resolution, the same every-present-value probe
+    * model on both dims. Output: (layout, dim, n_shards, n_probes,
+    * hits, scan_frac6) — 4 rows. Measured on this corpus: Z-order's
+    * worst dimension reads ~0.51 of shards per probe while Hilbert
+    * reads ~0.36 on BOTH (spec-pinned ≤): the one-bit-order asymmetry
+    * of Morton interleave is real IO at 100 TB, and isotropy is what
+    * you buy with the strictly-more-expensive Hilbert write.
+    *
+    * Scale: ONE distributed aggregation collapses the corpus to the
+    * ≤2^(2·[[ZBits]])-cell multiplicity frame — 1024 rows REGARDLESS
+    * of corpus size — which the driver then walks with exact integer
+    * arithmetic (curve keys, cumulative cut, zone maps, probe hits):
+    * the eventGapfill bounded-collect discipline; nothing downstream
+    * of the one scan is corpus-sized. The oracle replays the identical
+    * arithmetic in SQL (generated unrolled Hilbert CTEs, window ranks
+    * over the 1024-row frame).
+    */
+  def layoutHilbertCompare(t: Tables): DataFrame = {
+    import graft.functions.Portable.round6Double
+    val spark = t.spark
+    import spark.implicits._
+    val cells = zFrame(t)
+      .groupBy(col("un"), col("dn")).agg(count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getLong(2)))
+    val tot = cells.map(_._3).sum
+    val probesU = cells.map(_._1).distinct.sorted
+    val probesD = cells.map(_._2).distinct.sorted
+    val report = Seq(
+      "hilbert" -> ((u: Int, d: Int) => hilbertIndex(u, d)),
+      "zorder" -> ((u: Int, d: Int) => mortonIndex(u, d)))
+      .flatMap { case (layout, keyOf) =>
+        val sorted = cells.map { case (u, d, c) => (keyOf(u, d), u, d, c) }
+          .sortBy(_._1)
+        var cum = 0L
+        val zones = scala.collection.mutable.Map
+          .empty[Long, (Int, Int, Int, Int)]
+        sorted.foreach { case (_, u, d, c) =>
+          val sh = cum * HcShards / tot
+          val z = zones.getOrElse(sh, (u, u, d, d))
+          zones(sh) = (math.min(z._1, u), math.max(z._2, u),
+            math.min(z._3, d), math.max(z._4, d))
+          cum += c
+        }
+        val nShards = zones.size.toLong
+        def frac(hits: Long, probes: Int) =
+          round6Double(hits.toDouble / (probes.toDouble * nShards))
+        val hitsU = zones.values.map(z =>
+          probesU.count(p => p >= z._1 && p <= z._2).toLong).sum
+        val hitsD = zones.values.map(z =>
+          probesD.count(p => p >= z._3 && p <= z._4).toLong).sum
+        Seq(
+          (layout, "day", nShards, probesD.length.toLong, hitsD,
+            frac(hitsD, probesD.length)),
+          (layout, "user", nShards, probesU.length.toLong, hitsU,
+            frac(hitsU, probesU.length)))
+      }
+      .sortBy(r => (r._1, r._2))
+    report.toDF("layout", "dim", "n_shards", "n_probes", "hits",
+      "scan_frac6")
+  }
+
+  def layoutHilbertCompareSql: String = {
+    import graft.functions.Portable.round6Sql
+    val steps = Iterator.iterate(HGrid / 2)(_ / 2).takeWhile(_ > 0).toSeq
+    s"""WITH $zFrameSql,
+       |cells AS (SELECT un, dn, COUNT(*)::BIGINT AS cnt
+       |          FROM z GROUP BY 1, 2),
+       |h0 AS (SELECT un, dn, cnt, un AS hx, dn AS hy, 0 AS hd
+       |       FROM cells),
+       |${hilbertSqlSteps(steps)},
+       |l AS (SELECT 'zorder' AS layout, un, dn, cnt,
+       |        ${zInterleaveSql("un", "dn")} AS ck FROM cells
+       |      UNION ALL
+       |      SELECT 'hilbert', un, dn, cnt, hd FROM h${steps.length}),
+       |r AS (SELECT layout, un, dn,
+       |        SUM(cnt) OVER (PARTITION BY layout ORDER BY ck
+       |          ROWS UNBOUNDED PRECEDING) - cnt AS cumstart,
+       |        SUM(cnt) OVER (PARTITION BY layout) AS tot
+       |      FROM l),
+       |sh AS (SELECT layout, (cumstart * $HcShards) // tot AS shard,
+       |         un, dn FROM r),
+       |zm AS (SELECT layout, shard, MIN(un) min_un, MAX(un) max_un,
+       |         MIN(dn) min_dn, MAX(dn) max_dn FROM sh GROUP BY 1, 2),
+       |ns AS (SELECT layout, COUNT(*)::BIGINT AS n_shards
+       |       FROM zm GROUP BY 1),
+       |pu AS (SELECT DISTINCT un AS p FROM cells),
+       |pd AS (SELECT DISTINCT dn AS p FROM cells),
+       |cu AS (SELECT layout, COUNT(*)::BIGINT AS hits FROM zm
+       |       JOIN pu ON p BETWEEN min_un AND max_un GROUP BY 1),
+       |cd AS (SELECT layout, COUNT(*)::BIGINT AS hits FROM zm
+       |       JOIN pd ON p BETWEEN min_dn AND max_dn GROUP BY 1)
+       |SELECT layout, 'day' AS dim, n_shards,
+       |  (SELECT COUNT(*) FROM pd)::BIGINT AS n_probes, hits,
+       |  ${round6Sql("hits::DOUBLE / ((SELECT COUNT(*) FROM pd)::DOUBLE" +
+      " * n_shards::DOUBLE)")} AS scan_frac6
+       |FROM cd JOIN ns USING (layout)
+       |UNION ALL
+       |SELECT layout, 'user', n_shards,
+       |  (SELECT COUNT(*) FROM pu)::BIGINT, hits,
+       |  ${round6Sql("hits::DOUBLE / ((SELECT COUNT(*) FROM pu)::DOUBLE" +
+      " * n_shards::DOUBLE)")}
+       |FROM cu JOIN ns USING (layout)
+       |ORDER BY layout, dim""".stripMargin
+  }
 }

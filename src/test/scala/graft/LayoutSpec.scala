@@ -150,4 +150,50 @@ class LayoutSpec extends SparkSpec {
       assert(nUsers <= bp && bp <= math.min(zp, blp), s"shard $s bounds")
     }
   }
+
+  test("hilbertIndex is a genuine Hilbert curve: bijective and unit-adjacent") {
+    val n = Layout.HGrid
+    val cells = (for { x <- 0 until n; y <- 0 until n }
+      yield Layout.hilbertIndex(x, y) -> (x, y)).toMap
+    assert(cells.size == n * n, "xy→d must be a bijection onto 0..n²−1")
+    assert(cells.keySet == (0 until n * n).toSet, "indices must cover the range")
+    (0 until n * n - 1).foreach { d =>
+      val ((x1, y1), (x2, y2)) = (cells(d), cells(d + 1))
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"d=$d: consecutive cells ($x1,$y1)→($x2,$y2) must be neighbors")
+    }
+    // morton sanity: also bijective (it interleaves 2·ZBits bits)
+    val ms = (for { x <- 0 until n; y <- 0 until n }
+      yield Layout.mortonIndex(x, y)).toSet
+    assert(ms == (0 until n * n).toSet)
+  }
+
+  test("layout_hilbert_compare ≡ equal-cut model; every shard budget holds") {
+    val got = Layout.layoutHilbertCompare(tables).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.length == 4)
+    assert(got.map(r => (r._1, r._2)).toSeq == Seq(
+      ("hilbert", "day"), ("hilbert", "user"),
+      ("zorder", "day"), ("zorder", "user")))
+    got.foreach { case (lay, dim, ns, np, hits, f6) =>
+      assert(ns >= 1 && ns <= Layout.HcShards, s"$lay shard budget")
+      // every probe hits ≥1 shard (its own) and ≤ all of them
+      assert(hits >= np && hits <= np * ns, s"$lay/$dim hits bound")
+      val ref = graft.functions.Portable.round6Double(
+        hits.toDouble / (np.toDouble * ns))
+      assert(f6 == ref, s"$lay/$dim frac must be the round6 quotient")
+    }
+  }
+
+  test("hilbert isotropy: worst-dimension scan fraction beats zorder's") {
+    val got = Layout.layoutHilbertCompare(tables).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getDouble(5)))
+    def worst(lay: String) = got.filter(_._1 == lay).map(_._3).max
+    // the table's reason to exist: Morton's bit-order asymmetry makes
+    // one dimension pay ~0.5 while Hilbert stays ~0.36 on both
+    // (measured at sf0.001/0.01/0.1 before pinning)
+    assert(worst("hilbert") <= worst("zorder"),
+      s"hilbert worst ${worst("hilbert")} vs zorder ${worst("zorder")}")
+  }
 }
