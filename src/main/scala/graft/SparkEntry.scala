@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_minhash_verified_salted" -> q(Dedup.dedupMinhashVerifiedSalted),
     "dedup_pair_evidence" -> q(Dedup.dedupPairEvidence),
     "dedup_clusters" -> q(Dedup.nearDupClusters),
+    "dedup_cluster_rank" -> q(Dedup.clusterRank),
     "dedup_clusters_delta" -> q(Dedup.nearDupClustersDelta),
     "dedup_simhash" -> q(t => Dedup.dedupSimhash(t)),
     "dedup_simhash_mat" -> q(Dedup.dedupSimhashMat),
@@ -287,6 +288,7 @@ object SparkEntry {
     "dedup_minhash_verified_salted" -> Dedup.dedupMinhashVerifiedSql,
     "dedup_pair_evidence" -> Dedup.dedupPairEvidenceSql,
     "dedup_clusters" -> Dedup.nearDupClustersSql,
+    "dedup_cluster_rank" -> Dedup.clusterRankSql,
     "dedup_clusters_delta" -> Dedup.nearDupClustersDeltaSql,
     "dedup_simhash" -> Dedup.dedupSimhashSql,
     "dedup_simhash_mat" -> Dedup.dedupSimhashSql,

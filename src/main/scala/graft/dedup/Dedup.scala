@@ -1289,6 +1289,121 @@ object Dedup {
        |  COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
 
+  /** Power-iteration rounds for [[clusterRank]] — FIXED, part of the
+    * operator's definition (both engines unroll exactly this many),
+    * and enough to separate centers from leaves in near-dup clusters
+    * (diameter is small; scores stabilize in a few rounds).
+    */
+  val RankIters = 5
+
+  /** Teleport mass per node in millionths (0.15) and the damping
+    * numerator (0.85 as 85/100) — the standard PageRank constants in
+    * exact integer arithmetic.
+    */
+  val RankBase = 150000L
+  val RankDampNum = 85L
+
+  /** PageRank CENTRALITY over the verified near-dup graph — which doc
+    * should REPRESENT its cluster. Min-id keepers ([[nearDupClusters]])
+    * are deterministic but arbitrary; quality keepers
+    * ([[clusterQualityKeepers]]) need a score column; centrality is the
+    * graph's own answer: the doc most connected to everything else in
+    * its cluster (the canonical version a chain of edits degrades away
+    * from) accumulates the most rank. Output: every graph doc with its
+    * cluster label, fixed-point rank, and `central` = it is its
+    * cluster's argmax (ties to the smaller id) — the representative a
+    * takedown/browse/sample UI should show.
+    *
+    * The iteration is the unnormalized power method with uniform
+    * teleport: pr₀ = 10⁶; prₖ₊₁(v) = [[RankBase]] +
+    * (85·Σ_{u∼v} prₖ(u) div deg(u)) div 100 — EXACT integer arithmetic
+    * (per-neighbor integer division, then an associative integer sum),
+    * so both engines produce bit-identical scores; [[RankIters]]
+    * rounds are part of the operator definition, and the oracle
+    * unrolls exactly that many generated CTE passes over the same
+    * `ver` edges.
+    *
+    * Scale: each round is ONE hash join of the node-sized score frame
+    * against the edge-sized adjacency (shuffle keyed on src) and one
+    * dst-keyed partial-aggregated sum — no corpus-sized anything (the
+    * graph is a vanishing fraction of the corpus by the candidate
+    * caps). Edges persist across rounds; per-round scores are eagerly
+    * localCheckpoint'ed (the [[clusterKeepers]] plan-truncation
+    * discipline — five self-referencing rounds would otherwise stack
+    * an exponential logical plan). The final window partitions by
+    * cluster — bounded by the largest near-dup cluster, never the
+    * corpus.
+    */
+  def clusterRank(t: Tables): DataFrame =
+    clustersCache.computeIfAbsent((t, "rank"), _ => {
+      val labels = nearDupClusters(t)
+        .select(col("doc_id"), col("keeper_id"))
+      val scores = rankScoresFrom(
+        verifiedPairsUnsorted(t).select(col("doc_a"), col("doc_b")))
+      val byCluster = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("keeper_id"))
+        .orderBy(col("pr_fp").desc, col("doc_id"))
+      labels
+        .join(scores, col("doc_id") === col("node"))
+        .select(col("doc_id"), col("keeper_id"), col("pr_fp"))
+        .withColumn("central",
+          row_number().over(byCluster) === 1)
+        .orderBy(col("doc_id"))
+    })
+
+  /** The fixed-point power iteration on an undirected edge list —
+    * (node, pr_fp) after [[RankIters]] rounds.
+    */
+  private[graft] def rankScoresFrom(edges0: DataFrame): DataFrame = {
+    val sym = edges0
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(edges0.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val adj = sym
+      .join(sym.groupBy(col("src")).agg(count(lit(1)).as("deg")),
+        Seq("src"))
+      .persist()
+    var scores = adj.select(col("src").as("node")).distinct()
+      .withColumn("pr_fp", lit(1000000L))
+      .localCheckpoint()
+    (1 to RankIters).foreach { _ =>
+      scores = adj
+        .join(scores.select(col("node").as("src"), col("pr_fp")),
+          Seq("src"))
+        .select(col("dst"), expr("pr_fp div deg").as("contrib"))
+        .groupBy(col("dst"))
+        .agg(sum(col("contrib")).as("m"))
+        .select(col("dst").as("node"),
+          (lit(RankBase) + expr(s"($RankDampNum * m) div 100"))
+            .as("pr_fp"))
+        .localCheckpoint()
+    }
+    adj.unpersist(false)
+    scores
+  }
+
+  def clusterRankSql: String = {
+    val prCtes = (1 to RankIters).map { i =>
+      s"""p$i AS (SELECT dst AS node,
+         |  ($RankBase + ($RankDampNum * SUM(pr // deg)) // 100)::BIGINT
+         |    AS pr
+         |FROM adj JOIN p${i - 1} ON p${i - 1}.node = adj.src
+         |GROUP BY dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $verifiedPairCtes,
+       |$clusterLabCtes,
+       |sym AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+       |        UNION ALL SELECT doc_b, doc_a FROM ver),
+       |dg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM sym GROUP BY 1),
+       |adj AS (SELECT s.src, s.dst, d.deg FROM sym s JOIN dg d USING (src)),
+       |p0 AS (SELECT src AS node, 1000000::BIGINT AS pr FROM dg),
+       |$prCtes
+       |SELECT l.doc_id, l.keeper_id, p.pr AS pr_fp,
+       |  (row_number() OVER (PARTITION BY l.keeper_id
+       |    ORDER BY p.pr DESC, l.doc_id) = 1) AS central
+       |FROM lab l JOIN p$RankIters p ON p.node = l.doc_id
+       |ORDER BY l.doc_id""".stripMargin
+  }
+
   /** SOFT dedup — the loss-reweighting alternative to dropping: one
     * surviving representative per full-dedup class (exact classes
     * collapsed to their keeper, then near-dup CLUSTERS of keepers
