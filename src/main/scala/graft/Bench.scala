@@ -77,11 +77,21 @@ object Bench {
     //   3. a final contract line small enough to survive the tail
     //      whole: total + the 40 slowest queries + a pointer.
     println(full)
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_FULL.json"),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] BENCH_FULL.json write failed: $e") }
+    // resolve against the repo root, not the JVM cwd — run from
+    // anywhere the artifact must land where the driver commit looks
+    // for it (ADVICE r13); fall back to cwd only when the marker is
+    // absent, and always print the ABSOLUTE path written
+    val root = Seq(sys.env.getOrElse("GRAFT_REPO_DIR", ""), ".")
+      .filter(_.nonEmpty)
+      .map(java.nio.file.Paths.get(_).toAbsolutePath.normalize)
+      .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      .getOrElse(java.nio.file.Paths.get(".").toAbsolutePath.normalize)
+    val artifact = root.resolve("BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(artifact, (full + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] wrote $artifact")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] $artifact write failed: $e") }
     val slowest = results.toSeq.sortBy(-_._2).take(40)
       .map { case (k, v) => k -> math.rint(v * 1000) / 1000 }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(slowest)},"n_queries":${results.size},"queries_full":"BENCH_FULL.json","mp_pairs":$mpPairs,"sf":"$sfDir"}""")

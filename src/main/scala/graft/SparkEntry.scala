@@ -213,7 +213,8 @@ object SparkEntry {
     "report_equidepth_hist" -> q(graft.pipeline.Reports.equidepthHist),
     "report_selectivity_est" -> q(graft.pipeline.Reports.selectivityEst),
     "report_equidepth_merge" -> q(graft.pipeline.Reports.equidepthMerge),
-    "report_column_stats" -> q(graft.pipeline.Reports.columnStats)
+    "report_column_stats" -> q(graft.pipeline.Reports.columnStats),
+    "plan_join_decisions" -> q(graft.pipeline.Planner.joinDecisions)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -407,6 +408,7 @@ object SparkEntry {
     "report_equidepth_hist" -> graft.pipeline.Reports.equidepthHistSql,
     "report_selectivity_est" -> graft.pipeline.Reports.selectivityEstSql,
     "report_equidepth_merge" -> graft.pipeline.Reports.equidepthMergeSql,
-    "report_column_stats" -> graft.pipeline.Reports.columnStatsSql
+    "report_column_stats" -> graft.pipeline.Reports.columnStatsSql,
+    "plan_join_decisions" -> graft.pipeline.Planner.joinDecisionsSql
   )
 }

@@ -1024,7 +1024,8 @@ object Dedup {
     val corpora = t +: alsoKeep
     val parquetStores = Seq(KeeperIdsStore, ShinglesStore,
       KeeperShinglesStore, SimhashStore, EvalCorpusStore,
-      graft.pipeline.Mixing.LmScoresStore)
+      graft.pipeline.Mixing.LmScoresStore,
+      graft.pipeline.Reports.EqdBoundsStore)
     val reapedDirs = parquetStores.flatMap { s =>
       Materialize.reapStale(t.spark, s.prefix, corpora.map(s.tag).toSet)
     }

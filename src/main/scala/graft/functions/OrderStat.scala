@@ -46,6 +46,20 @@ object OrderStat {
     import spark.implicits._
     require(targets.nonEmpty, "no rank targets")
 
+    // the multiplicity frame is re-joined every narrowing round (plus
+    // the seed aggregate) — persist it for the loop's lifetime so the
+    // upstream corpus scan + groupBy runs ONCE, not O(log_Bins n)
+    // times (the rankScoresFrom adjacency discipline, Dedup.scala)
+    val pinned = counts.persist()
+    try valuesAtDescRanksPinned(pinned, targets)
+    finally pinned.unpersist(false)
+  }
+
+  private def valuesAtDescRanksPinned(counts: DataFrame,
+                                      targets: Seq[RankTarget]): Map[RankTarget, Double] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+
     // seed ranges from one per-group aggregate (also validates ranks)
     val stats = counts.groupBy(col("g"))
       .agg(sum(col("cnt")).as("n"), min(col("v")).as("lo"),

@@ -54,6 +54,19 @@ object Timeline {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     val d0 = perType.map(_._2).min
     val d1 = perType.map(_._3).max
+    // the spine is DRIVER LITERALS — calendar-sized only while the
+    // corpus timestamps are sane. One stray far-past/far-future event
+    // (or an unbounded type universe) would inflate the literal
+    // LocalTableScan without bound, so the bound is ENFORCED, not
+    // assumed: fail loudly naming the offender instead of OOMing the
+    // driver (ADVICE r13). 50k days ≈ 137 years; 2M rows ≈ tens of MB
+    // of literals, far above any sane calendar × type product.
+    require(d1 - d0 < 50000L,
+      s"eventGapfill spine span ${d1 - d0} days (buckets $d0..$d1) — " +
+        "a stray timestamp poisons the calendar; clean ts_sec first")
+    require(perType.length.toLong * (d1 - d0 + 1) <= 2000000L,
+      s"eventGapfill spine ${perType.length} types x ${d1 - d0 + 1} days " +
+        "exceeds the driver-literal budget; gap-fill per type cohort")
     val spine = perType.map(_._1).sorted
       .flatMap(ty => (d0 to d1).map(d => (ty, d)))
       .toSeq.toDF("event_type", "day")

@@ -2537,6 +2537,42 @@ object Jobs {
       */
     final case class GapState(lastClosed: Long, counts: Map[Long, Long])
 
+    /** One micro-batch's event fold for a type — ORDER-INDEPENDENT.
+      * fMGWS gives no within-group iteration order, so the spine
+      * start must come from the batch MINIMUM day, never the
+      * first-iterated event (a {5,3} batch iterating 5 first would
+      * otherwise pin lastClosed=4 and silently drop day 3's events —
+      * above the watermark, so invisible to the ledger too).
+      *
+      * Re-open rule: `lastClosed >= wmDay` can only be an
+      * event-pinned INIT sitting ahead of the watermark (a closure
+      * always sets `wmDay' - 1`, and every engine-accepted event has
+      * d >= wmDay >= wmDay', so closure-set values sit strictly below
+      * any accepted day) — a future-skewed first event must not
+      * swallow later legitimate arrivals, so such an init is lowered
+      * to the new batch minimum. After the adjustment every day in
+      * the batch is provably > lastClosed: either lastClosed =
+      * minDay - 1 (< every d here) or it came from a closure at
+      * wmDay' - 1 with d >= wmDay >= wmDay' for engine-accepted rows
+      * — so counting is unconditional, nothing is dropped.
+      */
+    private[streaming] def foldDays(st0: GapState, days: Iterator[Long],
+                                    wmDay: Long): GapState = {
+      // bounded buffer: one group's slice of one micro-batch
+      val ds = days.toArray
+      if (ds.isEmpty) st0
+      else {
+        val minDay = ds.min
+        var st = st0
+        if (st.lastClosed == Long.MinValue ||
+            (minDay - 1 < st.lastClosed && st.lastClosed >= wmDay))
+          st = st.copy(lastClosed = minDay - 1)
+        var counts = st.counts
+        ds.foreach(d => counts = counts.updated(d, counts.getOrElse(d, 0L) + 1L))
+        st.copy(counts = counts)
+      }
+    }
+
     /** FINAL (event_type, day, n) rows — one per type per day once the
       * watermark proves the day complete, n = 0 for silent days. State
       * per type = open-day counts only (bounded by days-in-flight);
@@ -2566,17 +2602,8 @@ object Jobs {
            state: GroupState[GapState]) => {
             val wmDay = state.getCurrentWatermarkMs() / DayMs
             var st = state.getOption.getOrElse(GapState(Long.MinValue, Map.empty))
-            if (!state.hasTimedOut) {
-              it.foreach { case (_, ts) =>
-                val d = ts.getTime / DayMs
-                if (st.lastClosed == Long.MinValue) st = st.copy(lastClosed = d - 1)
-                if (d > st.lastClosed)
-                  st = st.copy(counts =
-                    st.counts.updated(d, st.counts.getOrElse(d, 0L) + 1L))
-                // d <= lastClosed is unreachable: the exec's late-row
-                // filter drops those before the function (see ledger)
-              }
-            }
+            if (!state.hasTimedOut)
+              st = foldDays(st, it.map(_._2.getTime / DayMs), wmDay)
             // close every day the watermark has completed
             val out = if (st.lastClosed == Long.MinValue) Iterator.empty
             else {
@@ -2614,6 +2641,22 @@ object Jobs {
       * `ledger watermark + slack` (both derive from the same max
       * event time). Rows later than the slack horizon are lost to the
       * ledger too — the horizon is the documented audit window.
+      *
+      * KNOWN BOUNDARY SKEW (accepted): the two subscriptions are
+      * independent queries whose watermarks advance on their own
+      * batch cadence, so within one batch of the closure boundary an
+      * arrival can be double-counted (accepted by main, yet ledgered
+      * late because the ledger's reconstruction already moved) or
+      * missed by both (rejected by main, skipped by the ledger whose
+      * reconstruction lags). The skew window is exactly the
+      * watermark delta between the queries' last batches — one
+      * micro-batch of boundary days, not a growing error. An
+      * exactly-once boundary would need both operators to read ONE
+      * published watermark (a `BoundsStore`-style side table the
+      * batch layer owns) instead of each deriving its own; this
+      * ledger deliberately stays self-contained and pays the
+      * one-batch fuzz, which reconciliation sums over (type, day)
+      * absorb for any day not at the live boundary.
       * Append mode, no timers, trivial state.
       */
     def lateLedger(events: DataFrame, slackDays: Int = 10,

@@ -65,6 +65,25 @@ class ContractSpec extends SparkSpec {
       s"registry keys missing from SURVEY.md: ${missing.mkString(", ")}")
   }
 
+  test("SURVEY §7 counts line matches the registry and the §2 checklist") {
+    // §7 carries one canonical single-line counts sentence; every
+    // number in it is recomputed here so the prose can never go stale
+    // (the r13 verdict caught a hand-maintained "163/160" drift)
+    val survey = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2 = survey.substring(
+      survey.indexOf("## §2"), survey.indexOf("## §3"))
+    val items = s2.linesIterator.count(_.startsWith("- [x]"))
+    val nq = SparkEntry.queries.size
+    val expected =
+      s"§2 items = $items; batch registry entries = $nq; " +
+        s"DuckDB oracles = ${SparkEntry.oracleSql.size}; " +
+        s"declared rows-only = ${SparkEntry.rowsOnly.size}; " +
+        s"spec-gated components = ${items - nq}."
+    assert(survey.contains(expected),
+      s"SURVEY §7 counts line is stale — must read exactly:\n$expected")
+  }
+
   test("every query EXECUTES at sf0.001 (not just analyzes)") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfDir)

@@ -456,6 +456,45 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster rank: 5-round fixed point on a planted path matches hand-computed integer scores") {
+    import spark.implicits._
+    // Path 1–2–3: deg(1)=deg(3)=1, deg(2)=2. Hand-unrolled
+    // prₖ₊₁(v) = 150000 + (85·Σ_{u∼v} prₖ(u) div deg(u)) div 100
+    // from pr₀ = 10⁶:
+    //   r1: 575000 / 1850000 / 575000
+    //   r2: 936250 / 1127500 / 936250
+    //   r3: 629187 / 1741625 / 629187
+    //   r4: 890190 / 1219617 / 890190
+    //   r5: 668336 / 1663323 / 668336
+    // Exact integer arithmetic — any engine deviation (float div,
+    // rounding instead of floor, a missed round) breaks equality.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val got = Dedup.rankScoresFrom(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 668336L, 2L -> 1663323L, 3L -> 668336L))
+    // the center out-ranks the leaves — the election property
+    assert(got(2L) > got(1L))
+  }
+
+  test("dedup_cluster_rank: one central per cluster, and it is the pr argmax (ties to min id)") {
+    val rows = Dedup.clusterRank(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // covers exactly the near-dup graph's labeled docs
+    val labels = Dedup.nearDupClusters(tables).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.map(_._1).toSeq.sorted == labels.keys.toSeq.sorted)
+    rows.foreach { case (doc, cid, _, _) => assert(labels(doc) == cid) }
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      val centrals = members.filter(_._4)
+      assert(centrals.length == 1, s"cluster $cid has ${centrals.length} centrals")
+      // argmax pr_fp, tie to the smaller doc_id — recomputed independently
+      val want = members.map(m => (-m._3, m._1)).min._2
+      assert(centrals.head._1 == want,
+        s"cluster $cid central ${centrals.head._1} != argmax $want")
+    }
+  }
+
   test("embed_label_purity: majority label and purity recomputed per cluster") {
     val labels = Dedup.embedDedupClusters(tables).collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -1,0 +1,124 @@
+package graft
+
+import graft.pipeline.{Planner, Reports}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The ANALYZE-consumer: statistics → join-strategy decision → the
+  * decision actually driving the executed physical plan.
+  */
+class PlannerSpec extends SparkSpec {
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def tbl(t: Tables, n: String): DataFrame = n match {
+    case "lineitem" => t.lineitem case "orders" => t.orders
+    case "customer" => t.customer case "part" => t.part
+    case "supplier" => t.supplier case "nation" => t.nation
+  }
+
+  private def collectDecisions(t: Tables) =
+    Planner.joinDecisions(t).collect().map(r =>
+      (r.getString(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getString(9)))
+
+  test("plan_join_decisions ≡ JVM stats model; the advisor scans no fact table") {
+    val got = collectDecisions(tables)
+
+    val B = Reports.EqdBuckets
+    val prices = tables.orders.select(col("o_totalprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = prices.length.toLong
+    val bs = (1 until B).map(k => prices((((k.toLong * n + B - 1) / B) - 1).toInt))
+    def ascRank(k: Int): Long =
+      if (k == 0) 0L else if (k == B) n else (k.toLong * n + B - 1) / B
+    val (pLo, pHi) = ((bs(1) + bs(2)) / 2.0, (bs(4) + bs(5)) / 2.0)
+    val priceEst = (1 to B).filter { k =>
+      val blo = if (k == 1) -Double.MaxValue else bs(k - 2)
+      val bhi = if (k == B) Double.MaxValue else bs(k - 1)
+      blo < pHi && bhi >= pLo
+    }.map(k => ascRank(k) - ascRank(k - 1)).sum
+    val want = Planner.Candidates.map { c =>
+      val (p, b) = (tbl(tables, c.probe), tbl(tables, c.build))
+      val nP = p.count(); val ndvP = p.select(c.probeKey).distinct().count()
+      val nB = b.count(); val ndvB = b.select(c.buildKey).distinct().count()
+      val estBuild = if (c.priceFiltered) priceEst else nB
+      val bytes = estBuild * Planner.RowWidth(c.build)
+      (c.id, c.probe, c.build, nP, estBuild, ndvP, ndvB,
+        nP * estBuild / math.max(ndvP, ndvB), bytes,
+        if (bytes <= Planner.BroadcastBudgetBytes) "broadcast" else "shuffle")
+    }.sortBy(_._1)
+    assert(got.toSeq == want,
+      s"advisor diverges from model:\ngot  ${got.toSeq}\nwant $want")
+
+    // a 100 TB advisor prices joins from METADATA: the entry's plan
+    // must contain no table scan at all (stats are collected from the
+    // two ANALYZE stores before the literal frame is built)
+    val plan = physical(Planner.joinDecisions(tables))
+    assert(!plan.contains("FileScan"),
+      s"the advisor's own plan must not scan anything:\n$plan")
+  }
+
+  test("applyDecision: the executed join strategy IS the advisor's verdict") {
+    val dec = collectDecisions(tables).map(r => (r._1, r._10)).toMap
+    Planner.Candidates.foreach { c =>
+      val plan = physical(Planner.applyDecision(tables, c.id))
+      if (dec(c.id) == "broadcast")
+        assert(plan.contains("BroadcastHashJoin"),
+          s"${c.id} decided broadcast but ran:\n$plan")
+      else {
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"${c.id} decided shuffle but broadcast ran:\n$plan")
+        assert(plan.contains("SortMergeJoin"),
+          s"${c.id} decided shuffle; expected a merge join:\n$plan")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Planner.applyDecision(tables, "no_such_join")
+    }
+  }
+
+  test("an inflated build side flips the verdict to shuffle, and the executed plan follows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planner-big").toString
+    // orders big enough that 40000 x 32 B > the 1 MB broadcast
+    // budget; every other dimension tiny (decision diversity in ONE
+    // corpus — j2 must flip, j6 must stay broadcast)
+    (1 to 40000).map(i => (i.toLong, (i % 100 + 1).toLong,
+        (i % 997).toDouble + 0.5))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    (1 to 500).map(i => ((i % 40000 + 1).toLong, (i % 50 + 1).toLong,
+        (i % 20 + 1).toLong))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1 to 100).map(i => (i.toLong, (i % 5 + 1).toLong))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (1 to 50).map(i => i.toLong).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    (1 to 20).map(i => i.toLong).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    (1 to 5).map(i => i.toLong).toDF("n_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+
+    val t = Tables(spark, dir)
+    val dec = collectDecisions(t).map(r => (r._1, r._10)).toMap
+    assert(dec("j2_line_orders") == "shuffle",
+      s"40000x32B build must exceed the 1MB budget: $dec")
+    assert(dec("j6_customer_nation") == "broadcast", s"tiny build: $dec")
+
+    val shuffled = Planner.applyDecision(t, "j2_line_orders")
+    val plan = physical(shuffled)
+    assert(!plan.contains("BroadcastHashJoin") &&
+      plan.contains("SortMergeJoin"),
+      s"shuffle verdict must run as a merge join:\n$plan")
+    // the hinted join is still the same join
+    assert(shuffled.count() ==
+      t.lineitem.join(t.orders,
+        col("l_orderkey") === col("o_orderkey")).count())
+  }
+}

@@ -285,6 +285,34 @@ class TimelineSpec extends SparkSpec {
     }
   }
 
+  test("equi-depth bounds: ONE persisted ANALYZE store, built once, re-read by hist/selectivity/merge") {
+    import graft.pipeline.Reports
+    import org.apache.hadoop.fs.Path
+    val wh = new Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(wh, s"graft_eqd_bounds_${Reports.EqdBoundsStore.tag(tables)}")
+    val stored = Reports.equidepthBounds(tables)
+    assert(fs.exists(dir), s"ANALYZE store not persisted at $dir")
+    def inventory() = fs.listStatus(dir)
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .toSeq.sortBy(_._1)
+    val before = inventory()
+    // every consumer re-READS the store — no second OrderStat search
+    // may rewrite it (VERDICT r13 #3: selectivityEst used to redo the
+    // full narrowing per entry)
+    Reports.equidepthHist(tables).collect()
+    Reports.selectivityEst(tables).collect()
+    Reports.equidepthMerge(tables).collect()
+    assert(inventory() == before, "a consumer rebuilt the bounds store")
+    // store-served bounds ≡ an independent full-sort recompute
+    val B = Reports.EqdBuckets
+    val vs = tables.orders.select(col("o_totalprice"))
+      .collect().map(_.getDouble(0)).sorted
+    val n = vs.length.toLong
+    val want = (1 until B).map(k => vs((((k.toLong * n + B - 1) / B) - 1).toInt))
+    assert(stored == want, s"stored bounds $stored != rank model $want")
+  }
+
   test("report_equidepth_hist plan: no global sort of the fact") {
     val plan = graft.pipeline.Reports.equidepthHist(tables)
       .queryExecution.executedPlan.toString

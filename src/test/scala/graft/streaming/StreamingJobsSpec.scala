@@ -2612,6 +2612,96 @@ class StreamingJobsSpec extends SparkSpec {
     } finally { qf.stop(); ql.stop() }
   }
 
+  test("GapfillStream.foldDays: spine init is order-independent; future-pinned inits re-open, closure floors never do") {
+    import Jobs.GapfillStream.{GapState, foldDays}
+    val empty = GapState(Long.MinValue, Map.empty)
+    // fMGWS gives no within-group order: {5,3} and {3,5} must fold
+    // identically, spine starting at the batch MIN (old code pinned
+    // lastClosed=4 when 5 iterated first and silently dropped day 3)
+    val a = foldDays(empty, Iterator(5L, 3L), wmDay = 0L)
+    val b = foldDays(empty, Iterator(3L, 5L), wmDay = 0L)
+    assert(a == b && a == GapState(2L, Map(3L -> 1L, 5L -> 1L)))
+
+    // future-skewed first batch pins lastClosed=99 ahead of the
+    // watermark; a later legitimate (engine-accepted) batch must
+    // RE-OPEN the spine, not be swallowed or later emitted as zeros
+    val skew = foldDays(empty, Iterator(100L), wmDay = 0L)
+    assert(skew == GapState(99L, Map(100L -> 1L)))
+    val reopened = foldDays(skew, Iterator(7L, 4L), wmDay = 0L)
+    assert(reopened == GapState(3L,
+      Map(4L -> 1L, 7L -> 1L, 100L -> 1L)))
+
+    // a closure-set floor (always wmDay' - 1, strictly below every
+    // engine-accepted day) is never lowered: days count on top of it
+    val closed = GapState(9L, Map.empty) // closure at wmDay' = 10
+    assert(foldDays(closed, Iterator(10L, 12L), wmDay = 10L) ==
+      GapState(9L, Map(10L -> 1L, 12L -> 1L)))
+    // empty slice (timer-only wake) is a no-op
+    assert(foldDays(closed, Iterator.empty, wmDay = 10L) == closed)
+  }
+
+  test("GapfillStream: same-batch multi-day arrivals all count regardless of iteration order") {
+    import spark.implicits._
+    val t = (daySec: Long) => new Timestamp(daySec * 1000)
+    val day = 86400L
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Jobs.GapfillStream.dailyFinal(
+      in.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gapfill_order").start()
+    try {
+      // one batch, one type, days {5, 3} together (plus a day-8
+      // sentinel to close them): whichever event the group iterator
+      // yields first, day 3 must finalize at n=1 — not as a zero
+      in.addData(Seq((t(5 * day + 10), "a"), (t(3 * day + 10), "a"),
+        (t(8 * day + 10), "z")))
+      q.processAllAvailable()
+      val got = spark.table("gapfill_order")
+        .as[(String, Long, Long)].collect()
+        .filter(_._1 == "a").map(r => (r._2, r._3)).toSet
+      assert(got == Set((3L, 1L), (4L, 0L), (5L, 1L), (6L, 0L), (7L, 0L)),
+        s"multi-day batch miscounted: $got")
+    } finally q.stop()
+  }
+
+  test("GapfillStream.lateLedger: epoch-adjacent corpus (clamped watermark) stays conservatively silent") {
+    import spark.implicits._
+    val t = (daySec: Long) => new Timestamp(daySec * 1000)
+    val day = 86400L
+    val in = MemoryStream[(Timestamp, String)]
+    val qf = Jobs.GapfillStream.dailyFinal(
+      in.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gapfill_final_epoch").start()
+    val ql = Jobs.GapfillStream.lateLedger(
+      in.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("gapfill_late_epoch").start()
+    try {
+      // every event within slackDays(=10) of the epoch: the ledger's
+      // lagged watermark clamps at 0, indistinguishable from unset —
+      // the documented guard treats both as "nothing closed yet"
+      in.addData(Seq((t(2 * day + 10), "a"), (t(8 * day + 10), "a")))
+      qf.processAllAvailable(); ql.processAllAvailable()
+      // day 3 is genuinely late for the MAIN query (its watermark is
+      // day 8) — rejected there pre-operator...
+      in.addData(Seq((t(3 * day + 1), "a")))
+      qf.processAllAvailable(); ql.processAllAvailable()
+      val finals = spark.table("gapfill_final_epoch")
+        .as[(String, Long, Long)].collect()
+        .map(r => (r._2, r._3)).toSet
+      assert(finals == Set((2L, 1L), (3L, 0L), (4L, 0L), (5L, 0L),
+        (6L, 0L), (7L, 0L)), s"finals wrong: $finals")
+      // ...but the ledger must emit NOTHING: with a clamped (0)
+      // watermark it cannot distinguish closed from open, and a false
+      // "late" claim would be worse than the documented loss. The
+      // epoch window is the audit blind spot, pinned here rather
+      // than argued.
+      assert(spark.table("gapfill_late_epoch").count() == 0L,
+        "clamped-watermark ledger must not fabricate late deltas")
+    } finally { qf.stop(); ql.stop() }
+  }
+
   test("Scd2Stream: in-order two-batch replay ≡ batch scd2_history; state = one row per user") {
     import spark.implicits._
     val rows = graft.Tables(spark, sfDir).events
