@@ -214,7 +214,11 @@ object SparkEntry {
     "report_selectivity_est" -> q(graft.pipeline.Reports.selectivityEst),
     "report_equidepth_merge" -> q(graft.pipeline.Reports.equidepthMerge),
     "report_column_stats" -> q(graft.pipeline.Reports.columnStats),
-    "plan_join_decisions" -> q(graft.pipeline.Planner.joinDecisions)
+    "plan_join_decisions" -> q(graft.pipeline.Planner.joinDecisions),
+    "plan_partition_advisor" -> q(graft.pipeline.Planner.partitionAdvisor),
+    "plan_skew_advisor" -> q(graft.pipeline.Planner.skewAdvisor),
+    "report_event_freshness" -> q(graft.pipeline.Reports.eventFreshness),
+    "corpus_interleave" -> q(graft.pipeline.Export.corpusInterleave)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -409,6 +413,10 @@ object SparkEntry {
     "report_selectivity_est" -> graft.pipeline.Reports.selectivityEstSql,
     "report_equidepth_merge" -> graft.pipeline.Reports.equidepthMergeSql,
     "report_column_stats" -> graft.pipeline.Reports.columnStatsSql,
-    "plan_join_decisions" -> graft.pipeline.Planner.joinDecisionsSql
+    "plan_join_decisions" -> graft.pipeline.Planner.joinDecisionsSql,
+    "plan_partition_advisor" -> graft.pipeline.Planner.partitionAdvisorSql,
+    "plan_skew_advisor" -> graft.pipeline.Planner.skewAdvisorSql,
+    "report_event_freshness" -> graft.pipeline.Reports.eventFreshnessSql,
+    "corpus_interleave" -> graft.pipeline.Export.corpusInterleaveSql
   )
 }

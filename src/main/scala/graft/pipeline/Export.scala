@@ -260,4 +260,74 @@ object Export {
        |SELECT doc_id, shard, cum // $PackBudget AS seq_id,
        |  cum % $PackBudget AS seq_off
        |FROM s ORDER BY shard, seq_id, seq_off, doc_id""".stripMargin
+
+  /** SOURCE-INTERLEAVED training order: a deterministic global
+    * position where consecutive positions cycle round-robin through
+    * the sources — `pos = rank_in_source · S + source_index` (S =
+    * |sources|, index = the source's alphabetical rank). A shuffled
+    * order ([[corpusShuffleOrder]]) makes clumps unlikely; this makes
+    * same-source adjacency IMPOSSIBLE while every source still
+    * streams in its own reproducible shuffled suborder — the
+    * curriculum-mixing guarantee (no gradient window dominated by one
+    * source) a trainer otherwise approximates with temperature
+    * resampling. Positions are globally unique (distinct residues
+    * mod S across sources, distinct ranks within); once a short
+    * source exhausts, its residue class simply goes vacant —
+    * positions stay stable under corpus growth, consumers read in
+    * pos order.
+    *
+    * Scale: the [[corpusShuffleOrder]] distributed-prefix discipline
+    * with `source` as the key — rank_in_source assembled from coin
+    * buckets (monotone in coin), so the Window partitions on
+    * (source, bkt): |sources|·B balanced groups, never a
+    * whale-source-sized sort task. The offset histogram is
+    * |sources|·B count rows to the driver (bounded, documented —
+    * 20·1024 at the corpus' source cardinality), the index table
+    * |sources| rows; both broadcast back.
+    */
+  def corpusInterleave(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val srcs = t.documents.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val S = srcs.length.toLong
+    val idx = srcs.zipWithIndex
+      .map { case (s, i) => (s, i.toLong) }.toSeq.toDF("source", "si")
+    val base = t.documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("coin", orderCoin)
+      .withColumn("bkt",
+        floor(col("coin") * lit(ShuffleBuckets.toDouble)).cast("int"))
+    val hist = base.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offs = hist.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (s, b, n) =>
+        val off = acc; acc += n; (s, b, off)
+      }
+    }.toDF("source", "bkt", "off")
+    val w = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("coin"), col("doc_id"))
+    base.join(broadcast(offs), Seq("source", "bkt"))
+      .join(broadcast(idx), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        ((col("off") + row_number().over(w) - 1) * lit(S) + col("si"))
+          .cast("long").as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusInterleaveSql: String =
+    s"""WITH s AS (SELECT source,
+       |         row_number() OVER (ORDER BY source) - 1 AS si,
+       |         COUNT(*) OVER () AS ns
+       |       FROM (SELECT DISTINCT source FROM documents)),
+       |c AS (SELECT doc_id, source, ${Mixing.uSql("shuf")} AS coin
+       |      FROM documents),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY coin, doc_id) - 1 AS rs
+       |      FROM c)
+       |SELECT r.doc_id, r.source, (rs * ns + si)::BIGINT AS pos
+       |FROM r JOIN s USING (source) ORDER BY r.doc_id""".stripMargin
 }

@@ -102,7 +102,7 @@ object Planner {
     */
   private[graft] val KeyStatsStore = graft.storage.Materialize.StoreDef(
     "graft_key_stats", "lineitem",
-    s"keys=${StatKeys.map(p => p._1 + "." + p._2).mkString(",")}")
+    s"keys=${StatKeys.map(p => p._1 + "." + p._2).mkString(",")}|v2:max_mult")
 
   private[graft] def keyStats(t: Tables): DataFrame =
     graft.storage.Materialize.ensureStore(t, KeyStatsStore, {
@@ -126,9 +126,10 @@ object Planner {
           .groupBy(col("col_name"), col("v"))
           .agg(count(lit(1)).as("cnt"))
           .groupBy(col("col_name"))
-          .agg(count(lit(1)).as("ndv"), sum(col("cnt")).as("n_rows"))
+          .agg(count(lit(1)).as("ndv"), sum(col("cnt")).as("n_rows"),
+            max(col("cnt")).as("max_mult"))
           .select(lit(tbl).as("table"), col("col_name").as("column"),
-            col("n_rows"), col("ndv"))
+            col("n_rows"), col("ndv"), col("max_mult"))
       }.reduce(_ unionAll _)
     })
 
@@ -236,6 +237,133 @@ object Planner {
        |  CASE WHEN est_build_rows * width <= $BroadcastBudgetBytes
        |       THEN 'broadcast' ELSE 'shuffle' END AS decision
        |FROM x ORDER BY join_id""".stripMargin
+  }
+
+  /** Layout-advisor thresholds (all part of the operator definition):
+    * directory partitioning is only sane below [[MaxPartitionNdv]]
+    * distinct values (file-listing and metastore costs grow with
+    * partition count) AND above [[MinPartitionBytes]] per value (the
+    * small-files failure mode — thousands of sub-MB files per
+    * partition kill scan throughput); everything else hash-buckets,
+    * sized so each bucket file approaches [[TargetBucketBytes]].
+    */
+  val MaxPartitionNdv = 1024L
+  val MinPartitionBytes = 1000000L
+  val TargetBucketBytes = 67108864L
+
+  /** Per-table catalog row widths INCLUDING probe-side tables (the
+    * join advisor prices build sides only; the layout advisor prices
+    * every table it lays out).
+    */
+  val TableWidth: Map[String, Long] = RowWidth + ("lineitem" -> 64L)
+
+  /** ANALYZE consumer #2 — the write-side LAYOUT advisor: for every
+    * published key statistic, decide `partition-by` (low-NDV, big
+    * per-value slices: directory pruning pays) vs `bucket-by`
+    * (everything else: co-located zero-exchange joins pay, bucket
+    * count sized to [[TargetBucketBytes]] files), with the numbers
+    * that justified it. Pure store-read + literal arithmetic, no
+    * table scan (same discipline as [[joinDecisions]]); the decision
+    * this emits is exactly what `storage.Bucketing` (`q3_bucketed`,
+    * `corpus_refresh_merge_bucketed`) consumes by hand today.
+    */
+  def partitionAdvisor(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val stats = keyStats(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    stats.sortBy(s => (s._1, s._2)).toSeq.map { case (tbl, c, n, ndv) =>
+      val w = TableWidth(tbl)
+      val total = n * w
+      val perVal = (n / ndv) * w
+      val partition = ndv <= MaxPartitionNdv && perVal >= MinPartitionBytes
+      (tbl, c, n, ndv, total, perVal,
+        if (partition) "partition-by" else "bucket-by",
+        if (partition) ndv else math.max(1L, total / TargetBucketBytes))
+    }.toDF("table", "column", "n_rows", "ndv", "bytes_total",
+        "bytes_per_value", "decision", "n_buckets")
+      .orderBy(col("table"), col("column"))
+  }
+
+  def partitionAdvisorSql: String = {
+    val statsSql = StatKeys.map { case (tbl, c) =>
+      s"SELECT '$tbl' AS tbl, '$c' AS col, COUNT(*)::BIGINT AS n, " +
+        s"COUNT(DISTINCT $c)::BIGINT AS ndv, " +
+        s"${TableWidth(tbl)}::BIGINT AS w FROM $tbl"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH st AS (
+       |  $statsSql)
+       |SELECT tbl AS "table", col AS "column", n AS n_rows, ndv,
+       |  (n * w)::BIGINT AS bytes_total,
+       |  ((n // ndv) * w)::BIGINT AS bytes_per_value,
+       |  CASE WHEN ndv <= $MaxPartitionNdv
+       |            AND (n // ndv) * w >= $MinPartitionBytes
+       |       THEN 'partition-by' ELSE 'bucket-by' END AS decision,
+       |  CASE WHEN ndv <= $MaxPartitionNdv
+       |            AND (n // ndv) * w >= $MinPartitionBytes
+       |       THEN ndv
+       |       ELSE GREATEST(1, (n * w) // $TargetBucketBytes)
+       |       END::BIGINT AS n_buckets
+       |FROM st ORDER BY "table", "column"""".stripMargin
+  }
+
+  /** Rows one reducer task should own for a single join key before
+    * the key is salted — the skew-advisor threshold (part of the
+    * operator definition). At 100 TB a key owning millions of rows
+    * serializes its whole join into one straggler task; salting
+    * splits it `n_salts` ways at the cost of replicating the other
+    * side per salt (`word_count_salted` / `dedup_minhash_verified
+    * _salted` execute exactly this decision by hand today).
+    */
+  val SkewRowBudget = 100000L
+
+  /** ANALYZE consumer #3 — the SKEW advisor: per published key
+    * statistic, `salt` (heaviest key exceeds [[SkewRowBudget]] —
+    * shuffle-keyed work on this column needs the salted two-phase
+    * shape, with the salt fan-out to use) vs `plain`, next to the
+    * numbers (max key multiplicity, its round6 corpus share). Reads
+    * the [[keyStats]] store only — max multiplicity is part of the
+    * ANALYZE artifact, so the advisor again scans nothing
+    * (spec-pinned). Completes the advisor family: [[joinDecisions]]
+    * picks the strategy, [[partitionAdvisor]] the layout, this the
+    * skew mitigation.
+    */
+  def skewAdvisor(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    import graft.functions.Portable.round6Double
+    val stats = keyStats(t).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    stats.sortBy(s => (s._1, s._2)).toSeq.map { case (tbl, c, n, ndv, mm) =>
+      val salt = mm > SkewRowBudget
+      (tbl, c, n, ndv, mm, round6Double(mm.toDouble / n.toDouble),
+        if (salt) "salt" else "plain",
+        if (salt) (mm + SkewRowBudget - 1) / SkewRowBudget else 1L)
+    }.toDF("table", "column", "n_rows", "ndv", "max_mult",
+        "top_share6", "decision", "n_salts")
+      .orderBy(col("table"), col("column"))
+  }
+
+  def skewAdvisorSql: String = {
+    import graft.functions.Portable.round6Sql
+    val statsSql = StatKeys.map { case (tbl, c) =>
+      s"SELECT '$tbl' AS tbl, '$c' AS col, COUNT(*)::BIGINT AS n, " +
+        s"COUNT(DISTINCT $c)::BIGINT AS ndv, " +
+        s"(SELECT MAX(m) FROM (SELECT COUNT(*) AS m FROM $tbl " +
+        s"GROUP BY $c))::BIGINT AS mm FROM $tbl"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH st AS (
+       |  $statsSql)
+       |SELECT tbl AS "table", col AS "column", n AS n_rows, ndv,
+       |  mm AS max_mult,
+       |  ${round6Sql("mm::DOUBLE / n::DOUBLE")} AS top_share6,
+       |  CASE WHEN mm > $SkewRowBudget THEN 'salt' ELSE 'plain' END
+       |    AS decision,
+       |  CASE WHEN mm > $SkewRowBudget
+       |       THEN (mm + $SkewRowBudget - 1) // $SkewRowBudget
+       |       ELSE 1 END::BIGINT AS n_salts
+       |FROM st ORDER BY "table", "column"""".stripMargin
   }
 
   /** EXECUTE a candidate under the advisor's verdict: the real join

@@ -830,4 +830,64 @@ object Reports {
        |  END AS avg_len6
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   }
+
+  /** Per-type event FRESHNESS report: p50/p90/p99 arrival lag behind
+    * the corpus frontier (max ts), in seconds — the data-liveness SLA
+    * audit a nightly ingest runs (a type whose p99 lag grows is a
+    * stalling upstream; the alert BEFORE `event_gapfill` starts
+    * emitting zeros for it).
+    *
+    * Scale: the `event_stats_bounded` discipline — the corpus
+    * collapses once to a per-(type, lag) multiplicity frame, and ALL
+    * 3·|types| rank targets resolve in ONE
+    * [[graft.functions.OrderStat]] narrowing search over that single
+    * persisted frame (grouped targets are the API's native shape; no
+    * per-type Window, no per-group sort — the skewed-type single-task
+    * sort is exactly what this avoids at 100 TB). Lags are exact
+    * integers (≤2⁵³ as doubles), the percentile is a data value at an
+    * integer rank — hash-exact.
+    */
+  def eventFreshness(t: Tables): DataFrame = {
+    import graft.functions.OrderStat
+    val spark = t.spark
+    import spark.implicits._
+    val maxTs = t.events.agg(max(col("ts_sec"))).head().getLong(0)
+    val lags = t.events
+      .select(col("event_type").as("g"),
+        (lit(maxTs) - col("ts_sec")).cast("double").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val ns = lags.groupBy(col("g")).agg(sum(col("cnt")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val qs = Seq(50, 90, 99)
+    def ascRank(n: Long, q: Int): Long = (q * n + 99) / 100
+    val targets = for { (ty, n) <- ns.toSeq; q <- qs }
+      yield (ty, q) -> OrderStat.RankTarget(ty, n - ascRank(n, q) + 1)
+    val vals = OrderStat.valuesAtDescRanks(lags, targets.map(_._2).distinct)
+    val byKey = targets.toMap
+    ns.toSeq.sortBy(_._1).map { case (ty, n) =>
+      (ty, n, vals(byKey((ty, 50))).toLong, vals(byKey((ty, 90))).toLong,
+        vals(byKey((ty, 99))).toLong)
+    }.toDF("event_type", "n_events", "p50_lag", "p90_lag", "p99_lag")
+      .orderBy(col("event_type"))
+  }
+
+  def eventFreshnessSql: String =
+    """WITH mx AS (SELECT MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS t
+      |            FROM events),
+      |l AS (SELECT event_type,
+      |        t - CAST(floor(epoch(ts)) AS BIGINT) AS lag
+      |      FROM events, mx),
+      |r AS (SELECT event_type, lag,
+      |        row_number() OVER (PARTITION BY event_type
+      |                           ORDER BY lag) AS rk,
+      |        COUNT(*) OVER (PARTITION BY event_type) AS n
+      |      FROM l)
+      |SELECT event_type, MAX(n)::BIGINT AS n_events,
+      |  MAX(CASE WHEN rk = (50 * n + 99) // 100 THEN lag END)::BIGINT
+      |    AS p50_lag,
+      |  MAX(CASE WHEN rk = (90 * n + 99) // 100 THEN lag END)::BIGINT
+      |    AS p90_lag,
+      |  MAX(CASE WHEN rk = (99 * n + 99) // 100 THEN lag END)::BIGINT
+      |    AS p99_lag
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -2693,6 +2693,30 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // FreshnessStream — pipeline.Reports.eventFreshness's LIVE half: the
+  // batch entry audits lag percentiles nightly; this tracks last-seen
+  // per type as events land, so "type X stopped arriving" pages in
+  // minutes, not at the next nightly report.
+  // ---------------------------------------------------------------------
+  object FreshnessStream {
+
+    /** Per-type (last_ts, n_events), Update mode — one aggregation,
+      * state = one (max, count) pair per type (bounded by |types|, the
+      * 100 TB-safe shape). A consumer diffs last_ts against wall clock
+      * for the live lag; the percentile audit stays the batch entry's
+      * job (order statistics need the corpus — the boundary the
+      * report/monitor split always has). Replay ≡ batch max/count per
+      * type in any arrival order (spec-pinned).
+      */
+    def lastSeen(events: DataFrame): DataFrame =
+      events
+        .select(col("event_type"), unix_timestamp(col("ts")).as("ts_sec"))
+        .groupBy(col("event_type"))
+        .agg(max(col("ts_sec")).as("last_ts"),
+          count(lit(1)).as("n_events"))
+  }
+
+  // ---------------------------------------------------------------------
   // Scd2Stream — operators.Timeline.scd2History LIVE: CDC-style
   // dimension-history compaction as events arrive, one open interval of
   // state per user no matter how long the history grows.

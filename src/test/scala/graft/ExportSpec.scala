@@ -152,6 +152,49 @@ class ExportSpec extends SparkSpec {
       s"offset table not broadcast:\n$plan")
   }
 
+  test("corpus_interleave ≡ naive per-source rank model; round-robin residues; reruns identical") {
+    val got = Export.corpusInterleave(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // naive reference: per-source row_number at spec scale
+    val coin = conv(substring(md5(concat(lit("shuf|"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("double") /
+      lit(4294967296.0)
+    val srcs = tables.documents.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    val si = srcs.zipWithIndex.toMap
+    val S = srcs.length.toLong
+    val naive = tables.documents
+      .select(col("doc_id"), col("source"), coin.as("coin"))
+      .withColumn("rs", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("coin"), col("doc_id"))).cast("long") - 1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(3) * S + si(r.getString(1))))
+    assert(got.sorted.toSeq == naive.sorted.toSeq)
+
+    // same-source adjacency impossible: pos mod S identifies the
+    // source; positions globally unique
+    got.foreach { case (_, src, pos) =>
+      assert(pos % S == si(src), s"residue broken for $src at $pos") }
+    assert(got.map(_._3).distinct.length == got.length)
+
+    val again = Export.corpusInterleave(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == again.toSeq, "rerun must be byte-identical")
+  }
+
+  test("corpus_interleave: the rank Window partitions on (source, bucket), never source alone") {
+    val plan = physical(Export.corpusInterleave(tables))
+    assert("\\bWindow\\b".r.findAllIn(plan).length == 1,
+      s"expected exactly one Window:\n$plan")
+    assert("hashpartitioning\\(source#\\d+, bkt#\\d+"
+      .r.findFirstIn(plan).isDefined,
+      s"rank Exchange not keyed on (source, bkt):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"offset/index tables not broadcast:\n$plan")
+  }
+
   test("shuffle order: the rank Window partitions on (shard, bucket), not shard") {
     val plan = physical(Export.corpusShuffleOrder(tables))
     // exactly one Window node, and its required distribution (the

@@ -86,13 +86,17 @@ class PlannerSpec extends SparkSpec {
       .createTempDirectory("graft-planner-big").toString
     // orders big enough that 40000 x 32 B > the 1 MB broadcast
     // budget; every other dimension tiny (decision diversity in ONE
-    // corpus — j2 must flip, j6 must stay broadcast)
-    (1 to 40000).map(i => (i.toLong, (i % 100 + 1).toLong,
+    // corpus — j2 must flip, j6 must stay broadcast). o_custkey is
+    // CONSTANT so the partition advisor's partition-by branch fires
+    // too (ndv=1, 1.28 MB per value)
+    (1 to 40000).map(i => (i.toLong, 1L,
         (i % 997).toDouble + 0.5))
       .toDF("o_orderkey", "o_custkey", "o_totalprice")
       .write.mode("overwrite").parquet(s"$dir/orders.parquet")
-    (1 to 500).map(i => ((i % 40000 + 1).toLong, (i % 50 + 1).toLong,
-        (i % 20 + 1).toLong))
+    // lineitem: 120000 rows ALL on l_suppkey=7 — the skew advisor's
+    // salt branch (> 100k rows on one key → 2 salts)
+    (1 to 120000).map(i => ((i % 40000 + 1).toLong, (i % 50 + 1).toLong,
+        7L))
       .toDF("l_orderkey", "l_partkey", "l_suppkey")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     (1 to 100).map(i => (i.toLong, (i % 5 + 1).toLong))
@@ -120,5 +124,69 @@ class PlannerSpec extends SparkSpec {
     assert(shuffled.count() ==
       t.lineitem.join(t.orders,
         col("l_orderkey") === col("o_orderkey")).count())
+
+    // layout advisor on the same corpus: the constant-key column is
+    // the one partition-by (1.28 MB per value, ndv=1); everything
+    // else hash-buckets
+    val lay = Planner.partitionAdvisor(t).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getString(6))).toMap
+    assert(lay(("orders", "o_custkey")) == "partition-by", s"$lay")
+    assert(lay(("orders", "o_orderkey")) == "bucket-by", s"$lay")
+    assert(lay(("nation", "n_nationkey")) == "bucket-by",
+      s"tiny per-value slices must not partition (small files): $lay")
+
+    // skew advisor: the 120k-rows-one-key column salts (2 fan-outs);
+    // spread keys stay plain
+    val skew = Planner.skewAdvisor(t).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getString(6), r.getLong(7)))).toMap
+    assert(skew(("lineitem", "l_suppkey")) == ("salt", 2L), s"$skew")
+    assert(skew(("lineitem", "l_orderkey")) == ("plain", 1L), s"$skew")
+  }
+
+  test("plan_skew_advisor ≡ JVM stats model; metadata-only plan") {
+    import graft.functions.Portable.round6Double
+    val got = Planner.skewAdvisor(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getString(6), r.getLong(7)))
+    val want = Planner.StatKeys.map { case (tn, c) =>
+      val df = this.tbl(tables, tn)
+      val n = df.count()
+      val mult = df.groupBy(col(c)).count()
+        .agg(max(col("count"))).head().getLong(0)
+      val ndv = df.select(c).distinct().count()
+      val salt = mult > Planner.SkewRowBudget
+      (tn, c, n, ndv, mult, round6Double(mult.toDouble / n.toDouble),
+        if (salt) "salt" else "plain",
+        if (salt) (mult + Planner.SkewRowBudget - 1) / Planner.SkewRowBudget
+        else 1L)
+    }.sortBy(s => (s._1, s._2))
+    assert(got.toSeq == want,
+      s"skew advisor diverges:\ngot  ${got.toSeq}\nwant $want")
+    val plan = physical(Planner.skewAdvisor(tables))
+    assert(!plan.contains("FileScan"),
+      s"the skew advisor must price from metadata only:\n$plan")
+  }
+
+  test("plan_partition_advisor ≡ JVM stats model; advisor plan scans nothing") {
+    val got = Planner.partitionAdvisor(tables).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getLong(7)))
+    val want = Planner.StatKeys.map { case (tbl, c) =>
+      val df = this.tbl(tables, tbl)
+      val n = df.count(); val ndv = df.select(c).distinct().count()
+      val w = Planner.TableWidth(tbl)
+      val perVal = (n / ndv) * w
+      val part = ndv <= Planner.MaxPartitionNdv &&
+        perVal >= Planner.MinPartitionBytes
+      (tbl, c, n, ndv, n * w, perVal,
+        if (part) "partition-by" else "bucket-by",
+        if (part) ndv else math.max(1L, n * w / Planner.TargetBucketBytes))
+    }.sortBy(s => (s._1, s._2))
+    assert(got.toSeq == want,
+      s"layout advisor diverges:\ngot  ${got.toSeq}\nwant $want")
+    val plan = physical(Planner.partitionAdvisor(tables))
+    assert(!plan.contains("FileScan"),
+      s"the layout advisor must price from metadata only:\n$plan")
   }
 }

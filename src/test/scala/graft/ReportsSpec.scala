@@ -357,4 +357,30 @@ class ReportsSpec extends SparkSpec {
     assert(plan.contains("Generate"),
       s"stack should lower to a map-side Generate:\n$plan")
   }
+
+  test("report_event_freshness ≡ JVM percentile model; no per-type Window in the plan") {
+    val got = Reports.eventFreshness(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    import org.apache.spark.sql.functions.col
+    val ev = tables.events.select(col("event_type"), col("ts_sec"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val maxTs = ev.map(_._2).max
+    val want = ev.groupBy(_._1).toSeq.map { case (ty, rows) =>
+      val lags = rows.map(maxTs - _._2).sorted
+      val n = lags.length.toLong
+      def p(q: Int) = lags((((q * n + 99) / 100) - 1).toInt)
+      (ty, n, p(50), p(90), p(99))
+    }.sortBy(_._1)
+    assert(got.toSeq == want,
+      s"freshness diverges:\ngot  ${got.toSeq}\nwant $want")
+    got.foreach { case (ty, _, p50, p90, p99) =>
+      assert(p50 <= p90 && p90 <= p99, s"$ty percentiles not monotone")
+      assert(p99 >= 0, s"$ty negative lag")
+    }
+    // the whole point: percentiles WITHOUT a per-type sort task
+    val plan = physical(Reports.eventFreshness(tables))
+    assert(!plan.contains("Window"),
+      s"freshness must not rank via Window:\n$plan")
+  }
 }

@@ -2702,6 +2702,43 @@ class StreamingJobsSpec extends SparkSpec {
     } finally { qf.stop(); ql.stop() }
   }
 
+  test("FreshnessStream: shuffled replay converges to per-type batch max/count; state bounded by |types|") {
+    import spark.implicits._
+    val rows = graft.Tables(spark, sfDir).events
+      .select(col("event_type"), col("ts_sec"))
+      .as[(String, Long)].collect()
+    assert(rows.length > 10)
+    val in = MemoryStream[(Timestamp, String)]
+    val q = Jobs.FreshnessStream.lastSeen(
+      in.toDF().toDF("ts", "event_type"))
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("freshness_live").start()
+    try {
+      // reversed then forward halves — arrival order must not matter
+      val (h1, h2) = rows.reverse.splitAt(rows.length / 2)
+      in.addData(h1.map { case (ty, s) => (new Timestamp(s * 1000), ty) })
+      q.processAllAvailable()
+      in.addData(h2.map { case (ty, s) => (new Timestamp(s * 1000), ty) })
+      q.processAllAvailable()
+      // update mode re-emits per batch; both columns are monotone per
+      // type, so the final emission is the componentwise max
+      val live = spark.table("freshness_live")
+        .as[(String, Long, Long)].collect()
+        .groupBy(_._1)
+        .map { case (ty, xs) =>
+          ty -> (xs.map(_._2).max, xs.map(_._3).max) }
+      val want = rows.groupBy(_._1).map { case (ty, xs) =>
+        ty -> (xs.map(_._2).max, xs.length.toLong) }
+      assert(live == want,
+        s"live last-seen diverges: $live vs $want")
+      // one state row per type — the bounded-state contract
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal)
+      assert(stateRows.contains(want.size.toLong),
+        s"state rows $stateRows != |types| ${want.size}")
+    } finally q.stop()
+  }
+
   test("Scd2Stream: in-order two-batch replay ≡ batch scd2_history; state = one row per user") {
     import spark.implicits._
     val rows = graft.Tables(spark, sfDir).events
