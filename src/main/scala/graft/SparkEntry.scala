@@ -218,7 +218,9 @@ object SparkEntry {
     "plan_partition_advisor" -> q(graft.pipeline.Planner.partitionAdvisor),
     "plan_skew_advisor" -> q(graft.pipeline.Planner.skewAdvisor),
     "report_event_freshness" -> q(graft.pipeline.Reports.eventFreshness),
-    "corpus_interleave" -> q(graft.pipeline.Export.corpusInterleave)
+    "corpus_interleave" -> q(graft.pipeline.Export.corpusInterleave),
+    "corpus_interleave_delta" -> q(graft.pipeline.Export.corpusInterleaveDelta),
+    "report_histogram_drift" -> q(graft.pipeline.Reports.histogramDrift)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -417,6 +419,8 @@ object SparkEntry {
     "plan_partition_advisor" -> graft.pipeline.Planner.partitionAdvisorSql,
     "plan_skew_advisor" -> graft.pipeline.Planner.skewAdvisorSql,
     "report_event_freshness" -> graft.pipeline.Reports.eventFreshnessSql,
-    "corpus_interleave" -> graft.pipeline.Export.corpusInterleaveSql
+    "corpus_interleave" -> graft.pipeline.Export.corpusInterleaveSql,
+    "corpus_interleave_delta" -> graft.pipeline.Export.corpusInterleaveDeltaSql,
+    "report_histogram_drift" -> graft.pipeline.Reports.histogramDriftSql
   )
 }

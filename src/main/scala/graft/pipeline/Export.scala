@@ -330,4 +330,81 @@ object Export {
        |      FROM c)
        |SELECT r.doc_id, r.source, (rs * ns + si)::BIGINT AS pos
        |FROM r JOIN s USING (source) ORDER BY r.doc_id""".stripMargin
+
+  /** APPEND-ONLY interleave continuation (the [[corpusPackDelta]]
+    * convention applied to the round-robin order): shipped positions
+    * are immutable — a trainer may already hold them — and a full
+    * re-interleave re-ranks every source (new coins interleave among
+    * old, shifting every later position). The delta therefore assigns
+    * positions ONLY to new docs (doc_id > max/2, the delta-family
+    * split), continuing each source's residue class right after its
+    * shipped rank: pos = (n_old(source) + rank_within_new) · S + si,
+    * with S and the source indexes from the SHIPPED source universe.
+    *
+    * New docs from a source absent at ship time have no residue class
+    * to continue — the builder REFUSES them loudly (a silent remap
+    * would collide with shipped positions); production ships a new
+    * full interleave generation to admit a new source, exactly the
+    * BoundsStore generation-roll shape.
+    *
+    * Scale: the shipped corpus contributes one |sources|-row count
+    * aggregate (source-column scan, no shuffle); the prefix machinery
+    * runs over the DELTA only; both side tables broadcast.
+    */
+  def corpusInterleaveDelta(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val cut = t.documents.agg(max(col("doc_id"))).head().getLong(0) / 2
+    val oldCounts = t.documents.filter(col("doc_id") <= cut)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_old"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val srcs = oldCounts.keys.toSeq.sorted
+    val S = srcs.length.toLong
+    val si = srcs.zipWithIndex.map { case (s, i) => (s, i.toLong) }.toMap
+    val newDocs = t.documents.filter(col("doc_id") > cut)
+    val novel = newDocs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).filterNot(oldCounts.contains)
+    require(novel.isEmpty,
+      s"sources absent from the shipped interleave: ${novel.mkString(",")}" +
+        " — ship a new interleave generation instead of a delta")
+    val base = newDocs
+      .select(col("doc_id"), col("source"))
+      .withColumn("coin", orderCoin)
+      .withColumn("bkt",
+        floor(col("coin") * lit(ShuffleBuckets.toDouble)).cast("int"))
+    val hist = base.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    val offs = hist.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      var acc = oldCounts(src)
+      rows.sortBy(_._2).map { case (s, b, n) =>
+        val off = acc; acc += n; (s, b, off, si(s))
+      }
+    }.toDF("source", "bkt", "off", "si")
+    val w = Window.partitionBy(col("source"), col("bkt"))
+      .orderBy(col("coin"), col("doc_id"))
+    base.join(broadcast(offs), Seq("source", "bkt"))
+      .select(col("doc_id"), col("source"),
+        ((col("off") + row_number().over(w) - 1) * lit(S) + col("si"))
+          .cast("long").as("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  def corpusInterleaveDeltaSql: String =
+    s"""WITH cut AS (SELECT MAX(doc_id) // 2 AS k FROM documents),
+       |s AS (SELECT source,
+       |        row_number() OVER (ORDER BY source) - 1 AS si,
+       |        COUNT(*) OVER () AS ns,
+       |        n_old
+       |      FROM (SELECT source, COUNT(*)::BIGINT AS n_old
+       |            FROM documents, cut WHERE doc_id <= k GROUP BY 1)),
+       |c AS (SELECT doc_id, source, ${Mixing.uSql("shuf")} AS coin
+       |      FROM documents, cut WHERE doc_id > k),
+       |r AS (SELECT doc_id, source,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY coin, doc_id) - 1 AS rs
+       |      FROM c)
+       |SELECT r.doc_id, r.source,
+       |  ((n_old + rs) * ns + si)::BIGINT AS pos
+       |FROM r JOIN s USING (source) ORDER BY r.doc_id""".stripMargin
 }

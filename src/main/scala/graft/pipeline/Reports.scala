@@ -831,6 +831,83 @@ object Reports {
        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Relative boundary shift above which [[histogramDrift]] flags a
+    * re-ANALYZE — 5% of the base histogram's value span.
+    */
+  val DriftThreshold6 = 0.05
+
+  /** The ANALYZE lifecycle's REFRESH decision: how far did each
+    * equi-depth boundary move between the shipped statistics (the
+    * base = orderkey-prefix half, the delta-family convention) and
+    * the full corpus, and does any shift cross [[DriftThreshold6]]?
+    * [[equidepthMerge]] estimates refreshed boundaries cheaply; this
+    * says WHEN the estimate isn't enough and the full re-rank must
+    * run — the re-ANALYZE trigger a nightly stats job evaluates
+    * before spending the corpus scan. Per boundary: base value, full
+    * value, round6 relative shift (|Δ| / base value span), and the
+    * `reanalyze` flag.
+    *
+    * Scale: two OrderStat narrowing searches (base multiplicities,
+    * full served from the [[EqdBoundsStore]] ANALYZE store — the
+    * second search is a 7-row parquet read), then pure driver-literal
+    * arithmetic. All values are data points; the one division is the
+    * identical IEEE sequence in both engines — hash-exact.
+    */
+  def histogramDrift(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val B = EqdBuckets
+    val cut = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+    val baseBounds = boundsOfCounts(t.orders
+      .filter(col("o_orderkey") <= cut)
+      .groupBy(col("o_totalprice").as("v")).agg(count(lit(1)).as("cnt")))
+    val fullBounds = equidepthBounds(t)
+    val span = baseBounds.last - baseBounds.head
+    (1 until B).map { j =>
+      val (b0, b1) = (baseBounds(j - 1), fullBounds(j - 1))
+      val shift = graft.functions.Portable.round6Double(
+        if (span > 0.0) math.abs(b1 - b0) / span else 0.0)
+      (j.toLong, b0, b1, shift, shift > DriftThreshold6)
+    }.toDF("j", "b_base", "b_full", "shift6", "reanalyze")
+      .orderBy(col("j"))
+  }
+
+  def histogramDriftSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH c AS (SELECT MAX(o_orderkey) // 2 AS cut FROM orders),
+       |rb AS (SELECT o_totalprice AS v,
+       |         row_number() OVER (ORDER BY o_totalprice) AS rk,
+       |         COUNT(*) OVER () AS n
+       |       FROM orders, c WHERE o_orderkey <= cut),
+       |bdb AS (SELECT ks.k,
+       |          MAX(CASE WHEN rk = (ks.k * n + $EqdBuckets - 1)
+       |                          // $EqdBuckets THEN v END) AS b
+       |        FROM rb CROSS JOIN
+       |          (SELECT unnest(range(1, $EqdBuckets)) AS k) ks
+       |        GROUP BY 1),
+       |rf AS (SELECT o_totalprice AS v,
+       |         row_number() OVER (ORDER BY o_totalprice) AS rk,
+       |         COUNT(*) OVER () AS n
+       |       FROM orders),
+       |bdf AS (SELECT ks.k,
+       |          MAX(CASE WHEN rk = (ks.k * n + $EqdBuckets - 1)
+       |                          // $EqdBuckets THEN v END) AS b
+       |        FROM rf CROSS JOIN
+       |          (SELECT unnest(range(1, $EqdBuckets)) AS k) ks
+       |        GROUP BY 1),
+       |sp AS (SELECT (SELECT b FROM bdb WHERE k = ${EqdBuckets - 1})
+       |              - (SELECT b FROM bdb WHERE k = 1) AS span),
+       |x AS (SELECT bdb.k::BIGINT AS j, bdb.b AS b_base,
+       |        bdf.b AS b_full,
+       |        CASE WHEN span > 0.0
+       |             THEN ${round6Sql("abs(bdf.b - bdb.b) / span")}
+       |             ELSE 0.0 END AS shift6
+       |      FROM bdb JOIN bdf USING (k), sp)
+       |SELECT j, b_base, b_full, shift6,
+       |  shift6 > $DriftThreshold6 AS reanalyze
+       |FROM x ORDER BY j""".stripMargin
+  }
+
   /** Per-type event FRESHNESS report: p50/p90/p99 arrival lag behind
     * the corpus frontier (max ts), in seconds — the data-liveness SLA
     * audit a nightly ingest runs (a type whose p99 lag grows is a

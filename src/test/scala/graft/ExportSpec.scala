@@ -184,6 +184,54 @@ class ExportSpec extends SparkSpec {
     assert(got.toSeq == again.toSeq, "rerun must be byte-identical")
   }
 
+  test("corpus_interleave_delta: shipped positions never move; each residue class continues gap-free; novel source refused") {
+    import org.apache.spark.sql.functions.{col, max}
+    val cut = tables.documents.agg(max(col("doc_id"))).head().getLong(0) / 2
+    // the shipped interleave = interleave of the prefix corpus (coin
+    // and source are identity functions, so the prefix filter commutes)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-interleave-old").toString
+    tables.documents.filter(col("doc_id") <= cut)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val shipped = Export.corpusInterleave(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val delta = Export.corpusInterleaveDelta(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(delta.nonEmpty && delta.forall(_._1 > cut),
+      "delta must address only new docs")
+    // no collisions with shipped; union covers the full corpus
+    val all = shipped ++ delta
+    assert(all.map(_._3).distinct.length == all.length,
+      "delta positions collide with shipped")
+    assert(all.length.toLong == tables.documents.count())
+    // per source: shipped ranks 0..n_old-1, delta continues n_old..
+    // gap-free in the same residue class
+    val srcs = shipped.map(_._2).distinct.sorted
+    val S = srcs.length.toLong
+    val si = srcs.zipWithIndex.toMap
+    all.groupBy(_._2).foreach { case (src, rows) =>
+      val ranks = rows.map(_._3).sorted.map { p =>
+        assert(p % S == si(src), s"$src residue broken at $p"); p / S }
+      assert(ranks.toSeq == (0L until ranks.length).toSeq,
+        s"$src ranks not gap-free: ${ranks.take(5).toSeq}...")
+    }
+    // a genuinely new source cannot continue a residue class
+    import spark.implicits._
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-interleave-novel").toString
+    tables.documents
+      .withColumn("source",
+        org.apache.spark.sql.functions.when(col("doc_id") > cut * 2 - 3,
+          org.apache.spark.sql.functions.lit("brand_new_src"))
+          .otherwise(col("source")))
+      .write.mode("overwrite").parquet(s"$dir2/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Export.corpusInterleaveDelta(Tables(spark, dir2)).collect()
+    }
+    assert(e.getMessage.contains("brand_new_src"),
+      s"refusal must name the novel source: ${e.getMessage}")
+  }
+
   test("corpus_interleave: the rank Window partitions on (source, bucket), never source alone") {
     val plan = physical(Export.corpusInterleave(tables))
     assert("\\bWindow\\b".r.findAllIn(plan).length == 1,

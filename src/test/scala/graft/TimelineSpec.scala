@@ -313,6 +313,52 @@ class TimelineSpec extends SparkSpec {
     assert(stored == want, s"stored bounds $stored != rank model $want")
   }
 
+  test("report_histogram_drift ≡ JVM model; planted distribution shift flags reanalyze") {
+    import graft.pipeline.Reports
+    import graft.functions.Portable.round6Double
+    val B = Reports.EqdBuckets
+    def model(rows: Seq[(Long, Double)]) = {
+      val cut = rows.map(_._1).max / 2
+      def bounds(vs: Seq[Double]) = {
+        val s = vs.sorted; val n = s.length.toLong
+        (1 until B).map(k => s((((k.toLong * n + B - 1) / B) - 1).toInt))
+      }
+      val bb = bounds(rows.filter(_._1 <= cut).map(_._2))
+      val bf = bounds(rows.map(_._2))
+      val span = bb.last - bb.head
+      (1 until B).map { j =>
+        val shift = round6Double(
+          if (span > 0.0) math.abs(bf(j - 1) - bb(j - 1)) / span else 0.0)
+        (j.toLong, bb(j - 1), bf(j - 1), shift,
+          shift > Reports.DriftThreshold6)
+      }
+    }
+    val real = tables.orders
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val got = Reports.histogramDrift(tables).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == model(real),
+      s"drift diverges:\ngot  ${got.toSeq}\nwant ${model(real)}")
+
+    // planted shift: the delta half lives 10 spans higher — every
+    // boundary must flag
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-drift-shift").toString
+    val planted = (1 to 4000).map { i =>
+      (i.toLong, if (i <= 2000) (i % 100).toDouble
+      else 1000.0 + (i % 100).toDouble)
+    }
+    planted.toDF("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val shifted = Reports.histogramDrift(Tables(spark, dir)).collect()
+      .map(r => (r.getLong(0), r.getBoolean(4)))
+    assert(shifted.forall(_._2),
+      s"a planted 10-span shift must flag every boundary: ${shifted.toSeq}")
+  }
+
   test("report_equidepth_hist plan: no global sort of the fact") {
     val plan = graft.pipeline.Reports.equidepthHist(tables)
       .queryExecution.executedPlan.toString
