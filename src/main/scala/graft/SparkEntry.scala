@@ -220,7 +220,9 @@ object SparkEntry {
     "report_event_freshness" -> q(graft.pipeline.Reports.eventFreshness),
     "corpus_interleave" -> q(graft.pipeline.Export.corpusInterleave),
     "corpus_interleave_delta" -> q(graft.pipeline.Export.corpusInterleaveDelta),
-    "report_histogram_drift" -> q(graft.pipeline.Reports.histogramDrift)
+    "report_histogram_drift" -> q(graft.pipeline.Reports.histogramDrift),
+    "corpus_mix_solver" -> q(graft.pipeline.Mixing.mixSolver),
+    "corpus_sample_waterfill" -> q(graft.pipeline.Mixing.sampleWaterfill)
   )
 
   /** Queries whose driver check is deliberately rows-only: no portable
@@ -421,6 +423,8 @@ object SparkEntry {
     "report_event_freshness" -> graft.pipeline.Reports.eventFreshnessSql,
     "corpus_interleave" -> graft.pipeline.Export.corpusInterleaveSql,
     "corpus_interleave_delta" -> graft.pipeline.Export.corpusInterleaveDeltaSql,
-    "report_histogram_drift" -> graft.pipeline.Reports.histogramDriftSql
+    "report_histogram_drift" -> graft.pipeline.Reports.histogramDriftSql,
+    "corpus_mix_solver" -> graft.pipeline.Mixing.mixSolverSql,
+    "corpus_sample_waterfill" -> graft.pipeline.Mixing.sampleWaterfillSql
   )
 }

@@ -909,4 +909,130 @@ object Mixing {
        |    AS chars_ratio6
        |FROM s ORDER BY source""".stripMargin
   }
+
+  /** Token-budget numerator/denominator for [[mixSolver]]: sample
+    * half the corpus' tokens. A literal rational, part of the
+    * operator definition.
+    */
+  val WaterfillBudgetNum = 1L
+  val WaterfillBudgetDen = 2L
+
+  /** The mix PLANNER — exact integer water-filling: given per-source
+    * token inventories cap_s and a total budget N
+    * ([[WaterfillBudgetNum]]/[[WaterfillBudgetDen]] of Σcap), find
+    * the water level λ* = max{λ : Σ min(cap_s, λ) ≤ N} and allocate
+    * alloc_s = min(cap_s, λ) — the balanced mix "equal tokens per
+    * source, except sources that don't have that many, whose deficit
+    * the rest absorb". This is the op that turns a mix TARGET into
+    * executable per-source rates when capacities bind — the planning
+    * step ahead of every `corpus_sample_*` sampler.
+    *
+    * λ* computes in closed form, no iteration: with caps ascending
+    * c₁..c_S and exclusive prefixes P_k, f(λ) = Σ min(c_s, λ) is
+    * concave, each segment line L_k(λ) = P_k + (S−k)·λ dominates f
+    * everywhere, so every candidate λ_k = (N − P_k) div (S − k) is
+    * feasible and λ* = max_k λ_k — one MAX over S integer
+    * expressions, identical in both engines (ties in caps are
+    * harmless: P and the candidates depend only on the multiset).
+    *
+    * Scale: ONE corpus scan (per-source token sums, map-side
+    * partial), |sources| rows to the driver, literal output. Output
+    * rows carry (cap, alloc, saturated, round6 rate, λ).
+    */
+  def mixSolver(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    import graft.functions.Portable.round6Double
+    val caps = t.documents
+      .groupBy(col("source"))
+      .agg(sum(size(split(col("text"), " ")).cast("long")).as("cap"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy(_._1)
+    val n = caps.map(_._2).sum * WaterfillBudgetNum / WaterfillBudgetDen
+    val asc = caps.map(_._2).sorted
+    val s = asc.length
+    var p = 0L
+    val lam = (0 until s).map { k =>
+      val cand = (n - p) / (s - k); p += asc(k); cand
+    }.max
+    caps.toSeq.map { case (src, cap) =>
+      val alloc = math.min(cap, lam)
+      (src, cap, alloc, cap <= lam,
+        round6Double(alloc.toDouble / cap.toDouble), lam)
+    }.toDF("source", "cap_tokens", "alloc_tokens", "saturated",
+        "rate6", "water_level")
+      .orderBy(col("source"))
+  }
+
+  def mixSolverSql: String = {
+    import graft.functions.Portable.round6Sql
+    s"""WITH caps AS (SELECT source,
+       |         SUM(len(string_split(text, ' ')))::BIGINT AS cap
+       |       FROM documents GROUP BY 1),
+       |tot AS (SELECT (SUM(cap) * $WaterfillBudgetNum)
+       |               // $WaterfillBudgetDen AS n,
+       |               COUNT(*)::BIGINT AS s FROM caps),
+       |o AS (SELECT cap,
+       |        row_number() OVER (ORDER BY cap, source) AS k,
+       |        COALESCE(SUM(cap) OVER (ORDER BY cap, source
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          0)::BIGINT AS p
+       |      FROM caps),
+       |lam AS (SELECT MAX((n - p) // (s - k + 1)) AS lam
+       |        FROM o, tot)
+       |SELECT source, cap AS cap_tokens,
+       |  LEAST(cap, lam)::BIGINT AS alloc_tokens,
+       |  cap <= lam AS saturated,
+       |  ${round6Sql("LEAST(cap, lam)::DOUBLE / cap::DOUBLE")} AS rate6,
+       |  lam::BIGINT AS water_level
+       |FROM caps, lam ORDER BY source""".stripMargin
+  }
+
+  /** The planner's CONSUMER — execute the water-filled mix: keep a
+    * doc iff its identity coin clears its source's [[mixSolver]]
+    * rate (saturated sources keep everything; the rest thin toward
+    * the water level). The ccnet boundary-table shape with the
+    * solver as the table: rates are |sources| driver scalars compiled
+    * into the filter, the corpus pass is one map-side gate. Sampling
+    * is per-doc Bernoulli on the token-mass rate, so the kept TOKEN
+    * mass concentrates at alloc_s (spec-checked band) while staying
+    * identity-deterministic and join-free.
+    */
+  def sampleWaterfill(t: Tables): DataFrame = {
+    val rates = mixSolver(t).collect()
+      .map(r => r.getString(0) -> r.getDouble(4))
+    val rate = rates.foldLeft(lit(0.0): Column) {
+      case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    t.documents
+      .select(col("doc_id"), col("source"))
+      .withColumn("u", u("wfill", col("doc_id")))
+      .filter(col("u") < rate)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  def sampleWaterfillSql: String =
+    s"""WITH caps AS (SELECT source,
+       |         SUM(len(string_split(text, ' ')))::BIGINT AS cap
+       |       FROM documents GROUP BY 1),
+       |tot AS (SELECT (SUM(cap) * $WaterfillBudgetNum)
+       |               // $WaterfillBudgetDen AS n,
+       |               COUNT(*)::BIGINT AS s FROM caps),
+       |o AS (SELECT cap,
+       |        row_number() OVER (ORDER BY cap, source) AS k,
+       |        COALESCE(SUM(cap) OVER (ORDER BY cap, source
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |          0)::BIGINT AS p
+       |      FROM caps),
+       |lam AS (SELECT MAX((n - p) // (s - k + 1)) AS lam
+       |        FROM o, tot),
+       |rt AS (SELECT source,
+       |         ${graft.functions.Portable.round6Sql(
+                   "LEAST(cap, lam)::DOUBLE / cap::DOUBLE")} AS rate
+       |       FROM caps, lam)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN rt USING (source)
+       |WHERE ${uSql("wfill")} < rate
+       |ORDER BY d.doc_id""".stripMargin
 }

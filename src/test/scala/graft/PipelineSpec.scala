@@ -606,4 +606,104 @@ class PipelineSpec extends SparkSpec {
       s"shard counting must not need a distinct Expand:\n$plan")
     assert(!plan.contains("Window"), s"no Window belongs here:\n$plan")
   }
+
+  test("mix: water-fill solver ≡ JVM model; level is the exact feasibility frontier") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Mixing
+    val got = Mixing.mixSolver(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4), r.getLong(5)))
+    // independent model: per-source token sums from raw text
+    val caps = tables.documents
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1).length.toLong))
+      .groupBy(_._1).map { case (s, xs) => (s, xs.map(_._2).sum) }
+    val n = caps.values.sum * Mixing.WaterfillBudgetNum /
+      Mixing.WaterfillBudgetDen
+    def f(lam: Long) = caps.values.map(c => math.min(c, lam)).sum
+    val lamGot = got.head._6
+    assert(got.forall(_._6 == lamGot))
+    // λ is the exact frontier: feasible at λ, infeasible at λ+1
+    assert(f(lamGot) <= n && f(lamGot + 1) > n,
+      s"water level $lamGot not maximal: f=${f(lamGot)}, " +
+        s"f+1=${f(lamGot + 1)}, n=$n")
+    got.foreach { case (src, cap, alloc, sat, rate6, _) =>
+      assert(cap == caps(src), s"$src capacity wrong")
+      assert(alloc == math.min(cap, lamGot))
+      assert(sat == (cap <= lamGot))
+      assert(rate6 == graft.functions.Portable.round6Double(
+        alloc.toDouble / cap.toDouble))
+    }
+    // the near-uniform test corpus never saturates at the 1/2 budget
+    // (all rates equal-ish) — both decision branches are pinned on a
+    // planted skewed corpus below
+  }
+
+  test("mix: water-fill on a planted skewed corpus — tiny source saturates whole, whale thins; sampler honors both") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Mixing
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-waterfill-skew").toString
+    // whale: 900 docs x 10 tokens; tiny: 10 docs x 10 tokens.
+    // N = (9000+100)/2 = 4550; candidates: k=0: 2275, k=1:
+    // (4550-100)/1 = 4450 -> lam = 4450: tiny (100) saturates, whale
+    // allocates 4450/9000
+    val docs = (1 to 900).map(i =>
+      (i.toLong, Seq.fill(10)("w").mkString(" "), "en", "whale")) ++
+      (1 to 10).map(i =>
+        (900L + i, Seq.fill(10)("t").mkString(" "), "en", "tiny"))
+    docs.toDF("doc_id", "text", "lang", "source")
+      .selectExpr("doc_id", "text", "lang", "source",
+        "length(text) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = Tables(spark, dir)
+    val got = Mixing.mixSolver(t).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("tiny", 100L, 100L, true, 1.0, 4450L),
+      ("whale", 9000L, 4450L, false,
+        graft.functions.Portable.round6Double(4450.0 / 9000.0), 4450L)),
+      s"planted water-fill wrong: $got")
+    val kept = Mixing.sampleWaterfill(t).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "tiny") == 10,
+      "saturated source must keep every doc")
+    val whaleKept = kept.count(_._2 == "whale")
+    // Bernoulli at rate .494x over 900 identity coins — a fixed
+    // deterministic count; the band just guards gross rate breakage
+    assert(whaleKept > 300 && whaleKept < 600, s"whale kept $whaleKept")
+  }
+
+  test("mix: water-fill sampler keeps everything from saturated sources, thins the rest toward alloc") {
+    import org.apache.spark.sql.functions._
+    import graft.pipeline.Mixing
+    val solver = Mixing.mixSolver(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3), r.getDouble(4))).toSeq
+    val kept = Mixing.sampleWaterfill(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val keptBySrc = kept.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val docs = tables.documents
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    solver.foreach { case (src, _, _, sat, rate6) =>
+      val ids = docs.filter(_._2 == src).map(_._1)
+      if (sat)
+        assert(keptBySrc.getOrElse(src, Set.empty) == ids.toSet,
+          s"saturated $src must keep every doc")
+      else {
+        // the exact identity-coin rule, recomputed per doc
+        val want = ids.filter { id =>
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"wfill|$id".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(8)
+          java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 < rate6
+        }.toSet
+        assert(keptBySrc.getOrElse(src, Set.empty) == want,
+          s"$src sample diverges from the identity coin rule")
+      }
+    }
+  }
 }
