@@ -241,7 +241,28 @@ object PlanDump {
         "map-side filter over a 4-column scan; the OrderStat " +
         "threshold search paid its O(log n) scans once, outside this " +
         "plan, with the estimator's tau riding the same batch.",
-      graft.pipeline.Mixing.samplePriority))
+      graft.pipeline.Mixing.samplePriority),
+    ("plan_join_decisions",
+      "The cost-based join advisor prices every candidate from the " +
+        "two persisted ANALYZE stores: its own plan is PURE LITERALS " +
+        "— no FileScan anywhere (spec-pinned); the only Exchange is " +
+        "the 6-row output sort. At 100 TB this is the entire point: " +
+        "strategy decisions from metadata, never from touching the " +
+        "data.",
+      graft.pipeline.Planner.joinDecisions),
+    ("corpus_interleave",
+      "Round-robin source interleaving via the distributed-prefix " +
+        "rank: ONE Window partitioned on (source, bkt) — 1024 " +
+        "balanced groups per source, never a whale-source-sized sort " +
+        "task — with the offset and index tables broadcast.",
+      graft.pipeline.Export.corpusInterleave),
+    ("report_event_freshness",
+      "Per-type lag percentiles with NO Window and no per-type sort: " +
+        "the plan is the one multiplicity aggregation (map-side " +
+        "partial) — the 3x|types| rank targets resolved in the " +
+        "grouped OrderStat narrowing OUTSIDE this plan, against the " +
+        "persisted frame.",
+      graft.pipeline.Reports.eventFreshness))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)

@@ -366,6 +366,44 @@ object Planner {
        |FROM st ORDER BY "table", "column"""".stripMargin
   }
 
+  /** EXECUTE the layout advisor's verdict for one (table, column):
+    * `bucket-by` → a bucketed catalog table via
+    * `storage.Bucketing.ensureBucketed` with the advised bucket
+    * count; `partition-by` → a directory-partitioned parquet write
+    * under the warehouse. Returns the written identifier (catalog
+    * table name or path) — what the statistics chose is what lands
+    * on disk, closing the layout loop the same way [[applyDecision]]
+    * closes the join loop. Idempotent per corpus tag (the ensure
+    * protocol); PlannerSpec pins both branches' physical layout on
+    * the planted corpus.
+    */
+  def applyLayout(t: Tables, table: String, column: String): String = {
+    val row = partitionAdvisor(t).collect()
+      .find(r => r.getString(0) == table && r.getString(1) == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no advisor row for $table.$column"))
+    val (decision, nBuckets) = (row.getString(6), row.getLong(7))
+    val tag = KeyStatsStore.tag(t)
+    def df = table match {
+      case "lineitem" => t.lineitem case "orders" => t.orders
+      case "customer" => t.customer case "part" => t.part
+      case "supplier" => t.supplier case "nation" => t.nation
+    }
+    if (decision == "bucket-by") {
+      val name = s"graft_adv_${table}_${column}_$tag"
+      graft.storage.Bucketing.ensureBucketed(
+        t.spark, df, name, column, nBuckets.toInt)
+      name
+    } else {
+      val wh = t.spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/")
+      val path = s"$wh/graft_adv_${table}_${column}_$tag"
+      // SaveMode.Ignore = the ensure protocol: existing layout wins
+      df.write.mode("ignore").partitionBy(column).parquet(path)
+      path
+    }
+  }
+
   /** EXECUTE a candidate under the advisor's verdict: the real join
     * with the decision applied as a join-strategy hint, so what runs
     * is what the statistics chose. 'broadcast' → `broadcast()` on the

@@ -2717,6 +2717,68 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // InterleaveStream — pipeline.Export.corpusInterleaveDelta LIVE: new
+  // docs get their round-robin training position AT INTAKE, continuing
+  // each source's residue class from the shipped interleave.
+  // ---------------------------------------------------------------------
+  object InterleaveStream {
+
+    /** One shipped-interleave boundary row: the source's alphabetical
+      * index and its shipped rank count.
+      */
+    final case class SourceCursor(si: Long, nOld: Long)
+
+    /** Live position assignment: pos = (n_old + arrivals so far) · S
+      * + si, state = ONE Long counter per source (bounded by
+      * |sources|). The boundary table (S, per-source si/n_old) is the
+      * published artifact of the shipped interleave — the BoundsStore
+      * generation shape; rolling a new interleave generation swaps
+      * the table.
+      *
+      * Semantics are ARRIVAL-ORDER by design: a stream cannot rank by
+      * the batch coin without seeing the whole delta, and intake
+      * order is the order a live trainer would consume anyway. The
+      * invariants shipped positions rely on hold identically
+      * (spec-pinned): residues mod S identify the source, positions
+      * are globally unique, and each source's ranks continue gap-free
+      * from n_old. A source ABSENT from the boundary table cannot
+      * continue a residue class — its docs emit pos = −1 (the
+      * dead-letter sentinel; the batch twin refuses loudly, a stream
+      * must not kill the query per bad row) for reconciliation to
+      * route to the next generation ship. Append mode, no timers.
+      */
+    def positions(docs: DataFrame,
+                  boundary: Map[String, SourceCursor]): DataFrame = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      val s = boundary.size.toLong
+      docs
+        .select(col("doc_id"), col("source"))
+        .as[(Long, String)]
+        .groupByKey(_._2)
+        .flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout)(
+          (src: String, it: Iterator[(Long, String)],
+           state: GroupState[Long]) => {
+            boundary.get(src) match {
+              case None =>
+                it.map { case (id, _) => (id, src, -1L) }
+              case Some(cur) =>
+                var c = state.getOption.getOrElse(0L)
+                val out = it.map { case (id, _) =>
+                  val pos = (cur.nOld + c) * s + cur.si
+                  c += 1
+                  (id, src, pos)
+                }.toVector
+                state.update(c)
+                out.iterator
+            }
+          })
+        .toDF("doc_id", "source", "pos")
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // Scd2Stream — operators.Timeline.scd2History LIVE: CDC-style
   // dimension-history compaction as events arrive, one open interval of
   // state per user no matter how long the history grows.

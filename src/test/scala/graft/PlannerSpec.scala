@@ -142,6 +142,21 @@ class PlannerSpec extends SparkSpec {
         (r.getString(6), r.getLong(7)))).toMap
     assert(skew(("lineitem", "l_suppkey")) == ("salt", 2L), s"$skew")
     assert(skew(("lineitem", "l_orderkey")) == ("plain", 1L), s"$skew")
+
+    // applyLayout: the verdicts land on disk as decided
+    import org.apache.hadoop.fs.Path
+    val pPath = Planner.applyLayout(t, "orders", "o_custkey")
+    val fs = new Path(pPath).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(pPath, "o_custkey=1")),
+      "partition-by verdict must produce value directories")
+    assert(spark.read.parquet(pPath).count() == 40000L)
+    val tName = Planner.applyLayout(t, "orders", "o_orderkey")
+    assert(spark.catalog.tableExists(tName),
+      "bucket-by verdict must produce a bucketed catalog table")
+    assert(spark.table(tName).count() == 40000L)
+    // ensure protocol: re-apply is a no-op returning the same identity
+    assert(Planner.applyLayout(t, "orders", "o_custkey") == pPath)
+    assert(Planner.applyLayout(t, "orders", "o_orderkey") == tName)
   }
 
   test("plan_skew_advisor ≡ JVM stats model; metadata-only plan") {

@@ -2739,6 +2739,45 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("InterleaveStream: live positions continue shipped residue classes gap-free; novel source dead-letters") {
+    import spark.implicits._
+    import Jobs.InterleaveStream.SourceCursor
+    // shipped interleave artifact: S=2; source a shipped 3 ranks,
+    // b shipped 5
+    val boundary = Map("a" -> SourceCursor(0L, 3L),
+      "b" -> SourceCursor(1L, 5L))
+    val in = MemoryStream[(Long, String)]
+    val q = Jobs.InterleaveStream.positions(
+      in.toDF().toDF("doc_id", "source"), boundary)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("interleave_live").start()
+    try {
+      in.addData(Seq((101L, "a"), (102L, "b"), (103L, "a"),
+        (104L, "zzz")))
+      q.processAllAvailable()
+      in.addData(Seq((105L, "a"), (106L, "b")))
+      q.processAllAvailable()
+      val got = spark.table("interleave_live")
+        .as[(Long, String, Long)].collect()
+      assert(got.length == 6)
+      // novel source dead-letters with the sentinel, kills nothing
+      assert(got.filter(_._2 == "zzz").map(_._3).toSeq == Seq(-1L))
+      // residue classes continue exactly after the shipped ranks:
+      // a → ranks 3,4,5 → positions {6,8,10}; b → ranks 5,6 → {11,13}
+      assert(got.filter(_._2 == "a").map(_._3).toSet == Set(6L, 8L, 10L))
+      assert(got.filter(_._2 == "b").map(_._3).toSet == Set(11L, 13L))
+      // arrival order is the rank order across batches: batch-2 docs
+      // rank after batch-1 docs of the same source
+      val aPos = got.filter(_._2 == "a")
+        .map { case (id, _, p) => (id, p) }.toMap
+      assert(aPos(105L) == 10L, s"batch-2 arrival must take the last rank: $aPos")
+      // one counter per KNOWN source
+      val stateRows = q.recentProgress.flatMap(_.stateOperators)
+        .lastOption.map(_.numRowsTotal)
+      assert(stateRows.contains(2L), s"state rows $stateRows != 2")
+    } finally q.stop()
+  }
+
   test("Scd2Stream: in-order two-batch replay ≡ batch scd2_history; state = one row per user") {
     import spark.implicits._
     val rows = graft.Tables(spark, sfDir).events
