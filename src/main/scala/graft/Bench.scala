@@ -62,7 +62,8 @@ object Bench {
     // run separates candidate growth from wall-clock noise
     val mpPairs =
       try graft.dedup.Dedup.multiprobeCandidates(Tables(spark, sfDir)).count()
-      catch { case _: Throwable => -1L }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] mp_pairs failed: $e"); -1L }
     def json(rs: Iterable[(String, Double)]): String = rs
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val full =

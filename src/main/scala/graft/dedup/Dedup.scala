@@ -1025,7 +1025,8 @@ object Dedup {
     val parquetStores = Seq(KeeperIdsStore, ShinglesStore,
       KeeperShinglesStore, SimhashStore, EvalCorpusStore,
       graft.pipeline.Mixing.LmScoresStore,
-      graft.pipeline.Reports.EqdBoundsStore)
+      graft.pipeline.Reports.EqdBoundsStore,
+      graft.pipeline.Planner.KeyStatsStore)
     val reapedDirs = parquetStores.flatMap { s =>
       Materialize.reapStale(t.spark, s.prefix, corpora.map(s.tag).toSet)
     }
