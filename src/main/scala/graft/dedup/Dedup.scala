@@ -1026,7 +1026,8 @@ object Dedup {
       KeeperShinglesStore, SimhashStore, EvalCorpusStore,
       graft.pipeline.Mixing.LmScoresStore,
       graft.pipeline.Reports.EqdBoundsStore,
-      graft.pipeline.Planner.KeyStatsStore)
+      graft.pipeline.Planner.KeyStatsStore,
+      Substring.WindowsStore)
     val reapedDirs = parquetStores.flatMap { s =>
       Materialize.reapStale(t.spark, s.prefix, corpora.map(s.tag).toSet)
     }

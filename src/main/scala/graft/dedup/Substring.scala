@@ -1,0 +1,408 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** Exact SUBSTRING dedup — the span-level dedup mode (Lee et al. 2021,
+  * "Deduplicating Training Data Makes Language Models Better"): find
+  * runs of ≥ [[SpanK]] consecutive tokens that appear verbatim in MORE
+  * THAN ONE document, and excise them. Doc-level dedup (`dedup_exact`,
+  * the MinHash family) removes whole near-identical documents; this
+  * catches the orthogonal failure — boilerplate passages, license
+  * headers, quoted paragraphs duplicated across otherwise-distinct
+  * documents, which doc-level Jaccard at 0.8 structurally ignores (a
+  * 12-token header in two 500-token docs moves Jaccard by ~2%).
+  *
+  * Reference scope: the reference corpus jobs dedup at document
+  * granularity only (no span-level pass anywhere under the reference
+  * `src/main/scala` tree); this family extends the graft dedup surface
+  * the way a production LLM-data pipeline needs.
+  *
+  * Spark-first shape: the suffix-array construction the paper uses is
+  * a single-machine algorithm; the distributed-native equivalent is
+  * WINDOWED HASHING — every doc emits one md5 per K-token sliding
+  * window (a per-row codegen'd HOF, no shuffle), duplicated windows
+  * fall out of ONE hash-partitioned aggregation, and flagged windows
+  * merge into maximal spans with a per-doc window function (per-doc
+  * row counts are bounded by doc length, so the WindowExec partition
+  * is never a whale). Windows ≈ Σ tokens, so total shuffle volume is
+  * LINEAR in corpus size — the property that lets the plan survive
+  * 100 TB, where a suffix array over the corpus does not exist.
+  *
+  * Cross-doc criterion: a window is duplicated iff it appears in ≥ 2
+  * DISTINCT documents. Within-doc repetition is deliberately out of
+  * scope — that is `quality_repetition`'s domain (and excising a doc's
+  * only copy of its own refrain is not dedup).
+  */
+object Substring {
+
+  /** Minimum duplicated run length, in tokens. The paper uses 50 BPE
+    * tokens against web text; the synthetic corpus' planted near-dup
+    * texts share much shorter exact runs, so the library default sits
+    * where the testdata exercises every branch. Configurable per call.
+    */
+  val SpanK = 12
+
+  // ------------------------------------------------------- windows
+
+  /** The K-window (pos, h) array of a `text` column as ONE per-row HOF
+    * expression — the shared definition the batch window frame AND the
+    * streaming intake gate (`streaming.Jobs.SubstringGateStream`)
+    * explode, so the two signatures cannot drift.
+    */
+  private[graft] def windowPairs(text: Column, k: Int): Column = {
+    val ts = split(text, " ")
+    transform(
+      sequence(lit(0), size(ts) - k),
+      i => struct(
+        i.cast("long").as("pos"),
+        md5(concat_ws(" ", slice(ts, i + lit(1), lit(k)))).as("h")))
+  }
+
+  /** (doc_id, pos, h): one md5 per K-token sliding window per doc.
+    * Pure per-row HOF work ([[windowPairs]] stays inside whole-stage
+    * codegen); `pos` is the 0-based token index of the window start.
+    */
+  private[dedup] def windows(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .where(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"),
+        explode(windowPairs(col("text"), k)).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.h").as("h"))
+
+  /** DuckDB twin of [[windows]] as CTE bodies (`tok`, `wins`). */
+  private def windowsSql(k: Int): String =
+    s"""tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents
+       |        WHERE len(string_split(text, ' ')) >= $k),
+       |wins AS (SELECT doc_id, i AS pos,
+       |                md5(array_to_string(ts[i+1:i+$k], ' ')) AS h
+       |         FROM tok, unnest(generate_series(0, len(ts) - $k)) t(i))"""
+      .stripMargin
+
+  // --------------------------------------------------------- spans
+
+  /** Maximal duplicated spans per doc: (doc_id, span_start, span_end,
+    * n_tok) — token index range [span_start, span_end] (inclusive,
+    * 0-based) covered by cross-doc duplicated K-windows, consecutive
+    * flagged windows merged into one maximal span.
+    *
+    * Plan: one aggregation on the window hash (count-distinct doc_id
+    * with map-side partials), a semi-join of the window frame against
+    * the duplicated-hash set (AQE broadcasts it when small — on a
+    * boilerplate-free corpus the dup set is tiny; on a template-heavy
+    * one the join degrades gracefully to hash-partitioned), then the
+    * classic gaps-and-islands merge: `pos − row_number()` is constant
+    * exactly along a consecutive run. EVERY occurrence is flagged
+    * symmetrically — keeper election is the consumer's policy choice
+    * ([[cleanSubstring]] keeps the min-doc_id occurrence).
+    */
+  def substringSpans(t: Tables, k: Int = SpanK): DataFrame =
+    spansOver(windows(t.documents, k), k)
+
+  /** The per-corpus K-window store (doc_id, pos, h) — the
+    * tokenize+hash work of [[windows]] paid ONCE per corpus and shared
+    * by every consumer ([[substringSpansMat]], the streaming intake
+    * gate). The live [[substringSpans]] plan derives the window frame
+    * TWICE (dup aggregation + flagged semi-join — Catalyst re-expands
+    * shared subtrees into separately-pruned scans), so the store halves
+    * the scan work besides amortizing across entries. Cache key
+    * includes the corpus file inventory and K ([[graft.storage.Materialize]]).
+    */
+  private[graft] lazy val WindowsStore = graft.storage.Materialize
+    .StoreDef("graft_substr_wins", "documents", s"k=$SpanK")
+
+  private[dedup] def windowsMaterialized(t: Tables): DataFrame =
+    graft.storage.Materialize.ensureStore(t, WindowsStore,
+      windows(t.documents, SpanK))
+
+  /** [[substringSpans]] over the materialized window store — identical
+    * rows (oracle = the live SQL verbatim), no `documents.parquet`
+    * scan at query time (SubstringSpec pins both).
+    */
+  def substringSpansMat(t: Tables): DataFrame =
+    spansOver(windowsMaterialized(t), SpanK)
+
+  /** The corpus side of the streaming intake gate: distinct
+    * (ch, corpus_doc) over the window store — an arriving doc's window
+    * is "already in the corpus" iff some corpus doc OTHER than itself
+    * holds the hash (the left-semi condition the gate applies).
+    */
+  private[graft] def corpusWindowStore(t: Tables): DataFrame =
+    windowsMaterialized(t)
+      .select(col("h").as("ch"), col("doc_id").as("corpus_doc"))
+      .distinct()
+
+  private def spansOver(wins: DataFrame, k: Int): DataFrame = {
+    val dup = wins.groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select("h")
+    val flagged = wins.join(dup, Seq("h"), "left_semi")
+    mergeIslands(flagged, k)
+      .agg(
+        min(col("pos")).as("span_start"),
+        (max(col("pos")) + (k - 1)).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + k).as("n_tok"))
+      .drop("grp")
+  }
+
+  /** Interval merge for equal-length (K-token) windows: two flagged
+    * windows belong to one span iff their start gap is ≤ K (gap < K
+    * overlaps, gap = K touches) — NOT only when positions are
+    * consecutive, since a window between two duplicated ones need not
+    * itself be duplicated. Equal lengths make the running coverage
+    * end monotone in `pos`, so the island boundary is a single
+    * `lag`: a new span starts exactly when `pos − lag(pos) > K`.
+    * Returns the frame grouped by (doc_id, grp), spans per doc
+    * DISJOINT and maximal.
+    */
+  private def mergeIslands(flagged: DataFrame, k: Int) = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val newIsland =
+      when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0)
+    flagged
+      .select(col("doc_id"), col("pos"), newIsland.as("ni"))
+      .select(col("doc_id"), col("pos"), sum(col("ni")).over(w).as("grp"))
+      .groupBy(col("doc_id"), col("grp"))
+  }
+
+  /** CTE chain shared by every oracle: `tok`, `wins`, `dup`, `fl`,
+    * `spans`.
+    */
+  private def spansCtes(k: Int): String =
+    s"""${windowsSql(k)},
+       |dup AS (SELECT h FROM wins GROUP BY h
+       |        HAVING COUNT(DISTINCT doc_id) >= 2),
+       |fl AS (SELECT w.doc_id, w.pos FROM wins w JOIN dup USING (h)),
+       |${islandsSql("fl", k)},
+       |spans AS (SELECT doc_id, MIN(pos)::BIGINT AS span_start,
+       |                 (MAX(pos) + ${k - 1})::BIGINT AS span_end,
+       |                 (MAX(pos) - MIN(pos) + $k)::BIGINT AS n_tok
+       |          FROM isl GROUP BY doc_id, grp)""".stripMargin
+
+  /** DuckDB twin of [[mergeIslands]]: CTEs `lg` (lag) and `isl`
+    * (running island id) over `rel`'s (doc_id, pos).
+    */
+  private def islandsSql(rel: String, k: Int): String =
+    s"""lg AS (SELECT doc_id, pos,
+       |              LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+       |                AS lagp
+       |       FROM $rel),
+       |isl AS (SELECT doc_id, pos,
+       |               SUM(CASE WHEN pos - lagp > $k THEN 1 ELSE 0 END)
+       |                 OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |        FROM lg)""".stripMargin
+
+  def substringSpansSql: String =
+    s"""WITH ${spansCtes(SpanK)}
+       |SELECT doc_id, span_start, span_end, n_tok FROM spans""".stripMargin
+
+  // --------------------------------------------------------- clean
+
+  /** The corpus with duplicated spans EXCISED: (doc_id, text,
+    * n_removed). Keeper policy: the minimum doc_id among a window's
+    * holders keeps its copy — every span whose windows all survive in
+    * the keeper is untouched there, every other occurrence is cut, so
+    * one copy of each duplicated passage remains in the corpus (the
+    * paper's semantics). Concretely the span set is recomputed with
+    * non-keeper occurrences only: a (doc, pos) window is CUT iff some
+    * OTHER doc with a smaller doc_id (or the same hash earlier in this
+    * doc) also holds the hash — i.e. this occurrence is not the
+    * canonical first one.
+    *
+    * Shape: the canonical-occurrence election rides the same one
+    * aggregation (min over (doc_id, pos) pairs per hash — an exact
+    * integer argmin via the packed `doc_id * 2^20 + pos` key, token
+    * positions are < 2^20 by the spine budget); the rebuild is a
+    * broadcast-sized join of per-doc span arrays back to `documents`
+    * followed by pure per-row HOF filtering — untouched docs pass
+    * their text through BYTE-IDENTICAL (no tokenize/rejoin round
+    * trip).
+    */
+  def cleanSubstring(t: Tables, k: Int = SpanK): DataFrame = {
+    val wins = windows(t.documents, k)
+    // per duplicated hash: the canonical (first) occurrence, as a
+    // packed integer argmin — portable exact arithmetic both engines
+    val packed = (col("doc_id") * lit(1048576L) + col("pos")).as("pk")
+    val canon = wins.select(col("h"), col("doc_id"), packed)
+      .groupBy("h")
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("pk")).as("cpk"))
+      .where(col("nd") >= 2)
+      .select(col("h"), col("cpk"))
+    // non-canonical occurrences of duplicated windows are cut
+    val cut = wins
+      .join(canon, Seq("h"))
+      .where(col("doc_id") * lit(1048576L) + col("pos") =!= col("cpk"))
+      .select(col("doc_id"), col("pos"))
+    val spans = mergeIslands(cut, k)
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+      .drop("grp")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
+    t.documents
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        when(col("spans").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            transform(
+              filter(
+                transform(split(col("text"), " "),
+                  (tok, i) => struct(tok.as("t"), i.cast("long").as("i"))),
+                p => !exists(col("spans"),
+                  sp => p("i") >= sp("s") && p("i") <= sp("e"))),
+              p => p("t"))))
+          .as("text"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  def cleanSubstringSql: String = {
+    val k = SpanK
+    s"""WITH ${windowsSql(k)},
+       |canon AS (SELECT h, MIN(doc_id * 1048576 + pos) AS cpk FROM wins
+       |          GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN canon USING (h)
+       |        WHERE w.doc_id * 1048576 + w.pos <> canon.cpk),
+       |${islandsSql("cut", k)},
+       |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${k - 1} AS e
+       |          FROM isl GROUP BY doc_id, grp),
+       |agg AS (SELECT doc_id, SUM(e - s + 1)::BIGINT AS n_removed
+       |        FROM spans GROUP BY doc_id),
+       |reb AS (SELECT t.doc_id,
+       |               array_to_string(list(ts[i + 1] ORDER BY i), ' ')
+       |                 AS text
+       |        FROM tok t JOIN agg USING (doc_id),
+       |             unnest(generate_series(0, len(ts) - 1)) u(i)
+       |        WHERE NOT EXISTS (SELECT 1 FROM spans s
+       |                          WHERE s.doc_id = t.doc_id
+       |                            AND i BETWEEN s.s AND s.e)
+       |        GROUP BY t.doc_id)
+       |SELECT d.doc_id,
+       |       CASE WHEN a.doc_id IS NOT NULL THEN COALESCE(r.text, '')
+       |            ELSE d.text END AS text,
+       |       COALESCE(a.n_removed, 0)::BIGINT AS n_removed
+       |FROM documents d
+       |LEFT JOIN agg a USING (doc_id)
+       |LEFT JOIN reb r USING (doc_id)""".stripMargin
+  }
+
+  // ------------------------------------------------- decontaminate
+
+  /** SPAN-level train/eval decontamination — the K-gram overlap check
+    * (GPT-3's appendix-C discipline: a benchmark doc is contaminated
+    * when any ~13-gram of it appears verbatim in the training corpus;
+    * here K = [[SpanK]]): per eval-slice doc (`source = src0`, the
+    * [[Dedup.dedupDecontaminate]] convention), the maximal token spans
+    * whose K-windows exist in ANY train-side doc, summed to
+    * (eval_doc, n_tok, dup_tokens, cov_frac). Only contaminated docs
+    * emit — the output is the leak report, not the corpus.
+    *
+    * vs [[Dedup.dedupDecontaminate]]: that one scores SET overlap
+    * (capped distinct shingles, directional containment ≥ 0.9) and
+    * answers "is this eval doc essentially inside some train doc";
+    * this one is POSITIONAL — it localizes every verbatim run ≥ K
+    * tokens and reports exactly how much of the eval doc is quotable
+    * from training data, catching partial leaks (one memorized
+    * paragraph) the 0.9 whole-doc threshold ignores.
+    *
+    * Scale shape: the eval side is a benchmark suite (tiny, always);
+    * the train window set is corpus-scale but reduces to DISTINCT
+    * hashes before the semi-join, so the probe is eval-windows ×
+    * hash-partitioned membership — at 100 TB the train set is the
+    * [[WindowsStore]] filtered once, and AQE broadcasts the eval side.
+    */
+  def substringDecontaminate(t: Tables, k: Int = SpanK): DataFrame = {
+    val docs = t.documents
+    val ev = windows(docs.where(col("source") === Dedup.EvalSource), k)
+    val tr = windows(docs.where(col("source") =!= Dedup.EvalSource), k)
+      .select("h").distinct()
+    val flagged = ev.join(tr, Seq("h"), "left_semi")
+    val perDoc = mergeIslands(flagged, k)
+      .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
+      .groupBy("doc_id")
+      .agg(sum(col("e") - col("s") + 1).as("dup_tokens"))
+    perDoc
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), Seq("doc_id"))
+      .select(col("doc_id").as("eval_doc"), col("n_tok"), col("dup_tokens"),
+        Portable.round6(col("dup_tokens").cast("double") /
+          col("n_tok").cast("double")).as("cov_frac"))
+  }
+
+  def substringDecontaminateSql: String = {
+    val k = SpanK
+    s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') ts
+       |             FROM documents
+       |             WHERE len(string_split(text, ' ')) >= $k),
+       |ew AS (SELECT doc_id, i AS pos,
+       |              md5(array_to_string(ts[i+1:i+$k], ' ')) AS h
+       |       FROM tok, unnest(generate_series(0, len(ts) - $k)) t(i)
+       |       WHERE source = '${Dedup.EvalSource}'),
+       |tw AS (SELECT DISTINCT md5(array_to_string(ts[i+1:i+$k], ' ')) AS h
+       |       FROM tok, unnest(generate_series(0, len(ts) - $k)) t(i)
+       |       WHERE source <> '${Dedup.EvalSource}'),
+       |fl AS (SELECT doc_id, pos FROM ew WHERE h IN (SELECT h FROM tw)),
+       |${islandsSql("fl", k)},
+       |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${k - 1} AS e
+       |          FROM isl GROUP BY doc_id, grp),
+       |pd AS (SELECT doc_id, SUM(e - s + 1)::BIGINT AS dup_tokens
+       |       FROM spans GROUP BY doc_id)
+       |SELECT d.doc_id AS eval_doc,
+       |       len(string_split(d.text, ' '))::BIGINT AS n_tok,
+       |       pd.dup_tokens,
+       |       ${Portable.round6Sql(
+      "pd.dup_tokens::DOUBLE / len(string_split(d.text, ' '))::DOUBLE")}
+       |         AS cov_frac
+       |FROM pd JOIN documents d USING (doc_id)""".stripMargin
+  }
+
+  // --------------------------------------------------------- stats
+
+  /** Per-source duplicated-token exposure: (source, n_docs, n_tokens,
+    * dup_tokens, dup_frac) — the corpus-audit view of how much of each
+    * source is verbatim-duplicated content ([[substringSpans]]'
+    * SYMMETRIC flagging, so a source that copies and a source that is
+    * copied both surface). `dup_frac` is [[Portable.round6]].
+    *
+    * Shape: the span frame is pair-sized; the token totals are one
+    * projection-pruned aggregation over `documents` — no join touches
+    * more than |sources| rows after the two partial aggregates.
+    */
+  def spanDupStats(t: Tables, k: Int = SpanK): DataFrame = {
+    val perDoc = substringSpans(t, k)
+      .groupBy("doc_id")
+      .agg(sum(col("n_tok")).as("dup"))
+    val docs = t.documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+    docs
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(coalesce(col("dup"), lit(0L))).as("dup_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("dup_tokens"),
+        Portable.round6(col("dup_tokens").cast("double") /
+          col("n_tokens").cast("double")).as("dup_frac"))
+  }
+
+  def spanDupStatsSql: String =
+    s"""WITH ${spansCtes(SpanK)},
+       |pd AS (SELECT doc_id, SUM(n_tok)::BIGINT AS dup FROM spans
+       |       GROUP BY doc_id)
+       |SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+       |       SUM(len(string_split(d.text, ' ')))::BIGINT AS n_tokens,
+       |       SUM(COALESCE(pd.dup, 0))::BIGINT AS dup_tokens,
+       |       ${Portable.round6Sql(
+      "SUM(COALESCE(pd.dup, 0))::DOUBLE / SUM(len(string_split(d.text, ' ')))::DOUBLE")}
+       |         AS dup_frac
+       |FROM documents d LEFT JOIN pd USING (doc_id)
+       |GROUP BY d.source""".stripMargin
+}

@@ -432,6 +432,85 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // SubstringGateStream — the INTAKE twin of dedup_substring_spans: which
+  // token spans of a newly-arriving document already exist VERBATIM in
+  // the corpus? The band gates (CorpusNearDupGate) decide on whole-doc
+  // similarity; this one localizes the overlap to exact K-token spans —
+  // the "how much of this submission is copied, and which part" answer
+  // an admission pipeline attaches to its verdict.
+  // ---------------------------------------------------------------------
+  object SubstringGateStream {
+    import graft.dedup.Substring
+
+    /** Flagged window starts of a live (ts, doc_id, text) stream:
+      * positions whose exact K-token window occurs in some corpus doc
+      * OTHER than the arriving doc itself. Per-row HOF windows (the
+      * shared [[Substring.windowPairs]] definition — stream and batch
+      * hashes cannot drift), then one STATELESS stream-static LEFT SEMI
+      * join against the materialized corpus window store on the hash —
+      * semi, so a window quoted by a thousand corpus docs still emits
+      * once and state stays zero. The self-exclusion makes a corpus
+      * replay reproduce the batch op exactly (a doc is never "already
+      * present" merely because the store indexed the doc itself).
+      *
+      * The static side is the `graft_substr_wins` ensure-store read
+      * once per (session, corpus) via [[StaticCache]]; at 100 TB bucket
+      * it by hash and each micro-batch probes co-located.
+      */
+    def flagged(docs: DataFrame, t: Tables): DataFrame = {
+      val store = StaticCache.of(t, "substrWins")(Substring.corpusWindowStore(t))
+      val wins = docs
+        .where(size(split(col("text"), " ")) >= Substring.SpanK)
+        .select(col("ts"), col("doc_id"),
+          explode(Substring.windowPairs(col("text"), Substring.SpanK)).as("w"))
+        .select(col("ts"), col("doc_id"), col("w.pos").as("pos"),
+          col("w.h").as("h"))
+      wins.join(store,
+        wins("h") === store("ch") && store("corpus_doc") =!= wins("doc_id"),
+        "left_semi")
+    }
+
+    /** Maximal corpus-duplicated spans per arriving doc, append-mode:
+      * (win_start, doc_id, spans: array<(span_start, span_end)>,
+      * dup_tokens). One watermarked per-(event-window, doc) aggregation
+      * collects the flagged starts — state is one in-flight row per doc
+      * per event window, position lists bounded by doc length — and the
+      * interval merge itself is a per-row HOF fold applying the SAME
+      * gap ≤ K rule as the batch `mergeIslands` (all of a doc's windows
+      * derive from one input row, so the sorted fold is exact, no
+      * second shuffle). Finals emit once the watermark closes the
+      * window — immutable, like every append-mode verdict here.
+      */
+    def spans(docs: DataFrame, t: Tables, watermarkLag: String = "10 seconds",
+              windowLen: String = "1 hour"): DataFrame = {
+      val k = Substring.SpanK
+      val fl = flagged(docs.withWatermark("ts", watermarkLag), t)
+      val merge = (acc: Column, p: Column) => {
+        val last = element_at(acc, -1)
+        when(p - last("l") > k,
+          concat(acc, array(struct(p.as("s"), p.as("l")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last("s").as("s"), p.as("l")))))
+      }
+      fl.groupBy(window(col("ts"), windowLen), col("doc_id"))
+        .agg(sort_array(collect_list(col("pos"))).as("ps"))
+        .select(
+          col("window.start").as("win_start"), col("doc_id"),
+          aggregate(
+            slice(col("ps"), lit(2), greatest(size(col("ps")) - 1, lit(0))),
+            transform(slice(col("ps"), lit(1), lit(1)),
+              p => struct(p.as("s"), p.as("l"))),
+            merge,
+            acc => transform(acc, a => struct(
+              a("s").as("span_start"),
+              (a("l") + (k - 1)).as("span_end")))).as("spans"))
+        .withColumn("dup_tokens",
+          aggregate(col("spans"), lit(0L),
+            (n, sp) => n + sp("span_end") - sp("span_start") + 1))
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // ClusterAssignStream — incremental cluster maintenance: the streaming
   // half of dedup_clusters. A newly-arriving doc is band-probed against
   // the corpus store (CorpusNearDupGate's join), VERIFIED by exact

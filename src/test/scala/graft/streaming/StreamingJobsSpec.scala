@@ -748,6 +748,62 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SubstringGateStream: corpus replay ≡ batch spans; novel verbatim quote localized; sub-K silent") {
+    import spark.implicits._
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = Jobs.SubstringGateStream.spans(
+      in.toDF().toDF("ts", "doc_id", "text"), tables,
+      watermarkLag = "0 seconds", windowLen = "1 hour")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("substr_gate").start()
+    try {
+      val docs = tables.documents
+        .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+      // a novel doc quoting 14 consecutive tokens of the longest corpus
+      // doc (→ one span [3, 16]), and a sub-K 8-token quote (→ silent)
+      val host = docs.maxBy(_._2.split(" ").length)
+      val hostToks = host._2.split(" ")
+      assert(hostToks.length >= 20)
+      val quote14 = hostToks.take(14).mkString(" ")
+      val quote8 = hostToks.take(8).mkString(" ")
+      val novel = 900000L -> s"nv0 nv1 nv2 $quote14 nv3 nv4 nv5 nv6 nv7 nv8"
+      val small = 900001L -> s"nv9 nva nvb $quote8 nvc nvd nve nvf nvg nvh nvi"
+      in.addData((docs.toSeq :+ novel :+ small)
+        .map { case (id, tx) => (new Timestamp(1000L), id, tx) })
+      q.processAllAvailable()
+      // advance the watermark past the event window so finals emit —
+      // the tick doc must CLEAR the ≥ K-token gate (the size filter is
+      // pushed below the event-time collector, so a short tick would
+      // never reach the watermark node); its 12 unique tokens match no
+      // corpus window, so the semi-join drops it and no row emits
+      in.addData(Seq((new Timestamp(100L * 3600 * 1000), -1L,
+        (0 until 12).map(i => s"tick$i").mkString(" "))))
+      q.processAllAvailable()
+      val got = spark.table("substr_gate")
+        .select(col("doc_id"), explode(col("spans")).as("sp"))
+        .select(col("doc_id"), col("sp.span_start"), col("sp.span_end"))
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = graft.dedup.Substring.substringSpans(tables).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // replayed corpus docs reproduce the batch spans EXACTLY (the
+      // self-exclusion in the gate join makes "already in the corpus"
+      // mean some OTHER doc, same as the batch distinct-doc criterion)
+      assert(got.filter(_._1 < 900000L) == batch,
+        s"stream-vs-batch diff: ${(got.filter(_._1 < 900000L) diff batch) ++ (batch diff got)}")
+      // the novel quote is localized to exactly the quoted token range:
+      // 14 quoted tokens at positions 3..16 hold 3 duplicated K-windows
+      // (starts 3..5) → one merged span [3, 16]
+      assert(got.filter(_._1 == 900000L) == Set((900000L, 3L, 16L)),
+        s"got ${got.filter(_._1 == 900000L)}")
+      // 8 < K tokens shared → no window matches, no span, no row
+      assert(!got.exists(_._1 == 900001L))
+      // dup_tokens sums the merged spans
+      val dt = spark.table("substr_gate").where(col("doc_id") === 900000L)
+        .select("dup_tokens").as[Long].collect().toSeq
+      assert(dt == Seq(14L), s"got $dt")
+    } finally q.stop()
+  }
+
   test("ContainmentGate: corpus replay ≡ batch dedup_containment; quote caught at intake") {
     import spark.implicits._
     // corpus: a 60-token doc (1), a 20-token verbatim quote of it (2),
