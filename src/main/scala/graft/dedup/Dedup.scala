@@ -1031,7 +1031,8 @@ object Dedup {
     val reapedDirs = parquetStores.flatMap { s =>
       Materialize.reapStale(t.spark, s.prefix, corpora.map(s.tag).toSet)
     }
-    val reapedTables = Seq(ShinglesBucketedStore, BandsBucketedStore)
+    val reapedTables = Seq(ShinglesBucketedStore, BandsBucketedStore,
+      Substring.WindowsBucketedStore)
       .flatMap { s =>
         val keep = corpora.map(s.tag).toSet
         val pat = java.util.regex.Pattern.compile(

@@ -126,6 +126,38 @@ object Substring {
   def substringSpansMat(t: Tables): DataFrame =
     spansOver(windowsMaterialized(t), SpanK)
 
+  /** The window store as a BUCKETED managed table keyed by the window
+    * hash — exactly the clustering the dup aggregation AND the flagged
+    * semi-join shuffle on, so over this store both run with ZERO
+    * exchange (SubstringSpec pins no `Exchange hashpartitioning(h`);
+    * the one remaining shuffle is the per-doc interval merge, whose
+    * key (doc_id) genuinely differs from the storage key. The
+    * `storage.Bucketing` q3 pattern on the substring path: one shuffle
+    * paid at write, amortized across every later span query on the
+    * corpus. Pre-repartitioned on the bucket key so each task holds
+    * one bucket → one file per bucket (sortBy metadata stays trusted).
+    */
+  private[graft] lazy val WindowsBucketedStore = graft.storage.Materialize
+    .StoreDef("graft_substr_wins_b", "documents",
+      s"k=$SpanK|b=${Dedup.DedupStoreBuckets}")
+
+  private def windowsBucketed(t: Tables): DataFrame = {
+    val table =
+      s"${WindowsBucketedStore.prefix}_${WindowsBucketedStore.tag(t)}"
+    graft.storage.Bucketing.ensureBucketed(
+      t.spark,
+      windows(t.documents, SpanK)
+        .repartition(Dedup.DedupStoreBuckets, col("h")),
+      table, "h", Dedup.DedupStoreBuckets)
+    t.spark.table(table)
+  }
+
+  /** [[substringSpans]] over the bucketed store: identical rows (oracle
+    * = the live SQL verbatim), hash-clustered phases exchange-free.
+    */
+  def substringSpansBucketed(t: Tables): DataFrame =
+    spansOver(windowsBucketed(t), SpanK)
+
   /** The corpus side of the streaming intake gate: distinct
     * (ch, corpus_doc) over the window store — an arriving doc's window
     * is "already in the corpus" iff some corpus doc OTHER than itself

@@ -128,6 +128,19 @@ class SubstringSpec extends SparkSpec {
     assert(plan.contains("graft_substr_wins_"))
   }
 
+  test("bucketed-store spans equal the live plan; hash-clustered phases run exchange-free") {
+    val live = Substring.substringSpans(tables).collect().map(_.toSeq).toSet
+    val b = Substring.substringSpansBucketed(tables)
+    assert(b.collect().map(_.toSeq).toSet == live)
+    val plan = b.queryExecution.executedPlan.toString
+    // the dup aggregation and the flagged semi-join cluster on the
+    // bucket key — neither may pay an exchange over the store; the
+    // per-doc interval merge (doc_id) is the one legitimate shuffle
+    assert(!plan.contains("Exchange hashpartitioning(h"),
+      plan.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(plan.contains("graft_substr_wins_b_"))
+  }
+
   test("real corpus: spans exist at the library K, every span is genuinely cross-doc, plan is join-free of cartesians") {
     val df = Substring.substringSpans(tables)
     val plan = df.queryExecution.executedPlan.toString
