@@ -281,17 +281,23 @@ object Substring {
       .select(
         col("doc_id"),
         when(col("spans").isNull, col("text"))
-          .otherwise(concat_ws(" ",
-            transform(
-              filter(
-                transform(split(col("text"), " "),
-                  (tok, i) => struct(tok.as("t"), i.cast("long").as("i"))),
-                p => !exists(col("spans"),
-                  sp => p("i") >= sp("s") && p("i") <= sp("e"))),
-              p => p("t"))))
+          .otherwise(cutSpansFromText(col("text"), col("spans")))
           .as("text"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
+
+  /** Rebuild `text` with the token index ranges in `spans`
+    * (array<struct<s, e>>, 0-based inclusive) removed — pure per-row
+    * HOF index filtering, single-space rejoin.
+    */
+  private def cutSpansFromText(text: Column, spans: Column): Column =
+    concat_ws(" ",
+      transform(
+        filter(
+          transform(split(text, " "),
+            (tok, i) => struct(tok.as("t"), i.cast("long").as("i"))),
+          p => !exists(spans, sp => p("i") >= sp("s") && p("i") <= sp("e"))),
+        p => p("t")))
 
   def cleanSubstringSql: String = {
     val k = SpanK
