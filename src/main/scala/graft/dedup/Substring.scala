@@ -103,28 +103,47 @@ object Substring {
   def substringSpans(t: Tables, k: Int = SpanK): DataFrame =
     spansOver(windows(t.documents, k), k)
 
-  /** The per-corpus K-window store (doc_id, pos, h) — the
+  /** The per-corpus K-window store (doc_id, source, pos, h) — the
     * tokenize+hash work of [[windows]] paid ONCE per corpus and shared
-    * by every consumer ([[substringSpansMat]], the streaming intake
+    * by every consumer ([[substringSpansMat]], [[cleanSubstring]],
+    * [[spanDupStats]], [[substringDecontaminate]], the streaming intake
     * gate). The live [[substringSpans]] plan derives the window frame
     * TWICE (dup aggregation + flagged semi-join — Catalyst re-expands
     * shared subtrees into separately-pruned scans), so the store halves
-    * the scan work besides amortizing across entries. Cache key
-    * includes the corpus file inventory and K ([[graft.storage.Materialize]]).
+    * the scan work besides amortizing across entries. `source` rides
+    * along (r15) so slice-scoped consumers (decontaminate's train/eval
+    * split) filter the STORE instead of re-tokenizing `documents`;
+    * consumers that don't need it prune the column at the scan. Cache
+    * key includes the corpus file inventory and K
+    * ([[graft.storage.Materialize]]); the `|src` config marker retags
+    * pre-r15 three-column stores.
     */
   private[graft] lazy val WindowsStore = graft.storage.Materialize
-    .StoreDef("graft_substr_wins", "documents", s"k=$SpanK")
+    .StoreDef("graft_substr_wins", "documents", s"k=$SpanK|src")
 
   private[dedup] def windowsMaterialized(t: Tables): DataFrame =
     graft.storage.Materialize.ensureStore(t, WindowsStore,
-      windows(t.documents, SpanK))
+      t.documents
+        .where(size(split(col("text"), " ")) >= SpanK)
+        .select(col("doc_id"), col("source"),
+          explode(windowPairs(col("text"), SpanK)).as("w"))
+        .select(col("doc_id"), col("source"),
+          col("w.pos").as("pos"), col("w.h").as("h")))
+
+  /** The window frame every batch consumer at the library K reads: the
+    * store (one tokenize+md5 pass per corpus, shared); a non-default K
+    * falls back to the live derivation (no store exists for it).
+    */
+  private def windowsFor(t: Tables, k: Int): DataFrame =
+    if (k == SpanK) windowsMaterialized(t).select("doc_id", "pos", "h")
+    else windows(t.documents, k)
 
   /** [[substringSpans]] over the materialized window store — identical
     * rows (oracle = the live SQL verbatim), no `documents.parquet`
     * scan at query time (SubstringSpec pins both).
     */
   def substringSpansMat(t: Tables): DataFrame =
-    spansOver(windowsMaterialized(t), SpanK)
+    spansOver(windowsFor(t, SpanK), SpanK)
 
   /** The window store as a BUCKETED managed table keyed by the window
     * hash — exactly the clustering the dup aggregation AND the flagged
