@@ -53,15 +53,26 @@ object Substring {
     * expression — the shared definition the batch window frame AND the
     * streaming intake gate (`streaming.Jobs.SubstringGateStream`)
     * explode, so the two signatures cannot drift.
+    *
+    * The token array is LET-BOUND once per row through a single-element
+    * outer HOF: writing `slice(split(text), …)` directly inside the
+    * per-window lambda re-evaluates the split for EVERY window (HOF
+    * lambdas run interpreted; a captured subtree re-evals per element),
+    * making window derivation O(tokens²) per doc — measured as a
+    * 1M-token doc spinning a task for >20 min, and a steady tax on
+    * every corpus-scale tokenize. Binding `ts` as an outer lambda
+    * variable drops it to the O(tokens·K) the scaladoc math assumes
+    * (SubstringSpec's overflow-boundary test is the regression gate:
+    * it derives windows over a 2^20-token doc in seconds).
     */
-  private[graft] def windowPairs(text: Column, k: Int): Column = {
-    val ts = split(text, " ")
-    transform(
-      sequence(lit(0), size(ts) - k),
-      i => struct(
-        i.cast("long").as("pos"),
-        md5(concat_ws(" ", slice(ts, i + lit(1), lit(k)))).as("h")))
-  }
+  private[graft] def windowPairs(text: Column, k: Int): Column =
+    flatten(transform(
+      array(split(text, " ")),
+      ts => transform(
+        sequence(lit(0), size(ts) - k),
+        i => struct(
+          i.cast("long").as("pos"),
+          md5(concat_ws(" ", slice(ts, i + lit(1), lit(k)))).as("h")))))
 
   /** (doc_id, pos, h): one md5 per K-token sliding window per doc.
     * Pure per-row HOF work ([[windowPairs]] stays inside whole-stage
@@ -105,18 +116,19 @@ object Substring {
 
   /** The per-corpus K-window store (doc_id, source, pos, h) — the
     * tokenize+hash work of [[windows]] paid ONCE per corpus and shared
-    * by every consumer ([[substringSpansMat]], [[cleanSubstring]],
-    * [[spanDupStats]], [[substringDecontaminate]], the streaming intake
-    * gate). The live [[substringSpans]] plan derives the window frame
-    * TWICE (dup aggregation + flagged semi-join — Catalyst re-expands
-    * shared subtrees into separately-pruned scans), so the store halves
-    * the scan work besides amortizing across entries. `source` rides
-    * along (r15) so slice-scoped consumers (decontaminate's train/eval
-    * split) filter the STORE instead of re-tokenizing `documents`;
-    * consumers that don't need it prune the column at the scan. Cache
-    * key includes the corpus file inventory and K
-    * ([[graft.storage.Materialize]]); the `|src` config marker retags
-    * pre-r15 three-column stores.
+    * (via [[windowsFor]]/[[windowsBySource]]) by every library-K batch
+    * consumer: [[substringSpansMat]], [[cleanSubstring]],
+    * [[spanDupStats]], [[substringDecontaminate]], and the streaming
+    * intake gate's corpus side. The live [[substringSpans]] plan
+    * derives the window frame TWICE (dup aggregation + flagged
+    * semi-join — Catalyst re-expands shared subtrees into
+    * separately-pruned scans), so the store halves the scan work
+    * besides amortizing across entries. `source` rides along so
+    * slice-scoped consumers (decontaminate's train/eval split) filter
+    * the STORE instead of re-tokenizing `documents`; consumers that
+    * don't need it prune the column at the scan. Cache key includes
+    * the corpus file inventory and K ([[graft.storage.Materialize]]);
+    * the `|src` config marker retags pre-r15 three-column stores.
     */
   private[graft] lazy val WindowsStore = graft.storage.Materialize
     .StoreDef("graft_substr_wins", "documents", s"k=$SpanK|src")
@@ -130,13 +142,28 @@ object Substring {
         .select(col("doc_id"), col("source"),
           col("w.pos").as("pos"), col("w.h").as("h")))
 
-  /** The window frame every batch consumer at the library K reads: the
-    * store (one tokenize+md5 pass per corpus, shared); a non-default K
-    * falls back to the live derivation (no store exists for it).
+  /** The window frame every batch consumer reads: at the library K,
+    * the store (one tokenize+md5 pass per corpus, shared by
+    * [[substringSpansMat]], [[cleanSubstring]] and [[spanDupStats]]);
+    * a non-default K falls back to the live derivation (no store
+    * exists for it — the spec corpora exercise this branch).
     */
   private def windowsFor(t: Tables, k: Int): DataFrame =
     if (k == SpanK) windowsMaterialized(t).select("doc_id", "pos", "h")
     else windows(t.documents, k)
+
+  /** [[windowsFor]] keeping the `source` column — the slice-scoped
+    * consumer's frame ([[substringDecontaminate]] filters train/eval
+    * on it, so neither side re-tokenizes `documents`).
+    */
+  private def windowsBySource(t: Tables, k: Int): DataFrame =
+    if (k == SpanK) windowsMaterialized(t)
+    else t.documents
+      .where(size(split(col("text"), " ")) >= k)
+      .select(col("doc_id"), col("source"),
+        explode(windowPairs(col("text"), k)).as("w"))
+      .select(col("doc_id"), col("source"),
+        col("w.pos").as("pos"), col("w.h").as("h"))
 
   /** [[substringSpans]] over the materialized window store — identical
     * rows (oracle = the live SQL verbatim), no `documents.parquet`
@@ -266,28 +293,30 @@ object Substring {
     * canonical first one.
     *
     * Shape: the canonical-occurrence election rides the same one
-    * aggregation (min over (doc_id, pos) pairs per hash — an exact
-    * integer argmin via the packed `doc_id * 2^20 + pos` key, token
-    * positions are < 2^20 by the spine budget); the rebuild is a
-    * broadcast-sized join of per-doc span arrays back to `documents`
-    * followed by pure per-row HOF filtering — untouched docs pass
-    * their text through BYTE-IDENTICAL (no tokenize/rejoin round
-    * trip).
+    * aggregation — min over native (doc_id, pos) STRUCTS per hash
+    * (lexicographic struct ordering, both engines), immune to the
+    * overflow a packed `doc_id·2^K + pos` key has on a long-enough
+    * doc; the window frame is the shared [[windowsFor]] store at the
+    * library K; the rebuild is a broadcast-sized join of per-doc span
+    * arrays back to `documents` followed by pure per-row HOF
+    * filtering — untouched docs pass their text through
+    * BYTE-IDENTICAL (no tokenize/rejoin round trip).
     */
   def cleanSubstring(t: Tables, k: Int = SpanK): DataFrame = {
-    val wins = windows(t.documents, k)
-    // per duplicated hash: the canonical (first) occurrence, as a
-    // packed integer argmin — portable exact arithmetic both engines
-    val packed = (col("doc_id") * lit(1048576L) + col("pos")).as("pk")
-    val canon = wins.select(col("h"), col("doc_id"), packed)
+    val wins = windowsFor(t, k)
+    // per duplicated hash: the canonical (first) occurrence as a
+    // lexicographic struct argmin — exact at ANY doc length (the
+    // packed-integer form silently mis-elects past 2^20 tokens)
+    val occ = struct(col("doc_id"), col("pos"))
+    val canon = wins.select(col("h"), col("doc_id"), occ.as("occ"))
       .groupBy("h")
-      .agg(countDistinct(col("doc_id")).as("nd"), min(col("pk")).as("cpk"))
+      .agg(countDistinct(col("doc_id")).as("nd"), min(col("occ")).as("cp"))
       .where(col("nd") >= 2)
-      .select(col("h"), col("cpk"))
+      .select(col("h"), col("cp"))
     // non-canonical occurrences of duplicated windows are cut
     val cut = wins
       .join(canon, Seq("h"))
-      .where(col("doc_id") * lit(1048576L) + col("pos") =!= col("cpk"))
+      .where(occ =!= col("cp"))
       .select(col("doc_id"), col("pos"))
     val spans = mergeIslands(cut, k)
       .agg(min(col("pos")).as("s"), (max(col("pos")) + (k - 1)).as("e"))
@@ -321,10 +350,10 @@ object Substring {
   def cleanSubstringSql: String = {
     val k = SpanK
     s"""WITH ${windowsSql(k)},
-       |canon AS (SELECT h, MIN(doc_id * 1048576 + pos) AS cpk FROM wins
+       |canon AS (SELECT h, MIN(ROW(doc_id, pos)) AS cp FROM wins
        |          GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
        |cut AS (SELECT w.doc_id, w.pos FROM wins w JOIN canon USING (h)
-       |        WHERE w.doc_id * 1048576 + w.pos <> canon.cpk),
+       |        WHERE ROW(w.doc_id, w.pos) <> canon.cp),
        |${islandsSql("cut", k)},
        |spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + ${k - 1} AS e
        |          FROM isl GROUP BY doc_id, grp),
@@ -370,13 +399,17 @@ object Substring {
     * Scale shape: the eval side is a benchmark suite (tiny, always);
     * the train window set is corpus-scale but reduces to DISTINCT
     * hashes before the semi-join, so the probe is eval-windows ×
-    * hash-partitioned membership — at 100 TB the train set is the
-    * [[WindowsStore]] filtered once, and AQE broadcasts the eval side.
+    * hash-partitioned membership — at the library K BOTH sides are
+    * `source` filters over the [[WindowsStore]] ([[windowsBySource]]),
+    * so neither re-tokenizes `documents`; the only documents scan left
+    * is the projection-pruned per-doc token total.
     */
   def substringDecontaminate(t: Tables, k: Int = SpanK): DataFrame = {
     val docs = t.documents
-    val ev = windows(docs.where(col("source") === Dedup.EvalSource), k)
-    val tr = windows(docs.where(col("source") =!= Dedup.EvalSource), k)
+    val wins = windowsBySource(t, k)
+    val ev = wins.where(col("source") === Dedup.EvalSource)
+      .select("doc_id", "pos", "h")
+    val tr = wins.where(col("source") =!= Dedup.EvalSource)
       .select("h").distinct()
     val flagged = ev.join(tr, Seq("h"), "left_semi")
     val perDoc = mergeIslands(flagged, k)
@@ -431,7 +464,7 @@ object Substring {
     * more than |sources| rows after the two partial aggregates.
     */
   def spanDupStats(t: Tables, k: Int = SpanK): DataFrame = {
-    val perDoc = substringSpans(t, k)
+    val perDoc = spansOver(windowsFor(t, k), k)
       .groupBy("doc_id")
       .agg(sum(col("n_tok")).as("dup"))
     val docs = t.documents

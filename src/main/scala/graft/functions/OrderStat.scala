@@ -49,10 +49,17 @@ object OrderStat {
     // the multiplicity frame is re-joined every narrowing round (plus
     // the seed aggregate) — persist it for the loop's lifetime so the
     // upstream corpus scan + groupBy runs ONCE, not O(log_Bins n)
-    // times (the rankScoresFrom adjacency discipline, Dedup.scala)
-    val pinned = counts.persist()
-    try valuesAtDescRanksPinned(pinned, targets)
-    finally pinned.unpersist(false)
+    // times (the rankScoresFrom adjacency discipline, Dedup.scala).
+    // A frame the CALLER already persisted stays the caller's to
+    // manage: unpersisting it here would silently evict their cache
+    // mid-use (ADVICE r15), so only a frame this call pinned unpins.
+    if (counts.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      valuesAtDescRanksPinned(counts, targets)
+    else {
+      val pinned = counts.persist()
+      try valuesAtDescRanksPinned(pinned, targets)
+      finally pinned.unpersist(false)
+    }
   }
 
   private def valuesAtDescRanksPinned(counts: DataFrame,

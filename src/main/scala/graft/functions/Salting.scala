@@ -25,7 +25,16 @@ object Salting {
     */
   def saltedCount(df: DataFrame, key: String, idCol: String,
                   n: Int = 16): DataFrame =
-    df.withColumn("_salt", salt(col(idCol), n))
+    saltedCountBy(df, key, col(idCol), n)
+
+  /** [[saltedCount]] with an explicit salt-source expression — for
+    * frames with no single natural id column (Planner.applySkew salts
+    * on the whole row struct: deterministic, and a hot KEY's rows
+    * still differ in their other columns, so they spread).
+    */
+  def saltedCountBy(df: DataFrame, key: String, saltSrc: Column,
+                    n: Int): DataFrame =
+    df.withColumn("_salt", salt(saltSrc, n))
       .groupBy(col(key), col("_salt"))
       .agg(count(lit(1)).as("_partial"))
       .groupBy(col(key))

@@ -345,7 +345,12 @@ object Export {
     * to continue — the builder REFUSES them loudly (a silent remap
     * would collide with shipped positions); production ships a new
     * full interleave generation to admit a new source, exactly the
-    * BoundsStore generation-roll shape.
+    * BoundsStore generation-roll shape. The SQL twin refuses the same
+    * way — a `novel` CTE feeding DuckDB's `error()` behind a lazily
+    * evaluated CASE (ADVICE r15: its inner `JOIN ... USING (source)`
+    * used to drop novel sources silently, so engine equality held
+    * only because Scala threw first; now both engines throw, naming
+    * the sources).
     *
     * Scale: the shipped corpus contributes one |sources|-row count
     * aggregate (source-column scan, no shuffle); the prefix machinery
@@ -400,11 +405,18 @@ object Export {
        |            FROM documents, cut WHERE doc_id <= k GROUP BY 1)),
        |c AS (SELECT doc_id, source, ${Mixing.uSql("shuf")} AS coin
        |      FROM documents, cut WHERE doc_id > k),
+       |novel AS (SELECT DISTINCT c.source FROM c
+       |          LEFT JOIN s USING (source) WHERE s.source IS NULL),
        |r AS (SELECT doc_id, source,
        |        row_number() OVER (PARTITION BY source
        |                           ORDER BY coin, doc_id) - 1 AS rs
        |      FROM c)
        |SELECT r.doc_id, r.source,
        |  ((n_old + rs) * ns + si)::BIGINT AS pos
-       |FROM r JOIN s USING (source) ORDER BY r.doc_id""".stripMargin
+       |FROM r JOIN s USING (source)
+       |UNION ALL
+       |SELECT r.doc_id, r.source,
+       |  error('sources absent from the shipped interleave: ' || r.source)
+       |FROM r JOIN novel USING (source)
+       |ORDER BY doc_id""".stripMargin
 }

@@ -998,18 +998,34 @@ object Mixing {
     * mass concentrates at alloc_s (spec-checked band) while staying
     * identity-deterministic and join-free.
     */
-  def sampleWaterfill(t: Tables): DataFrame = {
-    val rates = mixSolver(t).collect()
-      .map(r => r.getString(0) -> r.getDouble(4))
+  def sampleWaterfill(t: Tables): DataFrame =
+    waterfillKeep(t.documents, waterfillRates(t)).orderBy(col("doc_id"))
+
+  /** The solver's published per-source rate table as driver scalars —
+    * what a deployment hands the streaming gate
+    * (`streaming.Jobs.WaterfillSampleStream`).
+    */
+  private[graft] def waterfillRates(t: Tables): Seq[(String, Double)] =
+    mixSolver(t).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toSeq
+
+  /** The water-fill membership rule itself, shared by the batch entry
+    * and the streaming gate so the two cannot drift: keep a doc iff
+    * its identity coin clears its source's published rate. The rates
+    * compile into ONE case expression — pure map-side, no join, no
+    * state; a source absent from the published table has no residue
+    * in the solved mix and drops at rate 0.
+    */
+  private[graft] def waterfillKeep(docs: DataFrame,
+                                   rates: Seq[(String, Double)]): DataFrame = {
     val rate = rates.foldLeft(lit(0.0): Column) {
       case (acc, (s, r)) => when(col("source") === s, lit(r)).otherwise(acc)
     }
-    t.documents
+    docs
       .select(col("doc_id"), col("source"))
       .withColumn("u", u("wfill", col("doc_id")))
       .filter(col("u") < rate)
       .select(col("doc_id"), col("source"))
-      .orderBy(col("doc_id"))
   }
 
   def sampleWaterfillSql: String =

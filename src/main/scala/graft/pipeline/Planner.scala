@@ -93,16 +93,25 @@ object Planner {
     ("customer", "c_nationkey"), ("part", "p_partkey"),
     ("supplier", "s_suppkey"), ("nation", "n_nationkey"))
 
-  /** ANALYZE artifact #2: per join key, exact (n_rows, ndv) — built
-    * once per corpus tag (one aggregation per table, map-side
-    * partial distinct), persisted, and READ by the advisor. Tagged on
-    * the lineitem inventory: the corpus directories version together
-    * (TESTDATA regenerates every table per sf), so the largest
-    * table's inventory is the corpus version stamp.
+  /** Every table the stat universe reads — the store and the landed
+    * layouts must retag when ANY of them changes.
+    */
+  private[graft] val StatTables: Seq[String] = StatKeys.map(_._1).distinct.sorted
+
+  /** ANALYZE artifact #2: per join key, exact (n_rows, ndv, max_mult)
+    * — built once per corpus tag (one aggregation per table, map-side
+    * partial distinct), persisted, and READ by the advisors. Tagged on
+    * EVERY stat-source table's file inventory (`extraTables`): a
+    * corpus where one table regenerates independently (a refreshed
+    * `orders` next to an untouched `lineitem`) retags the store, so
+    * the advisors recompute instead of silently serving stale numbers
+    * — a wrong broadcast verdict from stale stats at 1000 executors
+    * is a fleet OOM (ADVICE r15; PlannerSpec pins the recompute).
     */
   private[graft] val KeyStatsStore = graft.storage.Materialize.StoreDef(
     "graft_key_stats", "lineitem",
-    s"keys=${StatKeys.map(p => p._1 + "." + p._2).mkString(",")}|v2:max_mult")
+    s"keys=${StatKeys.map(p => p._1 + "." + p._2).mkString(",")}|v2:max_mult",
+    extraTables = StatTables.filterNot(_ == "lineitem"))
 
   private[graft] def keyStats(t: Tables): DataFrame =
     graft.storage.Materialize.ensureStore(t, KeyStatsStore, {
@@ -374,8 +383,13 @@ object Planner {
     * table name or path) — what the statistics chose is what lands
     * on disk, closing the layout loop the same way [[applyDecision]]
     * closes the join loop. Idempotent per corpus tag (the ensure
-    * protocol); PlannerSpec pins both branches' physical layout on
-    * the planted corpus.
+    * protocol); the landed layout is keyed on the ADVISED TABLE's own
+    * file inventory — regenerating that table re-lands its layout,
+    * while an unrelated table's churn leaves it alone (keying every
+    * layout on one shared stats tag either served stale bytes or
+    * re-landed all six tables on any single change — ADVICE r15).
+    * PlannerSpec pins both branches' physical layout on the planted
+    * corpus, and the retag-on-regenerate.
     */
   def applyLayout(t: Tables, table: String, column: String): String = {
     val row = partitionAdvisor(t).collect()
@@ -383,7 +397,7 @@ object Planner {
       .getOrElse(throw new IllegalArgumentException(
         s"no advisor row for $table.$column"))
     val (decision, nBuckets) = (row.getString(6), row.getLong(7))
-    val tag = KeyStatsStore.tag(t)
+    val tag = graft.storage.Materialize.corpusTag(t, table, s"layout=$column")
     def df = table match {
       case "lineitem" => t.lineitem case "orders" => t.orders
       case "customer" => t.customer case "part" => t.part
@@ -402,6 +416,37 @@ object Planner {
       df.write.mode("ignore").partitionBy(column).parquet(path)
       path
     }
+  }
+
+  /** EXECUTE the skew advisor's verdict for one (table, column): the
+    * per-key count aggregation, run SALTED two-phase with the advised
+    * fan-out when the verdict is 'salt' (the `word_count_salted`
+    * shape — the hot key's first phase spreads over n_salts tasks)
+    * and plain single-phase otherwise (uniform keys collapse map-side
+    * already; the extra shuffle would be pure waste). The salt source
+    * is the whole row struct — deterministic, no rand(), and a hot
+    * KEY's rows still differ in their other columns, so they spread.
+    * Closes the advisor family's last loop: [[applyDecision]] executes
+    * the join verdict, [[applyLayout]] the layout verdict, this the
+    * skew verdict. PlannerSpec pins the salted two-phase plan exactly
+    * when the planted stats demand it, and result ≡ plain groupBy.
+    */
+  def applySkew(t: Tables, table: String, column: String): DataFrame = {
+    val row = skewAdvisor(t).collect()
+      .find(r => r.getString(0) == table && r.getString(1) == column)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no advisor row for $table.$column"))
+    val (decision, nSalts) = (row.getString(6), row.getLong(7).toInt)
+    val df = table match {
+      case "lineitem" => t.lineitem case "orders" => t.orders
+      case "customer" => t.customer case "part" => t.part
+      case "supplier" => t.supplier case "nation" => t.nation
+    }
+    if (decision == "salt")
+      graft.functions.Salting.saltedCountBy(df, column,
+        struct(df.columns.map(col): _*), nSalts)
+    else
+      df.groupBy(col(column)).agg(count(lit(1)).cast("long").as("cnt"))
   }
 
   /** EXECUTE a candidate under the advisor's verdict: the real join

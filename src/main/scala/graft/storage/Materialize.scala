@@ -23,8 +23,23 @@ object Materialize {
     * so a retag that updated only one side — like r8's `|keep` suffix —
     * would make reap treat the live store as stale and delete it).
     */
-  final case class StoreDef(prefix: String, table: String, config: String) {
-    def tag(t: Tables): String = corpusTag(t, table, config)
+  /** `extraTables` lists FURTHER source tables whose file inventories
+    * fold into the tag — for stores aggregating several tables (the
+    * Planner key-stats store reads six): any one of them regenerating
+    * must retag the store, or the advisors serve stale statistics for
+    * the tables that changed (ADVICE r15). Folding happens here, in
+    * the ONE tag function both the ensure-write site and the reap
+    * keep-set call, so the two cannot drift.
+    */
+  final case class StoreDef(prefix: String, table: String, config: String,
+                            extraTables: Seq[String] = Nil) {
+    def tag(t: Tables): String = {
+      val cfg =
+        if (extraTables.isEmpty) config
+        else config + "|srcs=" +
+          extraTables.map(tb => corpusTag(t, tb, "")).mkString(",")
+      corpusTag(t, table, cfg)
+    }
   }
 
   /** [[ensureParquet]] addressed by a [[StoreDef]]. */

@@ -2106,6 +2106,49 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // ChunkStream — pipeline.Chunking.docChunks at intake speed: an
+  // arriving doc chunked on the SAME fixed grid the batch pipeline
+  // embeds, before it reaches the embedding stage.
+  // ---------------------------------------------------------------------
+  object ChunkStream {
+
+    /** Chunk an arriving doc — literally
+      * [[graft.pipeline.Chunking.chunkFrame]], the batch entry's own
+      * body, so the stream and batch grids cannot drift. Pure per-row
+      * HOF work: no join, no state, no watermark; replaying the corpus
+      * reproduces `doc_chunks` bit-for-bit in any arrival order
+      * (spec-pinned). Chunk identity (doc_id, chunk_idx) is a pure
+      * function of the text, so a duplicated delivery re-emits
+      * identical rows — the idempotent-upsert sink key.
+      */
+    def chunks(docs: DataFrame): DataFrame =
+      graft.pipeline.Chunking.chunkFrame(docs)
+  }
+
+  // ---------------------------------------------------------------------
+  // WaterfillSampleStream — pipeline.Mixing.sampleWaterfill as an
+  // intake gate: the solver's published per-source rates applied
+  // stateless per arriving doc.
+  // ---------------------------------------------------------------------
+  object WaterfillSampleStream {
+
+    /** Keep a streamed doc iff the PUBLISHED water-fill rule admits it
+      * — literally [[graft.pipeline.Mixing.waterfillKeep]], compiled
+      * against the (source, rate6) scalars a batch
+      * [[graft.pipeline.Mixing.mixSolver]] run published (the
+      * boundary-table deployment shape: batch solves the mix, stream
+      * pins the rates at start, roll republishes). Pure map-side — the
+      * rates fold into ONE case expression, no join, no state;
+      * replaying the corpus reproduces `corpus_sample_waterfill`
+      * bit-for-bit in any arrival order (spec-pinned). A source absent
+      * from the published table has no residue in the solved mix — it
+      * drops at rate 0 (spec-pinned).
+      */
+    def sample(docs: DataFrame, rates: Seq[(String, Double)]): DataFrame =
+      graft.pipeline.Mixing.waterfillKeep(docs, rates)
+  }
+
+  // ---------------------------------------------------------------------
   // BloomGateStream — dedup.Bloom as the intake PRE-FILTER: the
   // sublinear-memory "possibly seen before?" gate in front of the
   // exact-dedup stage.

@@ -230,6 +230,14 @@ class ExportSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("brand_new_src"),
       s"refusal must name the novel source: ${e.getMessage}")
+    // the SQL twin refuses too (ADVICE r15: its inner join used to
+    // drop novel sources silently) — a novel-joined error() branch,
+    // row-driven so it fires even when EVERY delta doc is novel.
+    // DuckDB behavior verified by hand (lazy CASE/branch eval); here
+    // we pin the guard's presence and its loud message.
+    assert(Export.corpusInterleaveDeltaSql.contains(
+      "error('sources absent from the shipped interleave: '"),
+      "SQL twin lost its novel-source guard")
   }
 
   test("corpus_interleave: the rank Window partitions on (source, bucket), never source alone") {

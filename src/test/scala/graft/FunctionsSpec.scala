@@ -185,4 +185,28 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("cosine_sim"))
     assert(!plan.toLowerCase.contains("sqrt"))
   }
+
+  test("OrderStat leaves a caller-persisted counts frame cached; pins only its own") {
+    import spark.implicits._
+    import graft.functions.OrderStat
+    import org.apache.spark.storage.StorageLevel
+    val counts = (1 to 100).map(i => ("g", i.toDouble, 1L))
+      .toDF("g", "v", "cnt")
+    val target = OrderStat.RankTarget("g", 10)
+
+    // caller-persisted: the call must answer AND leave the cache alive
+    val mine = counts.persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(OrderStat.valuesAtDescRanks(mine, Seq(target))(target) == 91.0)
+      assert(mine.storageLevel == StorageLevel.MEMORY_AND_DISK,
+        "the caller's cache was evicted mid-lifetime")
+    } finally mine.unpersist()
+
+    // unpersisted input: the loop's own pin is released after the call
+    val fresh = (1 to 100).map(i => ("g", i.toDouble, 1L))
+      .toDF("g", "v", "cnt")
+    assert(OrderStat.valuesAtDescRanks(fresh, Seq(target))(target) == 91.0)
+    assert(fresh.storageLevel == StorageLevel.NONE,
+      "OrderStat leaked its internal pin")
+  }
 }

@@ -143,6 +143,24 @@ class PlannerSpec extends SparkSpec {
     assert(skew(("lineitem", "l_suppkey")) == ("salt", 2L), s"$skew")
     assert(skew(("lineitem", "l_orderkey")) == ("plain", 1L), s"$skew")
 
+    // applySkew: the executed aggregation carries the skew verdict —
+    // the 120k-one-key column runs the salted two-phase shape with
+    // the advised fan-out; the spread key runs the plain single-phase
+    val salted = Planner.applySkew(t, "lineitem", "l_suppkey")
+    val saltedPlan = physical(salted)
+    assert(saltedPlan.contains("_salt"),
+      s"salt verdict must execute the two-phase shape:\n$saltedPlan")
+    val plain = Planner.applySkew(t, "lineitem", "l_orderkey")
+    assert(!physical(plain).contains("_salt"),
+      "plain verdict must not pay the extra salted phase")
+    // identical result to the unsalted aggregation
+    assert(salted.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      == Map(7L -> 120000L))
+    assert(plain.count() == 40000L)
+    intercept[IllegalArgumentException] {
+      Planner.applySkew(t, "lineitem", "no_such_column")
+    }
+
     // applyLayout: the verdicts land on disk as decided
     import org.apache.hadoop.fs.Path
     val pPath = Planner.applyLayout(t, "orders", "o_custkey")
@@ -157,6 +175,54 @@ class PlannerSpec extends SparkSpec {
     // ensure protocol: re-apply is a no-op returning the same identity
     assert(Planner.applyLayout(t, "orders", "o_custkey") == pPath)
     assert(Planner.applyLayout(t, "orders", "o_orderkey") == tName)
+  }
+
+  test("regenerating one stat-source table retags the stores: advisors recompute, layouts re-land") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-planner-stale").toString
+    def writeOrders(n: Int): Unit =
+      (1 to n).map(i => (i.toLong, (i % 7 + 1).toLong,
+          (i % 97).toDouble + 0.5))
+        .toDF("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    writeOrders(1000)
+    (1 to 500).map(i => ((i % 1000 + 1).toLong, (i % 50 + 1).toLong,
+        (i % 20 + 1).toLong))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    (1 to 100).map(i => (i.toLong, (i % 5 + 1).toLong))
+      .toDF("c_custkey", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    (1 to 50).map(i => i.toLong).toDF("p_partkey")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    (1 to 20).map(i => i.toLong).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    (1 to 5).map(i => i.toLong).toDF("n_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+
+    def nOrdersSeen(t: Tables): Long = Planner.joinDecisions(t).collect()
+      .find(_.getString(0) == "j3_orders_customer").get.getLong(3)
+    val t1 = Tables(spark, dir)
+    assert(nOrdersSeen(t1) == 1000L)
+    val ordersLay1 = Planner.applyLayout(t1, "orders", "o_orderkey")
+    val custLay1 = Planner.applyLayout(t1, "customer", "c_custkey")
+
+    // regenerate ONLY orders — lineitem (the old single tag source)
+    // untouched. Pre-fix, the key-stats store kept its tag and served
+    // the 1000-row statistics; the orders layout kept serving the old
+    // bytes under the shared stats tag.
+    writeOrders(1500)
+    val t2 = Tables(spark, dir)
+    assert(nOrdersSeen(t2) == 1500L,
+      "stale key-stats store served after orders regenerated")
+    val ordersLay2 = Planner.applyLayout(t2, "orders", "o_orderkey")
+    assert(ordersLay2 != ordersLay1,
+      "orders layout must re-land under the regenerated inventory")
+    assert(spark.table(ordersLay2).count() == 1500L)
+    // an untouched table's layout identity is stable across the churn
+    assert(Planner.applyLayout(t2, "customer", "c_custkey") == custLay1,
+      "customer layout must not retag on an orders-only change")
   }
 
   test("plan_skew_advisor ≡ JVM stats model; metadata-only plan") {

@@ -128,6 +128,37 @@ class SubstringSpec extends SparkSpec {
     assert(plan.contains("graft_substr_wins_"))
   }
 
+  test("clean/stats/decontaminate read the shared window store; documents scanned once, for text/totals only") {
+    // at the library K every consumer's window frame is the store —
+    // the one remaining documents.parquet scan is the projection-
+    // pruned text-rebuild / token-total join, never a re-tokenize
+    def docScans(df: org.apache.spark.sql.DataFrame): Int = {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_substr_wins_"),
+        plan.linesIterator.take(6).mkString("\n"))
+      "documents\\.parquet".r.findAllIn(plan).length
+    }
+    assert(docScans(Substring.cleanSubstring(tables)) == 1)
+    assert(docScans(Substring.spanDupStats(tables)) == 1)
+    assert(docScans(Substring.substringDecontaminate(tables)) == 1)
+  }
+
+  test("keeper election is exact past 2^20 token positions (packed-argmin overflow boundary)") {
+    // doc 0 holds the run's first occurrence lexicographically — but at
+    // a position past 2^20, where the retired packed doc_id·2^20+pos
+    // key (0·2^20 + 1048581 = 1048581) ranks ABOVE doc 1's occurrence
+    // (1·2^20 + 0 = 1048576) and would mis-elect doc 1, excising the
+    // canonical copy. The struct argmin keeps doc 0 intact.
+    val pad = (0 until 1048581).map(i => "u" + i).mkString(" ")
+    val t = corpus(Seq(
+      (0L, s"$pad $run", "s0"),
+      (1L, s"$run z0 z1 z2 z3", "s0")))
+    val cleaned = Substring.cleanSubstring(t, K).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(cleaned(0L)._2 == 0L, s"canonical copy excised: ${cleaned(0L)._2}")
+    assert(cleaned(1L) == ("z0 z1 z2 z3", 6L), s"got ${cleaned(1L)}")
+  }
+
   test("bucketed-store spans equal the live plan; hash-clustered phases run exchange-free") {
     val live = Substring.substringSpans(tables).collect().map(_.toSeq).toSet
     val b = Substring.substringSpansBucketed(tables)

@@ -2104,6 +2104,71 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ChunkStream: any-order replay ≡ batch doc_chunks bit-for-bit; duplicated delivery re-emits identical rows") {
+    import spark.implicits._
+    val batch = graft.pipeline.Chunking.docChunks(tables).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSet
+    val docs = tables.documents.select("doc_id", "text")
+      .as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, Long, Long, Long, String)]
+    val q = Jobs.ChunkStream.chunks(in.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3), r.getString(4)))
+        }; ()
+      }.start()
+    try {
+      val (a, b) = docs.reverse.splitAt(docs.length / 3)
+      in.addData(a.toSeq); q.processAllAvailable()
+      // duplicated delivery: the grid is a pure function of the text,
+      // so the repeat emits IDENTICAL rows (idempotent upsert key)
+      in.addData(b.toSeq ++ a.take(5).toSeq); q.processAllAvailable()
+      val rows = out.synchronized(out.toVector)
+      assert(rows.toSet == batch,
+        s"stream-only ${rows.toSet -- batch} batch-only ${batch -- rows.toSet}")
+      val dup = rows.groupBy(identity).filter(_._2.size > 1).keys.map(_._1).toSet
+      assert(dup == a.take(5).map(_._1).toSet,
+        "re-delivered docs must re-emit byte-identical chunk rows")
+    } finally q.stop()
+  }
+
+  test("WaterfillSampleStream: any-order replay against the published rates ≡ batch corpus_sample_waterfill; novel source drops") {
+    import spark.implicits._
+    val batch = graft.pipeline.Mixing.sampleWaterfill(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val rates = graft.pipeline.Mixing.waterfillRates(tables)
+    val docs = tables.documents.select("doc_id", "source")
+      .as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, String)]
+    val q = Jobs.WaterfillSampleStream.sample(
+      in.toDF().toDF("doc_id", "source"), rates)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getString(1)))
+        }; ()
+      }.start()
+    try {
+      // reversed + split replay, plus a source the solver never saw:
+      // no residue in the solved mix → dropped at rate 0
+      val (a, b) = docs.reverse.splitAt(docs.length / 3)
+      in.addData(a.toSeq :+ (999999L, "novel_source"))
+      q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val got = out.synchronized(out.toSet)
+      assert(got == batch,
+        s"stream-only ${got -- batch}, batch-only ${batch -- got}")
+      assert(!got.exists(_._1 == 999999L), "novel source must drop")
+    } finally q.stop()
+  }
+
   test("BloomGateStream: any-order replay against the published filter ≡ batch bloom_dup_candidates") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, max => smax}
