@@ -418,6 +418,131 @@ object Planner {
     }
   }
 
+  /** A three-table equi-join chain A ⋈ B ⋈ C (B the shared middle:
+    * joins A on aKey=bKeyA, C on bKeyB=cKey) with its two legal
+    * left-deep association orders — the smallest instance of the
+    * decision that dominates multi-join cost at scale: WHICH pair
+    * joins first, i.e. which intermediate gets materialized/shuffled.
+    */
+  final case class Chain(id: String, a: String, aKey: String,
+                         b: String, bKeyA: String, bKeyB: String,
+                         c: String, cKey: String)
+
+  /** The chains the TPC-H-shaped registry queries actually run (q3/
+    * q10 walk lineitem→orders→customer; q5 walks orders→customer→
+    * nation) plus the reversed walk, so the advisor's two verdicts
+    * both occur on the real corpus.
+    */
+  val Chains: Seq[Chain] = Seq(
+    Chain("c1_line_orders_customer", "lineitem", "l_orderkey",
+      "orders", "o_orderkey", "o_custkey", "customer", "c_custkey"),
+    Chain("c2_orders_customer_nation", "orders", "o_custkey",
+      "customer", "c_custkey", "c_nationkey", "nation", "n_nationkey"),
+    Chain("c3_customer_orders_lineitem", "customer", "c_custkey",
+      "orders", "o_custkey", "o_orderkey", "lineitem", "l_orderkey"))
+
+  /** ANALYZE consumer #4 — the JOIN-ORDER advisor: per [[Chains]]
+    * entry, the containment-estimated intermediate cardinality of
+    * each association order (est_ab = |A⋈B|, est_bc = |B⋈C|; NDV of a
+    * key assumed preserved through the join it does not participate
+    * in — the textbook chain assumption) and the DECISION: join the
+    * pair with the smaller intermediate first, because that
+    * intermediate is what gets shuffled into (or broadcast against)
+    * the third table. est_out composes the chosen order's estimate
+    * forward (integer division is order-sensitive, so the composition
+    * path is part of the operator definition; the true output
+    * cardinality is order-independent). Reads the [[keyStats]] store
+    * only — a 100 TB advisor prices join orders from metadata, where
+    * picking the 600M-row intermediate over the 150M-row one is the
+    * difference between a straggling stage and a broadcast
+    * (spec-pinned no-scan plan). [[applyJoinOrder]] closes the loop.
+    */
+  def joinOrderDecisions(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val stats = keyStats(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    Chains.map { ch =>
+      val (nA, ndvAK) = stats((ch.a, ch.aKey))
+      val (nB, ndvBA) = stats((ch.b, ch.bKeyA))
+      val (_, ndvBB) = stats((ch.b, ch.bKeyB))
+      val (nC, ndvCK) = stats((ch.c, ch.cKey))
+      val estAB = nA * nB / math.max(ndvAK, ndvBA)
+      val estBC = nB * nC / math.max(ndvBB, ndvCK)
+      val abFirst = estAB <= estBC
+      val estOut =
+        if (abFirst) estAB * nC / math.max(ndvBB, ndvCK)
+        else estBC * nA / math.max(ndvAK, ndvBA)
+      (ch.id, ch.a, ch.b, ch.c, nA, nB, nC, estAB, estBC, estOut,
+        if (abFirst) "ab_first" else "bc_first")
+    }.toDF("chain_id", "a_tbl", "b_tbl", "c_tbl", "n_a", "n_b", "n_c",
+        "est_ab", "est_bc", "est_out", "decision")
+      .orderBy(col("chain_id"))
+  }
+
+  def joinOrderDecisionsSql: String = {
+    val statsSql = StatKeys.map { case (tbl, c) =>
+      s"SELECT '$tbl' AS tbl, '$c' AS col, COUNT(*)::BIGINT AS n, " +
+        s"COUNT(DISTINCT $c)::BIGINT AS ndv FROM $tbl"
+    }.mkString("\n|  UNION ALL ")
+    val candSql = Chains.map { ch =>
+      s"SELECT '${ch.id}' AS chain_id, '${ch.a}' AS a_tbl, " +
+        s"'${ch.aKey}' AS ak, '${ch.b}' AS b_tbl, '${ch.bKeyA}' AS bka, " +
+        s"'${ch.bKeyB}' AS bkb, '${ch.c}' AS c_tbl, '${ch.cKey}' AS ck"
+    }.mkString("\n|  UNION ALL ")
+    s"""WITH st AS (
+       |  $statsSql),
+       |cand AS (
+       |  $candSql),
+       |x AS (SELECT ch.chain_id, ch.a_tbl, ch.b_tbl, ch.c_tbl,
+       |        sa.n AS n_a, sb.n AS n_b, sc.n AS n_c,
+       |        (sa.n * sb.n) // GREATEST(sa.ndv, sb.ndv) AS est_ab,
+       |        (sb.n * sc.n) // GREATEST(sbb.ndv, sc.ndv) AS est_bc,
+       |        GREATEST(sa.ndv, sb.ndv) AS m_ab,
+       |        GREATEST(sbb.ndv, sc.ndv) AS m_bc
+       |      FROM cand ch
+       |        JOIN st sa ON sa.tbl = ch.a_tbl AND sa.col = ch.ak
+       |        JOIN st sb ON sb.tbl = ch.b_tbl AND sb.col = ch.bka
+       |        JOIN st sbb ON sbb.tbl = ch.b_tbl AND sbb.col = ch.bkb
+       |        JOIN st sc ON sc.tbl = ch.c_tbl AND sc.col = ch.ck)
+       |SELECT chain_id, a_tbl, b_tbl, c_tbl, n_a, n_b, n_c,
+       |  est_ab::BIGINT AS est_ab, est_bc::BIGINT AS est_bc,
+       |  (CASE WHEN est_ab <= est_bc THEN (est_ab * n_c) // m_bc
+       |        ELSE (est_bc * n_a) // m_ab END)::BIGINT AS est_out,
+       |  CASE WHEN est_ab <= est_bc THEN 'ab_first' ELSE 'bc_first' END
+       |    AS decision
+       |FROM x ORDER BY chain_id""".stripMargin
+  }
+
+  /** EXECUTE a chain under the order advisor's verdict: the real
+    * three-table join associated in the decided order (Spark keeps
+    * constructed join order — CBO join reorder is off by default and
+    * AQE never re-associates — so the built tree IS the executed
+    * tree; PlannerSpec pins the innermost join's keys). Returns the
+    * joined frame; rows are order-independent, the intermediate is
+    * not — that is the whole point.
+    */
+  def applyJoinOrder(t: Tables, chainId: String): DataFrame = {
+    val ch = Chains.find(_.id == chainId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown chain $chainId"))
+    val decision = joinOrderDecisions(t).collect()
+      .find(_.getString(0) == chainId).get.getString(10)
+    def tbl(n: String) = n match {
+      case "lineitem" => t.lineitem case "orders" => t.orders
+      case "customer" => t.customer case "part" => t.part
+      case "supplier" => t.supplier case "nation" => t.nation
+    }
+    if (decision == "ab_first")
+      tbl(ch.a).join(tbl(ch.b), col(ch.aKey) === col(ch.bKeyA))
+        .join(tbl(ch.c), col(ch.bKeyB) === col(ch.cKey))
+    else
+      tbl(ch.a).join(
+        tbl(ch.b).join(tbl(ch.c), col(ch.bKeyB) === col(ch.cKey)),
+        col(ch.aKey) === col(ch.bKeyA))
+  }
+
   /** EXECUTE the skew advisor's verdict for one (table, column): the
     * per-key count aggregation, run SALTED two-phase with the advised
     * fan-out when the verdict is 'salt' (the `word_count_salted`

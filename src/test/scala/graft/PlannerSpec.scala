@@ -177,6 +177,63 @@ class PlannerSpec extends SparkSpec {
     assert(Planner.applyLayout(t, "orders", "o_orderkey") == tName)
   }
 
+  test("plan_join_order ≡ JVM stats model; both verdicts occur; the executed tree joins the chosen pair first") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val got = Planner.joinOrderDecisions(tables).collect()
+      .map(r => (r.getString(0), r.getLong(7), r.getLong(8), r.getLong(9),
+        r.getString(10)))
+    val want = Planner.Chains.map { ch =>
+      def st(tn: String, c: String) = {
+        val df = tbl(tables, tn)
+        (df.count(), df.select(c).distinct().count())
+      }
+      val (nA, ndvAK) = st(ch.a, ch.aKey)
+      val (nB, ndvBA) = st(ch.b, ch.bKeyA)
+      val (_, ndvBB) = st(ch.b, ch.bKeyB)
+      val (nC, ndvCK) = st(ch.c, ch.cKey)
+      val estAB = nA * nB / math.max(ndvAK, ndvBA)
+      val estBC = nB * nC / math.max(ndvBB, ndvCK)
+      val ab = estAB <= estBC
+      (ch.id, estAB, estBC,
+        if (ab) estAB * nC / math.max(ndvBB, ndvCK)
+        else estBC * nA / math.max(ndvAK, ndvBA),
+        if (ab) "ab_first" else "bc_first")
+    }.sortBy(_._1)
+    assert(got.toSeq == want,
+      s"order advisor diverges:\ngot  ${got.toSeq}\nwant $want")
+    // decision diversity on the real corpus: the fact→dim walk joins
+    // the dims first; the reversed walk joins customer⋈orders first
+    val dec = got.map(r => (r._1, r._5)).toMap
+    assert(dec("c1_line_orders_customer") == "bc_first", s"$dec")
+    assert(dec("c3_customer_orders_lineitem") == "ab_first", s"$dec")
+    // metadata-only pricing
+    val plan = physical(Planner.joinOrderDecisions(tables))
+    assert(!plan.contains("FileScan"),
+      s"the order advisor must price from metadata only:\n$plan")
+
+    // the executed tree: the INNERMOST join's keys are the chosen
+    // pair's (Spark preserves constructed join order — CBO reorder
+    // off, AQE never re-associates)
+    def innermostKeys(chainId: String): String = {
+      val joins = Planner.applyJoinOrder(tables, chainId)
+        .queryExecution.optimizedPlan.collect { case j: Join => j }
+      joins.last.condition.get.toString
+    }
+    assert(innermostKeys("c1_line_orders_customer").contains("o_custkey"),
+      "c1 bc_first must join orders⋈customer innermost")
+    assert(innermostKeys("c3_customer_orders_lineitem").contains("c_custkey"),
+      "c3 ab_first must join customer⋈orders innermost")
+    // the decided order computes the same rows as the naive order
+    assert(Planner.applyJoinOrder(tables, "c2_orders_customer_nation").count() ==
+      tables.orders.join(tables.customer,
+          col("o_custkey") === col("c_custkey"))
+        .join(tables.nation, col("c_nationkey") === col("n_nationkey"))
+        .count())
+    intercept[IllegalArgumentException] {
+      Planner.applyJoinOrder(tables, "no_such_chain")
+    }
+  }
+
   test("regenerating one stat-source table retags the stores: advisors recompute, layouts re-land") {
     import spark.implicits._
     val dir = java.nio.file.Files
