@@ -262,7 +262,28 @@ object PlanDump {
         "partial) — the 3x|types| rank targets resolved in the " +
         "grouped OrderStat narrowing OUTSIDE this plan, against the " +
         "persisted frame.",
-      graft.pipeline.Reports.eventFreshness))
+      graft.pipeline.Reports.eventFreshness),
+
+    ("corpus_clean_substring",
+      "The keeper election and the cut set both read the " +
+        "graft_substr_wins window store (r16) — documents.parquet " +
+        "appears ONCE, in the text-rebuild join only; the corpus " +
+        "tokenize+md5 pass was paid at store build, not here.",
+      t => graft.dedup.Substring.cleanSubstring(t)),
+
+    ("doc_chunks",
+      "Fixed-grid chunking is ONE per-row HOF projection + generate — " +
+        "zero Exchange anywhere in the plan; output is linear in " +
+        "corpus tokens and the token array is let-bound once per row " +
+        "(no per-chunk re-split).",
+      graft.pipeline.Chunking.docChunks),
+
+    ("plan_join_order",
+      "The join-order advisor prices both association orders from " +
+        "the key-stats store: no FileScan in the plan — at 100 TB " +
+        "the decision that picks the smaller intermediate must not " +
+        "cost a scan.",
+      graft.pipeline.Planner.joinOrderDecisions))
 
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)

@@ -49,23 +49,33 @@ object Substring {
 
   // ------------------------------------------------------- windows
 
-  /** The K-window (pos, h) array of a `text` column as ONE per-row HOF
-    * expression — the shared definition the batch window frame AND the
-    * streaming intake gate (`streaming.Jobs.SubstringGateStream`)
-    * explode, so the two signatures cannot drift.
-    *
-    * The token array is LET-BOUND once per row through a single-element
-    * outer HOF: writing `slice(split(text), …)` directly inside the
-    * per-window lambda re-evaluates the split for EVERY window (HOF
-    * lambdas run interpreted; a captured subtree re-evals per element),
-    * making window derivation O(tokens²) per doc — measured as a
-    * 1M-token doc spinning a task for >20 min, and a steady tax on
-    * every corpus-scale tokenize. Binding `ts` as an outer lambda
-    * variable drops it to the O(tokens·K) the scaladoc math assumes
-    * (SubstringSpec's overflow-boundary test is the regression gate:
-    * it derives windows over a 2^20-token doc in seconds).
+  /** The K-window (pos, h) array of a `text` column — the shared
+    * definition the batch window frame AND the streaming intake gate
+    * (`streaming.Jobs.SubstringGateStream`) explode, so the two
+    * signatures cannot drift. Since r16 this is the NATIVE codegen'd
+    * [[graft.functions.WindowHashes]] expression (each window's token
+    * bytes stream into one reused digest — no per-window slice or
+    * joined-string allocation, and the projection stays inside
+    * WholeStageCodegen); [[windowPairsHof]] keeps the definitional
+    * HOF form and FunctionsSpec pins the two byte-identical.
     */
   private[graft] def windowPairs(text: Column, k: Int): Column =
+    graft.functions.TextFunctions.windowHashes(split(text, " "), k)
+
+  /** The definitional HOF form of [[windowPairs]] — the reference the
+    * native expression is spec-pinned against, not a query path.
+    *
+    * The token array is LET-BOUND once per row through a
+    * single-element outer HOF: writing `slice(split(text), …)`
+    * directly inside the per-window lambda re-evaluates the split for
+    * EVERY window (HOF lambdas run interpreted; a captured subtree
+    * re-evals per element), making window derivation O(tokens²) per
+    * doc — measured as a 1M-token doc spinning a task for >20 min.
+    * Binding `ts` as an outer lambda variable drops it to the
+    * O(tokens·K) the scaladoc math assumes (SubstringSpec's
+    * overflow-boundary test is the regression gate).
+    */
+  private[graft] def windowPairsHof(text: Column, k: Int): Column =
     flatten(transform(
       array(split(text, " ")),
       ts => transform(

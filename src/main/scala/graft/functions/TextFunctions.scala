@@ -181,6 +181,102 @@ object SimHash48 {
   }
 }
 
+/** Native K-window (pos, md5) generator over an `array<string>` token
+  * column: one struct per sliding K-token window, `h` = the md5 hex of
+  * the window's tokens joined by a single space — byte-identical to
+  * `md5(concat_ws(' ', slice(ts, i+1, k)))` per position (FunctionsSpec
+  * pins exact equality with that HOF form).
+  *
+  * This is the bottom of every span-dedup plan (the window store
+  * build, the live spans/clean/decontaminate twins, the streaming
+  * intake gate). The HOF form evaluates an interpreted lambda per
+  * window, allocating a slice array + a joined string per position and
+  * breaking whole-stage codegen; this expression streams each window's
+  * token bytes straight into one reused MessageDigest — no slice, no
+  * joined-string allocation — from a static call that keeps the
+  * projection inside WholeStageCodegen (the [[SimHash48]] discipline).
+  *
+  * Short inputs (`size < k`) produce an EMPTY array, unlike the HOF
+  * form whose descending `sequence` fabricates phantom windows —
+  * callers guard `size(ts) >= k` anyway (the [[WordShingles]]
+  * contract); with the guard the two are exactly equivalent.
+  */
+case class WindowHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"window size must be >= 1, got $k")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"window_hashes requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("h", StringType,
+        nullable = false))),
+    containsNull = false)
+
+  override def prettyName: String = "window_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    WindowHashes.compute(input.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.WindowHashes.compute($arr, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
+object WindowHashes {
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** All windows in one tight loop — called from both the interpreted
+    * and the generated path. Each window's token bytes stream into a
+    * reused MessageDigest with single-space separators: the digest
+    * input is byte-identical to `concat_ws(' ', slice(...))`'s UTF-8
+    * form without ever materializing the joined string.
+    */
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    val m = n - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Any](m)
+    var i = 0
+    while (i < m) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tokens.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val digest = md.digest()
+      val hex = new Array[Char](32)
+      var b = 0
+      while (b < 16) {
+        hex(2 * b) = HexDigits((digest(b) >> 4) & 0xf)
+        hex(2 * b + 1) = HexDigits(digest(b) & 0xf)
+        b += 1
+      }
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(
+        i.toLong, UTF8String.fromString(new String(hex)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** Column-API surface for the native text expressions. */
 object TextFunctions {
 
@@ -195,4 +291,12 @@ object TextFunctions {
     */
   def simhash48(tokens: Column): Column =
     Bridge.column(SimHash48(Bridge.expression(tokens)))
+
+  /** (pos, md5) structs of every K-token window of a token-array
+    * column (codegen'd; byte-identical to the HOF
+    * `md5(concat_ws(' ', slice))` form under the caller's
+    * `size >= k` guard).
+    */
+  def windowHashes(tokens: Column, k: Int): Column =
+    Bridge.column(WindowHashes(Bridge.expression(tokens), k))
 }

@@ -186,6 +186,47 @@ class FunctionsSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("sqrt"))
   }
 
+  test("WindowHashes is byte-identical to the definitional HOF window form") {
+    import graft.dedup.Substring
+    val k = Substring.SpanK
+    val docs = tables.documents
+      .where(size(split(col("text"), " ")) >= k).limit(300)
+    val both = docs.select(
+      Substring.windowPairs(col("text"), k).as("native"),
+      Substring.windowPairsHof(col("text"), k).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+    assert(both.count() > 0)
+  }
+
+  test("WindowHashes interpreted eval matches codegen and hand md5; short input empty") {
+    import graft.functions.WindowHashes
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val toks = Literal.create(Seq("a", "b", "c"), ArrayType(StringType))
+    val r = WindowHashes(toks, 2).eval(null).asInstanceOf[ArrayData]
+    assert(r.numElements() == 2)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val row0 = r.getStruct(0, 2)
+    assert(row0.getLong(0) == 0L)
+    assert(row0.getUTF8String(1).toString == md5hex("a b"))
+    val row1 = r.getStruct(1, 2)
+    assert(row1.getLong(0) == 1L)
+    assert(row1.getUTF8String(1).toString == md5hex("b c"))
+    val short = WindowHashes(toks, 4).eval(null).asInstanceOf[ArrayData]
+    assert(short.numElements() == 0)
+  }
+
+  test("span plans run the native window expression, no interpreted lambda") {
+    val plan = graft.dedup.Substring.substringSpans(tables)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("window_hashes"), "native expression missing")
+    assert(!plan.contains("lambdafunction"),
+      "interpreted HOF lambda back on the span path")
+  }
+
   test("OrderStat leaves a caller-persisted counts frame cached; pins only its own") {
     import spark.implicits._
     import graft.functions.OrderStat
