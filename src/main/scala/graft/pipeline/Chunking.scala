@@ -128,10 +128,15 @@ object Chunking {
     * [[Portable.round6]].
     *
     * Shape: chunks shuffle ONCE on md5(chunk_text) for the distinct-doc
-    * count (hash, never the text), the duplicated-hash set semi-joins
-    * back (AQE broadcasts it when boilerplate is rare), then one
-    * |sources|-group rollup. Linear in corpus tokens — no pairwise
-    * anything.
+    * count (hash, never the text); the duplicated-hash set joins back
+    * as a membership MARKER (distinct on the join key, so no fan-out;
+    * AQE broadcasts it when boilerplate is rare) and one
+    * |sources|-group conditional rollup produces totals AND dup counts
+    * together — the chunk frame is derived exactly twice (the
+    * dup-aggregate and the probe, the live-twin floor: Catalyst
+    * re-expands shared derived subtrees, the `substringSpans`
+    * discipline), never a third time for the totals. Linear in corpus
+    * tokens — no pairwise anything.
     */
   def chunkDupStats(t: Tables): DataFrame = {
     val ch = t.documents
@@ -142,14 +147,13 @@ object Chunking {
     val dup = ch.groupBy(col("h"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .where(col("nd") >= 2)
-      .select("h")
-    ch.join(dup, Seq("h"), "left_semi")
-      .groupBy(col("source")).agg(count(lit(1)).as("dup_chunks"))
-      .join(ch.groupBy(col("source")).agg(count(lit(1)).as("n_chunks")),
-        Seq("source"), "right")
-      .select(col("source"), col("n_chunks"),
-        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"),
-        Portable.round6(coalesce(col("dup_chunks"), lit(0L)).cast("double") /
+      .select(col("h"), lit(1L).as("is_dup"))
+    ch.join(dup, Seq("h"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("dup_chunks"))
+      .select(col("source"), col("n_chunks"), col("dup_chunks"),
+        Portable.round6(col("dup_chunks").cast("double") /
           col("n_chunks").cast("double")).as("dup_frac"))
   }
 
