@@ -54,6 +54,26 @@ class ChunkingSpec extends SparkSpec {
     }
   }
 
+  test("grid equals the JVM closed-form model across every boundary length class") {
+    // n spanning: single-chunk (n ≤ C), every off-by-one around C and
+    // C+S, exact multiples, and arbitrary mid-range lengths
+    val lens = Seq(1, 2, S - 1, S, S + 1, C - 1, C, C + 1,
+      C + S - 1, C + S, C + S + 1, 2 * C - 1, 2 * C, 2 * C + 1,
+      3 * S, 250, 317, 600)
+    val t = corpus(lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, toks(n, s"t${i}_"), "s0") })
+    val got = Chunking.docChunks(t).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val want = lens.zipWithIndex.flatMap { case (n, i) =>
+      val nc = if (n <= C) 1 else (n - C + S - 1) / S + 1
+      (0 until nc).map(j =>
+        (i.toLong, j.toLong, (j * S).toLong, math.min(C, n - j * S).toLong))
+    }.toSet
+    assert(got == want,
+      s"model-only ${want -- got}, spark-only ${got -- want}")
+  }
+
   test("chunk texts are byte-exact token slices on the real corpus; plan is shuffle-free") {
     val df = Chunking.docChunks(tables)
     val plan = df.queryExecution.executedPlan.toString
