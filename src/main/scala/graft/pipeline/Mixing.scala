@@ -592,13 +592,25 @@ object Mixing {
     * bit-identical to the naive ORDER BY (u, doc_id) LIMIT N — the
     * oracle runs exactly that.
     */
-  def sampleFixed(t: Tables): DataFrame = {
-    val (thr, cutoff) = fixedThreshold(t)
-    t.documents.select(col("doc_id"), col("lang"), col("source"))
+  def sampleFixed(t: Tables): DataFrame =
+    fixedKeep(t.documents, fixedThreshold(t)).orderBy(col("doc_id"))
+
+  /** The fixed-sample membership rule itself, shared by the batch
+    * entry and the streaming gate (`streaming.Jobs.FixedSampleStream`)
+    * so the two cannot drift: coin strictly below `thr` is in;
+    * exactly-at-`thr` is in up to doc_id `cutoff`. Pure map-side — no
+    * join, no state. A pinned generation stays exact for the corpus
+    * it was derived on; corpus growth admits ~rate·growth new docs
+    * past N until a batch refresh republishes (the boundary-table
+    * roll, same as every other published-rule gate).
+    */
+  private[graft] def fixedKeep(docs: DataFrame,
+                               rule: (Double, Long)): DataFrame = {
+    val (thr, cutoff) = rule
+    docs.select(col("doc_id"), col("lang"), col("source"))
       .withColumn("u", u("fix", col("doc_id")))
       .filter(col("u") < thr ||
         (col("u") === thr && col("doc_id") <= cutoff))
-      .orderBy(col("doc_id"))
   }
 
   /** The PUBLISHED membership rule behind [[sampleFixed]]: coin
@@ -854,6 +866,21 @@ object Mixing {
     * |sources|-row reduction. No Expand, no Window, no second scan
     * (spec-pinned).
     */
+  /** The PRODUCTION block-sampling membership predicate — the
+    * map-side gate [[sampleBlock]]'s audit prices, without the exact
+    * side: keep a doc iff its shard's IDENTITY coin clears
+    * 1/[[BlockDiv]], carrying the exact-integer Horvitz-Thompson
+    * weight. A pure function of doc_id — no published table, no join,
+    * no state (the shard coin is derived, not sampled), so the
+    * streaming twin (`streaming.Jobs.BlockSampleStream`) is this
+    * function verbatim and membership is whole-shard by construction.
+    */
+  private[graft] def blockKeep(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"))
+      .withColumn("shard", Reports.shardOf(col("doc_id")))
+      .filter(shardCoin(col("shard")) < lit(1.0 / BlockDiv))
+      .withColumn("ht_weight", lit(BlockDiv.toLong))
+
   def sampleBlock(t: Tables): DataFrame = {
     import graft.functions.Portable.round6
     val perCell = t.documents

@@ -2106,6 +2106,48 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // FixedSampleStream — pipeline.Mixing.sampleFixed as an intake gate:
+  // the published exactly-N membership rule applied stateless per
+  // arriving doc.
+  // ---------------------------------------------------------------------
+  object FixedSampleStream {
+
+    /** Keep a streamed doc iff the PUBLISHED fixed-sample rule admits
+      * it — literally [[graft.pipeline.Mixing.fixedKeep]], compiled
+      * against the (thr, cutoff) scalars a batch
+      * `Mixing.fixedThreshold` run published (the boundary-table
+      * deployment shape: batch derives the N-th-coin threshold +
+      * tie cutoff, stream pins the generation at start, roll
+      * republishes). Pure map-side — no join, no state; replaying the
+      * corpus the rule was derived on reproduces `corpus_sample_fixed`
+      * bit-for-bit in any arrival order (spec-pinned).
+      */
+    def sample(docs: DataFrame, thr: Double, cutoff: Long): DataFrame =
+      graft.pipeline.Mixing.fixedKeep(docs, (thr, cutoff))
+  }
+
+  // ---------------------------------------------------------------------
+  // BlockSampleStream — the production block-sampling predicate from
+  // pipeline.Mixing.sampleBlock's audit, as an intake gate.
+  // ---------------------------------------------------------------------
+  object BlockSampleStream {
+
+    /** Keep a streamed doc iff its shard's identity coin clears the
+      * block rate — literally [[graft.pipeline.Mixing.blockKeep]]
+      * (the predicate the `corpus_sample_block` audit prices), with
+      * the exact-integer Horvitz-Thompson weight attached. A pure
+      * function of doc_id: NO published table, no join, no state —
+      * membership is whole-shard by construction and permanent across
+      * corpus growth (new docs route to shards whose verdict is
+      * already determined), so this gate never needs a generation
+      * roll at all (spec-pinned: any-order replay ≡ the JVM shard
+      * model; per shard, all-or-nothing).
+      */
+    def sample(docs: DataFrame): DataFrame =
+      graft.pipeline.Mixing.blockKeep(docs)
+  }
+
+  // ---------------------------------------------------------------------
   // ChunkStream — pipeline.Chunking.docChunks at intake speed: an
   // arriving doc chunked on the SAME fixed grid the batch pipeline
   // embeds, before it reaches the embedding stage.

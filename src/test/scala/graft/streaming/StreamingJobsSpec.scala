@@ -2104,6 +2104,83 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FixedSampleStream: any-order replay against the published (thr, cutoff) ≡ batch corpus_sample_fixed, exactly N") {
+    import spark.implicits._
+    val batch = graft.pipeline.Mixing.sampleFixed(tables).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    assert(batch.size.toLong == graft.pipeline.Mixing.SampleFixedN)
+    val (thr, cutoff) = graft.pipeline.Mixing.fixedThreshold(tables)
+    val docs = tables.documents.select("doc_id", "lang", "source")
+      .as[(Long, String, String)].collect()
+
+    val in = MemoryStream[(Long, String, String)]
+    val out = mutable.Buffer.empty[(Long, String, String, Double)]
+    val q = Jobs.FixedSampleStream.sample(
+      in.toDF().toDF("doc_id", "lang", "source"), thr, cutoff)
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+            r.getString(2), r.getDouble(3)))
+        }; ()
+      }.start()
+    try {
+      val (a, b) = docs.reverse.splitAt(docs.length / 3)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      val got = out.synchronized(out.toSet)
+      assert(got == batch,
+        s"stream-only ${got -- batch}, batch-only ${batch -- got}")
+    } finally q.stop()
+  }
+
+  test("BlockSampleStream: shard-coin gate ≡ the corpus_sample_block audit's counts; membership whole-shard") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val audit = graft.pipeline.Mixing.sampleBlock(tables).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap // n_docs_sampled
+    val docs = tables.documents.select("doc_id", "source")
+      .as[(Long, String)].collect()
+
+    val in = MemoryStream[(Long, String)]
+    val out = mutable.Buffer.empty[(Long, String, Long, Long)]
+    val q = Jobs.BlockSampleStream.sample(
+      in.toDF().toDF("doc_id", "source"))
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        out.synchronized {
+          out ++= b.collect().map(r => (r.getLong(0), r.getString(1),
+            r.getInt(2).toLong, r.getLong(3)))
+        }; ()
+      }.start()
+    try {
+      in.addData(docs.reverse.toSeq); q.processAllAvailable()
+      val got = out.synchronized(out.toVector)
+      // the stateless gate admits exactly the docs the batch audit
+      // priced: per-source kept counts equal n_docs_sampled
+      val bySource = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      for ((src, n) <- audit)
+        assert(bySource.getOrElse(src, 0L) == n,
+          s"$src: gate ${bySource.getOrElse(src, 0L)} != audit $n")
+      // HT weight rides every kept row; membership is whole-shard:
+      // each kept shard's full population is kept
+      assert(got.forall(_._4 == graft.pipeline.Mixing.BlockDiv.toLong))
+      val shardOfDoc = tables.documents
+        .select(col("doc_id"),
+          graft.pipeline.Reports.shardOf(col("doc_id")).as("shard"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+      val keptShards = got.map(r => shardOfDoc(r._1)).toSet
+      val keptIds = got.map(_._1).toSet
+      docs.foreach { case (id, _) =>
+        assert(keptShards.contains(shardOfDoc(id)) == keptIds.contains(id),
+          s"doc $id breaks whole-shard membership")
+      }
+      assert(keptShards.nonEmpty && keptIds.size < docs.length,
+        "gate must select a strict, non-empty shard subset")
+    } finally q.stop()
+  }
+
   test("ChunkStream: any-order replay ≡ batch doc_chunks bit-for-bit; duplicated delivery re-emits identical rows") {
     import spark.implicits._
     val batch = graft.pipeline.Chunking.docChunks(tables).collect()
