@@ -29,8 +29,10 @@ object Salting {
 
   /** [[saltedCount]] with an explicit salt-source expression — for
     * frames with no single natural id column (Planner.applySkew salts
-    * on the whole row struct: deterministic, and a hot KEY's rows
-    * still differ in their other columns, so they spread).
+    * on the whole row struct MIXED WITH `monotonically_increasing_id`:
+    * row content alone sends fully-identical duplicate rows of a hot
+    * key to ONE salt bucket, un-mitigating exactly the duplicate-heavy
+    * skew the salt targets — ADVICE r16).
     */
   def saltedCountBy(df: DataFrame, key: String, saltSrc: Column,
                     n: Int): DataFrame =

@@ -255,10 +255,21 @@ object WindowHashes {
     var i = 0
     while (i < m) {
       md.reset()
+      // null tokens are SKIPPED, separator and all — exactly
+      // concat_ws(' ', slice(...))'s semantics, so the expression stays
+      // byte-identical to the HOF reference form even on null-bearing
+      // arrays (the declared input type allows containsNull = true;
+      // split() output never has nulls, but windowHashes is a general
+      // Column API and a null element must not NPE the task — ADVICE
+      // r16; FunctionsSpec pins the null-bearing equality)
+      var wrote = false
       var j = 0
       while (j < k) {
-        if (j > 0) md.update(' '.toByte)
-        md.update(tokens.getUTF8String(i + j).getBytes)
+        if (!tokens.isNullAt(i + j)) {
+          if (wrote) md.update(' '.toByte)
+          md.update(tokens.getUTF8String(i + j).getBytes)
+          wrote = true
+        }
         j += 1
       }
       val digest = md.digest()

@@ -346,11 +346,16 @@ object Export {
     * would collide with shipped positions); production ships a new
     * full interleave generation to admit a new source, exactly the
     * BoundsStore generation-roll shape. The SQL twin refuses the same
-    * way — a `novel` CTE feeding DuckDB's `error()` behind a lazily
-    * evaluated CASE (ADVICE r15: its inner `JOIN ... USING (source)`
-    * used to drop novel sources silently, so engine equality held
-    * only because Scala threw first; now both engines throw, naming
-    * the sources).
+    * way — a `novel` CTE joined into a UNION ALL branch whose
+    * projection calls DuckDB's `error()`: the guard is ROW-driven, so
+    * it fires exactly when a novel-source row exists and stays silent
+    * otherwise (DuckDB evaluates `error()` per produced row, and the
+    * branch produces rows only for novel sources — verified by
+    * executing the twin against a doctored novel-source corpus,
+    * `tools/oracle_refusal_check.py`; ADVICE r15: the pre-r16 form's
+    * inner `JOIN ... USING (source)` dropped novel sources silently,
+    * so engine equality held only because Scala threw first — now
+    * both engines throw, naming the sources).
     *
     * Scale: the shipped corpus contributes one |sources|-row count
     * aggregate (source-column scan, no shuffle); the prefix machinery

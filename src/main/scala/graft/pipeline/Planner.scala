@@ -85,6 +85,19 @@ object Planner {
     Candidate("j6_customer_nation", "customer", "c_nationkey",
       "nation", "n_nationkey", priceFiltered = false))
 
+  /** The containment estimate floor(n1·n2 / m) computed EXACTLY at any
+    * row count: the naive `n1 * n2 / m` overflows signed 64-bit once
+    * both sides exceed ~3e9 rows (the 100 TB scale this advisor's
+    * scaladoc targets), silently flipping the join-order verdict in
+    * Scala while DuckDB's BIGINT overflow errors instead — the twins
+    * would diverge exactly where the advisor matters most (ADVICE
+    * r16). BigInt here, `::HUGEINT` in every SQL twin: the same
+    * int128-exact product both sides, cast back to BIGINT only after
+    * the division shrinks it to an output-scale value.
+    */
+  private[graft] def containmentEst(n1: Long, n2: Long, m: Long): Long =
+    (BigInt(n1) * BigInt(n2) / BigInt(m)).toLong
+
   /** The (table, column) key universe [[keyStats]] publishes. */
   val StatKeys: Seq[(String, String)] = Seq(
     ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
@@ -172,7 +185,8 @@ object Planner {
       val (nProbe, ndvProbe) = stats((c.probe, c.probeKey))
       val (nBuild, ndvBuild) = stats((c.build, c.buildKey))
       val estBuild = if (c.priceFiltered) priceEst else nBuild
-      val estOut = nProbe * estBuild / math.max(ndvProbe, ndvBuild)
+      val estOut = containmentEst(nProbe, estBuild,
+        math.max(ndvProbe, ndvBuild))
       val bytes = estBuild * RowWidth(c.build)
       val decision =
         if (bytes <= BroadcastBudgetBytes) "broadcast" else "shuffle"
@@ -240,7 +254,7 @@ object Planner {
        |        JOIN st sb ON sb.tbl = c.build_tbl AND sb.col = c.bk)
        |SELECT join_id, probe_tbl, build_tbl, n_probe, est_build_rows,
        |  ndv_probe, ndv_build,
-       |  (n_probe * est_build_rows //
+       |  (n_probe::HUGEINT * est_build_rows //
        |     GREATEST(ndv_probe, ndv_build))::BIGINT AS est_out_rows,
        |  (est_build_rows * width)::BIGINT AS est_build_bytes,
        |  CASE WHEN est_build_rows * width <= $BroadcastBudgetBytes
@@ -397,7 +411,14 @@ object Planner {
       .getOrElse(throw new IllegalArgumentException(
         s"no advisor row for $table.$column"))
     val (decision, nBuckets) = (row.getString(6), row.getLong(7))
-    val tag = graft.storage.Materialize.corpusTag(t, table, s"layout=$column")
+    // the tag folds in the DECISION AND bucket count, not just the
+    // column: the verdict derives from the advisor constants
+    // (MaxPartitionNdv/MinPartitionBytes/TargetBucketBytes), so a
+    // retuned constant that flips the decision or resizes the buckets
+    // must re-land the layout instead of serving the previously landed
+    // bytes under the old verdict (ADVICE r16)
+    val tag = graft.storage.Materialize.corpusTag(t, table,
+      s"layout=$column|d=$decision|nb=$nBuckets")
     def df = table match {
       case "lineitem" => t.lineitem case "orders" => t.orders
       case "customer" => t.customer case "part" => t.part
@@ -468,12 +489,12 @@ object Planner {
       val (nB, ndvBA) = stats((ch.b, ch.bKeyA))
       val (_, ndvBB) = stats((ch.b, ch.bKeyB))
       val (nC, ndvCK) = stats((ch.c, ch.cKey))
-      val estAB = nA * nB / math.max(ndvAK, ndvBA)
-      val estBC = nB * nC / math.max(ndvBB, ndvCK)
+      val estAB = containmentEst(nA, nB, math.max(ndvAK, ndvBA))
+      val estBC = containmentEst(nB, nC, math.max(ndvBB, ndvCK))
       val abFirst = estAB <= estBC
       val estOut =
-        if (abFirst) estAB * nC / math.max(ndvBB, ndvCK)
-        else estBC * nA / math.max(ndvAK, ndvBA)
+        if (abFirst) containmentEst(estAB, nC, math.max(ndvBB, ndvCK))
+        else containmentEst(estBC, nA, math.max(ndvAK, ndvBA))
       (ch.id, ch.a, ch.b, ch.c, nA, nB, nC, estAB, estBC, estOut,
         if (abFirst) "ab_first" else "bc_first")
     }.toDF("chain_id", "a_tbl", "b_tbl", "c_tbl", "n_a", "n_b", "n_c",
@@ -497,8 +518,8 @@ object Planner {
        |  $candSql),
        |x AS (SELECT ch.chain_id, ch.a_tbl, ch.b_tbl, ch.c_tbl,
        |        sa.n AS n_a, sb.n AS n_b, sc.n AS n_c,
-       |        (sa.n * sb.n) // GREATEST(sa.ndv, sb.ndv) AS est_ab,
-       |        (sb.n * sc.n) // GREATEST(sbb.ndv, sc.ndv) AS est_bc,
+       |        (sa.n::HUGEINT * sb.n) // GREATEST(sa.ndv, sb.ndv) AS est_ab,
+       |        (sb.n::HUGEINT * sc.n) // GREATEST(sbb.ndv, sc.ndv) AS est_bc,
        |        GREATEST(sa.ndv, sb.ndv) AS m_ab,
        |        GREATEST(sbb.ndv, sc.ndv) AS m_bc
        |      FROM cand ch
@@ -549,8 +570,15 @@ object Planner {
     * shape — the hot key's first phase spreads over n_salts tasks)
     * and plain single-phase otherwise (uniform keys collapse map-side
     * already; the extra shuffle would be pure waste). The salt source
-    * is the whole row struct — deterministic, no rand(), and a hot
-    * KEY's rows still differ in their other columns, so they spread.
+    * is the whole row struct PLUS `monotonically_increasing_id()`: row
+    * content alone is NOT a sufficient disambiguator on exactly the
+    * data skew mitigation targets — a hot key whose rows are fully
+    * IDENTICAL (duplicate-heavy corpora, the dedup-framework case)
+    * hashes every copy to one salt bucket and the two-phase shape
+    * silently degrades back to a single straggler task (ADVICE r16);
+    * the id term spreads identical rows by their position, and the
+    * merged count is salt-assignment-invariant, so the output stays
+    * deterministic.
     * Closes the advisor family's last loop: [[applyDecision]] executes
     * the join verdict, [[applyLayout]] the layout verdict, this the
     * skew verdict. PlannerSpec pins the salted two-phase plan exactly
@@ -569,7 +597,8 @@ object Planner {
     }
     if (decision == "salt")
       graft.functions.Salting.saltedCountBy(df, column,
-        struct(df.columns.map(col): _*), nSalts)
+        struct(struct(df.columns.map(col): _*),
+          monotonically_increasing_id()), nSalts)
     else
       df.groupBy(col(column)).agg(count(lit(1)).cast("long").as("cnt"))
   }

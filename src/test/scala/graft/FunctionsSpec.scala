@@ -219,6 +219,38 @@ class FunctionsSpec extends SparkSpec {
     assert(short.numElements() == 0)
   }
 
+  test("WindowHashes null tokens: no NPE, byte-identical to concat_ws's null-skip") {
+    // windowHashes is a general Column API whose declared input type
+    // allows containsNull = true; a null element must hash exactly as
+    // the HOF reference form does — concat_ws skips nulls AND their
+    // separator (ADVICE r16: the native loop used to NPE)
+    import graft.functions.WindowHashes
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = Literal.create(Seq("a", null, "c", "d"),
+      ArrayType(StringType, containsNull = true))
+    val r = WindowHashes(toks, 3).eval(null).asInstanceOf[ArrayData]
+    assert(r.numElements() == 2)
+    assert(r.getStruct(0, 2).getUTF8String(1).toString == md5hex("a c"))
+    assert(r.getStruct(1, 2).getUTF8String(1).toString == md5hex("c d"))
+    // and through the Column API against the HOF form, codegen path
+    val df = spark.range(1).select(
+      array(lit("a"), lit(null).cast("string"), lit("c"), lit("d")).as("ts"))
+    val native = df.select(
+      graft.functions.TextFunctions.windowHashes(col("ts"), 3).as("w"))
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    val hof = df.select(flatten(transform(array(col("ts")),
+      ts => transform(sequence(lit(0), size(ts) - 3),
+        i => struct(i.cast("long").as("pos"),
+          md5(concat_ws(" ", slice(ts, i + lit(1), lit(3)))).as("h")))))
+      .as("w")).head.getSeq[org.apache.spark.sql.Row](0)
+    assert(native == hof, s"native $native vs hof $hof")
+  }
+
   test("span plans run the native window expression, no interpreted lambda") {
     val plan = graft.dedup.Substring.substringSpans(tables)
       .queryExecution.executedPlan.toString
