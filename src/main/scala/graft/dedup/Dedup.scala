@@ -823,16 +823,23 @@ object Dedup {
       .filter(col("jaccard") >= JaccardMin)
   }
 
-  /** Ensure-write [[shingles]] to a per-corpus warehouse parquet dir,
-    * read it back. First call pays the tokenize + distinct + write;
-    * every later call (any entry, same session or later ones sharing
-    * the warehouse) is a plain columnar scan. The cache key includes
-    * the documents table's file inventory and [[ShingleSize]], so a
-    * regenerated corpus or changed shingling invalidates it instead of
-    * serving stale shingles (storage.Materialize).
+  /** Ensure-write [[shingles]] to a per-corpus warehouse store, read
+    * it back. First call pays the tokenize + distinct + write; every
+    * later call (any entry, same session or later ones sharing the
+    * warehouse) is a plain columnar scan.
+    *
+    * INCREMENTAL (r18, closes VERDICT r16 #1): shingling is
+    * per-doc-pure — each (doc_id, s) row derives from exactly one
+    * `documents` row, and the per-doc `.distinct()` keys on doc_id —
+    * so corpus GROWTH re-tokenizes only the NEW part-files
+    * (`Materialize.ensureIncremental`'s growth generation) instead of
+    * the whole corpus. At 100 TB that turns the per-intake-batch store
+    * cost from O(corpus) to O(arrivals). A rewrite of existing files
+    * re-bases; MaterializeSpec pins appended ≡ from-scratch, the
+    * new-files-only scan, and the re-base.
     */
   private def shinglesMaterialized(t: Tables): DataFrame =
-    graft.storage.Materialize.ensureStore(t, ShinglesStore, shingles(t))
+    graft.storage.Materialize.ensureIncremental(t, ShinglesStore, shinglesOf)
 
   /** [[shinglesMaterialized]] for the KEEPER shingle frame — the store
     * the minhash/LSH family reads. Separate prefix: the full store
@@ -1022,15 +1029,27 @@ object Dedup {
   def reapStaleStores(t: Tables, alsoKeep: Seq[Tables] = Nil): Seq[String] = {
     import graft.storage.Materialize
     val corpora = t +: alsoKeep
-    val parquetStores = Seq(KeeperIdsStore, ShinglesStore,
-      KeeperShinglesStore, SimhashStore, EvalCorpusStore,
-      graft.pipeline.Mixing.LmScoresStore,
-      graft.pipeline.Reports.EqdBoundsStore,
-      graft.pipeline.Planner.KeyStatsStore,
-      Substring.WindowsStore)
-    val reapedDirs = parquetStores.flatMap { s =>
-      Materialize.reapStale(t.spark, s.prefix, corpora.map(s.tag).toSet)
+    // ShinglesStore and Substring.WindowsStore moved to the INCREMENTAL
+    // protocol in r18: their live data lives under `<prefix>_gens_<tag>`
+    // roots (reaped below with stable-tag keep-sets) and any classic
+    // `<prefix>_<tag>` dir left by a pre-r18 binary is unreadable
+    // garbage — reaped unconditionally (empty keep-set).
+    val parquetStores = Seq(KeeperIdsStore -> true,
+      ShinglesStore -> false, KeeperShinglesStore -> true,
+      SimhashStore -> true, EvalCorpusStore -> true,
+      graft.pipeline.Mixing.LmScoresStore -> true,
+      graft.pipeline.Reports.EqdBoundsStore -> true,
+      graft.pipeline.Planner.KeyStatsStore -> true,
+      Substring.WindowsStore -> false)
+    val reapedDirs = parquetStores.flatMap { case (s, live) =>
+      Materialize.reapStale(t.spark, s.prefix,
+        if (live) corpora.map(s.tag).toSet else Set.empty)
     }
+    val reapedIncRoots = Seq(ShinglesStore, Substring.WindowsStore)
+      .flatMap { s =>
+        Materialize.reapStaleIncremental(t.spark, s.prefix,
+          corpora.map(c => Materialize.stableTag(c, s)).toSet)
+      }
     val reapedTables = Seq(ShinglesBucketedStore, BandsBucketedStore,
       Substring.WindowsBucketedStore)
       .flatMap { s =>
@@ -1045,7 +1064,7 @@ object Dedup {
           }
           .map { name => t.spark.sql(s"DROP TABLE IF EXISTS `$name`"); name }
       }
-    reapedDirs ++ reapedTables
+    reapedDirs ++ reapedIncRoots ++ reapedTables
   }
 
   private def dedupMinhashVerifiedFrom(shAll: DataFrame): DataFrame =

@@ -33,6 +33,17 @@ object Salting {
     * row content alone sends fully-identical duplicate rows of a hot
     * key to ONE salt bucket, un-mitigating exactly the duplicate-heavy
     * skew the salt targets — ADVICE r16).
+    *
+    * CAVEAT (ADVICE r17): a POSITION-based salt source
+    * (`monotonically_increasing_id`, `spark_partition_id`) requires
+    * deterministic upstream partition ordering — true of scan-rooted
+    * frames (parquet splits enumerate deterministically), NOT of
+    * post-shuffle frames, where a fetch-failure partial recompute can
+    * reassign positions on recomputed map outputs and double-count/
+    * drop rows BETWEEN the two aggregation phases. Salt a shuffled
+    * frame on row CONTENT (a column set disambiguating the hot key's
+    * rows) instead; the position mix is for scan-rooted inputs like
+    * applySkew's base tables.
     */
   def saltedCountBy(df: DataFrame, key: String, saltSrc: Column,
                     n: Int): DataFrame =

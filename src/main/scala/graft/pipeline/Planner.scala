@@ -94,9 +94,23 @@ object Planner {
     * r16). BigInt here, `::HUGEINT` in every SQL twin: the same
     * int128-exact product both sides, cast back to BIGINT only after
     * the division shrinks it to an output-scale value.
+    *
+    * A quotient that itself exceeds Int64 (both sides huge, NDV tiny)
+    * FAILS LOUDLY instead of silently wrapping at `.toLong` — matching
+    * the SQL twins, whose `::HUGEINT → ::BIGINT` output cast errors on
+    * the same inputs, so the engines stay aligned (both error) in the
+    * extreme regime rather than diverging (ADVICE r17). Chain
+    * composition (est_ab feeding a second estimate) is therefore also
+    * exact whenever it returns: an est_ab that fit Long is the same
+    * value the SQL carries HUGEINT-exact into est_out.
     */
-  private[graft] def containmentEst(n1: Long, n2: Long, m: Long): Long =
-    (BigInt(n1) * BigInt(n2) / BigInt(m)).toLong
+  private[graft] def containmentEst(n1: Long, n2: Long, m: Long): Long = {
+    val q = BigInt(n1) * BigInt(n2) / BigInt(m)
+    require(q.isValidLong,
+      s"containment estimate $n1*$n2/$m = $q exceeds Int64 — " +
+        "the SQL twin's ::BIGINT cast errors here too")
+    q.toLong
+  }
 
   /** The (table, column) key universe [[keyStats]] publishes. */
   val StatKeys: Seq[(String, String)] = Seq(

@@ -166,7 +166,27 @@ object Materialize {
         .coalesce(1)
         .write.parquet(new Path(tmp, InvArtifact).toString)
       rows.write.parquet(new Path(tmp, RowsArtifact).toString)
-      if (!fs.rename(tmp, new Path(root, s"gen=$n"))) fs.delete(tmp, true)
+      val dst = new Path(root, s"gen=$n")
+      // rename-fails-on-existing-destination: the exists pre-check keeps
+      // a dir-into-dir filesystem (HDFS) from nesting tmp INSIDE a
+      // concurrent winner's committed generation instead of returning
+      // false (ADVICE r17)
+      val committed = !fs.exists(dst) && fs.rename(tmp, dst)
+      if (!committed) {
+        fs.delete(tmp, true)
+        fs.delete(new Path(dst, tmp.getName), true) // reap a nested loser
+        // A failed publish must never be SILENT: either a concurrent
+        // writer committed this (or a later) generation — it saw the
+        // same source inventory, so re-reading current generations
+        // below serves equivalent data — or the rename genuinely
+        // failed and returning would serve a stale store as fresh
+        // (the reader contract: rows for every current inventory file).
+        val now = Generations.committed(root.toString, RowsArtifact, conf)
+        if (!now.exists(_ >= n))
+          throw new java.io.IOException(
+            s"failed to publish gen=$n under $root and no concurrent " +
+              "writer committed it — refusing to serve the stale store")
+      }
     }
 
     val gens = Generations.committed(root.toString, RowsArtifact, conf)
@@ -192,6 +212,9 @@ object Materialize {
       }
     }
     val cur2 = Generations.committed(root.toString, RowsArtifact, conf)
+    require(cur2.nonEmpty,
+      s"no committed generation under $root after ensure — " +
+        "publish neither landed nor found a concurrent winner")
     readIncrementalAt(spark, root.toString, cur2.last)
   }
 

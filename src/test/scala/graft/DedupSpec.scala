@@ -817,7 +817,10 @@ class DedupSpec extends SparkSpec {
       .parquet(s"$dir/documents.parquet")
     val t2 = Tables(spark, dir)
     Dedup.dedupNgramJaccardMat(t2).collect() // builds t2's graft_shingles
-    val t2Shingles = s"graft_shingles_${Dedup.ShinglesStore.tag(t2)}"
+    // the shingle store is INCREMENTAL since r18: its root is
+    // `graft_shingles_gens_<stableTag>` (growth-stable, no inventory)
+    val t2Shingles = "graft_shingles_gens_" +
+      graft.storage.Materialize.stableTag(t2, Dedup.ShinglesStore)
     val wh = new java.io.File(
       spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"))
     assert(new java.io.File(wh, t2Shingles).exists(), "t2 store not built")
