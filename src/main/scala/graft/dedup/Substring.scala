@@ -240,6 +240,21 @@ object Substring {
       .select(col("h").as("ch"), col("doc_id").as("corpus_doc"))
       .distinct()
 
+  /** [[corpusWindowStore]] PINNED at the generation current when the
+    * consumer builds: (generation, frame). The generation is the
+    * cache-key handle `streaming.Jobs.SubstringGateStream` folds into
+    * its static-side cache, so a RESTARTED gate re-resolves to the
+    * grown store while a running query keeps serving its immutable
+    * pinned segment chain (VERDICT r16 #4 — store growth is observed
+    * on ROLL, never mid-stream).
+    */
+  private[graft] def corpusWindowStorePinned(t: Tables): (Long, DataFrame) = {
+    val (gen, wins) = graft.storage.Materialize
+      .ensureIncrementalWithGen(t, WindowsStore, windowRowsOf)
+    (gen, wins.select(col("h").as("ch"), col("doc_id").as("corpus_doc"))
+      .distinct())
+  }
+
   private def spansOver(wins: DataFrame, k: Int): DataFrame = {
     val dup = wins.groupBy("h")
       .agg(countDistinct(col("doc_id")).as("nd"))

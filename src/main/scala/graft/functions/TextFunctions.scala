@@ -288,6 +288,87 @@ object WindowHashes {
   }
 }
 
+/** Native feature-hashing embedder over an `array<string>` token
+  * column: a `dims`-dimensional array<double> where each token
+  * OCCURRENCE adds ±1 to one bucket — bucket = (first 4 md5 digest
+  * bytes, big-endian) mod dims, sign = low bit of the 9th md5 hex
+  * digit. The classic hashing-trick bag-of-words embedding
+  * (Weinberger et al., ICML'09): cosine between two chunks'
+  * vectors tracks token-multiset overlap, which is what chunk-level
+  * SEMANTIC dedup ranks on (pipeline.ChunkSemantic) — a paraphrase
+  * shifts few buckets while exact hashing sees a different string.
+  *
+  * Deterministic and oracle-portable: every derived number is md5 +
+  * integer arithmetic (the [[SimHash48]] discipline — the DuckDB twin
+  * parses the same hex digits by ascii arithmetic), and the vector
+  * entries are small exact integers stored as doubles, so dot
+  * products and norms downstream are EXACT in both engines regardless
+  * of summation order. Null tokens are skipped. Zero shuffle: the
+  * embedding never leaves the scan projection.
+  */
+case class HashFeatureVec(child: Expression, dims: Int)
+    extends UnaryExpression {
+
+  require(dims >= 1, s"dims must be >= 1, got $dims")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hash_feature_vec requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  override def prettyName: String = "hash_feature_vec"
+
+  override def nullSafeEval(input: Any): Any =
+    HashFeatureVec.compute(input.asInstanceOf[ArrayData], dims)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.HashFeatureVec.compute($arr, $dims);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashFeatureVec =
+    copy(child = newChild)
+}
+
+object HashFeatureVec {
+
+  /** The whole vector in one tight loop — called from both the
+    * interpreted and the generated path (static call keeps the
+    * projection inside WholeStageCodegen, the [[SimHash48]] pattern).
+    */
+  def compute(tokens: ArrayData, dims: Int): ArrayData = {
+    val sums = new Array[Double](dims)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      if (!tokens.isNullAt(t)) {
+        md.reset()
+        val digest = md.digest(tokens.getUTF8String(t).getBytes)
+        // first 4 bytes big-endian = first 8 hex digits of the hex form
+        var hv = 0L
+        var b = 0
+        while (b < 4) {
+          hv = (hv << 8) | (digest(b) & 0xffL)
+          b += 1
+        }
+        // 9th hex digit = high nibble of byte 4; its low bit is the sign
+        val sgn = if (((digest(4) >> 4) & 1) == 1) 1.0 else -1.0
+        sums((hv % dims).toInt) += sgn
+      }
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sums)
+  }
+}
+
 /** Column-API surface for the native text expressions. */
 object TextFunctions {
 
@@ -310,4 +391,10 @@ object TextFunctions {
     */
   def windowHashes(tokens: Column, k: Int): Column =
     Bridge.column(WindowHashes(Bridge.expression(tokens), k))
+
+  /** `dims`-dimensional feature-hash embedding of a token-array column
+    * (codegen'd; md5-portable — see [[HashFeatureVec]]).
+    */
+  def hashFeatureVec(tokens: Column, dims: Int): Column =
+    Bridge.column(HashFeatureVec(Bridge.expression(tokens), dims))
 }

@@ -94,8 +94,11 @@ object Chunking {
     */
   def docChunks(t: Tables): DataFrame = chunkFrame(t.documents)
 
-  /** DuckDB twin of the chunk grid as CTE bodies (`tok`, `ch`). */
-  private def chunksSql: String = {
+  /** DuckDB twin of the chunk grid as CTE bodies (`tok`, `ch`) —
+    * shared with [[ChunkSemantic]]'s oracle so the two grids cannot
+    * drift.
+    */
+  private[pipeline] def chunksSql: String = {
     val C = ChunkTokens
     val S = ChunkStride
     s"""tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
@@ -117,6 +120,40 @@ object Chunking {
     s"""WITH $chunksSql
        |SELECT doc_id, chunk_idx, tok_start, n_tok, chunk_text
        |FROM ch""".stripMargin
+
+  /** The per-corpus chunk-hash store (doc_id, chunk_idx, h =
+    * md5(chunk_text)) — per-doc-pure (every row derives from one
+    * `documents` row), so it builds through the INCREMENTAL ensure
+    * protocol: corpus growth chunks+hashes only the new part-files
+    * (storage.Materialize.ensureIncremental; the shingle/window-store
+    * r18 discipline). Serves the streaming intake gate
+    * (`streaming.Jobs.ChunkDupGateStream`) and any batch consumer
+    * wanting chunk-grain exact-dup evidence without re-chunking.
+    */
+  private[graft] lazy val ChunkHashStore = graft.storage.Materialize
+    .StoreDef("graft_chunk_h", "documents", s"c=$ChunkTokens|s=$ChunkStride")
+
+  private def chunkHashRowsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(chunkStructs(col("text"))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
+        md5(col("c.chunk_text")).as("h"))
+
+  /** The corpus side of the streaming chunk-dup gate, PINNED at the
+    * store generation current when the job builds: (generation,
+    * distinct (ch, corpus_doc)). An arriving doc's chunk is "already
+    * in the corpus" iff some corpus doc OTHER than itself holds the
+    * hash — the left-semi condition the gate applies (self-exclusion
+    * makes a corpus replay reproduce batch verdicts exactly). The
+    * generation rides out so the gate's cache key re-resolves on job
+    * restart while a running job keeps its immutable pinned chain.
+    */
+  private[graft] def corpusChunkStorePinned(t: Tables): (Long, DataFrame) = {
+    val (gen, rows) = graft.storage.Materialize
+      .ensureIncrementalWithGen(t, ChunkHashStore, chunkHashRowsOf)
+    (gen, rows.select(col("h").as("ch"), col("doc_id").as("corpus_doc"))
+      .distinct())
+  }
 
   /** Per-source CHUNK-GRID duplication exposure: (source, n_chunks,
     * dup_chunks, dup_frac) where a chunk is duplicated iff its full

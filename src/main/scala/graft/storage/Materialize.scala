@@ -144,7 +144,19 @@ object Materialize {
     * new files).
     */
   def ensureIncremental(t: Tables, s: StoreDef,
-                        buildFrom: DataFrame => DataFrame): DataFrame = {
+                        buildFrom: DataFrame => DataFrame): DataFrame =
+    ensureIncrementalWithGen(t, s, buildFrom)._2
+
+  /** [[ensureIncremental]] also returning the generation number the
+    * frame is pinned at — the handle a LONG-LIVED reader (a streaming
+    * job's static side) folds into its cache key, so a RESTARTED job
+    * re-resolves to the grown store while the running job keeps
+    * serving its immutable pinned chain (VERDICT r16 #4; the
+    * `ClusterStore.readLabels` deployment shape).
+    */
+  def ensureIncrementalWithGen(t: Tables, s: StoreDef,
+                               buildFrom: DataFrame => DataFrame)
+      : (Long, DataFrame) = {
     val spark = t.spark
     val conf = spark.sessionState.newHadoopConf()
     val root = incRoot(t, s)
@@ -215,7 +227,7 @@ object Materialize {
     require(cur2.nonEmpty,
       s"no committed generation under $root after ensure — " +
         "publish neither landed nor found a concurrent winner")
-    readIncrementalAt(spark, root.toString, cur2.last)
+    (cur2.last, readIncrementalAt(spark, root.toString, cur2.last))
   }
 
   /** Current committed generation of an incremental root — the number

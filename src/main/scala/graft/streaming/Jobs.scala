@@ -453,12 +453,20 @@ object Jobs {
       * replay reproduce the batch op exactly (a doc is never "already
       * present" merely because the store indexed the doc itself).
       *
-      * The static side is the `graft_substr_wins` ensure-store read
-      * once per (session, corpus) via [[StaticCache]]; at 100 TB bucket
-      * it by hash and each micro-batch probes co-located.
+      * The static side is the `graft_substr_wins` INCREMENTAL store
+      * resolved to a PINNED generation at job build and cached per
+      * (session, corpus, generation) via [[StaticCache]] — a running
+      * query serves its immutable pinned segment chain for its whole
+      * lifetime, and store growth (a new generation from corpus
+      * intake) is observed on ROLL: a restarted gate re-resolves and
+      * the gen-keyed cache entry misses (VERDICT r16 #4;
+      * StreamingJobsSpec pins verdicts flip only across a restart).
+      * At 100 TB bucket it by hash and each micro-batch probes
+      * co-located.
       */
     def flagged(docs: DataFrame, t: Tables): DataFrame = {
-      val store = StaticCache.of(t, "substrWins")(Substring.corpusWindowStore(t))
+      val (gen, pinned) = Substring.corpusWindowStorePinned(t)
+      val store = StaticCache.of(t, s"substrWins@g$gen")(pinned)
       val wins = docs
         .where(size(split(col("text"), " ")) >= Substring.SpanK)
         .select(col("ts"), col("doc_id"),
@@ -507,6 +515,54 @@ object Jobs {
         .withColumn("dup_tokens",
           aggregate(col("spans"), lit(0L),
             (n, sp) => n + sp("span_end") - sp("span_start") + 1))
+    }
+  }
+
+  // ---------------------------------------------------------------------
+  // ChunkDupGateStream — the INTAKE twin of report_chunk_dup_stats'
+  // duplicated-chunk detection: which CHUNKS of a newly-arriving
+  // document already exist VERBATIM in the corpus chunk store? Where
+  // SubstringGateStream localizes overlap to sliding K-token windows,
+  // this gate answers at the embedding pipeline's unit of work — the
+  // fixed chunk grid — so an admission pipeline can skip embedding
+  // (or admitting) exactly the chunks it already holds (VERDICT r16
+  // #3; the SemDeDup intake shape).
+  // ---------------------------------------------------------------------
+  object ChunkDupGateStream {
+    import graft.pipeline.Chunking
+
+    /** Duplicated chunks of a live (ts, doc_id, text) stream:
+      * (ts, doc_id, chunk_idx, tok_start, n_tok, h) rows whose exact
+      * chunk text (by md5) occurs in some corpus doc OTHER than the
+      * arriving doc itself. Per-row HOF chunking (the shared
+      * [[Chunking.chunkStructs]] grid — stream and batch chunks cannot
+      * drift, the ChunkStream discipline), then one STATELESS
+      * stream-static LEFT SEMI join against the corpus chunk-hash
+      * store — semi, so a chunk held by a thousand corpus docs emits
+      * once and state stays zero. Self-exclusion makes a corpus
+      * replay reproduce the batch duplicated-chunk verdicts exactly
+      * (StreamingJobsSpec pins it).
+      *
+      * The static side is the `graft_chunk_h` INCREMENTAL store
+      * resolved to a PINNED generation at job build, cached per
+      * (session, corpus, generation) — growth is observed on roll,
+      * the [[SubstringGateStream]] deployment shape. At 100 TB the
+      * store is (corpus chunks) rows of one hash + two ids, bucketed
+      * by hash so each micro-batch probes co-located.
+      */
+    def flagged(docs: DataFrame, t: Tables): DataFrame = {
+      val (gen, pinned) = Chunking.corpusChunkStorePinned(t)
+      val store = StaticCache.of(t, s"chunkHashes@g$gen")(pinned)
+      val ch = docs
+        .select(col("ts"), col("doc_id"),
+          explode(Chunking.chunkStructs(col("text"))).as("c"))
+        .select(col("ts"), col("doc_id"),
+          col("c.chunk_idx").as("chunk_idx"),
+          col("c.tok_start").as("tok_start"), col("c.n_tok").as("n_tok"),
+          md5(col("c.chunk_text")).as("h"))
+      ch.join(store,
+        ch("h") === store("ch") && store("corpus_doc") =!= ch("doc_id"),
+        "left_semi")
     }
   }
 
