@@ -50,6 +50,20 @@ final case class Tables(spark: SparkSession, dir: String) {
         s"(first ${bad.length} of possibly more): " +
         bad.map(r => s"doc_id=${r.getLong(0)} n_chars=${r.getLong(1)} " +
           s"length(text)=${r.getLong(2)}").mkString("; "))
+    // doc_id is the corpus primary key — a re-delivered id (e.g. an
+    // intake batch appending a doc that already exists) breaks every
+    // per-doc aggregate AND the incremental stores' append ≡
+    // from-scratch property (a growth segment would re-emit the doc's
+    // rows next to the old segment's; ADVICE r18). Refuse loudly at
+    // validation, the n_chars discipline.
+    val dup = documents.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .head(3)
+    require(dup.isEmpty,
+      s"corpus at $dir violates doc_id uniqueness " +
+        s"(first ${dup.length} of possibly more): " +
+        dup.map(r => s"doc_id=${r.getLong(0)} occurs ${r.getLong(1)}×")
+          .mkString("; "))
   }
 
   /** `events` with `ts` surfaced as UTC epoch seconds (`ts_sec`).

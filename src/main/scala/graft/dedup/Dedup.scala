@@ -836,7 +836,10 @@ object Dedup {
     * the whole corpus. At 100 TB that turns the per-intake-batch store
     * cost from O(corpus) to O(arrivals). A rewrite of existing files
     * re-bases; MaterializeSpec pins appended ≡ from-scratch, the
-    * new-files-only scan, and the re-base.
+    * new-files-only scan, and the re-base. The per-doc `.distinct()`
+    * stays per-file-pure because doc_id never recurs across part-files
+    * — the corpus primary key `Tables.validateDocuments` enforces
+    * (ADVICE r18; see Materialize.ensureIncremental's invariant note).
     */
   private def shinglesMaterialized(t: Tables): DataFrame =
     graft.storage.Materialize.ensureIncremental(t, ShinglesStore, shinglesOf)

@@ -161,7 +161,7 @@ object Substring {
     * holding just their window rows — instead of rebuilding the whole
     * store; a rewrite re-bases (Materialize.ensureIncremental;
     * MaterializeSpec pins appended ≡ from-scratch, the new-files-only
-    * scan, and the re-base; SubstringSpec pins the consumers stay
+    * scan, and the re-base — and that the consumers stay
     * oracle-green through a growth event).
     */
   private[dedup] def windowsMaterialized(t: Tables): DataFrame =

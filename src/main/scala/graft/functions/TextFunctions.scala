@@ -369,6 +369,110 @@ object HashFeatureVec {
   }
 }
 
+/** 16-bit SIGNED-RANDOM-PROJECTION sign word of an `array<double>`
+  * vector column — Charikar's SimHash for cosine similarity (STOC
+  * 2002): bit `i` of table `table` is `sign(r_i · v)` with `r_i` a
+  * fixed ±1 hyperplane ([[SrpMatrix]], deterministic from md5 so both
+  * engines inline the identical matrix as literals).
+  *
+  * WHY random hyperplanes and not coordinate signs: the former band
+  * key (the sign of single vector coordinates) collapses on any corpus
+  * whose documents share a token-frequency profile — the sign of
+  * `v[d]` is the PRESENCE of one token, identical across most docs, so
+  * the whole corpus lands in a handful of buckets and the flood cap
+  * drops everything (the r18 vacuous-zero-rows finding: 482 of 694
+  * sf0.01 chunks shared ONE 16-bit coordinate-sign word). A ±1-mixed
+  * projection folds every coordinate's COUNT into every bit, so bits
+  * split count-similar docs while genuinely near-identical chunks
+  * (small L2 delta) still agree on most hyperplanes — the actual LSH
+  * property cosine banding needs.
+  *
+  * Portability: projections are sums of ±(small integer counts) —
+  * exact in doubles at any summation order — and `> 0` is an exact
+  * integer comparison, so Spark and the DuckDB twin (which inlines the
+  * same matrix as `±vD` terms) compute identical words bit-for-bit.
+  * FunctionsSpec pins eval ≡ codegen ≡ a JVM recompute.
+  */
+case class SrpWord16(child: Expression, table: Int)
+    extends UnaryExpression {
+
+  require(table >= 0, s"table must be >= 0, got $table")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"srp_word16 requires array<double>, got ${other.simpleString}")
+    }
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def prettyName: String = "srp_word16"
+
+  override def nullSafeEval(input: Any): Any =
+    SrpWord16.compute(input.asInstanceOf[ArrayData], table)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.SrpWord16.compute($arr, $table);")
+
+  override protected def withNewChildInternal(newChild: Expression): SrpWord16 =
+    copy(child = newChild)
+}
+
+object SrpWord16 {
+
+  val Bits = 16
+
+  /** One shared loop for interpreted eval and codegen (the
+    * [[HashFeatureVec]] pattern). Bit 0 is the MSB of the word.
+    */
+  def compute(v: ArrayData, table: Int): Long = {
+    val dims = v.numElements()
+    val rows = SrpMatrix.rows(table, dims)
+    var word = 0L
+    var i = 0
+    while (i < Bits) {
+      val r = rows(i)
+      var s = 0.0
+      var d = 0
+      while (d < dims) {
+        s += r(d) * v.getDouble(d)
+        d += 1
+      }
+      word = (word << 1) | (if (s > 0) 1L else 0L)
+      i += 1
+    }
+    word
+  }
+}
+
+/** The fixed ±1 hyperplane matrix behind [[SrpWord16]]: entry
+  * (table j, bit i, dim d) is +1 iff the low bit of
+  * `md5("srp|j|i|d")`'s first byte is set — no RNG, so the matrix is a
+  * pure constant both engines can inline and a re-run can never
+  * reshuffle buckets under a materialized consumer.
+  */
+object SrpMatrix {
+
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  def entry(table: Int, bit: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"srp|$table|$bit|$dim".getBytes("UTF-8"))
+    if ((d(0) & 1) == 1) 1.0 else -1.0
+  }
+
+  /** The 16 hyperplane rows of `table` at `dims` dimensions. */
+  def rows(table: Int, dims: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((table, dims), _ =>
+      Array.tabulate(SrpWord16.Bits, dims)((i, d) => entry(table, i, d)))
+}
+
 /** Column-API surface for the native text expressions. */
 object TextFunctions {
 
@@ -397,4 +501,10 @@ object TextFunctions {
     */
   def hashFeatureVec(tokens: Column, dims: Int): Column =
     Bridge.column(HashFeatureVec(Bridge.expression(tokens), dims))
+
+  /** 16-bit SRP sign word of an `array<double>` column for hyperplane
+    * table `table` (codegen'd; matrix-portable — see [[SrpWord16]]).
+    */
+  def srpWord16(v: Column, table: Int): Column =
+    Bridge.column(SrpWord16(Bridge.expression(v), table))
 }

@@ -4,21 +4,33 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.{Portable, TextFunctions, VectorFunctions}
+import graft.functions.{Portable, SrpMatrix, SrpWord16, TextFunctions, VectorFunctions}
 
 /** Chunk-level SEMANTIC dedup — the chunk→embedding bridge
   * (VERDICT r16 #2): [[Chunking.docChunks]]' grid, embedded per chunk
   * with the deterministic feature-hash vector
   * ([[graft.functions.HashFeatureVec]] — the hashing-trick
   * bag-of-words, the `multimodal_features` determinism discipline
-  * applied to text), then banded sign-LSH candidate generation (the
-  * `Ann.embedAnnLsh` / `embedAnnMultiprobe` shape at chunk
-  * granularity) and an exact-cosine verify. Catches the pair exact
-  * chunk hashing ([[Chunking.chunkDupStats]]) is blind to: a
-  * PARAPHRASED chunk — most tokens shared, a few edited, possibly at
-  * a shifted grid position — whose md5 differs but whose token
-  * multiset barely moves (SemDeDup, Abbas et al. 2023: don't embed or
-  * train on the chunk you already have in lightly-edited form).
+  * applied to text), then banded sign-LSH candidate generation and an
+  * exact-cosine verify. Catches the pair exact chunk hashing
+  * ([[Chunking.chunkDupStats]]) is blind to: a PARAPHRASED chunk —
+  * most tokens shared, a few edited, possibly at a shifted grid
+  * position — whose md5 differs but whose token multiset barely moves
+  * (SemDeDup, Abbas et al. 2023: don't embed or train on the chunk you
+  * already have in lightly-edited form).
+  *
+  * Banding is SIGNED RANDOM PROJECTION (Charikar, STOC 2002 — the
+  * cosine LSH family): bit `i` of table `j` is `sign(r_ji · v)` with
+  * `r_ji` a fixed ±1 hyperplane ([[graft.functions.SrpMatrix]],
+  * deterministic from md5). NOT coordinate signs — the r18 version
+  * bucketed on the signs of single vector coordinates, which are token
+  * PRESENCE bits, near-identical across any corpus with a shared
+  * frequency profile: 482 of 694 sf0.01 chunks shared one sign word,
+  * the flood cap dropped the lot, and the entry was a vacuous 0≡0
+  * (the r18 verdict's "oracle-theater" finding). Mixed ±1 projections
+  * fold every coordinate's COUNT into every bit, splitting
+  * count-similar docs while true near-duplicates (small L2 delta)
+  * still agree on most hyperplanes.
   *
   * Pairs are IDENTICAL-TEXT-EXCLUDED (`h_a ≠ h_b`): verbatim chunk
   * copies are the exact pass's province; this entry surfaces only
@@ -27,63 +39,94 @@ import graft.functions.{Portable, TextFunctions, VectorFunctions}
   * excise or dedup at token precision.
   *
   * Scale shape: embeddings are built IN the scan projection (native
-  * codegen'd expression, zero shuffle); candidates come from a
-  * (tbl, bkt) bucket equi-join — [[NumTables]] independent 8-bit
-  * sign-LSH tables, so a pair collides when ANY table's sign byte
-  * matches — with per-bucket membership capped at [[ChunkBandCap]]
-  * (a verbatim-boilerplate flood lands in ONE bucket and is dropped
-  * there, the `ShingleDocFreqCap` rule; its dedup already happened in
-  * the exact pass). Per-bucket pair work is ≤ C(cap,2); the join
-  * shuffles (tbl, bkt, ids, 32 doubles) — never chunk text. Vector
-  * entries are small exact integers in doubles, so dots, norms and
-  * cosines are EXACT in both engines regardless of summation order.
+  * codegen'd expressions, zero shuffle); candidates come from a
+  * (tbl, bkt) bucket equi-join — [[NumTables]] independent SRP tables,
+  * so a pair collides when ANY table's sign word matches at the
+  * OCCUPANCY-ADAPTIVE width ([[bandBits]]) — with per-bucket
+  * membership capped at [[ChunkBandCap]] (a verbatim-boilerplate flood
+  * shares every hyperplane sign at any width and is dropped there; its
+  * dedup already happened in the exact pass). Per-bucket pair work is
+  * ≤ C(cap,2); the join shuffles (tbl, bkt, ids, 64 doubles) — never
+  * chunk text. Vector entries are small exact integers in doubles, so
+  * projections, dots, norms and cosines are EXACT in both engines
+  * regardless of summation order.
   */
 object ChunkSemantic {
 
-  /** Independent LSH tables (dimension slices of [[BandBitsMax]]). */
+  /** Independent SRP hyperplane tables — a pair is a candidate when
+    * any one matches, the standard OR-amplification.
+    */
   val NumTables = 4
 
-  /** ADAPTIVE band width (the `Ann.lshBits` ladder): bucket-bit count
-    * grows with log(chunk count) to hold occupancy ≈
-    * [[ChunkTarget]] — a FIXED width is a scale bug, since bucket
-    * occupancy n/2^bits makes the bucket self-join quadratic in
-    * corpus growth. Integer CASE-ladder thresholds, bit-identical in
-    * both engines (Portable.bucketBits / bucketBitsSql).
+  /** Occupancy-ladder width bounds: the bucket key is the top `bits`
+    * bits of each table's 16-bit sign word, `bits` ∈ [min, max] chosen
+    * by [[bandBits]].
     */
   val BandBitsMin = 6
-  val BandBitsMax = 16
-  val ChunkTarget = 16
+  val BandBitsMax: Int = SrpWord16.Bits
 
-  /** Embedding width — each table owns a fixed [[BandBitsMax]]-dim
-    * slice (adaptive width is a shiftright REDUCTION of the full
-    * slice, never re-hashing), and 64 dims keeps unrelated-pair
-    * cosine noise (~1/√64 ≈ 0.125 std) far below [[SemCosMin]].
+  /** Embedding width — 64 dims keeps unrelated-pair cosine noise
+    * (~1/√64 ≈ 0.125 std) far below [[SemCosMin]] while the banded
+    * join payload stays 512 bytes of vector per chunk.
     */
-  val Dims: Int = NumTables * BandBitsMax
+  val Dims = 64
 
   /** Exact-cosine admission threshold for a semantic near-dup pair. */
   val SemCosMin = 0.80
 
-  /** Max chunks per (table, bucket) admitted to pair formation — with
-    * the adaptive width this is a FLOOD guard (a verbatim-boilerplate
-    * chunk's copies share every bucket at any width), not the steady
-    * state: expected occupancy tracks [[ChunkTarget]].
+  /** Max chunks per (table, bucket) admitted to pair formation — the
+    * flood guard bounding per-bucket pair work at C(cap,2): a
+    * verbatim-boilerplate chunk's copies have IDENTICAL vectors, so
+    * they share every bucket at every width and no ladder can split
+    * them — they are dropped here (their dedup already happened in the
+    * exact pass, [[Chunking.chunkDupStats]]).
     */
   val ChunkBandCap = 32
 
   private val bandBitsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
-  /** Chunk-count-adaptive band width for `t`'s corpus, cached per
-    * corpus tag (one count scan at plan build, the `Ann.lshBits`
-    * shape).
+  /** OCCUPANCY-driven band width for `t`'s corpus: the smallest width
+    * in [[BandBitsMin]]..[[BandBitsMax]] at which the fullest
+    * (table, bucket) holds ≤ [[ChunkBandCap]] chunks — else
+    * [[BandBitsMax]], leaving whatever still floods at full width to
+    * the cap (true verbatim boilerplate: identical vectors no width
+    * can split). A COUNT-based ladder (the `Ann.lshBits` shape) is the
+    * wrong tool here because it assumes uniform bucket occupancy; SRP
+    * words over clustered corpora are heavily skewed, and the width
+    * that holds the ACTUAL max occupancy at the cap is what bounds the
+    * bucket self-join. One aggregation over the per-table word
+    * histogram (≤ NumTables·2^16 groups regardless of corpus size)
+    * derives every width's occupancy via shiftright, then an
+    * 11-row bounded driver collect picks the width — cached per corpus
+    * tag (one plan-build job, the `Ann.lshBits` discipline). Integer
+    * words and integer comparisons, so the DuckDB twin's in-query
+    * ladder picks the identical width at every corpus size.
     */
   private def bandBits(t: Tables): Int =
     bandBitsCache.computeIfAbsent(
       graft.storage.Materialize.corpusTag(t, "documents",
-        s"cbits=$BandBitsMin..$BandBitsMax|tgt=$ChunkTarget"),
-      _ => Portable.bucketBits(Chunking.docChunks(t).count(),
-        BandBitsMin, BandBitsMax, ChunkTarget)).intValue
+        s"srpocc=$BandBitsMin..$BandBitsMax|cap=$ChunkBandCap"),
+      _ => {
+        val hist = chunkVectors(t)
+          .select(explode(array((0 until NumTables).map(j =>
+            struct(lit(j).as("tbl"),
+              TextFunctions.srpWord16(col("v"), j).as("w16"))): _*)).as("tw"))
+          .groupBy(col("tw.tbl").as("tbl"), col("tw.w16").as("w16"))
+          .agg(count(lit(1)).as("f"))
+        val occ = hist
+          .select(col("tbl"), col("f"),
+            explode(array((BandBitsMin to BandBitsMax).map(w =>
+              struct(lit(w).as("w"),
+                shiftright(col("w16"), BandBitsMax - w).as("b"))): _*)).as("wb"))
+          .groupBy(col("wb.w").as("w"), col("tbl"), col("wb.b"))
+          .agg(sum(col("f")).as("s"))
+          .groupBy(col("w")).agg(max(col("s")).as("m"))
+          .collect()
+        val fits = occ.filter(_.getAs[Long]("m") <= ChunkBandCap)
+          .map(_.getAs[Int]("w"))
+        if (fits.isEmpty) BandBitsMax else fits.min
+      }).intValue
 
   /** (doc_id, chunk_idx, tok_start, n_tok, h, v, n2): the chunk grid
     * with md5 text hash, feature-hash embedding, and squared norm.
@@ -109,10 +152,9 @@ object ChunkSemantic {
   def chunkDedupSemantic(t: Tables): DataFrame = {
     val bits = bandBits(t)
     val bandStructs = (0 until NumTables).map { j =>
-      val full = Portable.signBucketExpr(BandBitsMax, oneBasedIndex = false,
-        offset = j * BandBitsMax)
       struct(lit(j).as("tbl"),
-        expr(s"shiftright($full, ${BandBitsMax - bits})").as("bkt"))
+        shiftright(TextFunctions.srpWord16(col("v"), j),
+          BandBitsMax - bits).as("bkt"))
     }
     val bands = chunkVectors(t)
       .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
@@ -151,6 +193,19 @@ object ChunkSemantic {
     s"(ascii(substr(md5(w), $i, 1)) - 48 - 39 * " +
       s"(CASE WHEN ascii(substr(md5(w), $i, 1)) >= 97 THEN 1 ELSE 0 END))"
 
+  /** Table `j`'s 16-bit SRP sign word over columns v0..v{Dims−1} — the
+    * SAME [[graft.functions.SrpMatrix]] entries [[SrpWord16.compute]]
+    * multiplies, inlined as ±vD terms (exact-integer sums, so the two
+    * engines' words are bit-identical).
+    */
+  private def srpWordSql(j: Int): String =
+    (0 until SrpWord16.Bits).map { i =>
+      val row = SrpMatrix.rows(j, Dims)(i)
+      val terms = (0 until Dims)
+        .map(d => s"${if (row(d) > 0) "+" else "-"} v$d").mkString(" ")
+      s"(CASE WHEN (0 $terms) > 0 THEN ${1 << (SrpWord16.Bits - 1 - i)} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   def chunkDedupSemanticSql: String = {
     // first 8 hex digits of md5(w) = HashFeatureVec's first 4 digest
     // bytes big-endian; the 9th digit's low bit is the sign
@@ -161,13 +216,14 @@ object ChunkSemantic {
       s"SUM(CASE WHEN bucket = $d THEN sgn ELSE 0 END)::DOUBLE AS v$d")
       .mkString(",\n|            ")
     val vlist = (0 until Dims).map(d => s"v$d").mkString(", ")
-    val ladder = Portable.bucketBitsSql("(SELECT COUNT(*) FROM ch)",
-      BandBitsMin, BandBitsMax, ChunkTarget)
+    val words = (0 until NumTables)
+      .map(j => s"${srpWordSql(j)} AS w$j").mkString(",\n|         ")
+    val histSelects = (0 until NumTables)
+      .map(j => s"SELECT $j AS tbl, w$j AS w16 FROM vv")
+      .mkString("\n|    UNION ALL ")
     val tableSelects = (0 until NumTables).map { j =>
-      val full = Portable.signBucketExpr(BandBitsMax, oneBasedIndex = true,
-        offset = j * BandBitsMax)
       s"SELECT doc_id, chunk_idx, tok_start, n_tok, h, v, $j AS tbl, " +
-        s"($full) >> ($BandBitsMax - nb.bits) AS bkt FROM vv, nb"
+        s"w$j >> ($BandBitsMax - nb.bits) AS bkt FROM vv, nb"
     }.mkString("\n|  UNION ALL ")
     val cos = Portable.round6Sql(
       "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
@@ -185,10 +241,20 @@ object ChunkSemantic {
        |            $sums
        |        FROM feat GROUP BY doc_id, chunk_idx, tok_start, n_tok, h),
        |vv AS (SELECT doc_id, chunk_idx, tok_start, n_tok, h,
-       |         list_value($vlist) AS v
+       |         list_value($vlist) AS v,
+       |         $words
        |       FROM vec
        |       WHERE list_dot_product(list_value($vlist), list_value($vlist)) > 0),
-       |nb AS (SELECT $ladder AS bits),
+       |hist AS (SELECT tbl, w16, COUNT(*)::BIGINT AS f FROM (
+       |    $histSelects) u GROUP BY tbl, w16),
+       |occ AS (SELECT w, MAX(s) AS m FROM (
+       |    SELECT ws.w AS w, hist.tbl, hist.w16 >> ($BandBitsMax - ws.w) AS b,
+       |           SUM(f)::BIGINT AS s
+       |    FROM hist, (SELECT unnest(generate_series($BandBitsMin,
+       |                  $BandBitsMax)) AS w) ws
+       |    GROUP BY 1, 2, 3) q GROUP BY w),
+       |nb AS (SELECT COALESCE(MIN(w) FILTER (WHERE m <= $ChunkBandCap),
+       |         $BandBitsMax)::INT AS bits FROM occ),
        |bands AS (
        |  $tableSelects),
        |ok AS (SELECT tbl, bkt FROM bands GROUP BY tbl, bkt

@@ -142,6 +142,16 @@ object Materialize {
     * row derives from one input row (MaterializeSpec pins appended ≡
     * from-scratch and that the growth build's scan touched only the
     * new files).
+    *
+    * A build with a per-KEY reduction inside (the shingle store's
+    * per-doc `.distinct()`) is per-file-pure only while no key recurs
+    * across source files: a growth batch RE-DELIVERING an existing
+    * doc_id would emit the doc's rows into a second segment next to
+    * the first — duplicate rows a from-scratch build would have
+    * collapsed (ADVICE r18). That invariant is the corpus's doc_id
+    * primary key, enforced loudly by [[graft.Tables.validateDocuments]]
+    * (ContractSpec pins the doctored re-delivery refused with the id
+    * named), not re-checked per ensure.
     */
   def ensureIncremental(t: Tables, s: StoreDef,
                         buildFrom: DataFrame => DataFrame): DataFrame =
@@ -188,11 +198,12 @@ object Materialize {
         fs.delete(tmp, true)
         fs.delete(new Path(dst, tmp.getName), true) // reap a nested loser
         // A failed publish must never be SILENT: either a concurrent
-        // writer committed this (or a later) generation — it saw the
-        // same source inventory, so re-reading current generations
-        // below serves equivalent data — or the rename genuinely
-        // failed and returning would serve a stale store as fresh
-        // (the reader contract: rows for every current inventory file).
+        // writer committed this (or a later) generation — the ensure
+        // loop below re-reads ITS manifest and recomputes the pending
+        // decision against the locally observed inventory — or the
+        // rename genuinely failed and returning would serve a stale
+        // store as fresh (the reader contract: rows for every current
+        // inventory file).
         val now = Generations.committed(root.toString, RowsArtifact, conf)
         if (!now.exists(_ >= n))
           throw new java.io.IOException(
@@ -201,26 +212,51 @@ object Materialize {
       }
     }
 
-    val gens = Generations.committed(root.toString, RowsArtifact, conf)
-    if (gens.isEmpty) {
-      publish(0L, buildFrom(readFrom(cur)), base = true, curKeys)
-    } else {
-      val recorded = spark.read
-        .parquet(Generations.path(root.toString, gens.last, InvArtifact))
-        .collect()
-        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      val recordedNames = recorded.map(_._1).toSet
-      val growthOnly = recorded.forall(curKeys.contains)
-      val newFiles = cur.filterNot(f => recordedNames(f.getPath.getName))
-      if (growthOnly && newFiles.isEmpty) {
-        // current — nothing to do
-      } else if (growthOnly) {
-        publish(gens.last + 1, buildFrom(readFrom(newFiles)),
-          base = false, curKeys)
+    def manifest(n: Long): Seq[(String, Long, Long)] = spark.read
+      .parquet(Generations.path(root.toString, n, InvArtifact))
+      .collect().toSeq
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // settled iff the newest committed manifest covers every locally
+    // observed inventory file (byte-identically). NOT "a publish
+    // happened": a lost race's winner may have listed the source
+    // BEFORE files this writer saw arrived — returning then would
+    // serve a store missing those files' rows until the next ensure
+    // (ADVICE r18). The loop re-reads the winner's manifest and
+    // recomputes the pending decision (growth over exactly the files
+    // the winner missed / re-base) until coverage holds; bounded —
+    // each pass either settles or commits a strictly newer generation.
+    def settled(): Boolean = {
+      val gens = Generations.committed(root.toString, RowsArtifact, conf)
+      gens.nonEmpty && {
+        val rec = manifest(gens.last).toSet
+        curKeys.forall(rec.contains)
+      }
+    }
+
+    var attempts = 0
+    while (!settled()) {
+      attempts += 1
+      if (attempts > 4)
+        throw new java.io.IOException(
+          s"ensure of $root failed to converge after $attempts attempts " +
+            "— committed manifests keep missing locally observed files")
+      val gens = Generations.committed(root.toString, RowsArtifact, conf)
+      if (gens.isEmpty) {
+        publish(0L, buildFrom(readFrom(cur)), base = true, curKeys)
       } else {
-        // rewrite: previously-covered bytes changed — re-base
-        publish(gens.last + 1, buildFrom(readFrom(cur)),
-          base = true, curKeys)
+        val recorded = manifest(gens.last)
+        val recordedNames = recorded.map(_._1).toSet
+        val growthOnly = recorded.forall(curKeys.contains)
+        val newFiles = cur.filterNot(f => recordedNames(f.getPath.getName))
+        if (growthOnly) {
+          publish(gens.last + 1, buildFrom(readFrom(newFiles)),
+            base = false, curKeys)
+        } else {
+          // rewrite: previously-covered bytes changed — re-base
+          publish(gens.last + 1, buildFrom(readFrom(cur)),
+            base = true, curKeys)
+        }
       }
     }
     val cur2 = Generations.committed(root.toString, RowsArtifact, conf)

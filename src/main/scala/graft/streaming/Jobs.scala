@@ -466,7 +466,7 @@ object Jobs {
       */
     def flagged(docs: DataFrame, t: Tables): DataFrame = {
       val (gen, pinned) = Substring.corpusWindowStorePinned(t)
-      val store = StaticCache.of(t, s"substrWins@g$gen")(pinned)
+      val store = StaticCache.at(t, "substrWins", gen)(pinned)
       val wins = docs
         .where(size(split(col("text"), " ")) >= Substring.SpanK)
         .select(col("ts"), col("doc_id"),
@@ -552,7 +552,7 @@ object Jobs {
       */
     def flagged(docs: DataFrame, t: Tables): DataFrame = {
       val (gen, pinned) = Chunking.corpusChunkStorePinned(t)
-      val store = StaticCache.of(t, s"chunkHashes@g$gen")(pinned)
+      val store = StaticCache.at(t, "chunkHashes", gen)(pinned)
       val ch = docs
         .select(col("ts"), col("doc_id"),
           explode(Chunking.chunkStructs(col("text"))).as("c"))
@@ -1557,10 +1557,33 @@ object Jobs {
     */
   private object StaticCache {
     private val frames =
-      new java.util.concurrent.ConcurrentHashMap[(Tables, String), DataFrame]()
+      new java.util.concurrent.ConcurrentHashMap[(Tables, String), (Long, DataFrame)]()
 
+    /** Session-lifetime static side for ungenerationed roles. */
     def of(t: Tables, role: String)(build: => DataFrame): DataFrame =
-      frames.computeIfAbsent((t, role), _ => build.persist())
+      at(t, role, 0L)(build)
+
+    /** Generation-PINNED static side: the newest requested generation
+      * owns the (corpus, role) slot, and the displaced generation's
+      * frame is unpersisted on roll — a days-long session rolling its
+      * stores no longer accumulates one persisted corpus-side frame
+      * per generation (ADVICE r18; a still-running query holding the
+      * displaced frame stays CORRECT — committed segment chains are
+      * immutable, so recompute reproduces identical data, it just
+      * loses cache locality). A request for an OLDER generation than
+      * the cached one builds uncached rather than evicting the newer —
+      * a restarted gate only ever resolves forward.
+      */
+    def at(t: Tables, role: String, gen: Long)(build: => DataFrame): DataFrame = {
+      var evicted: DataFrame = null
+      val cur = frames.compute((t, role), (_, old) =>
+        if (old == null || old._1 < gen) {
+          if (old != null) evicted = old._2
+          (gen, build.persist())
+        } else old)
+      if (evicted != null) evicted.unpersist()
+      if (cur._1 == gen) cur._2 else build
+    }
   }
 
   private object CentroidHof {

@@ -54,6 +54,28 @@ class ContractSpec extends SparkSpec {
       e.getMessage.contains("doc_id=7"), s"unhelpful message: ${e.getMessage}")
   }
 
+  test("validateDocuments: a re-delivered doc_id fails loudly; the real corpus is unique") {
+    import spark.implicits._
+    // doc_id uniqueness is the invariant the INCREMENTAL stores'
+    // append ≡ from-scratch property rides on (ADVICE r18: a growth
+    // batch re-delivering an existing doc would duplicate its store
+    // rows across segments and silently inflate every set-size
+    // aggregate) — so a corpus violating it must be refused at
+    // validation with the offending id named
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-dupid-doctored").toString
+    val dup = tables.documents.limit(1)
+    tables.documents.union(dup)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables(spark, dir).validateDocuments()
+    }
+    val id = dup.select("doc_id").head.getLong(0)
+    assert(e.getMessage.contains("doc_id uniqueness") &&
+      e.getMessage.contains(s"doc_id=$id"),
+      s"unhelpful message: ${e.getMessage}")
+  }
+
   test("SURVEY.md section 2 names every registered query (no doc drift)") {
     // the checklist is the contract coverage is judged against —
     // a registry key absent from it is a silent coverage gap

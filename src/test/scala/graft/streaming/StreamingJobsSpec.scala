@@ -804,6 +804,148 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ChunkDupGateStream: corpus replay ≡ batch dup verdicts; shifted quote flagged; sub-grid quote silent") {
+    import spark.implicits._
+    import graft.pipeline.Chunking
+    // planted corpus: doc 1 = passage P (64 tokens) + 48-token tail →
+    // chunks 0 (= P verbatim) and 1; doc 2 = P alone (one chunk); doc 3
+    // unrelated — so P is the one chunk text held by ≥ 2 distinct docs
+    val dir = tmp("graft-chunkgate")
+    val p = (0 until 64).map(i => s"pass$i")
+    val corpus = Seq(
+      (1L, (p ++ (0 until 48).map(i => s"tail$i")).mkString(" ")),
+      (2L, p.mkString(" ")),
+      (3L, (0 until 64).map(i => s"uniq$i").mkString(" ")))
+    corpus.map { case (id, tx) => (id, "web", tx, tx.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = graft.Tables(spark, dir)
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = Jobs.ChunkDupGateStream
+      .flagged(in.toDF().toDF("ts", "doc_id", "text"), t)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chunk_gate").start()
+    try {
+      // the corpus replayed, a novel doc quoting P at a SHIFTED grid
+      // position (48 junk + P → its chunk 1 IS P), and a sub-grid
+      // 32-token quote of P that aligns with no stored chunk text
+      in.addData(corpus.map { case (id, tx) => (new Timestamp(1000L), id, tx) })
+      in.addData(Seq(
+        (new Timestamp(1000L), 900000L,
+          ((0 until 48).map(i => s"junk$i") ++ p).mkString(" ")),
+        (new Timestamp(1000L), 900001L,
+          ((0 until 16).map(i => s"oth$i") ++ p.take(32) ++
+            (0 until 16).map(i => s"sub$i")).mkString(" "))))
+      q.processAllAvailable()
+      val got = spark.table("chunk_gate")
+        .select("doc_id", "chunk_idx", "tok_start", "n_tok")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // batch duplicated-chunk verdicts: a replayed chunk is flagged iff
+      // its text occurs in ≥ 2 distinct corpus docs — the gate's
+      // self-exclusion makes "some OTHER doc holds it" coincide with the
+      // chunkDupStats dup criterion on a replay
+      val ch = Chunking.docChunks(t)
+      val dup = ch.groupBy(col("chunk_text"))
+        .agg(countDistinct(col("doc_id")).as("nd")).where(col("nd") >= 2)
+        .select(col("chunk_text"))
+      val batch = ch.join(dup, Seq("chunk_text"), "left_semi")
+        .select("doc_id", "chunk_idx", "tok_start", "n_tok")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(batch == Set((1L, 0L, 0L, 64L), (2L, 0L, 0L, 64L)),
+        s"plant broke: $batch") // non-vacuous: the dup pair exists
+      assert(got.filter(_._1 < 900000L) == batch,
+        s"replay ${got.filter(_._1 < 900000L)} != batch $batch")
+      // doc 3's own chunk is IN the store — self-exclusion keeps it silent
+      assert(!got.exists(_._1 == 3L))
+      // the novel quote is caught at its shifted chunk position, with
+      // span evidence the consumer can excise by
+      assert(got.filter(_._1 == 900000L) == Set((900000L, 1L, 48L, 64L)),
+        s"got ${got.filter(_._1 == 900000L)}")
+      // a quote smaller than the grid never equals a stored chunk text
+      assert(!got.exists(_._1 == 900001L))
+    } finally q.stop()
+  }
+
+  test("pinned-generation gates: a RUNNING gate rides out a store roll; a restart flips verdicts") {
+    import spark.implicits._
+    import graft.dedup.Substring
+    import graft.pipeline.Chunking
+    // gen 0: one base doc. The probe is a verbatim copy of a doc that
+    // only arrives in the GROWTH batch — flagged nowhere at gen 0,
+    // everywhere at gen 1.
+    val dir = tmp("graft-genroll")
+    val k = Substring.SpanK
+    val base = (0 until 20).map(i => s"base$i").mkString(" ")
+    val probe = (0 until 64).map(i => s"qq$i").mkString(" ")
+    Seq((1L, "web", base, base.length.toLong))
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = graft.Tables(spark, dir)
+
+    val inC = MemoryStream[(Timestamp, Long, String)]
+    val qc = Jobs.ChunkDupGateStream
+      .flagged(inC.toDF().toDF("ts", "doc_id", "text"), t)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("roll_chunk").start()
+    val inS = MemoryStream[(Timestamp, Long, String)]
+    val qs = Jobs.SubstringGateStream
+      .flagged(inS.toDF().toDF("ts", "doc_id", "text"), t)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("roll_substr").start()
+    try {
+      inC.addData(Seq((new Timestamp(1000L), 500L, probe)))
+      inS.addData(Seq((new Timestamp(1000L), 500L, probe)))
+      qc.processAllAvailable(); qs.processAllAvailable()
+      assert(spark.table("roll_chunk").count() == 0)
+      assert(spark.table("roll_substr").count() == 0)
+
+      // the corpus GROWS by the quoted doc, and the maintenance path
+      // commits gen 1 in BOTH stores while the gates are still running
+      Seq((9L, "web", probe, probe.length.toLong))
+        .toDF("doc_id", "source", "text", "n_chars")
+        .write.mode("append").parquet(s"$dir/documents.parquet")
+      assert(Chunking.corpusChunkStorePinned(t)._1 == 1L)
+      assert(Substring.corpusWindowStorePinned(t)._1 == 1L)
+
+      // the RUNNING queries keep serving their immutable pinned gen-0
+      // chains — the roll is observed only on restart
+      inC.addData(Seq((new Timestamp(2000L), 501L, probe)))
+      inS.addData(Seq((new Timestamp(2000L), 501L, probe)))
+      qc.processAllAvailable(); qs.processAllAvailable()
+      assert(spark.table("roll_chunk").count() == 0,
+        "running chunk gate observed a mid-run store roll")
+      assert(spark.table("roll_substr").count() == 0,
+        "running substring gate observed a mid-run store roll")
+    } finally { qc.stop(); qs.stop() }
+
+    // restart: flagged() re-resolves to the grown generation — the
+    // SAME probe text now flags everywhere
+    val inC2 = MemoryStream[(Timestamp, Long, String)]
+    val qc2 = Jobs.ChunkDupGateStream
+      .flagged(inC2.toDF().toDF("ts", "doc_id", "text"), t)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("roll_chunk2").start()
+    val inS2 = MemoryStream[(Timestamp, Long, String)]
+    val qs2 = Jobs.SubstringGateStream
+      .flagged(inS2.toDF().toDF("ts", "doc_id", "text"), t)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("roll_substr2").start()
+    try {
+      inC2.addData(Seq((new Timestamp(3000L), 502L, probe)))
+      inS2.addData(Seq((new Timestamp(3000L), 502L, probe)))
+      qc2.processAllAvailable(); qs2.processAllAvailable()
+      val chunkHits = spark.table("roll_chunk2")
+        .select("doc_id", "chunk_idx").as[(Long, Long)].collect().toSet
+      assert(chunkHits == Set((502L, 0L)), s"restarted chunk gate: $chunkHits")
+      // every K-window of the verbatim copy matches doc 9: 64−K+1 starts
+      val subHits = spark.table("roll_substr2")
+        .select("pos").as[Long].collect().sorted.toSeq
+      assert(subHits == (0L to (64 - k).toLong),
+        s"restarted substring gate: $subHits")
+    } finally { qc2.stop(); qs2.stop() }
+  }
+
   test("ContainmentGate: corpus replay ≡ batch dedup_containment; quote caught at intake") {
     import spark.implicits._
     // corpus: a 60-token doc (1), a 20-token verbatim quote of it (2),
