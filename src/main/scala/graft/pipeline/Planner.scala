@@ -57,7 +57,7 @@ object Planner {
     */
   val RowWidth: Map[String, Long] = Map(
     "orders" -> 32L, "customer" -> 40L, "part" -> 48L,
-    "supplier" -> 44L, "nation" -> 16L)
+    "supplier" -> 44L, "nation" -> 16L, "region" -> 12L)
 
   /** One candidate equi-join: probe (fact) side, build (dimension)
     * side, the key columns, and whether the build side carries the
@@ -118,7 +118,8 @@ object Planner {
     ("lineitem", "l_suppkey"), ("orders", "o_orderkey"),
     ("orders", "o_custkey"), ("customer", "c_custkey"),
     ("customer", "c_nationkey"), ("part", "p_partkey"),
-    ("supplier", "s_suppkey"), ("nation", "n_nationkey"))
+    ("supplier", "s_suppkey"), ("nation", "n_nationkey"),
+    ("nation", "n_regionkey"), ("region", "r_regionkey"))
 
   /** Every table the stat universe reads — the store and the landed
     * layouts must retag when ANY of them changes.
@@ -152,6 +153,7 @@ object Planner {
           case "lineitem" => t.lineitem case "orders" => t.orders
           case "customer" => t.customer case "part" => t.part
           case "supplier" => t.supplier case "nation" => t.nation
+          case "region" => t.region
         }
         // keys normalize to BIGINT: stack requires one value type and
         // the corpus mixes INT/BIGINT keys; the cast is lossless and
@@ -437,6 +439,7 @@ object Planner {
       case "lineitem" => t.lineitem case "orders" => t.orders
       case "customer" => t.customer case "part" => t.part
       case "supplier" => t.supplier case "nation" => t.nation
+      case "region" => t.region
     }
     if (decision == "bucket-by") {
       val name = s"graft_adv_${table}_${column}_$tag"
@@ -568,6 +571,7 @@ object Planner {
       case "lineitem" => t.lineitem case "orders" => t.orders
       case "customer" => t.customer case "part" => t.part
       case "supplier" => t.supplier case "nation" => t.nation
+      case "region" => t.region
     }
     if (decision == "ab_first")
       tbl(ch.a).join(tbl(ch.b), col(ch.aKey) === col(ch.bKeyA))
@@ -576,6 +580,163 @@ object Planner {
       tbl(ch.a).join(
         tbl(ch.b).join(tbl(ch.c), col(ch.bKeyB) === col(ch.cKey)),
         col(ch.aKey) === col(ch.bKeyA))
+  }
+
+  /** One equi-join edge of the [[StarTables]] graph. */
+  final case class StarEdge(aTbl: String, aKey: String,
+                            bTbl: String, bKey: String)
+
+  /** The `q5_region_rollup` join graph — the 5-table PATH
+    * lineitem—orders—customer—nation—region (supplier is excluded: its
+    * `s_nationkey = c_nationkey` conjunct spans two other tables, so
+    * it is not a single-edge join the chain estimator prices).
+    */
+  val StarTables: Seq[String] =
+    Seq("lineitem", "orders", "customer", "nation", "region")
+  val StarEdges: Seq[StarEdge] = Seq(
+    StarEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    StarEdge("orders", "o_custkey", "customer", "c_custkey"),
+    StarEdge("customer", "c_nationkey", "nation", "n_nationkey"),
+    StarEdge("nation", "n_regionkey", "region", "r_regionkey"))
+
+  /** Every LEFT-DEEP, cross-join-free order of [[StarTables]]: each
+    * prefix must be connected under [[StarEdges]] (a disconnected
+    * prefix forces a cartesian product — no real optimizer enumerates
+    * those). For a 5-node path that is 2⁴ = 16 orders. Pure
+    * combinatorics of the static graph — no data touched; PlannerSpec
+    * recomputes it by brute-force permutation filtering.
+    */
+  private[graft] def leftDeepOrders: Seq[Seq[String]] = {
+    val adj: Map[String, Set[String]] = StarTables.map { t =>
+      t -> StarEdges.collect {
+        case e if e.aTbl == t => e.bTbl
+        case e if e.bTbl == t => e.aTbl
+      }.toSet
+    }.toMap
+    def extend(prefix: Seq[String]): Seq[Seq[String]] =
+      if (prefix.size == StarTables.size) Seq(prefix)
+      else StarTables
+        .filterNot(prefix.contains)
+        .filter(c => prefix.exists(p => adj(p)(c)))
+        .flatMap(c => extend(prefix :+ c))
+    StarTables.flatMap(t0 => extend(Seq(t0)))
+  }
+
+  /** The edge joining `next` to some member of `prefix` — unique in a
+    * path graph — oriented as ((prefixTbl, prefixKey), nextKey).
+    */
+  private def starStep(prefix: Seq[String], next: String)
+      : ((String, String), String) =
+    StarEdges.collectFirst {
+      case e if e.bTbl == next && prefix.contains(e.aTbl) =>
+        ((e.aTbl, e.aKey), e.bKey)
+      case e if e.aTbl == next && prefix.contains(e.bTbl) =>
+        ((e.bTbl, e.bKey), e.aKey)
+    }.get
+
+  /** ANALYZE consumer #5 — FULL left-deep join-order enumeration of
+    * the `q5_region_rollup` star (carried VERDICT r16 #5 → r18 #7):
+    * every cross-join-free left-deep order of the 5-table graph,
+    * priced from the [[keyStats]] store alone by composing the
+    * containment estimate along the order (`est_{i+1} =
+    * est_i·n_{i+1} div max(ndv_left, ndv_right)`, the NDV of a key
+    * assumed preserved through joins it does not participate in — the
+    * same chain assumption as [[joinOrderDecisions]], now over the
+    * full order space instead of two hardwired associations).
+    * `cost` is Σ of the INTERMEDIATE estimates (after each join except
+    * the last): the rows that get shuffled into or broadcast against
+    * the next table — the C_out cost model every bottom-up enumerator
+    * (Selinger 1979) minimizes; the final join's output streams into
+    * the consumer and is the same true cardinality for every order, so
+    * it prices no order decision. `rnk` ranks orders by (cost, ord) —
+    * rnk 1 is the order a left-deep optimizer would pick. Integer
+    * division is composition-order-sensitive, so the composition path
+    * is part of the operator definition (the [[joinOrderDecisions]]
+    * discipline); all arithmetic is exact-integer in both engines.
+    * Plan: a store read + literal arithmetic on 16 driver-side rows —
+    * the enumeration itself is data-free combinatorics, only the
+    * pricing reads statistics. At 100 TB this is the advisor that
+    * keeps a 600M-row intermediate from being the build side of the
+    * next shuffle; an n-way enumerator would memoize connected
+    * subsets (DPccp), but at 5 tables the 16 explicit orders ARE the
+    * DP table.
+    */
+  def joinOrderStar(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val stats = keyStats(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    def nRows(tbl: String): Long =
+      stats(StatKeys.find(_._1 == tbl).get)._1
+    val priced = leftDeepOrders.map { ord =>
+      val ests = (1 until ord.size).scanLeft(nRows(ord.head)) {
+        case (est, i) =>
+          val ((lTbl, lKey), rKey) = starStep(ord.take(i), ord(i))
+          containmentEst(est, nRows(ord(i)),
+            math.max(stats((lTbl, lKey))._2, stats((ord(i), rKey))._2))
+      }.drop(1) // drop the seed n(t1): base scans price every order alike
+      (ord.mkString(">"), ests.dropRight(1).sum, ests.last)
+    }
+    val ranked = priced.sortBy { case (ord, cost, _) => (cost, ord) }
+      .zipWithIndex
+      .map { case ((ord, cost, out), i) => (ord, cost, out, i + 1) }
+    ranked.toDF("ord", "cost", "est_out", "rnk").orderBy(col("ord"))
+  }
+
+  def joinOrderStarSql: String = {
+    val statsSql = StatKeys.map { case (tbl, c) =>
+      s"SELECT '$tbl' AS tbl, '$c' AS col, COUNT(*)::BIGINT AS n, " +
+        s"COUNT(DISTINCT $c)::BIGINT AS ndv FROM $tbl"
+    }.mkString("\n|  UNION ALL ")
+    // the order list is static combinatorics (no data), so the SQL twin
+    // inlines it as literals — the Chains/candSql pattern — and prices
+    // it from ITS OWN stats CTE
+    val aliased = {
+      // alias the 16 per-step literal columns on the first branch only
+      val cols = (2 to 5).flatMap(i =>
+        Seq(s"lt$i", s"lk$i", s"t$i", s"k$i"))
+      val first = leftDeepOrders.head
+      val firstSteps = (1 until first.size).flatMap { i =>
+        val ((lTbl, lKey), rKey) = starStep(first.take(i), first(i))
+        Seq(s"'$lTbl'", s"'$lKey'", s"'${first(i)}'", s"'$rKey'")
+      }
+      val firstSel = s"SELECT '${first.mkString(">")}' AS ord, " +
+        firstSteps.zip(cols).map { case (v, c) => s"$v AS $c" }
+          .mkString(", ")
+      val rest = leftDeepOrders.tail.map { ord =>
+        val steps = (1 until ord.size).flatMap { i =>
+          val ((lTbl, lKey), rKey) = starStep(ord.take(i), ord(i))
+          Seq(s"'$lTbl'", s"'$lKey'", s"'${ord(i)}'", s"'$rKey'")
+        }.mkString(", ")
+        s"SELECT '${ord.mkString(">")}', $steps"
+      }
+      (firstSel +: rest).mkString("\n|  UNION ALL ")
+    }
+    val joins = (2 to 5).map(i =>
+      s"JOIN st s${i}l ON s${i}l.tbl = o.lt$i AND s${i}l.col = o.lk$i\n" +
+        s"|        JOIN st s$i ON s$i.tbl = o.t$i AND s$i.col = o.k$i")
+      .mkString("\n|        ")
+    s"""WITH st AS (
+       |  $statsSql),
+       |ords AS (
+       |  $aliased),
+       |x AS (SELECT o.ord,
+       |        s2l.n AS n1,
+       |        s2.n AS n2, GREATEST(s2l.ndv, s2.ndv) AS m2,
+       |        s3.n AS n3, GREATEST(s3l.ndv, s3.ndv) AS m3,
+       |        s4.n AS n4, GREATEST(s4l.ndv, s4.ndv) AS m4,
+       |        s5.n AS n5, GREATEST(s5l.ndv, s5.ndv) AS m5
+       |      FROM ords o
+       |        $joins),
+       |y2 AS (SELECT *, (n1::HUGEINT * n2) // m2 AS e2 FROM x),
+       |y3 AS (SELECT *, (e2 * n3) // m3 AS e3 FROM y2),
+       |y4 AS (SELECT *, (e3 * n4) // m4 AS e4 FROM y3),
+       |y5 AS (SELECT *, (e4 * n5) // m5 AS e5 FROM y4)
+       |SELECT ord, (e2 + e3 + e4)::BIGINT AS cost, e5::BIGINT AS est_out,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY e2 + e3 + e4, ord) AS INT)
+       |    AS rnk
+       |FROM y5 ORDER BY ord""".stripMargin
   }
 
   /** EXECUTE the skew advisor's verdict for one (table, column): the
@@ -608,6 +769,7 @@ object Planner {
       case "lineitem" => t.lineitem case "orders" => t.orders
       case "customer" => t.customer case "part" => t.part
       case "supplier" => t.supplier case "nation" => t.nation
+      case "region" => t.region
     }
     if (decision == "salt")
       graft.functions.Salting.saltedCountBy(df, column,
@@ -635,6 +797,7 @@ object Planner {
       case "lineitem" => t.lineitem case "orders" => t.orders
       case "customer" => t.customer case "part" => t.part
       case "supplier" => t.supplier case "nation" => t.nation
+      case "region" => t.region
     }
     val bs = Reports.equidepthBounds(t)
     val build0 = tbl(c.build)

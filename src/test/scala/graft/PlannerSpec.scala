@@ -16,6 +16,7 @@ class PlannerSpec extends SparkSpec {
     case "lineitem" => t.lineitem case "orders" => t.orders
     case "customer" => t.customer case "part" => t.part
     case "supplier" => t.supplier case "nation" => t.nation
+    case "region" => t.region
   }
 
   private def collectDecisions(t: Tables) =
@@ -106,8 +107,11 @@ class PlannerSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
     (1 to 20).map(i => i.toLong).toDF("s_suppkey")
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
-    (1 to 5).map(i => i.toLong).toDF("n_nationkey")
+    (1 to 5).map(i => (i.toLong, (i % 2 + 1).toLong))
+      .toDF("n_nationkey", "n_regionkey")
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    (1 to 2).map(i => i.toLong).toDF("r_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
 
     val t = Tables(spark, dir)
     val dec = collectDecisions(t).map(r => (r._1, r._10)).toMap
@@ -255,8 +259,11 @@ class PlannerSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
     (1 to 20).map(i => i.toLong).toDF("s_suppkey")
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
-    (1 to 5).map(i => i.toLong).toDF("n_nationkey")
+    (1 to 5).map(i => (i.toLong, (i % 2 + 1).toLong))
+      .toDF("n_nationkey", "n_regionkey")
       .write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    (1 to 2).map(i => i.toLong).toDF("r_regionkey")
+      .write.mode("overwrite").parquet(s"$dir/region.parquet")
 
     def nOrdersSeen(t: Tables): Long = Planner.joinDecisions(t).collect()
       .find(_.getString(0) == "j3_orders_customer").get.getLong(3)
@@ -295,6 +302,66 @@ class PlannerSpec extends SparkSpec {
     // small values match the plain arithmetic exactly
     assert(Planner.containmentEst(600572L, 150000L, 150000L) ==
       600572L * 150000L / 150000L)
+  }
+
+  test("plan_join_order_star ≡ brute-force enumeration + independent estimator") {
+    // ---- the order space, by brute force: all 120 permutations of the
+    // 5 tables, keep those where every added table joins some earlier
+    // one (no cartesian prefix) — for the q5 path that is 2^4 = 16
+    val all = Planner.StarTables
+    val edgeSets = Planner.StarEdges.map(e => Set(e.aTbl, e.bTbl))
+    def crossFree(p: Seq[String]): Boolean =
+      (2 to p.size).forall { k =>
+        val pre = p.take(k)
+        edgeSets.exists(e => e.contains(pre.last) && e.subsetOf(pre.toSet))
+      }
+    val brute = all.permutations.filter(crossFree)
+      .map(_.mkString(">")).toSet
+    assert(brute.size == 16, s"path-graph count law broken: $brute")
+    val enumerated = Planner.leftDeepOrders.map(_.mkString(">"))
+    assert(enumerated.toSet == brute && enumerated.size == 16,
+      s"enumerator diverges from brute force: $enumerated")
+
+    // ---- pricing, recomputed independently from the RAW tables (not
+    // the keyStats store) with BigInt floor division
+    val n = all.map(tn => tn -> this.tbl(tables, tn).count()).toMap
+    val ndv = Planner.StatKeys.filter(k => all.contains(k._1))
+      .map { case (tn, c) =>
+        (tn, c) -> this.tbl(tables, tn).select(c).distinct().count()
+      }.toMap
+    def price(ord: Seq[String]): (Long, Long) = {
+      var est = BigInt(n(ord.head))
+      val ests = (1 until ord.size).map { i =>
+        val nx = ord(i)
+        val e = Planner.StarEdges.find(e =>
+          (e.bTbl == nx && ord.take(i).contains(e.aTbl)) ||
+            (e.aTbl == nx && ord.take(i).contains(e.bTbl))).get
+        val (lt, lk, rk) =
+          if (e.bTbl == nx) (e.aTbl, e.aKey, e.bKey)
+          else (e.bTbl, e.bKey, e.aKey)
+        est = est * n(nx) / math.max(ndv((lt, lk)), ndv((nx, rk)))
+        est
+      }
+      (ests.dropRight(1).sum.toLong, ests.last.toLong)
+    }
+    val priced = brute.toSeq.map { ordS =>
+      val (cost, out) = price(ordS.split('>').toSeq)
+      (ordS, cost, out)
+    }
+    val want = priced.sortBy { case (o, c, _) => (c, o) }.zipWithIndex
+      .map { case ((o, c, out), i) => (o, c, out, i + 1) }
+      .sortBy(_._1)
+    val got = Planner.joinOrderStar(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got == want, s"star pricing diverges:\ngot  $got\nwant $want")
+    // non-vacuity: the order space has a real decision to make
+    assert(priced.map(_._2).distinct.size > 1,
+      "every order cost identical — the plant proves nothing")
+    // the winner never leads with the fact table: starting from
+    // lineitem makes every intermediate lineitem-sized or worse
+    val best = want.find(_._4 == 1).get._1
+    assert(!best.startsWith("lineitem>"), s"suspicious winner: $best")
   }
 
   test("plan_skew_advisor ≡ JVM stats model; metadata-only plan") {
