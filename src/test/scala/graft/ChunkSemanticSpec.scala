@@ -102,6 +102,20 @@ class ChunkSemanticSpec extends SparkSpec {
     assert(!out.exists(r => Set(r.getLong(0), r.getLong(4)) == Set(3L, 4L)))
   }
 
+  test("no join input carries chunk_text — hashes and vectors only cross the shuffle") {
+    // the scale contract in the scaladoc: the band join moves
+    // (tbl, bkt, ids, h, 64 doubles), never text — at 100 TB the text
+    // column dwarfs everything else in the exchange
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val opt = ChunkSemantic.chunkDedupSemantic(t)
+      .queryExecution.optimizedPlan
+    val joins = opt.collect { case j: Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach(j => assert(
+      !j.children.exists(_.output.exists(_.name == "chunk_text")),
+      s"a join input carries chunk_text:\n$j"))
+  }
+
   test("the boilerplate flood is dropped by the cap, not paired") {
     // non-vacuity: two flood rotations really are embedding-identical
     // (cosine 1.0 — they'd flood C(36,2) pairs if admitted) and
