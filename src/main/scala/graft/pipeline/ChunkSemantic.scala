@@ -99,16 +99,19 @@ object ChunkSemantic {
     * histogram (≤ NumTables·2^16 groups regardless of corpus size)
     * derives every width's occupancy via shiftright, then an
     * 11-row bounded driver collect picks the width — cached per corpus
-    * tag (one plan-build job, the `Ann.lshBits` discipline). Integer
-    * words and integer comparisons, so the DuckDB twin's in-query
-    * ladder picks the identical width at every corpus size.
+    * tag (one plan-build job, the `Ann.lshBits` discipline; `vecs` is
+    * whichever vector source the caller runs on — live derivation or
+    * the materialized store, identical row sets by the store contract,
+    * so the cached width is source-independent). Integer words and
+    * integer comparisons, so the DuckDB twin's in-query ladder picks
+    * the identical width at every corpus size.
     */
-  private def bandBits(t: Tables): Int =
+  private def bandBits(t: Tables, vecs: => DataFrame): Int =
     bandBitsCache.computeIfAbsent(
       graft.storage.Materialize.corpusTag(t, "documents",
         s"srpocc=$BandBitsMin..$BandBitsMax|cap=$ChunkBandCap"),
       _ => {
-        val hist = chunkVectors(t)
+        val hist = vecs
           .select(explode(array((0 until NumTables).map(j =>
             struct(lit(j).as("tbl"),
               TextFunctions.srpWord16(col("v"), j).as("w16"))): _*)).as("tw"))
@@ -133,9 +136,9 @@ object ChunkSemantic {
     * Zero-norm chunks (every bucket cancelled exactly) carry no
     * direction and are excluded — cosine is undefined for them.
     */
-  private def chunkVectors(t: Tables): DataFrame = {
+  private def chunkVectorRowsOf(docs: DataFrame): DataFrame = {
     val v = TextFunctions.hashFeatureVec(split(col("c.chunk_text"), " "), Dims)
-    t.documents
+    docs
       .select(col("doc_id"), explode(Chunking.chunkStructs(col("text"))).as("c"))
       .select(col("doc_id"), col("c.chunk_idx").as("chunk_idx"),
         col("c.tok_start").as("tok_start"), col("c.n_tok").as("n_tok"),
@@ -144,19 +147,54 @@ object ChunkSemantic {
       .where(col("n2") > 0)
   }
 
+  private def chunkVectors(t: Tables): DataFrame =
+    chunkVectorRowsOf(t.documents)
+
+  /** The per-corpus chunk-VECTOR store: [[chunkVectors]] persisted
+    * through the INCREMENTAL ensure protocol (every row derives from
+    * one `documents` row — chunking, hashing, embedding and the
+    * zero-norm filter are all per-row-pure, so growth embeds only the
+    * new part-files). The live [[chunkDedupSemantic]] plan re-derives
+    * the embedding once per Catalyst re-expansion of the band frame
+    * (cap aggregate + both self-join sides + the width-ladder job ≈ 4
+    * tokenize+md5 passes over the corpus); at 100 TB re-embedding the
+    * corpus per query IS the query cost, and this store cuts it to
+    * one columnar read (the `dedup_ngram_jaccard_mat` discipline).
+    */
+  private[graft] lazy val ChunkVecStore = graft.storage.Materialize
+    .StoreDef("graft_chunk_v", "documents",
+      s"c=${Chunking.ChunkTokens}|s=${Chunking.ChunkStride}|d=$Dims")
+
+  private def chunkVectorsMat(t: Tables): DataFrame =
+    graft.storage.Materialize.ensureIncremental(t, ChunkVecStore,
+      chunkVectorRowsOf)
+
   /** Near-dup chunk pairs beyond exact hashing: (doc_a, chunk_a,
     * start_a, ntok_a, doc_b, chunk_b, start_b, ntok_b, cos_sim) with
     * cos_sim ≥ [[SemCosMin]], text-distinct, (doc, chunk)-lexicographic
     * pair order, deduped across tables.
     */
-  def chunkDedupSemantic(t: Tables): DataFrame = {
-    val bits = bandBits(t)
+  def chunkDedupSemantic(t: Tables): DataFrame =
+    pairsFrom(chunkVectors(t), bandBits(t, chunkVectors(t)))
+
+  /** [[chunkDedupSemantic]] reading the materialized chunk-vector
+    * store — identical rows (ChunkSemanticSpec pins ≡ live; the
+    * driver's shared oracle re-derives from documents), no
+    * documents.parquet scan in the plan (spec-pinned), embeddings
+    * computed once per corpus lifetime instead of per query.
+    */
+  def chunkDedupSemanticMat(t: Tables): DataFrame = {
+    val vecs = chunkVectorsMat(t)
+    pairsFrom(vecs, bandBits(t, vecs))
+  }
+
+  private def pairsFrom(vecs: DataFrame, bits: Int): DataFrame = {
     val bandStructs = (0 until NumTables).map { j =>
       struct(lit(j).as("tbl"),
         shiftright(TextFunctions.srpWord16(col("v"), j),
           BandBitsMax - bits).as("bkt"))
     }
-    val bands = chunkVectors(t)
+    val bands = vecs
       .select(col("doc_id"), col("chunk_idx"), col("tok_start"),
         col("n_tok"), col("h"), col("v"),
         explode(array(bandStructs: _*)).as("tb"))

@@ -116,6 +116,20 @@ class ChunkSemanticSpec extends SparkSpec {
       s"a join input carries chunk_text:\n$j"))
   }
 
+  test("store-routed _mat ≡ live derivation; its plan never scans documents") {
+    val mat = ChunkSemantic.chunkDedupSemanticMat(t)
+    assert(mat.collect().map(_.toString).toSeq ==
+      out.map(_.toString).toSeq)
+    // after the store exists, the _mat plan reads ONLY the chunk-vector
+    // store — embedding the corpus happens once per corpus, not per query
+    val plan = ChunkSemantic.chunkDedupSemanticMat(t)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "the _mat plan re-scanned the corpus")
+    assert(plan.contains("graft_chunk_v_gens_"),
+      s"the _mat plan does not read the incremental store:\n$plan")
+  }
+
   test("the boilerplate flood is dropped by the cap, not paired") {
     // non-vacuity: two flood rotations really are embedding-identical
     // (cosine 1.0 — they'd flood C(36,2) pairs if admitted) and
