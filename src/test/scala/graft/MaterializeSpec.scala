@@ -138,6 +138,7 @@ class MaterializeSpec extends SparkSpec {
 
   test("wired consumers stay correct through a growth event") {
     import graft.dedup.{Dedup, Substring}
+    import graft.pipeline.ChunkSemantic
     val dir = java.nio.file.Files.createTempDirectory("graft_incgrow").toString
     // ≥ SpanK(12) tokens so windows exist; two docs sharing a 14-token
     // run so a cross-doc span surfaces; a near-dup pair for jaccard
@@ -148,12 +149,15 @@ class MaterializeSpec extends SparkSpec {
       (3L, "books", (0 until 20).map(i => s"other$i").mkString(" "))),
       files = 2)
     val t = Tables(spark, dir)
-    // build both stores at gen 0 through their production entries
+    // build all three stores at gen 0 through their production entries
     val spans0 = Substring.substringSpansMat(t).collect().length
     val jac0 = Dedup.dedupNgramJaccardMat(t).collect().length
+    val sem0 = ChunkSemantic.chunkDedupSemanticMat(t).collect().length
     assert(spans0 > 0)
 
     // growth: a new doc QUOTING doc 1's run, and a near-dup of doc 3
+    // (one-token tail edit: also a chunk-level paraphrase the semantic
+    // store twin must surface after growth)
     plant(dir, "append", Seq(
       (4L, "web", s"novel intro $run and an outro"),
       (5L, "books", (0 until 20).map(i => s"other$i").mkString(" ") + " tail")),
@@ -165,8 +169,11 @@ class MaterializeSpec extends SparkSpec {
       == sortedRows(Substring.substringSpans(t)))
     assert(sortedRows(Dedup.dedupNgramJaccardMat(t))
       == sortedRows(Dedup.dedupNgramJaccard(t)))
+    assert(sortedRows(ChunkSemantic.chunkDedupSemanticMat(t))
+      == sortedRows(ChunkSemantic.chunkDedupSemantic(t)))
     // and the growth actually changed the answers (the test isn't vacuous)
     assert(Substring.substringSpansMat(t).collect().length > spans0)
     assert(Dedup.dedupNgramJaccardMat(t).collect().length > jac0)
+    assert(ChunkSemantic.chunkDedupSemanticMat(t).collect().length > sem0)
   }
 }
