@@ -110,26 +110,32 @@ object ChunkSemantic {
     bandBitsCache.computeIfAbsent(
       graft.storage.Materialize.corpusTag(t, "documents",
         s"srpocc=$BandBitsMin..$BandBitsMax|cap=$ChunkBandCap"),
-      _ => {
-        val hist = vecs
-          .select(explode(array((0 until NumTables).map(j =>
-            struct(lit(j).as("tbl"),
-              TextFunctions.srpWord16(col("v"), j).as("w16"))): _*)).as("tw"))
-          .groupBy(col("tw.tbl").as("tbl"), col("tw.w16").as("w16"))
-          .agg(count(lit(1)).as("f"))
-        val occ = hist
-          .select(col("tbl"), col("f"),
-            explode(array((BandBitsMin to BandBitsMax).map(w =>
-              struct(lit(w).as("w"),
-                shiftright(col("w16"), BandBitsMax - w).as("b"))): _*)).as("wb"))
-          .groupBy(col("wb.w").as("w"), col("tbl"), col("wb.b"))
-          .agg(sum(col("f")).as("s"))
-          .groupBy(col("w")).agg(max(col("s")).as("m"))
-          .collect()
-        val fits = occ.filter(_.getAs[Long]("m") <= ChunkBandCap)
-          .map(_.getAs[Int]("w"))
-        if (fits.isEmpty) BandBitsMax else fits.min
-      }).intValue
+      _ => bandBitsOf(vecs)).intValue
+
+  /** The ladder computation itself, over whatever vector frame the
+    * caller supplies (live derivation, the store, or a pinned store
+    * generation).
+    */
+  private def bandBitsOf(vecs: DataFrame): Int = {
+    val hist = vecs
+      .select(explode(array((0 until NumTables).map(j =>
+        struct(lit(j).as("tbl"),
+          TextFunctions.srpWord16(col("v"), j).as("w16"))): _*)).as("tw"))
+      .groupBy(col("tw.tbl").as("tbl"), col("tw.w16").as("w16"))
+      .agg(count(lit(1)).as("f"))
+    val occ = hist
+      .select(col("tbl"), col("f"),
+        explode(array((BandBitsMin to BandBitsMax).map(w =>
+          struct(lit(w).as("w"),
+            shiftright(col("w16"), BandBitsMax - w).as("b"))): _*)).as("wb"))
+      .groupBy(col("wb.w").as("w"), col("tbl"), col("wb.b"))
+      .agg(sum(col("f")).as("s"))
+      .groupBy(col("w")).agg(max(col("s")).as("m"))
+      .collect()
+    val fits = occ.filter(_.getAs[Long]("m") <= ChunkBandCap)
+      .map(_.getAs[Int]("w"))
+    if (fits.isEmpty) BandBitsMax else fits.min
+  }
 
   /** (doc_id, chunk_idx, tok_start, n_tok, h, v, n2): the chunk grid
     * with md5 text hash, feature-hash embedding, and squared norm.
@@ -168,6 +174,45 @@ object ChunkSemantic {
   private def chunkVectorsMat(t: Tables): DataFrame =
     graft.storage.Materialize.ensureIncremental(t, ChunkVecStore,
       chunkVectorRowsOf)
+
+  /** The corpus side of the streaming SEMANTIC chunk gate
+    * (`streaming.Jobs.ChunkSemanticGateStream`), PINNED at the
+    * chunk-vector store generation current at job build: (generation,
+    * band width, banded corpus chunks). Rows: one per (tbl, bkt,
+    * corpus chunk) under the corpus-side [[ChunkBandCap]] — a
+    * boilerplate-flooded bucket is dropped here exactly as in the
+    * batch op — carrying the chunk's vector, md5 and ALL four sign
+    * words (the stream side needs them for first-collision pair
+    * dedup). The band width derives from the PINNED generation's
+    * content (cached per (store root, generation)) so a running gate's
+    * buckets never move under it; growth is observed on roll, the
+    * [[graft.dedup.Substring.corpusWindowStorePinned]] deployment
+    * shape.
+    */
+  private[graft] def corpusVecBandsPinned(t: Tables): (Long, Int, DataFrame) = {
+    val (gen, rows) = graft.storage.Materialize
+      .ensureIncrementalWithGen(t, ChunkVecStore, chunkVectorRowsOf)
+    val bits = bandBitsCache.computeIfAbsent(
+      graft.storage.Materialize.incRootName(t, ChunkVecStore) + s"@g$gen",
+      _ => bandBitsOf(rows)).intValue
+    val withWords = rows.select(
+      col("doc_id").as("corpus_doc"), col("chunk_idx").as("corpus_chunk"),
+      col("h").as("ch"), col("v").as("cv"),
+      array((0 until NumTables).map(j =>
+        TextFunctions.srpWord16(col("v"), j)): _*).as("cw"))
+    val bands = withWords.select(col("corpus_doc"), col("corpus_chunk"),
+      col("ch"), col("cv"), col("cw"),
+      explode(array((0 until NumTables).map(j =>
+        struct(lit(j).as("tbl"),
+          shiftright(col("cw")(j), BandBitsMax - bits).as("bkt"))): _*)).as("tb"))
+      .select(col("corpus_doc"), col("corpus_chunk"), col("ch"), col("cv"),
+        col("cw"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val ok = bands.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("f"))
+      .where(col("f") <= ChunkBandCap)
+      .select(col("tbl"), col("bkt"))
+    (gen, bits, bands.join(ok, Seq("tbl", "bkt"), "left_semi"))
+  }
 
   /** Near-dup chunk pairs beyond exact hashing: (doc_a, chunk_a,
     * start_a, ntok_a, doc_b, chunk_b, start_b, ntok_b, cos_sim) with

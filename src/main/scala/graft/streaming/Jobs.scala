@@ -567,6 +567,97 @@ object Jobs {
   }
 
   // ---------------------------------------------------------------------
+  // ChunkSemanticGateStream — the INTAKE twin of chunk_dedup_semantic:
+  // which chunks of a newly-arriving document are SEMANTIC near-dups of
+  // corpus chunks? ChunkDupGateStream answers at md5 precision (verbatim
+  // copies); this gate catches the paraphrase — most tokens shared, a
+  // few edited, md5 different — so an admission pipeline can skip
+  // embedding (or admitting) lightly-edited rehashes of content it
+  // already holds (the SemDeDup intake shape, at the embedding
+  // pipeline's unit of work).
+  // ---------------------------------------------------------------------
+  object ChunkSemanticGateStream {
+    import graft.pipeline.{Chunking, ChunkSemantic}
+
+    /** Semantic near-dup chunks of a live (ts, doc_id, text) stream:
+      * (ts, doc_id, chunk_idx, tok_start, n_tok, corpus_doc,
+      * corpus_chunk, cos_sim) — one row per (arriving chunk, matching
+      * corpus chunk) with `cos_sim ≥ SemCosMin`, verbatim-identical
+      * texts EXCLUDED (`h ≠ ch`: those are [[ChunkDupGateStream]]'s
+      * verdicts) and the arriving doc's own stored chunks excluded
+      * (self-exclusion, so a corpus replay surfaces only what another
+      * doc holds — the batch op's pair criterion seen from one side).
+      *
+      * Shape: per-row chunking + feature-hash embedding + the four SRP
+      * sign words (all native codegen'd expressions in the stream
+      * projection), then ONE STATELESS stream-static equi-join on
+      * (tbl, bkt) against the banded corpus side pinned at a named
+      * chunk-vector-store generation ([[ChunkSemantic
+      * .corpusVecBandsPinned]]: band width derived from the pinned
+      * generation's occupancy, corpus-side flood cap applied at build).
+      * A pair colliding in several band tables must emit ONCE without
+      * streaming-stateful `dropDuplicates`: both sides carry all four
+      * sign words, and the join keeps only the FIRST matching table
+      * (`tbl = min{k: words agree at the pinned width}` — computed
+      * from the carried words, purely stateless; StreamingJobsSpec
+      * pins a permuted verbatim copy, which collides in ALL tables,
+      * emitting exactly one row per corpus chunk). Exact cosine on the
+      * carried vectors gates admission, [[graft.functions.Portable
+      * .round6]]-rounded — bit-identical to the batch entry's score.
+      * State is ZERO; at 100 TB the corpus side buckets by (tbl, bkt)
+      * so each micro-batch probes co-located, and the stream payload
+      * is ids + one 64-double vector per chunk, never text.
+      */
+    def flagged(docs: DataFrame, t: Tables): DataFrame = {
+      val (gen, bits, bandsPinned) = ChunkSemantic.corpusVecBandsPinned(t)
+      val store = StaticCache.at(t, "chunkVecBands", gen)(bandsPinned)
+      val v = graft.functions.TextFunctions
+        .hashFeatureVec(split(col("c.chunk_text"), " "), ChunkSemantic.Dims)
+      val ch = docs
+        .select(col("ts"), col("doc_id"),
+          explode(Chunking.chunkStructs(col("text"))).as("c"))
+        .select(col("ts"), col("doc_id"),
+          col("c.chunk_idx").as("chunk_idx"),
+          col("c.tok_start").as("tok_start"), col("c.n_tok").as("n_tok"),
+          md5(col("c.chunk_text")).as("h"), v.as("v"))
+        .withColumn("n2", graft.functions.VectorFunctions.dot(col("v"), col("v")))
+        .where(col("n2") > 0)
+        .withColumn("w", array((0 until ChunkSemantic.NumTables).map(j =>
+          graft.functions.TextFunctions.srpWord16(col("v"), j)): _*))
+        .select(col("ts"), col("doc_id"), col("chunk_idx"),
+          col("tok_start"), col("n_tok"), col("h"), col("v"), col("w"),
+          explode(array((0 until ChunkSemantic.NumTables).map(j =>
+            struct(lit(j).as("tbl"),
+              shiftright(col("w")(j),
+                ChunkSemantic.BandBitsMax - bits).as("bkt"))): _*)).as("tb"))
+        .select(col("ts"), col("doc_id"), col("chunk_idx"),
+          col("tok_start"), col("n_tok"), col("h"), col("v"), col("w"),
+          col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      // first matching table between the carried word arrays at the
+      // pinned width — the stateless cross-table pair dedup
+      val shift = ChunkSemantic.BandBitsMax - bits
+      def agreeAt(k: Int) =
+        shiftright(ch("w")(k), shift) === shiftright(store("cw")(k), shift)
+      val firstMatch = (0 until ChunkSemantic.NumTables).reverse
+        .foldLeft(lit(ChunkSemantic.NumTables)) {
+          case (acc, k) => when(agreeAt(k), lit(k)).otherwise(acc)
+        }
+      ch.join(store,
+        ch("tbl") === store("tbl") && ch("bkt") === store("bkt") &&
+          store("corpus_doc") =!= ch("doc_id") &&
+          store("ch") =!= ch("h") &&
+          ch("tbl") === firstMatch)
+        .select(ch("ts"), ch("doc_id"), ch("chunk_idx"),
+          ch("tok_start"), ch("n_tok"),
+          col("corpus_doc"), col("corpus_chunk"),
+          graft.functions.Portable.round6(
+            graft.functions.VectorFunctions.cosineSim(ch("v"), col("cv")))
+            .as("cos_sim"))
+        .where(col("cos_sim") >= ChunkSemantic.SemCosMin)
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // ClusterAssignStream — incremental cluster maintenance: the streaming
   // half of dedup_clusters. A newly-arriving doc is band-probed against
   // the corpus store (CorpusNearDupGate's join), VERIFIED by exact

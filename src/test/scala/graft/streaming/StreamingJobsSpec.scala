@@ -867,6 +867,66 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ChunkSemanticGateStream: paraphrase caught at intake; verbatim is the hash gate's; one row per pair") {
+    import spark.implicits._
+    // the ChunkSemanticSpec plant: doc 1 = passage paraA (one chunk),
+    // doc 2 = 48 junk + paraB (paraA with 2 token edits — its chunk 1
+    // is a PARAPHRASE of doc 1's chunk 0), doc 3 unrelated. The batch
+    // entry scores the (1,0)-(2,1) pair cos 0.964901.
+    val paraA = (0 until 64).map(i => s"para$i")
+    val paraB = paraA.updated(10, "ed1a").updated(30, "ed1b")
+    val dir = tmp("graft-chunksemgate")
+    val corpus = Seq(
+      (1L, paraA.mkString(" ")),
+      (2L, ((0 until 48).map(i => s"junk$i") ++ paraB).mkString(" ")),
+      (3L, (0 until 64).map(i => s"uniq$i").mkString(" ")))
+    corpus.map { case (id, tx) => (id, "web", tx, tx.length.toLong) }
+      .toDF("doc_id", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = graft.Tables(spark, dir)
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = Jobs.ChunkSemanticGateStream
+      .flagged(in.toDF().toDF("ts", "doc_id", "text"), t)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chunksem_gate").start()
+    try {
+      // the corpus replayed; a PERMUTED verbatim copy of paraA
+      // (embedding-identical — collides in ALL band tables, md5
+      // distinct); a verbatim paraA copy (md5-identical to doc 1's
+      // chunk — the HASH gate's province); a half-overlap doc below
+      // the cosine threshold
+      in.addData(corpus.map { case (id, tx) => (new Timestamp(1000L), id, tx) })
+      in.addData(Seq(
+        (new Timestamp(1000L), 900000L,
+          (paraA.drop(1) :+ paraA.head).mkString(" ")),
+        (new Timestamp(1000L), 900002L, paraA.mkString(" ")),
+        (new Timestamp(1000L), 900001L,
+          (paraA.take(32) ++ (0 until 32).map(i => s"half$i")).mkString(" "))))
+      q.processAllAvailable()
+      val got = spark.table("chunksem_gate")
+        .select("doc_id", "chunk_idx", "corpus_doc", "corpus_chunk", "cos_sim")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq.sorted
+      val c = 0.964901 // pinned by ChunkSemanticSpec ≡ JVM recompute
+      assert(got == Seq(
+        // corpus replay = the batch pair, seen from each side once
+        // (self-exclusion hides each doc's own stored chunk)
+        (1L, 0L, 2L, 1L, c),
+        (2L, 1L, 1L, 0L, c),
+        // the permuted copy: cos 1.0 vs doc 1, cos c vs doc 2's
+        // paraphrase — ONE row each despite colliding in all four
+        // tables (the first-match dedup; a duplicate would show here)
+        (900000L, 0L, 1L, 0L, 1.0),
+        (900000L, 0L, 2L, 1L, c),
+        // the verbatim copy: md5-EXCLUDED vs doc 1 (the hash gate's
+        // verdict, not ours) but still a semantic match vs doc 2
+        (900002L, 0L, 2L, 1L, c)),
+        s"got $got")
+      // nothing for the unrelated doc or the sub-threshold overlap
+      assert(!got.exists(r => r._1 == 3L || r._1 == 900001L))
+    } finally q.stop()
+  }
+
   test("pinned-generation gates: a RUNNING gate rides out a store roll; a restart flips verdicts") {
     import spark.implicits._
     import graft.dedup.Substring
@@ -883,6 +943,11 @@ class StreamingJobsSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val t = graft.Tables(spark, dir)
 
+    // the semantic gate's probe is a PERMUTED copy (embedding-identical,
+    // md5-distinct — a verbatim copy would be h-excluded by design)
+    val probePerm = ((0 until 64).map(i => s"qq$i").drop(1) :+ "qq0")
+      .mkString(" ")
+
     val inC = MemoryStream[(Timestamp, Long, String)]
     val qc = Jobs.ChunkDupGateStream
       .flagged(inC.toDF().toDF("ts", "doc_id", "text"), t)
@@ -893,31 +958,44 @@ class StreamingJobsSpec extends SparkSpec {
       .flagged(inS.toDF().toDF("ts", "doc_id", "text"), t)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("roll_substr").start()
+    val inM = MemoryStream[(Timestamp, Long, String)]
+    val qm = Jobs.ChunkSemanticGateStream
+      .flagged(inM.toDF().toDF("ts", "doc_id", "text"), t)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("roll_sem").start()
     try {
       inC.addData(Seq((new Timestamp(1000L), 500L, probe)))
       inS.addData(Seq((new Timestamp(1000L), 500L, probe)))
+      inM.addData(Seq((new Timestamp(1000L), 500L, probePerm)))
       qc.processAllAvailable(); qs.processAllAvailable()
+      qm.processAllAvailable()
       assert(spark.table("roll_chunk").count() == 0)
       assert(spark.table("roll_substr").count() == 0)
+      assert(spark.table("roll_sem").count() == 0)
 
       // the corpus GROWS by the quoted doc, and the maintenance path
-      // commits gen 1 in BOTH stores while the gates are still running
+      // commits gen 1 in ALL THREE stores while the gates still run
       Seq((9L, "web", probe, probe.length.toLong))
         .toDF("doc_id", "source", "text", "n_chars")
         .write.mode("append").parquet(s"$dir/documents.parquet")
       assert(Chunking.corpusChunkStorePinned(t)._1 == 1L)
       assert(Substring.corpusWindowStorePinned(t)._1 == 1L)
+      assert(graft.pipeline.ChunkSemantic.corpusVecBandsPinned(t)._1 == 1L)
 
       // the RUNNING queries keep serving their immutable pinned gen-0
       // chains — the roll is observed only on restart
       inC.addData(Seq((new Timestamp(2000L), 501L, probe)))
       inS.addData(Seq((new Timestamp(2000L), 501L, probe)))
+      inM.addData(Seq((new Timestamp(2000L), 501L, probePerm)))
       qc.processAllAvailable(); qs.processAllAvailable()
+      qm.processAllAvailable()
       assert(spark.table("roll_chunk").count() == 0,
         "running chunk gate observed a mid-run store roll")
       assert(spark.table("roll_substr").count() == 0,
         "running substring gate observed a mid-run store roll")
-    } finally { qc.stop(); qs.stop() }
+      assert(spark.table("roll_sem").count() == 0,
+        "running semantic gate observed a mid-run store roll")
+    } finally { qc.stop(); qs.stop(); qm.stop() }
 
     // restart: flagged() re-resolves to the grown generation — the
     // SAME probe text now flags everywhere
@@ -931,10 +1009,17 @@ class StreamingJobsSpec extends SparkSpec {
       .flagged(inS2.toDF().toDF("ts", "doc_id", "text"), t)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName("roll_substr2").start()
+    val inM2 = MemoryStream[(Timestamp, Long, String)]
+    val qm2 = Jobs.ChunkSemanticGateStream
+      .flagged(inM2.toDF().toDF("ts", "doc_id", "text"), t)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("roll_sem2").start()
     try {
       inC2.addData(Seq((new Timestamp(3000L), 502L, probe)))
       inS2.addData(Seq((new Timestamp(3000L), 502L, probe)))
+      inM2.addData(Seq((new Timestamp(3000L), 502L, probePerm)))
       qc2.processAllAvailable(); qs2.processAllAvailable()
+      qm2.processAllAvailable()
       val chunkHits = spark.table("roll_chunk2")
         .select("doc_id", "chunk_idx").as[(Long, Long)].collect().toSet
       assert(chunkHits == Set((502L, 0L)), s"restarted chunk gate: $chunkHits")
@@ -943,7 +1028,12 @@ class StreamingJobsSpec extends SparkSpec {
         .select("pos").as[Long].collect().sorted.toSeq
       assert(subHits == (0L to (64 - k).toLong),
         s"restarted substring gate: $subHits")
-    } finally { qc2.stop(); qs2.stop() }
+      // the permuted copy is embedding-identical to doc 9's chunk
+      val semHits = spark.table("roll_sem2")
+        .select("doc_id", "corpus_doc", "cos_sim")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(semHits == Seq((502L, 9L, 1.0)), s"restarted semantic gate: $semHits")
+    } finally { qc2.stop(); qs2.stop(); qm2.stop() }
   }
 
   test("ContainmentGate: corpus replay ≡ batch dedup_containment; quote caught at intake") {
