@@ -289,7 +289,11 @@ object ChunkSemantic {
       s"(CASE WHEN (0 $terms) > 0 THEN ${1 << (SrpWord16.Bits - 1 - i)} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
-  def chunkDedupSemanticSql: String = {
+  /** The shared CTE chain (through `adm`, the cap-admitted band rows)
+    * both SQL twins build on — [[chunkDedupSemanticSql]] selects the
+    * scored pairs, [[docSemanticDupFracSql]] aggregates them per doc.
+    */
+  private def semanticCtes: String = {
     // first 8 hex digits of md5(w) = HashFeatureVec's first 4 digest
     // bytes big-endian; the 9th digit's low bit is the sign
     val hv = (1 to 8)
@@ -308,10 +312,7 @@ object ChunkSemantic {
       s"SELECT doc_id, chunk_idx, tok_start, n_tok, h, v, $j AS tbl, " +
         s"w$j >> ($BandBitsMax - nb.bits) AS bkt FROM vv, nb"
     }.mkString("\n|  UNION ALL ")
-    val cos = Portable.round6Sql(
-      "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
-        "sqrt(list_dot_product(b.v, b.v)))")
-    s"""WITH ${Chunking.chunksSql},
+    s"""${Chunking.chunksSql},
        |tokw AS (SELECT doc_id, chunk_idx, tok_start, n_tok,
        |           md5(chunk_text) AS h,
        |           unnest(string_split(chunk_text, ' ')) AS w
@@ -342,18 +343,104 @@ object ChunkSemantic {
        |  $tableSelects),
        |ok AS (SELECT tbl, bkt FROM bands GROUP BY tbl, bkt
        |       HAVING COUNT(*) <= $ChunkBandCap),
-       |adm AS (SELECT bands.* FROM bands JOIN ok USING (tbl, bkt))
+       |adm AS (SELECT bands.* FROM bands JOIN ok USING (tbl, bkt))""".stripMargin
+  }
+
+  private def cosSql: String = Portable.round6Sql(
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * " +
+      "sqrt(list_dot_product(b.v, b.v)))")
+
+  def chunkDedupSemanticSql: String =
+    s"""WITH $semanticCtes
        |SELECT DISTINCT
        |  a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
        |  a.tok_start AS start_a, a.n_tok AS ntok_a,
        |  b.doc_id AS doc_b, b.chunk_idx AS chunk_b,
        |  b.tok_start AS start_b, b.n_tok AS ntok_b,
-       |  $cos AS cos_sim
+       |  $cosSql AS cos_sim
        |FROM adm a JOIN adm b
        |  ON a.tbl = b.tbl AND a.bkt = b.bkt
        | AND ROW(a.doc_id, a.chunk_idx) < ROW(b.doc_id, b.chunk_idx)
        | AND a.h <> b.h
-       |WHERE $cos >= $SemCosMin
+       |WHERE $cosSql >= $SemCosMin
        |ORDER BY doc_a, chunk_a, doc_b, chunk_b""".stripMargin
+
+  /** Drop threshold for [[docSemanticDupFrac]]: a doc keeps its place
+    * while strictly less than half its chunk grid semantically
+    * duplicates earlier corpus content.
+    */
+  val SemDupFracMax = 0.5
+
+  /** SemDeDup applied as an ADMISSION verdict: per doc, the fraction
+    * of its chunk grid that semantically duplicates an EARLIER doc's
+    * chunk — (doc_id, n_chunks, dup_chunks, dup_frac, verdict) with
+    * verdict = 'keep' iff round6(dup_chunks / n_chunks) <
+    * [[SemDupFracMax]]. "Earlier" is the pair order the batch entry
+    * already emits ((doc_a, chunk_a) < (doc_b, chunk_b)): only the
+    * LATER side of a cross-doc pair is marked, so the first holder of
+    * any content always keeps — the keep-first rule every dedup family
+    * here follows, and marking is assignment-stable under corpus
+    * growth (new docs can only be marked, never retro-mark old ones).
+    * Same-doc pairs are NOT marked (within-doc repetition is
+    * `quality_repetition`'s domain — the [[Chunking.chunkDupStats]]
+    * line), and verbatim-identical chunks are NOT counted here either
+    * (`h ≠ h` excludes them from the pair set — they are
+    * `dedup_exact`/`report_chunk_dup_stats`' province; this verdict
+    * prices only what SEMANTICS adds). The denominator is the FULL
+    * chunk grid (including zero-norm chunks), computed from token
+    * counts alone — one documents scan, no second explode.
+    *
+    * Reads pairs from the chunk-vector STORE ([[chunkDedupSemanticMat]]
+    * — the production path), so the marginal cost over the pair entry
+    * is one aggregation.
+    */
+  def docSemanticDupFrac(t: Tables): DataFrame = {
+    val dup = chunkDedupSemanticMat(t)
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_b").as("doc_id"), col("chunk_b").as("chunk_idx"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_chunks"))
+    val n = size(split(col("text"), " "))
+    val C = Chunking.ChunkTokens
+    val S = Chunking.ChunkStride
+    val nChunks = when(n <= C, lit(1)).otherwise(
+      floor((n - lit(C) + lit(S - 1)).cast("double") / lit(S.toDouble))
+        .cast("int") + 1).cast("long")
+    val frac = Portable.round6(col("dup_chunks").cast("double") /
+      col("n_chunks").cast("double"))
+    t.documents.select(col("doc_id"), nChunks.as("n_chunks"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
+      .select(col("doc_id"), col("n_chunks"), col("dup_chunks"),
+        frac.as("dup_frac"),
+        when(frac < SemDupFracMax, lit("keep")).otherwise(lit("drop"))
+          .as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  def docSemanticDupFracSql: String = {
+    val frac = Portable.round6Sql(
+      "COALESCE(dn.dup_chunks, 0)::DOUBLE / nch.n_chunks::DOUBLE")
+    s"""WITH $semanticCtes,
+       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
+       |         b.doc_id AS doc_b, b.chunk_idx AS chunk_b
+       |       FROM adm a JOIN adm b
+       |         ON a.tbl = b.tbl AND a.bkt = b.bkt
+       |        AND ROW(a.doc_id, a.chunk_idx) < ROW(b.doc_id, b.chunk_idx)
+       |        AND a.h <> b.h
+       |       WHERE $cosSql >= $SemCosMin),
+       |dupc AS (SELECT DISTINCT doc_b AS doc_id, chunk_b FROM pr
+       |         WHERE doc_a <> doc_b),
+       |dn AS (SELECT doc_id, COUNT(*)::BIGINT AS dup_chunks FROM dupc
+       |       GROUP BY doc_id),
+       |nch AS (SELECT doc_id, nc::BIGINT AS n_chunks FROM g)
+       |SELECT nch.doc_id, nch.n_chunks,
+       |  COALESCE(dn.dup_chunks, 0)::BIGINT AS dup_chunks,
+       |  $frac AS dup_frac,
+       |  CASE WHEN $frac < $SemDupFracMax THEN 'keep' ELSE 'drop' END
+       |    AS verdict
+       |FROM nch LEFT JOIN dn ON nch.doc_id = dn.doc_id
+       |ORDER BY nch.doc_id""".stripMargin
   }
 }

@@ -130,6 +130,22 @@ class ChunkSemanticSpec extends SparkSpec {
       s"the _mat plan does not read the incremental store:\n$plan")
   }
 
+  test("doc_semantic_dup_frac: the paraphrasing doc drops, the source keeps (keep-first)") {
+    val rows = ChunkSemantic.docSemanticDupFrac(t).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+    // doc 2 = 112 tokens → 2 chunks; its chunk 1 semantically
+    // duplicates doc 1's content → frac 0.5, at the threshold → drop
+    assert(rows(2L) == ((2L, 1L, 0.5, "drop")), s"doc 2: ${rows(2L)}")
+    // doc 1 holds the content FIRST — never marked by its copier
+    assert(rows(1L) == ((1L, 0L, 0.0, "keep")))
+    // verbatim-identical chunks are the exact pass's province — the
+    // semantic verdict does not double-count them
+    assert(rows(3L)._4 == "keep" && rows(4L)._4 == "keep")
+    // the boilerplate flood was cap-dropped before pair formation
+    assert((100L to 135L).forall(d => rows(d) == ((1L, 0L, 0.0, "keep"))))
+  }
+
   test("the boilerplate flood is dropped by the cap, not paired") {
     // non-vacuity: two flood rotations really are embedding-identical
     // (cosine 1.0 — they'd flood C(36,2) pairs if admitted) and
