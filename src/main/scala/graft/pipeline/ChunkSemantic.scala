@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -183,7 +183,15 @@ object ChunkSemantic {
     * boilerplate-flooded bucket is dropped here exactly as in the
     * batch op — carrying the chunk's vector, md5 and ALL four sign
     * words (the stream side needs them for first-collision pair
-    * dedup). The band width derives from the PINNED generation's
+    * dedup) plus `adm` — the set of band tables at which THIS chunk's
+    * bucket survived the flood cap. The mask exists for the gate's
+    * cross-table pair dedup (ADVICE r19): "first agreeing table" must
+    * mean first agreeing ADMITTED table — when the width ladder ends
+    * at [[BandBitsMax]] with a residual non-identical-vector flood, a
+    * chunk can be dropped at table j yet admitted at table k > j, and
+    * a firstMatch computed from sign agreement alone would point the
+    * join at the dropped table and silently miss the pair the batch
+    * op emits. The band width derives from the PINNED generation's
     * content (cached per (store root, generation)) so a running gate's
     * buckets never move under it; growth is observed on roll, the
     * [[graft.dedup.Substring.corpusWindowStorePinned]] deployment
@@ -211,7 +219,14 @@ object ChunkSemantic {
       .agg(count(lit(1)).as("f"))
       .where(col("f") <= ChunkBandCap)
       .select(col("tbl"), col("bkt"))
-    (gen, bits, bands.join(ok, Seq("tbl", "bkt"), "left_semi"))
+    val admitted = bands.join(ok, Seq("tbl", "bkt"), "left_semi")
+    // per-chunk admitted-table mask: one store-build aggregation
+    // (bounded by the store's own row count), folded back onto each
+    // admitted row so the gate's firstMatch ladder can skip dropped
+    // tables statelessly
+    val mask = admitted.groupBy(col("corpus_doc"), col("corpus_chunk"))
+      .agg(collect_set(col("tbl")).as("adm"))
+    (gen, bits, admitted.join(mask, Seq("corpus_doc", "corpus_chunk")))
   }
 
   /** Near-dup chunk pairs beyond exact hashing: (doc_a, chunk_a,
@@ -221,6 +236,7 @@ object ChunkSemantic {
     */
   def chunkDedupSemantic(t: Tables): DataFrame =
     pairsFrom(chunkVectors(t), bandBits(t, chunkVectors(t)))
+      .orderBy(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
 
   /** [[chunkDedupSemantic]] reading the materialized chunk-vector
     * store — identical rows (ChunkSemanticSpec pins ≡ live; the
@@ -228,7 +244,16 @@ object ChunkSemantic {
     * documents.parquet scan in the plan (spec-pinned), embeddings
     * computed once per corpus lifetime instead of per query.
     */
-  def chunkDedupSemanticMat(t: Tables): DataFrame = {
+  def chunkDedupSemanticMat(t: Tables): DataFrame =
+    chunkDedupSemanticMatUnsorted(t)
+      .orderBy(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
+
+  /** The UNSORTED store-routed pair set — the composition form
+    * ([[Intake.corpusAdmit]] and [[docSemanticDupFrac]]'s aggregation
+    * consume it; a mid-plan presentation Sort would sit in the
+    * analyzed plan, the ADVICE r9 composition rule).
+    */
+  private[graft] def chunkDedupSemanticMatUnsorted(t: Tables): DataFrame = {
     val vecs = chunkVectorsMat(t)
     pairsFrom(vecs, bandBits(t, vecs))
   }
@@ -266,7 +291,6 @@ object ChunkSemantic {
           VectorFunctions.cosineSim(col("a.v"), col("b.v"))).as("cos_sim"))
       .where(col("cos_sim") >= SemCosMin)
       .distinct() // a pair colliding in several tables scores identically
-      .orderBy(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
   }
 
   /** DuckDB md5 hex digit `i` (1-based) as an integer — the
@@ -393,22 +417,43 @@ object ChunkSemantic {
     * Reads pairs from the chunk-vector STORE ([[chunkDedupSemanticMat]]
     * — the production path), so the marginal cost over the pair entry
     * is one aggregation.
+    *
+    * Whale guard: the `dup` pre-aggregate keys on doc_id, and its
+    * input is ≤ one row per (doc, chunk) after the distinct — so a
+    * single mega-doc that quotes the entire corpus contributes at most
+    * its OWN chunk-grid length to the aggregation state, never a
+    * corpus-sized group (the [[graft.streaming.Jobs.SubstringGateStream
+    * .spans]] argument: per-doc evidence is bounded by the doc's own
+    * length, however many corpus rows it matches — the band cap
+    * already bounded the pair fan-out upstream).
     */
-  def docSemanticDupFrac(t: Tables): DataFrame = {
-    val dup = chunkDedupSemanticMat(t)
+  def docSemanticDupFrac(t: Tables): DataFrame =
+    docSemanticDupFracUnsorted(t).orderBy(col("doc_id"))
+
+  /** Chunk-grid length (INCLUDING zero-norm chunks) for a doc with `n`
+    * tokens — ONE definition of the verdict denominator, shared by the
+    * batch op and the streaming twin ([[graft.streaming.Jobs
+    * .ChunkSemanticGateStream.verdicts]]) so the two cannot drift.
+    */
+  private[graft] def nChunksOf(n: Column): Column = {
+    val C = Chunking.ChunkTokens
+    val S = Chunking.ChunkStride
+    when(n <= C, lit(1)).otherwise(
+      floor((n - lit(C) + lit(S - 1)).cast("double") / lit(S.toDouble))
+        .cast("int") + 1).cast("long")
+  }
+
+  /** The UNSORTED verdict frame [[Intake.corpusAdmit]] composes. */
+  private[graft] def docSemanticDupFracUnsorted(t: Tables): DataFrame = {
+    val dup = chunkDedupSemanticMatUnsorted(t)
       .where(col("doc_a") =!= col("doc_b"))
       .select(col("doc_b").as("doc_id"), col("chunk_b").as("chunk_idx"))
       .distinct()
       .groupBy(col("doc_id")).agg(count(lit(1)).as("dup_chunks"))
-    val n = size(split(col("text"), " "))
-    val C = Chunking.ChunkTokens
-    val S = Chunking.ChunkStride
-    val nChunks = when(n <= C, lit(1)).otherwise(
-      floor((n - lit(C) + lit(S - 1)).cast("double") / lit(S.toDouble))
-        .cast("int") + 1).cast("long")
     val frac = Portable.round6(col("dup_chunks").cast("double") /
       col("n_chunks").cast("double"))
-    t.documents.select(col("doc_id"), nChunks.as("n_chunks"))
+    t.documents.select(col("doc_id"),
+        nChunksOf(size(split(col("text"), " "))).as("n_chunks"))
       .join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_chunks"),
         coalesce(col("dup_chunks"), lit(0L)).as("dup_chunks"))
@@ -416,7 +461,6 @@ object ChunkSemantic {
         frac.as("dup_frac"),
         when(frac < SemDupFracMax, lit("keep")).otherwise(lit("drop"))
           .as("verdict"))
-      .orderBy(col("doc_id"))
   }
 
   def docSemanticDupFracSql: String = {

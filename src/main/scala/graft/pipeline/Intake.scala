@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   *   4. containment                 — not the HIGHER id of an asymmetric
   *      containment pair ([[graft.dedup.Dedup.dedupContainment]] — the
   *      quote/snippet duplication mode band LSH structurally misses);
-  *   5. the CCNet mixing decision   — quality bucket from the broadcast
+  *   5. semantic chunk duplication  — [[ChunkSemantic
+  *      .docSemanticDupFrac]]'s keep verdict (SemDeDup as an admission
+  *      filter, VERDICT r19 #1: a doc drops when half or more of its
+  *      chunk grid PARAPHRASES earlier corpus content — the
+  *      lightly-edited rehash whose md5, minhash bands and shingle
+  *      posting all structurally miss; keep-first orientation, so a
+  *      keeper never drops when later paraphrases of it arrive);
+  *   6. the CCNet mixing decision   — quality bucket from the broadcast
   *      per-language boundary table ([[Mixing.ccnetBucketBounded]]) and
   *      the identity-hash keep coin at that bucket's [[Mixing.CcnetRates]]
   *      rate (seed `ccn` — the SAME coin as `corpus_sample_ccnet`, so
@@ -27,8 +34,9 @@ import org.apache.spark.sql.functions._
   * Output: (doc_id, lang, lm_score, bucket, u) for every admitted doc.
   *
   * Scale: every gate is an already-bounded plan (keeper window on
-  * md5(text); capped band/posting self-joins; broadcast boundary table);
-  * this composition adds only doc_id equi-joins and two left_anti joins
+  * md5(text); capped band/posting self-joins; store-routed capped
+  * chunk-band pairs; broadcast boundary table); this composition adds
+  * only doc_id equi-joins and three left_anti joins
   * against loser id sets — no new shuffle wider than the gates' own.
   * The streaming twin is [[graft.streaming.Jobs.IntakeSamplerStream]]:
   * the same verdict riding one live stream, pinned ≡ this op on a corpus
@@ -66,11 +74,17 @@ object Intake {
       .select(col("doc_b").as("doc_id")).distinct()
     val ctLosers = graft.dedup.Dedup.dedupContainmentUnsorted(t)
       .select(col("doc_b").as("doc_id")).distinct()
+    // SemDeDup drop set (keep-first: only the LATER holder of
+    // paraphrased content ever appears here) — the store-routed
+    // unsorted verdict frame
+    val semLosers = ChunkSemantic.docSemanticDupFracUnsorted(t)
+      .filter(col("verdict") === "drop").select(col("doc_id"))
     Mixing.ccnetBucketBoundedUnsorted(t)
       .join(clean, Seq("doc_id"))
       .join(rep, Seq("doc_id"))
       .join(ndLosers, Seq("doc_id"), "left_anti")
       .join(ctLosers, Seq("doc_id"), "left_anti")
+      .join(semLosers, Seq("doc_id"), "left_anti")
       .withColumn("u", Mixing.u("ccn", col("doc_id")))
       .filter(col("u") < rateExpr)
       .select(col("doc_id"), col("lang"), col("lm_score"), col("bucket"),
@@ -83,7 +97,7 @@ object Intake {
     * order: `dup` (not its exact-dup cluster's keeper) → `quality` →
     * `too_short` (< 2 tokens — no repetition profile and no LM score,
     * the shared drop rule) → `repetition` → `neardup` → `containment`
-    * → `coin`. What a pipeline operator reads when a corpus shrinks
+    * → `semdup` → `coin`. What a pipeline operator reads when a corpus shrinks
     * unexpectedly: not WHETHER docs dropped, but at which gate.
     * `admitted` rows here ≡ [[corpusAdmit]]'s doc set (PipelineSpec
     * pins it); same bounded gate plans, so the same scale story.
@@ -99,6 +113,9 @@ object Intake {
     val ctLosers = graft.dedup.Dedup.dedupContainmentUnsorted(t)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("ct", lit(1))
+    val semLosers = ChunkSemantic.docSemanticDupFracUnsorted(t)
+      .filter(col("verdict") === "drop").select(col("doc_id"))
+      .withColumn("sm", lit(1))
     t.documents
       .withColumn("rn", CorpusClean.keeperRank)
       .select(col("doc_id"), col("lang"), col("rn"))
@@ -106,6 +123,7 @@ object Intake {
       .join(rep, Seq("doc_id"), "left")
       .join(ndLosers, Seq("doc_id"), "left")
       .join(ctLosers, Seq("doc_id"), "left")
+      .join(semLosers, Seq("doc_id"), "left")
       .join(Mixing.ccnetBucketBoundedUnsorted(t)
         .select(col("doc_id"), col("bucket")), Seq("doc_id"), "left")
       .withColumn("u", Mixing.u("ccn", col("doc_id")))
@@ -116,6 +134,7 @@ object Intake {
           .when(col("keep") === 0, "repetition")
           .when(col("nd") === 1, "neardup")
           .when(col("ct") === 1, "containment")
+          .when(col("sm") === 1, "semdup")
           .when(col("u") >= rateExpr, "coin")
           .otherwise("admitted").as("verdict"))
       .orderBy(col("doc_id"))
@@ -197,6 +216,9 @@ object Intake {
        |        FROM (${graft.dedup.Dedup.dedupMinhashSql}) m),
        |ctl AS (SELECT DISTINCT doc_b AS doc_id
        |        FROM (${graft.dedup.Dedup.dedupContainmentSql}) ct),
+       |sml AS (SELECT doc_id
+       |        FROM (${ChunkSemantic.docSemanticDupFracSql}) sd
+       |        WHERE sd.verdict = 'drop'),
        |bb AS (SELECT doc_id, bucket
        |       FROM (${Mixing.ccnetBucketBoundedSql}) b)
        |SELECT d.doc_id, d.lang,
@@ -206,6 +228,7 @@ object Intake {
        |       WHEN rep.keep = 0 THEN 'repetition'
        |       WHEN d.doc_id IN (SELECT doc_id FROM ndl) THEN 'neardup'
        |       WHEN d.doc_id IN (SELECT doc_id FROM ctl) THEN 'containment'
+       |       WHEN d.doc_id IN (SELECT doc_id FROM sml) THEN 'semdup'
        |       WHEN ${Mixing.uSql("ccn").replace("doc_id", "d.doc_id")}
        |            >= $rateCase THEN 'coin'
        |       ELSE 'admitted' END AS verdict
@@ -234,6 +257,9 @@ object Intake {
        |        FROM (${graft.dedup.Dedup.dedupMinhashSql}) m),
        |ctl AS (SELECT DISTINCT doc_b AS doc_id
        |        FROM (${graft.dedup.Dedup.dedupContainmentSql}) ct),
+       |sml AS (SELECT doc_id
+       |        FROM (${ChunkSemantic.docSemanticDupFracSql}) sd
+       |        WHERE sd.verdict = 'drop'),
        |bb AS (SELECT * FROM (${Mixing.ccnetBucketBoundedSql}) b)
        |SELECT bb.doc_id, bb.lang, bb.lm_score, bb.bucket,
        |  ${Mixing.uSql("ccn").replace("doc_id", "bb.doc_id")} AS u
@@ -242,6 +268,7 @@ object Intake {
        |JOIN rep USING (doc_id)
        |WHERE bb.doc_id NOT IN (SELECT doc_id FROM ndl)
        |  AND bb.doc_id NOT IN (SELECT doc_id FROM ctl)
+       |  AND bb.doc_id NOT IN (SELECT doc_id FROM sml)
        |  AND ${Mixing.uSql("ccn").replace("doc_id", "bb.doc_id")} < $rateCase
        |ORDER BY bb.doc_id""".stripMargin
   }

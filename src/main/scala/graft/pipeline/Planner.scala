@@ -676,7 +676,15 @@ object Planner {
           containmentEst(est, nRows(ord(i)),
             math.max(stats((lTbl, lKey))._2, stats((ord(i), rKey))._2))
       }.drop(1) // drop the seed n(t1): base scans price every order alike
-      (ord.mkString(">"), ests.dropRight(1).sum, ests.last)
+      // BigInt sum (ADVICE r19): each est is overflow-guarded by
+      // containmentEst, but a plain Long Σ of near-Int64 intermediates
+      // would silently wrap where the SQL twin's (e2+e3+e4)::BIGINT
+      // cast errors — fail loudly on the same inputs instead
+      val cost = ests.dropRight(1).map(BigInt(_)).sum
+      require(cost.isValidLong,
+        s"star cost Σ$ests = $cost exceeds Int64 — " +
+          "the SQL twin's ::BIGINT cast errors here too")
+      (ord.mkString(">"), cost.toLong, ests.last)
     }
     val ranked = priced.sortBy { case (ord, cost, _) => (cost, ord) }
       .zipWithIndex

@@ -597,20 +597,40 @@ object Jobs {
       * generation's occupancy, corpus-side flood cap applied at build).
       * A pair colliding in several band tables must emit ONCE without
       * streaming-stateful `dropDuplicates`: both sides carry all four
-      * sign words, and the join keeps only the FIRST matching table
-      * (`tbl = min{k: words agree at the pinned width}` — computed
-      * from the carried words, purely stateless; StreamingJobsSpec
-      * pins a permuted verbatim copy, which collides in ALL tables,
-      * emitting exactly one row per corpus chunk). Exact cosine on the
-      * carried vectors gates admission, [[graft.functions.Portable
-      * .round6]]-rounded — bit-identical to the batch entry's score.
-      * State is ZERO; at 100 TB the corpus side buckets by (tbl, bkt)
-      * so each micro-batch probes co-located, and the stream payload
-      * is ids + one 64-double vector per chunk, never text.
+      * sign words, and the join keeps only the FIRST matching
+      * ADMITTED table (`tbl = min{k: words agree at the pinned width
+      * AND k ∈ store.adm}` — computed from the carried words plus the
+      * store row's admitted-table mask, purely stateless;
+      * StreamingJobsSpec pins a permuted verbatim copy, which collides
+      * in ALL tables, emitting exactly one row per corpus chunk). The
+      * mask term is load-bearing (ADVICE r19): when the width ladder
+      * bottoms out at BandBitsMax with a residual non-identical-vector
+      * flood, a corpus chunk can be flood-DROPPED at table j yet
+      * admitted at table k > j — sign agreement alone would point
+      * firstMatch at the dropped table, where no store row exists, and
+      * the pair the batch `pairsFrom` emits (any admitted table +
+      * distinct) would be silently missed; StreamingJobsSpec plants
+      * exactly that store shape and pins the single emission. Exact
+      * cosine on the carried vectors gates admission,
+      * [[graft.functions.Portable.round6]]-rounded — bit-identical to
+      * the batch entry's score. State is ZERO; at 100 TB the corpus
+      * side buckets by (tbl, bkt) so each micro-batch probes
+      * co-located, and the stream payload is ids + one 64-double
+      * vector per chunk, never text.
       */
     def flagged(docs: DataFrame, t: Tables): DataFrame = {
       val (gen, bits, bandsPinned) = ChunkSemantic.corpusVecBandsPinned(t)
       val store = StaticCache.at(t, "chunkVecBands", gen)(bandsPinned)
+      flaggedAgainst(docs, bits, store)
+    }
+
+    /** The join core against an already-pinned (width, banded-store)
+      * pair — split out so the spec can plant a store whose admitted-
+      * table mask diverges from sign agreement (the flood shape above)
+      * without engineering a 33-chunk full-width flood corpus.
+      */
+    private[streaming] def flaggedAgainst(docs: DataFrame, bits: Int,
+                                          store: DataFrame): DataFrame = {
       val v = graft.functions.TextFunctions
         .hashFeatureVec(split(col("c.chunk_text"), " "), ChunkSemantic.Dims)
       val ch = docs
@@ -633,11 +653,15 @@ object Jobs {
         .select(col("ts"), col("doc_id"), col("chunk_idx"),
           col("tok_start"), col("n_tok"), col("h"), col("v"), col("w"),
           col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-      // first matching table between the carried word arrays at the
-      // pinned width — the stateless cross-table pair dedup
+      // first matching ADMITTED table between the carried word arrays
+      // at the pinned width — the stateless cross-table pair dedup.
+      // The adm-mask conjunct skips tables where the corpus chunk's
+      // bucket was flood-dropped at store build (no store row exists
+      // there, so a firstMatch pointing at it would drop the pair).
       val shift = ChunkSemantic.BandBitsMax - bits
       def agreeAt(k: Int) =
-        shiftright(ch("w")(k), shift) === shiftright(store("cw")(k), shift)
+        shiftright(ch("w")(k), shift) === shiftright(store("cw")(k), shift) &&
+          array_contains(store("adm"), k)
       val firstMatch = (0 until ChunkSemantic.NumTables).reverse
         .foldLeft(lit(ChunkSemantic.NumTables)) {
           case (acc, k) => when(agreeAt(k), lit(k)).otherwise(acc)
@@ -654,6 +678,64 @@ object Jobs {
             graft.functions.VectorFunctions.cosineSim(ch("v"), col("cv")))
             .as("cos_sim"))
         .where(col("cos_sim") >= ChunkSemantic.SemCosMin)
+    }
+
+    /** The per-DOC admission verdict — `doc_semantic_dup_frac` on live
+      * intake, append-mode: (win_start, doc_id, n_chunks, dup_chunks,
+      * dup_frac, verdict) with verdict = 'keep' iff round6(dup_chunks
+      * / n_chunks) < [[graft.pipeline.ChunkSemantic.SemDupFracMax]].
+      * A chunk counts as duplicated only when some STRICTLY EARLIER
+      * (corpus_doc, corpus_chunk) — struct-lexicographic, the batch
+      * pair order — semantically matches it: the keep-first
+      * orientation, so the first holder of any content keeps its place
+      * and a verdict never flips retroactively as later docs arrive
+      * (new intake can only be marked, never retro-mark the corpus).
+      * The denominator is the FULL chunk grid from the doc's token
+      * count ([[graft.pipeline.ChunkSemantic.nChunksOf]] — ONE shared
+      * definition with the batch op).
+      *
+      * Shape — the [[SubstringGateStream.spans]] discipline verbatim:
+      * the flagged matches plus one per-doc PRESENCE row (so a doc
+      * with zero matches still emits its 'keep' verdict) union into
+      * ONE watermarked (event-window, doc) aggregation — stateful op
+      * #1 and only — whose state per in-flight doc is one counter row
+      * bounded by the doc's OWN chunk-grid length (collect_set of
+      * flagged chunk_idx; the band cap bounded the match fan-out
+      * upstream, and set-dedup collapses multi-corpus-match chunks),
+      * the whale argument the batch op's scaladoc makes. Everything
+      * after the aggregation is a stateless per-row projection.
+      * Finals emit once the watermark closes the window — immutable,
+      * like every append-mode verdict here. StreamingJobsSpec pins a
+      * corpus replay ≡ the batch `doc_semantic_dup_frac` rows and a
+      * planted paraphrasing doc dropped at intake.
+      */
+    def verdicts(docs: DataFrame, t: Tables,
+                 watermarkLag: String = "10 seconds",
+                 windowLen: String = "1 hour"): DataFrame = {
+      val base = docs.withWatermark("ts", watermarkLag)
+      val presence = base.select(col("ts"), col("doc_id"),
+        ChunkSemantic.nChunksOf(size(split(col("text"), " ")))
+          .as("n_chunks"),
+        lit(-1).as("chunk_idx"))
+      val hits = flagged(base, t)
+        .where(struct(col("corpus_doc"), col("corpus_chunk")) <
+          struct(col("doc_id"), col("chunk_idx")))
+        .select(col("ts"), col("doc_id"),
+          lit(null).cast("long").as("n_chunks"), col("chunk_idx"))
+      val frac = graft.functions.Portable.round6(
+        col("dup_chunks").cast("double") / col("n_chunks").cast("double"))
+      presence.unionByName(hits)
+        .groupBy(window(col("ts"), windowLen), col("doc_id"))
+        .agg(max(col("n_chunks")).as("n_chunks"),
+          collect_set(col("chunk_idx")).as("hit_set"))
+        .select(col("window.start").as("win_start"), col("doc_id"),
+          col("n_chunks"),
+          size(array_remove(col("hit_set"), -1)).cast("long")
+            .as("dup_chunks"))
+        .select(col("win_start"), col("doc_id"), col("n_chunks"),
+          col("dup_chunks"), frac.as("dup_frac"),
+          when(frac < ChunkSemantic.SemDupFracMax, lit("keep"))
+            .otherwise(lit("drop")).as("verdict"))
     }
   }
 
@@ -1207,8 +1289,8 @@ object Jobs {
   // ---------------------------------------------------------------------
   // IntakeSamplerStream — pipeline.Intake.corpusAdmit on live intake:
   // the WHOLE admit/drop verdict riding one streaming query. First-seen
-  // marker → quality → repetition → near-dup → containment → CCNet
-  // bucket → keep coin; admissions() emits each clearing doc once with
+  // marker → quality → repetition → near-dup → containment → semantic
+  // chunk dup → CCNet bucket → keep coin; admissions() emits each clearing doc once with
   // its bucket and coin, verdicts() emits EVERY doc with its first
   // failing gate (the corpus_admit_verdicts observability twin).
   // ---------------------------------------------------------------------
@@ -1277,7 +1359,7 @@ object Jobs {
       * first failing gate, in [[graft.pipeline.Intake
       * .corpusAdmitVerdicts]]' pipeline order (`dup` → `quality` →
       * `too_short` → `repetition` → `neardup` → `containment` →
-      * `coin`). Same single query shape as [[admissions]] — the verdict
+      * `semdup` → `coin`). Same single query shape as [[admissions]] — the verdict
       * column is computed either way; this entry just keeps every row.
       * StreamingJobsSpec pins streamed verdicts ≡ the batch op on a
       * keeper-first replay.
@@ -1340,6 +1422,16 @@ object Jobs {
       *      .containmentCorpusDocSets]]). The capped static side makes
       *      the row-wise intersect exact — flooded shingles are absent
       *      from the corpus array, so they never count as common.
+      *      `sc` rows — the SemDeDup gate (VERDICT r19 #1): one entry
+      *      per (non-zero-norm chunk, band table) carrying the chunk's
+      *      md5, feature-hash vector and bucket at the PINNED
+      *      chunk-vector-store width ([[graft.pipeline.ChunkSemantic
+      *      .corpusVecBandsPinned]] — the [[ChunkSemanticGateStream]]
+      *      corpus side, same cache role), joined left against the
+      *      cap-admitted banded store; a match counts when the corpus
+      *      (doc, chunk) is strictly EARLIER (the batch keep-first
+      *      pair order), text-distinct and round6-cosine ≥ the batch
+      *      threshold.
       *      A rejected doc's heavy arrays are empty by construction
       *      (conditional on the flags), so spam costs one meta row,
       *      not a bigram/shingle explosion.
@@ -1365,7 +1457,11 @@ object Jobs {
       * fan-out per doc is bounded by bigrams + capped shingles ×
       * capped posting lists. The own-hash array rides the containment
       * join rows (micro-batch shuffle, never state) — the price of
-      * computing `common` without per-pair state.
+      * computing `common` without per-pair state. The sc fan-out is
+      * (own chunks × band tables × ≤ChunkBandCap store matches), each
+      * row ids + one 64-double vector, and the collected set is ≤ the
+      * doc's own grid length — the whale bound the batch verdict's
+      * scaladoc argues.
       */
     private def verdictCore(docs: DataFrame, t: Tables,
                             watermarkLag: String,
@@ -1407,6 +1503,19 @@ object Jobs {
       val docSets = StaticCache.of(t, "containDocSets") {
         Dedup.containmentCorpusDocSets(t).select(col("corpus_doc"), col("hs"))
       }
+      // the SemDeDup gate's corpus side: the banded chunk-vector store
+      // pinned at the generation current at job build (the
+      // ChunkSemanticGateStream deployment shape — same cache role, so
+      // an intake job and a chunk gate on one session share the frame),
+      // renamed sc_* to keep the containment join's corpus_doc free
+      val (scGen, scBits, scBandsPinned) =
+        graft.pipeline.ChunkSemantic.corpusVecBandsPinned(t)
+      val scStore = StaticCache.at(t, "chunkVecBands", scGen)(scBandsPinned)
+        .select(col("corpus_doc").as("sc_doc"),
+          col("corpus_chunk").as("sc_chunk"), col("ch").as("sc_ch"),
+          col("cv").as("sc_cv"), col("tbl").as("sc_stbl"),
+          col("bkt").as("sc_sbkt"))
+      val scShift = graft.pipeline.ChunkSemantic.BandBitsMax - scBits
 
       // stage 1: the first-seen MARKER — every row survives, tagged
       // dup 0/1 (the verdicts twin needs the non-keepers' rows). The
@@ -1475,6 +1584,11 @@ object Jobs {
             (a, b) => concat(a, lit(" "), b)))).cast("int")))
         .withColumn("rejected", greatest(col("dup"), col("too_short"),
           col("q_fail"), col("rep_fail")))
+        // semdup denominator: the doc's FULL chunk-grid length — the
+        // shared batch definition, constant per doc (rides the agg as
+        // a flag column)
+        .withColumn("n_chunks",
+          graft.pipeline.ChunkSemantic.nChunksOf(size(col("toks"))))
 
       // stage 2: ONE evidence explode — every gate's lookups ride the
       // same exploded stream (a union of per-gate branches would
@@ -1488,13 +1602,18 @@ object Jobs {
       // doc's bg/sh arrays are EMPTY by construction, so spam pays one
       // meta row, never an explosion.
       val nullS = lit(null).cast("string")
+      val nullI = lit(null).cast("int")
       def ev(kind: String, w1: Column = nullS, w2: Column = nullS,
              bandIdx: Column = lit(null).cast("int"),
              bandKey: Column = nullS, s: Column = nullS,
-             sProbe: Column = nullS) =
+             sProbe: Column = nullS, scTbl: Column = nullI,
+             scBkt: Column = nullI, scIdx: Column = nullI,
+             scH: Column = nullS,
+             scV: Column = lit(null).cast("array<double>")) =
         struct(lit(kind).as("kind"), w1.as("w1"), w2.as("w2"),
           bandIdx.as("band_idx"), bandKey.as("band_key"), s.as("s"),
-          sProbe.as("s_probe"))
+          sProbe.as("s_probe"), scTbl.as("sc_tbl"), scBkt.as("sc_bkt"),
+          scIdx.as("sc_idx"), scH.as("sc_h"), scV.as("sc_v"))
       val mins = (0 until Dedup.NumPerms).map(p =>
         array_min(transform(col("sh_arr"),
           s => md5(concat(lit(s"$p:"), s)))).as(s"h$p"))
@@ -1502,7 +1621,7 @@ object Jobs {
         ev("nd", bandIdx = lit(b), bandKey =
           md5(concat(col(s"h${2 * b}"), lit("|"), col(s"h${2 * b + 1}"))))): _*)
       val flagCols = Seq(col("text_hash"), col("dup"), col("too_short"),
-        col("q_fail"), col("rep_fail"), col("rejected"))
+        col("q_fail"), col("rep_fail"), col("rejected"), col("n_chunks"))
 
       val evidence = flagged
         .withColumn("bg_arr", when(col("rejected") === 1,
@@ -1516,9 +1635,25 @@ object Jobs {
           .otherwise(array_distinct(
             graft.functions.TextFunctions.shingles(
               col("toks"), Dedup.ShingleSize))))
+        // semdup evidence seeds: the doc's non-zero-norm chunk grid
+        // with md5 + feature-hash vector (the batch chunkVectorRowsOf
+        // projection, per row) — empty for rejected docs, so spam pays
+        // one meta row here too
+        .withColumn("sc_arr", when(col("rejected") === 1,
+          expr("CAST(array() AS " +
+            "array<struct<ci:int,h:string,v:array<double>>>)"))
+          .otherwise(org.apache.spark.sql.functions.filter(
+            transform(graft.pipeline.Chunking.chunkStructs(col("text")),
+              c => struct(c.getField("chunk_idx").as("ci"),
+                md5(c.getField("chunk_text")).as("h"),
+                graft.functions.TextFunctions.hashFeatureVec(
+                  split(c.getField("chunk_text"), " "),
+                  graft.pipeline.ChunkSemantic.Dims).as("v"))),
+            s => graft.functions.VectorFunctions.dot(
+              s.getField("v"), s.getField("v")) > 0)))
         .withColumn("hs_own", transform(col("sh_arr"), s => xxhash64(s)))
         .select(Seq(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
-          col("sh_arr"), col("bg_arr")) ++ flagCols ++ mins: _*)
+          col("sh_arr"), col("bg_arr"), col("sc_arr")) ++ flagCols ++ mins: _*)
         .select(Seq(col("ts"), col("doc_id"), col("lang"), col("hs_own"),
           explode(concat(
             array(ev("meta")),
@@ -1526,7 +1661,17 @@ object Jobs {
               b => ev("bg", w1 = b.getField("w1"), w2 = b.getField("w2"))),
             bandEntries,
             transform(col("sh_arr"), s => ev("sh", s = s)),
-            transform(col("sh_arr"), s => ev("ct", s = s, sProbe = s))))
+            transform(col("sh_arr"), s => ev("ct", s = s, sProbe = s)),
+            // one sc entry per (chunk, band table): the stream side of
+            // the banded chunk join, bkt at the pinned width
+            flatten(transform(col("sc_arr"), s =>
+              array((0 until graft.pipeline.ChunkSemantic.NumTables)
+                .map(j => ev("sc", scTbl = lit(j),
+                  scBkt = shiftright(
+                    graft.functions.TextFunctions.srpWord16(
+                      s.getField("v"), j), scShift),
+                  scIdx = s.getField("ci"), scH = s.getField("h"),
+                  scV = s.getField("v"))): _*)))))
             .as("e")) ++ flagCols: _*)
         // a rejected doc's band entries ride null min-hashes (its
         // sh_arr is empty) — only its meta row matters downstream
@@ -1535,7 +1680,10 @@ object Jobs {
           col("e.kind").as("kind"), col("e.w1").as("w1"),
           col("e.w2").as("w2"), col("e.band_idx").as("band_idx"),
           col("e.band_key").as("band_key"), col("e.s").as("s"),
-          col("e.s_probe").as("s_probe")) ++ flagCols: _*)
+          col("e.s_probe").as("s_probe"),
+          col("e.sc_tbl").as("sc_tbl"), col("e.sc_bkt").as("sc_bkt"),
+          col("e.sc_idx").as("sc_idx"), col("e.sc_h").as("sc_h"),
+          col("e.sc_v").as("sc_v")) ++ flagCols: _*)
 
       // stateless stream-static lookups: every join key is unique on
       // the static side except the posting probe, whose fan-out is
@@ -1554,6 +1702,11 @@ object Jobs {
         .join(posting.withColumnRenamed("s", "s_probe"),
           Seq("s_probe"), "left")
         .join(docSets, Seq("corpus_doc"), "left")
+        // semdup bucket probe: ≤ ChunkBandCap matches per sc row (the
+        // corpus-side flood cap was applied at store build); non-sc
+        // rows carry null keys and pass through unmatched
+        .join(scStore, col("sc_tbl") === col("sc_stbl") &&
+          col("sc_bkt") === col("sc_sbkt"), "left")
 
       // stage 3: ONE aggregation reduces every gate's evidence. The
       // text-derived flags are constant per doc, so max() carries them
@@ -1587,7 +1740,25 @@ object Jobs {
             struct(col("corpus_doc"), col("n_b"),
               size(array_intersect(col("hs_own"), col("hs")))
                 .cast("int").as("common"))))
-            .as("ct_hits"))
+            .as("ct_hits"),
+          // semdup: the doc's DISTINCT duplicated chunk indices — a
+          // chunk counts when some strictly EARLIER (corpus doc,
+          // chunk) — the batch pair order, keep-first — matches it
+          // semantically (text-distinct, exact round6 cosine ≥ the
+          // batch threshold); set-dedup collapses the ≤cap×tables
+          // match fan-out, so state per doc is bounded by its own grid
+          max(col("n_chunks")).as("n_chunks"),
+          collect_set(when(col("kind") === "sc" &&
+            col("sc_doc").isNotNull &&
+            col("sc_doc") =!= col("doc_id") &&
+            struct(col("sc_doc").as("d"), col("sc_chunk").as("c")) <
+              struct(col("doc_id").as("d"), col("sc_idx").as("c")) &&
+            col("sc_ch") =!= col("sc_h") &&
+            graft.functions.Portable.round6(
+              graft.functions.VectorFunctions.cosineSim(
+                col("sc_v"), col("sc_cv")))
+              >= graft.pipeline.ChunkSemantic.SemCosMin,
+            col("sc_idx"))).as("sm_hits"))
 
       // stage 4: stateless verdict — the batch CASE in pipeline order
       // (Intake.corpusAdmitVerdicts). lm_score is null for a doc with
@@ -1601,13 +1772,19 @@ object Jobs {
                 h.getField("common").cast("double") /
                   least(col("n_a"), h.getField("n_b")))
                 >= Dedup.ContainmentMin), 1).otherwise(0))
+        .withColumn("sm_hit",
+          when(graft.functions.Portable.round6(
+            size(col("sm_hits")).cast("double") /
+              col("n_chunks").cast("double"))
+            >= graft.pipeline.ChunkSemantic.SemDupFracMax, 1).otherwise(0))
         .select(col("ts"), col("doc_id"), col("lang"), col("text_hash"),
           col("dup"), col("too_short"), col("q_fail"), col("rep_fail"),
-          col("nd_hit"), col("ct_hit"), TextAnalysis.lmScoreExpr)
+          col("nd_hit"), col("ct_hit"), col("sm_hit"),
+          TextAnalysis.lmScoreExpr)
         .join(bounds, Seq("lang"), "left")
         .select(col("ts"), col("doc_id"), col("lang"), col("text_hash"),
           col("dup"), col("too_short"), col("q_fail"), col("rep_fail"),
-          col("nd_hit"), col("ct_hit"), col("lm_score"),
+          col("nd_hit"), col("ct_hit"), col("sm_hit"), col("lm_score"),
           when(col("s1").isNull, lit("unbucketed"))
             .otherwise(Mixing.bucketExpr).as("bucket"))
         .withColumn("u", Mixing.u("ccn", col("doc_id")))
@@ -1618,6 +1795,7 @@ object Jobs {
             .when(col("rep_fail") === 1, "repetition")
             .when(col("nd_hit") === 1, "neardup")
             .when(col("ct_hit") === 1, "containment")
+            .when(col("sm_hit") === 1, "semdup")
             .when(col("u") >= Intake.rateExpr, "coin")
             .otherwise("admitted"))
     }
