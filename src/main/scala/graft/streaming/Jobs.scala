@@ -718,8 +718,8 @@ object Jobs {
           .as("n_chunks"),
         lit(-1).as("chunk_idx"))
       val hits = flagged(base, t)
-        .where(struct(col("corpus_doc"), col("corpus_chunk")) <
-          struct(col("doc_id"), col("chunk_idx")))
+        .where(struct(col("corpus_doc").as("d"), col("corpus_chunk").as("c")) <
+          struct(col("doc_id").as("d"), col("chunk_idx").as("c")))
         .select(col("ts"), col("doc_id"),
           lit(null).cast("long").as("n_chunks"), col("chunk_idx"))
       val frac = graft.functions.Portable.round6(
@@ -1607,7 +1607,7 @@ object Jobs {
              bandIdx: Column = lit(null).cast("int"),
              bandKey: Column = nullS, s: Column = nullS,
              sProbe: Column = nullS, scTbl: Column = nullI,
-             scBkt: Column = nullI, scIdx: Column = nullI,
+             scBkt: Column = lit(null).cast("long"), scIdx: Column = nullI,
              scH: Column = nullS,
              scV: Column = lit(null).cast("array<double>")) =
         struct(lit(kind).as("kind"), w1.as("w1"), w2.as("w2"),

@@ -927,6 +927,154 @@ class StreamingJobsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ChunkSemanticGateStream.verdicts: corpus replay ≡ batch doc_semantic_dup_frac; planted paraphrase drops") {
+    import spark.implicits._
+    // the ChunkSemanticSpec plant corpus (doc 1 holds paraA; doc 2's
+    // chunk 1 paraphrases it; doc 3 unrelated)
+    val paraA = (0 until 64).map(i => s"para$i")
+    val paraB = paraA.updated(10, "ed1a").updated(30, "ed1b")
+    val dir = tmp("graft-chunksemverd")
+    val corpus = Seq(
+      (1L, paraA.mkString(" ")),
+      (2L, ((0 until 48).map(i => s"junk$i") ++ paraB).mkString(" ")),
+      (3L, (0 until 64).map(i => s"uniq$i").mkString(" ")))
+    corpus.map { case (id, tx) => (id, "en", "web", tx, tx.length.toLong) }
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val t = graft.Tables(spark, dir)
+    // the searched 3-edit paraphrase of paraA (offline against the
+    // same md5 SRP matrix): table 1 still collides with doc 1's chunk
+    // (cos 0.952579) and doc 2's paraphrase chunk (cos 0.951972)
+    val plant = paraA.updated(10, "zq14x").updated(30, "zq23x")
+      .updated(50, "zq45x").mkString(" ")
+
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val out = Jobs.ChunkSemanticGateStream.verdicts(
+      in.toDF().toDF("ts", "doc_id", "text"), t,
+      watermarkLag = "0 seconds", windowLen = "1 hour")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chunksem_verd").start()
+    try {
+      in.addData((corpus :+ (900000L -> plant))
+        .map { case (id, tx) => (new Timestamp(1000L), id, tx) })
+      q.processAllAvailable()
+      // tick to close the event window — the tick's own window never
+      // closes, so it emits no verdict row
+      in.addData(Seq((new Timestamp(100L * 3600 * 1000), -1L, "tick")))
+      q.processAllAvailable()
+      val got = spark.table("chunksem_verd")
+        .select("doc_id", "n_chunks", "dup_chunks", "dup_frac", "verdict")
+        .as[(Long, Long, Long, Double, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      val batch = graft.pipeline.ChunkSemantic.docSemanticDupFrac(t)
+        .as[(Long, Long, Long, Double, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      // non-vacuous: the batch drops doc 2 (its later-side paraphrase
+      // chunk is 1 of its 2) and keeps docs 1 and 3 (keep-first)
+      assert(batch(2L) == ((2L, 1L, 0.5, "drop")), s"plant broke: $batch")
+      assert(batch(1L)._4 == "keep" && batch(3L)._4 == "keep")
+      // corpus replay ≡ batch, every column
+      assert(got.view.filterKeys(k => k >= 0 && k < 900000L).toMap == batch,
+        s"stream ${got.view.filterKeys(_ < 900000L).toMap} != batch $batch")
+      // the planted paraphrasing doc: its single chunk duplicates
+      // EARLIER corpus content → dup_frac 1.0 → dropped at intake
+      assert(got(900000L) == ((1L, 1L, 1.0, "drop")),
+        s"got ${got.get(900000L)}")
+    } finally q.stop()
+  }
+
+  test("ChunkSemanticGateStream: firstMatch skips a flood-dropped table — the pair still emits, once") {
+    import spark.implicits._
+    // ADVICE r19: plant a store whose chunk is ADMITTED only at tables
+    // 1 and 3 (0 and 2 flood-dropped at build — the BandBitsMax +
+    // residual non-identical-vector flood regime). A firstMatch from
+    // sign agreement alone points at table 0, where no store row
+    // exists, and the pair silently vanishes; the admitted-mask ladder
+    // must emit it exactly once, at table 1.
+    val txt = (0 until 64).map(i => s"para$i").mkString(" ")
+    val bits = graft.pipeline.ChunkSemantic.BandBitsMax
+    val one = Seq((7L, 0)).toDF("corpus_doc", "corpus_chunk")
+      .withColumn("ch", md5(lit(txt)))
+      .withColumn("cv", graft.functions.TextFunctions.hashFeatureVec(
+        split(lit(txt), " "), graft.pipeline.ChunkSemantic.Dims))
+      .withColumn("cw", array((0 until graft.pipeline.ChunkSemantic.NumTables)
+        .map(j => graft.functions.TextFunctions.srpWord16(col("cv"), j)): _*))
+      .withColumn("adm", array(lit(1), lit(3)))
+    val store = one
+      .select(col("corpus_doc"), col("corpus_chunk"), col("ch"), col("cv"),
+        col("cw"), col("adm"), explode(array(lit(1), lit(3))).as("tbl"))
+      .withColumn("bkt", element_at(col("cw"), col("tbl") + 1))
+    // a PERMUTED copy: embedding-identical — its words AGREE at all
+    // four tables — while md5-distinct (h ≠ ch passes)
+    val probe = ((0 until 64).map(i => s"para$i").drop(1) :+ "para0")
+      .mkString(" ")
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = Jobs.ChunkSemanticGateStream
+      .flaggedAgainst(in.toDF().toDF("ts", "doc_id", "text"), bits, store)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("chunksem_adm").start()
+    try {
+      in.addData(Seq((new Timestamp(1000L), 900L, probe)))
+      q.processAllAvailable()
+      val got = spark.table("chunksem_adm")
+        .select("doc_id", "chunk_idx", "corpus_doc", "corpus_chunk", "cos_sim")
+        .as[(Long, Long, Long, Long, Double)].collect().toSeq
+      assert(got == Seq((900L, 0L, 7L, 0L, 1.0)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("IntakeSamplerStream: a planted paraphrase doc is refused at the semdup gate; batch agrees") {
+    import spark.implicits._
+    // the verdicts-test corpus and plant: the 3-edit paraphrase dodges
+    // exact dup (md5 differs), quality (0.87), repetition (distinct
+    // bigrams), the minhash bands (no shared band key — searched) and
+    // containment (0.854839 < 0.9) — ONLY the SemDeDup gate can refuse
+    // it, and it must (its single chunk duplicates doc 1's, dup_frac
+    // 1.0 ≥ 0.5)
+    val paraA = (0 until 64).map(i => s"para$i")
+    val paraB = paraA.updated(10, "ed1a").updated(30, "ed1b")
+    val corpus = Seq(
+      (1L, paraA.mkString(" ")),
+      (2L, ((0 until 48).map(i => s"junk$i") ++ paraB).mkString(" ")),
+      (3L, (0 until 64).map(i => s"uniq$i").mkString(" ")))
+    val plant = paraA.updated(10, "zq14x").updated(30, "zq23x")
+      .updated(50, "zq45x").mkString(" ")
+    def writeDocs(dir: String, docs: Seq[(Long, String)]): graft.Tables = {
+      docs.map { case (id, tx) => (id, "en", "web", tx, tx.length.toLong) }
+        .toDF("doc_id", "lang", "source", "text", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      graft.Tables(spark, dir)
+    }
+    val t = writeDocs(tmp("graft-semintake"), corpus)
+
+    val in = MemoryStream[(Timestamp, Long, String, String)]
+    val vds = Jobs.IntakeSamplerStream.verdicts(
+      in.toDF().toDF("ts", "doc_id", "lang", "text"), t)
+    val q = vds.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("intake_semdup").start()
+    try {
+      val t1 = new Timestamp(1000L)
+      in.addData(corpus.map { case (id, tx) => (t1, id, "en", tx) })
+      q.processAllAvailable()
+      in.addData(Seq((t1, 900000L, "en", plant)))
+      q.processAllAvailable()
+      in.addData(Seq((new Timestamp(10000L * 1000), -1L, "en", "x y")))
+      q.processAllAvailable()
+      val got = spark.table("intake_semdup")
+        .filter(col("doc_id") === 900000L)
+        .select(col("verdict")).as[String].collect().toSeq
+      assert(got == Seq("semdup"), s"got $got")
+      // the nightly batch recompute over corpus ∪ plant reaches the
+      // SAME verdict — stream ≡ batch on the refusal
+      val tAug = writeDocs(tmp("graft-semintake-aug"),
+        corpus :+ (900000L -> plant))
+      val batchV = graft.pipeline.Intake.corpusAdmitVerdicts(tAug)
+        .filter(col("doc_id") === 900000L)
+        .select(col("verdict")).as[String].collect().toSeq
+      assert(batchV == Seq("semdup"), s"batch says $batchV")
+    } finally q.stop()
+  }
+
   test("pinned-generation gates: a RUNNING gate rides out a store roll; a restart flips verdicts") {
     import spark.implicits._
     import graft.dedup.Substring
