@@ -112,13 +112,18 @@ object Planner {
     q.toLong
   }
 
-  /** The (table, column) key universe [[keyStats]] publishes. */
+  /** The (table, column) key universe [[keyStats]] publishes.
+    * `s_nationkey` joined in r20 for [[joinOrderStarFull]]'s cyclic
+    * supplier conjunct (store retags on the widened key list; the
+    * advisors recompute — the established widening protocol).
+    */
   val StatKeys: Seq[(String, String)] = Seq(
     ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
     ("lineitem", "l_suppkey"), ("orders", "o_orderkey"),
     ("orders", "o_custkey"), ("customer", "c_custkey"),
     ("customer", "c_nationkey"), ("part", "p_partkey"),
-    ("supplier", "s_suppkey"), ("nation", "n_nationkey"),
+    ("supplier", "s_suppkey"), ("supplier", "s_nationkey"),
+    ("nation", "n_nationkey"),
     ("nation", "n_regionkey"), ("region", "r_regionkey"))
 
   /** Every table the stat universe reads — the store and the landed
@@ -606,20 +611,27 @@ object Planner {
     * combinatorics of the static graph — no data touched; PlannerSpec
     * recomputes it by brute-force permutation filtering.
     */
-  private[graft] def leftDeepOrders: Seq[Seq[String]] = {
-    val adj: Map[String, Set[String]] = StarTables.map { t =>
-      t -> StarEdges.collect {
+  private[graft] def leftDeepOrders: Seq[Seq[String]] =
+    leftDeepOrdersOf(StarTables, StarEdges)
+
+  /** The enumeration over an arbitrary (tables, edges) join graph —
+    * shared by the 5-table path and the full 6-table graph.
+    */
+  private[graft] def leftDeepOrdersOf(ts: Seq[String],
+                                      es: Seq[StarEdge]): Seq[Seq[String]] = {
+    val adj: Map[String, Set[String]] = ts.map { t =>
+      t -> es.collect {
         case e if e.aTbl == t => e.bTbl
         case e if e.bTbl == t => e.aTbl
       }.toSet
     }.toMap
     def extend(prefix: Seq[String]): Seq[Seq[String]] =
-      if (prefix.size == StarTables.size) Seq(prefix)
-      else StarTables
+      if (prefix.size == ts.size) Seq(prefix)
+      else ts
         .filterNot(prefix.contains)
         .filter(c => prefix.exists(p => adj(p)(c)))
         .flatMap(c => extend(prefix :+ c))
-    StarTables.flatMap(t0 => extend(Seq(t0)))
+    ts.flatMap(t0 => extend(Seq(t0)))
   }
 
   /** The edge joining `next` to some member of `prefix` — unique in a
@@ -745,6 +757,161 @@ object Planner {
        |  CAST(ROW_NUMBER() OVER (ORDER BY e2 + e3 + e4, ord) AS INT)
        |    AS rnk
        |FROM y5 ORDER BY ord""".stripMargin
+  }
+
+  /** The FULL `q5_region_rollup` join graph — 6 tables, 6 edges,
+    * INCLUDING the cyclic supplier conjunct (`l_suppkey = s_suppkey`
+    * AND `s_nationkey = c_nationkey`, [[graft.operators.Relational
+    * .q5RegionRollup]]'s literal ON clauses) the 5-table path
+    * deliberately excluded (VERDICT r19 #2). The edge list is the
+    * query's own predicate list — no transitive closure (an optimizer
+    * prices the conjuncts it was given).
+    */
+  val StarFullTables: Seq[String] = Seq(
+    "lineitem", "orders", "customer", "supplier", "nation", "region")
+  val StarFullEdges: Seq[StarEdge] = Seq(
+    StarEdge("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    StarEdge("orders", "o_custkey", "customer", "c_custkey"),
+    StarEdge("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    StarEdge("customer", "c_nationkey", "supplier", "s_nationkey"),
+    StarEdge("customer", "c_nationkey", "nation", "n_nationkey"),
+    StarEdge("nation", "n_regionkey", "region", "r_regionkey"))
+
+  private[graft] def leftDeepOrdersFull: Seq[Seq[String]] =
+    leftDeepOrdersOf(StarFullTables, StarFullEdges)
+
+  /** ALL edges joining `next` to some member of `prefix` (a cyclic
+    * graph can have several — joining supplier to a prefix holding
+    * lineitem AND customer prices BOTH conjuncts), each oriented as
+    * ((prefixTbl, prefixKey), nextKey), in [[StarFullEdges]] order.
+    */
+  private def graphSteps(es: Seq[StarEdge], prefix: Seq[String],
+                         next: String): Seq[((String, String), String)] =
+    es.collect {
+      case e if e.bTbl == next && prefix.contains(e.aTbl) =>
+        ((e.aTbl, e.aKey), e.bKey)
+      case e if e.aTbl == next && prefix.contains(e.bTbl) =>
+        ((e.bTbl, e.bKey), e.aKey)
+    }
+
+  /** ANALYZE consumer #6 — [[joinOrderStar]] extended to the FULL
+    * 6-table q5 graph with its cyclic conjunct: every cross-join-free
+    * left-deep order (104 for this graph — the spec recomputes the
+    * count by brute-force permutation filtering), priced from the
+    * [[keyStats]] store alone. A step that joins `next` through
+    * SEVERAL edges multiplies the per-edge containment selectivities —
+    * `est' = floor(est·n_next / Π max(ndv_left_e, ndv_next_e))`, the
+    * independence assumption every textbook estimator makes for
+    * conjunctive predicates (and the floor-division identity
+    * `⌊⌊x/a⌋/b⌋ = ⌊x/ab⌋` keeps the sequential SQL twin bit-equal to
+    * the product form at any association). Cost/ranking semantics are
+    * [[joinOrderStar]]'s verbatim: cost = Σ intermediates (Selinger
+    * C_out; the last join's output is order-invariant), BigInt-exact
+    * with loud Int64 guards matching the twin's ::BIGINT errors. Plan:
+    * a store read + literal arithmetic on 104 driver rows — no scan.
+    * Why it matters at 100 TB: the cyclic conjunct is precisely what
+    * makes supplier-early orders cheap (the s_nationkey =
+    * c_nationkey filter multiplies in a 1/25 selectivity the path
+    * enumerator cannot see), and a planner that can't price it ships
+    * the 600M-row intermediate.
+    */
+  def joinOrderStarFull(t: Tables): DataFrame = {
+    val spark = t.spark
+    import spark.implicits._
+    val stats = keyStats(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    def nRows(tbl: String): Long =
+      stats(StatKeys.find(_._1 == tbl).get)._1
+    val priced = leftDeepOrdersFull.map { ord =>
+      val ests = (1 until ord.size).scanLeft(nRows(ord.head)) {
+        case (est, i) =>
+          val ms = graphSteps(StarFullEdges, ord.take(i), ord(i)).map {
+            case ((lTbl, lKey), rKey) =>
+              math.max(stats((lTbl, lKey))._2, stats((ord(i), rKey))._2)
+          }
+          val q = ms.foldLeft(BigInt(est) * BigInt(nRows(ord(i)))) {
+            (acc, m) => acc / BigInt(m)
+          }
+          require(q.isValidLong,
+            s"graph estimate for ${ord.take(i + 1)} = $q exceeds Int64 — " +
+              "the SQL twin's ::BIGINT cast errors here too")
+          q.toLong
+      }.drop(1)
+      val cost = ests.dropRight(1).map(BigInt(_)).sum
+      require(cost.isValidLong,
+        s"graph cost Σ$ests = $cost exceeds Int64 — " +
+          "the SQL twin's ::BIGINT cast errors here too")
+      (ord.mkString(">"), cost.toLong, ests.last)
+    }
+    val ranked = priced.sortBy { case (ord, cost, _) => (cost, ord) }
+      .zipWithIndex
+      .map { case ((ord, cost, out), i) => (ord, cost, out, i + 1) }
+    ranked.toDF("ord", "cost", "est_out", "rnk").orderBy(col("ord"))
+  }
+
+  /** The twin prices the same 104 literal orders from its own stats
+    * CTE. Each step carries up to TWO edge literals; a single-edge
+    * step's second-edge columns are typed NULLs, its LEFT JOIN finds
+    * no stats row, and `COALESCE(m, 1)` makes the extra divisor a
+    * no-op — so one generated shape serves both step arities.
+    */
+  def joinOrderStarFullSql: String = {
+    val statsSql = StatKeys.map { case (tbl, c) =>
+      s"SELECT '$tbl' AS tbl, '$c' AS col, COUNT(*)::BIGINT AS n, " +
+        s"COUNT(DISTINCT $c)::BIGINT AS ndv FROM $tbl"
+    }.mkString("\n|  UNION ALL ")
+    val steps = 2 to StarFullTables.size
+    val cols = steps.flatMap(i =>
+      Seq(s"t$i", s"e1lt$i", s"e1lk$i", s"e1rk$i",
+        s"e2lt$i", s"e2lk$i", s"e2rk$i"))
+    def stepLits(ord: Seq[String], i: Int): Seq[String] = {
+      val es = graphSteps(StarFullEdges, ord.take(i - 1), ord(i - 1))
+      require(es.nonEmpty && es.size <= 2,
+        s"step $i of $ord has ${es.size} edges")
+      val ((l1, k1), r1) = es.head
+      val e2 = es.lift(1).map { case ((l2, k2), r2) =>
+        Seq(s"'$l2'", s"'$k2'", s"'$r2'")
+      }.getOrElse(Seq("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)",
+        "CAST(NULL AS VARCHAR)"))
+      Seq(s"'${ord(i - 1)}'", s"'$l1'", s"'$k1'", s"'$r1'") ++ e2
+    }
+    val ordRows = leftDeepOrdersFull.map(ord =>
+      (s"'${ord.mkString(">")}'" +: steps.flatMap(i => stepLits(ord, i))))
+    val first = ordRows.head.zip("ord" +: cols)
+      .map { case (v, c) => s"$v AS $c" }.mkString(", ")
+    val rest = ordRows.tail.map(r => s"SELECT ${r.mkString(", ")}")
+    val aliased = (s"SELECT $first" +: rest).mkString("\n|  UNION ALL ")
+    val joins = steps.map(i =>
+      s"JOIN st sa$i ON sa$i.tbl = o.e1lt$i AND sa$i.col = o.e1lk$i\n" +
+        s"|        JOIN st sb$i ON sb$i.tbl = o.t$i AND sb$i.col = o.e1rk$i\n" +
+        s"|        LEFT JOIN st sc$i ON sc$i.tbl = o.e2lt$i AND sc$i.col = o.e2lk$i\n" +
+        s"|        LEFT JOIN st sd$i ON sd$i.tbl = o.t$i AND sd$i.col = o.e2rk$i")
+      .mkString("\n|        ")
+    val ms = steps.map(i =>
+      s"GREATEST(sa$i.ndv, sb$i.ndv)::HUGEINT * " +
+        s"COALESCE(GREATEST(sc$i.ndv, sd$i.ndv), 1) AS m$i, " +
+        s"sb$i.n AS n$i").mkString(",\n|        ")
+    val ys = steps.map { i =>
+      if (i == 2) s"y2 AS (SELECT *, (n1::HUGEINT * n2) // m2 AS e2 FROM x)"
+      else s"y$i AS (SELECT *, (e${i - 1} * n$i) // m$i AS e$i FROM y${i - 1})"
+    }.mkString(",\n|")
+    val costExpr = steps.dropRight(1).map(i => s"e$i").mkString(" + ")
+    val last = steps.last
+    s"""WITH st AS (
+       |  $statsSql),
+       |ords AS (
+       |  $aliased),
+       |x AS (SELECT o.ord,
+       |        sa2.n AS n1,
+       |        $ms
+       |      FROM ords o
+       |        $joins),
+       |$ys
+       |SELECT ord, ($costExpr)::BIGINT AS cost, e$last::BIGINT AS est_out,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY $costExpr, ord) AS INT)
+       |    AS rnk
+       |FROM y$last ORDER BY ord""".stripMargin
   }
 
   /** EXECUTE the skew advisor's verdict for one (table, column): the

@@ -105,7 +105,8 @@ class PlannerSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     (1 to 50).map(i => i.toLong).toDF("p_partkey")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
-    (1 to 20).map(i => i.toLong).toDF("s_suppkey")
+    (1 to 20).map(i => (i.toLong, (i % 5 + 1).toLong))
+      .toDF("s_suppkey", "s_nationkey")
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
     (1 to 5).map(i => (i.toLong, (i % 2 + 1).toLong))
       .toDF("n_nationkey", "n_regionkey")
@@ -257,7 +258,8 @@ class PlannerSpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     (1 to 50).map(i => i.toLong).toDF("p_partkey")
       .write.mode("overwrite").parquet(s"$dir/part.parquet")
-    (1 to 20).map(i => i.toLong).toDF("s_suppkey")
+    (1 to 20).map(i => (i.toLong, (i % 5 + 1).toLong))
+      .toDF("s_suppkey", "s_nationkey")
       .write.mode("overwrite").parquet(s"$dir/supplier.parquet")
     (1 to 5).map(i => (i.toLong, (i % 2 + 1).toLong))
       .toDF("n_nationkey", "n_regionkey")
@@ -362,6 +364,83 @@ class PlannerSpec extends SparkSpec {
     // lineitem makes every intermediate lineitem-sized or worse
     val best = want.find(_._4 == 1).get._1
     assert(!best.startsWith("lineitem>"), s"suspicious winner: $best")
+  }
+
+  test("plan_join_order_star_full ≡ brute-force 6-table graph + independent multi-edge estimator") {
+    // ---- the order space: all 720 permutations of the 6 tables, keep
+    // the connected-prefix ones — 104 for the full q5 graph
+    val all = Planner.StarFullTables
+    val edgeSets = Planner.StarFullEdges.map(e => Set(e.aTbl, e.bTbl))
+    def crossFree(p: Seq[String]): Boolean =
+      (2 to p.size).forall { k =>
+        val pre = p.take(k)
+        edgeSets.exists(e => e.contains(pre.last) && e.subsetOf(pre.toSet))
+      }
+    val brute = all.permutations.filter(crossFree)
+      .map(_.mkString(">")).toSet
+    assert(brute.size == 104, s"graph count law broken: ${brute.size}")
+    val enumerated = Planner.leftDeepOrdersFull.map(_.mkString(">"))
+    assert(enumerated.toSet == brute && enumerated.size == 104,
+      s"enumerator diverges from brute force: $enumerated")
+
+    // ---- pricing recomputed independently from the RAW tables with
+    // BigInt floor division, multiplying EVERY connecting edge's
+    // containment (the multi-edge conjunct rule)
+    val n = all.map(tn => tn -> this.tbl(tables, tn).count()).toMap
+    val ndv = Planner.StatKeys.filter(k => all.contains(k._1))
+      .map { case (tn, c) =>
+        (tn, c) -> this.tbl(tables, tn).select(c).distinct().count()
+      }.toMap
+    def price(ord: Seq[String]): (Long, Long) = {
+      var est = BigInt(n(ord.head))
+      val ests = (1 until ord.size).map { i =>
+        val nx = ord(i)
+        val pre = ord.take(i)
+        val es = Planner.StarFullEdges.filter(e =>
+          (e.bTbl == nx && pre.contains(e.aTbl)) ||
+            (e.aTbl == nx && pre.contains(e.bTbl)))
+        assert(es.nonEmpty)
+        est = est * n(nx)
+        es.foreach { e =>
+          val (lt, lk, rk) =
+            if (e.bTbl == nx) (e.aTbl, e.aKey, e.bKey)
+            else (e.bTbl, e.bKey, e.aKey)
+          est = est / math.max(ndv((lt, lk)), ndv((nx, rk)))
+        }
+        est
+      }
+      (ests.dropRight(1).sum.toLong, ests.last.toLong)
+    }
+    val priced = brute.toSeq.map { ordS =>
+      val (cost, out) = price(ordS.split('>').toSeq)
+      (ordS, cost, out)
+    }
+    val want = priced.sortBy { case (o, c, _) => (c, o) }.zipWithIndex
+      .map { case ((o, c, out), i) => (o, c, out, i + 1) }
+      .sortBy(_._1)
+    val got = Planner.joinOrderStarFull(tables).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSeq
+    assert(got == want, s"full-graph pricing diverges:\ngot  ${got.take(5)}…" +
+      s"\nwant ${want.take(5)}…\nfirst diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // the cyclic conjunct must BITE: some order that joins supplier
+    // after both lineitem and customer prices the double edge, and the
+    // overall cost space is diverse
+    assert(priced.map(_._2).distinct.size > 1)
+    val best = want.find(_._4 == 1).get._1
+    assert(!best.startsWith("lineitem>"), s"suspicious winner: $best")
+    // the full graph's winner beats (or matches) the same order priced
+    // WITHOUT the supplier conjunct only through the extra selectivity
+    // — sanity that multi-edge steps divide more, never less
+    val two = Planner.leftDeepOrdersFull.find { ord =>
+      val i = ord.indexOf("supplier")
+      i > 0 && ord.take(i).contains("lineitem") && ord.take(i).contains("customer")
+    }.get
+    val esAtSup = Planner.StarFullEdges.filter(e =>
+      Set(e.aTbl, e.bTbl).contains("supplier") &&
+        (Set(e.aTbl, e.bTbl) - "supplier")
+          .subsetOf(two.take(two.indexOf("supplier")).toSet))
+    assert(esAtSup.size == 2, s"plant broke: $two joins supplier by $esAtSup")
   }
 
   test("plan_skew_advisor ≡ JVM stats model; metadata-only plan") {
