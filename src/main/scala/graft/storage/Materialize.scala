@@ -130,8 +130,8 @@ object Materialize {
   private def incRoot(t: Tables, s: StoreDef): Path = new Path(
     new Path(t.spark.conf.get("spark.sql.warehouse.dir")), incRootName(t, s))
 
-  private val RowsArtifact = "rows"
-  private val InvArtifact = "inventory"
+  private[storage] val RowsArtifact = "rows"
+  private[storage] val InvArtifact = "inventory"
 
   /** Ensure the incremental store of `s` is current for `t`'s corpus
     * and return it. `buildFrom` maps a frame of SOURCE rows (the whole

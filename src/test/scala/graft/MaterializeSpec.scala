@@ -176,4 +176,63 @@ class MaterializeSpec extends SparkSpec {
     assert(Dedup.dedupNgramJaccardMat(t).collect().length > jac0)
     assert(ChunkSemantic.chunkDedupSemanticMat(t).collect().length > sem0)
   }
+
+  test("vacuumStores: ingest → growth → re-base → crash litter; survivors = newest base chain + in-flight") {
+    import graft.pipeline.Chunking
+    import graft.storage.Maintenance
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val t = Tables(spark, dir)
+
+    // ingest → gen 0, growth → gen 1 (the chunk-hash store, driven
+    // through its production pinned resolve)
+    plant(dir, "overwrite", Seq(
+      (1L, "web", "alpha beta gamma delta"),
+      (2L, "web", "epsilon zeta eta")), files = 1)
+    assert(Chunking.corpusChunkStorePinned(t)._1 == 0L)
+    plant(dir, "append", Seq((3L, "web", "theta iota kappa")), files = 1)
+    assert(Chunking.corpusChunkStorePinned(t)._1 == 1L)
+    // a growth chain has NOTHING to vacuum: every segment is reachable
+    // from the newest base (gen 0)
+    assert(Maintenance.vacuumPlanStores(t).isEmpty,
+      s"growth chain wrongly planned: ${Maintenance.vacuumPlanStores(t)}")
+
+    // re-base: overwrite the corpus → gen 2 is a BASE; gens 0 and 1
+    // are unreachable by any current resolve
+    plant(dir, "overwrite", Seq(
+      (7L, "web", "mu nu xi omicron"),
+      (8L, "web", "pi rho sigma")), files = 1)
+    assert(Chunking.corpusChunkStorePinned(t)._1 == 2L)
+
+    // crash litter: gen 1 loses its commit marker (a half-deleted
+    // generation → orphan), a crashed writer's temp dir at n=2 (dead:
+    // its rename either landed under another name or never will), and
+    // a LIVE writer's temp dir at n=3 (in-flight — must survive)
+    val root = new org.apache.hadoop.fs.Path(
+      s"${spark.conf.get("spark.sql.warehouse.dir")}/" +
+        Materialize.incRootName(t, Chunking.ChunkHashStore))
+    val fs = root.getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "gen=1/rows/_SUCCESS"), false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".gen=2.inprogress-crashed00"))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".gen=3.inprogress-live0000"))
+
+    val report = Maintenance.vacuumStores(t).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSeq
+    assert(report == Seq(
+      ("graft_chunk_h", 0L, "rebased"),
+      ("graft_chunk_h", 1L, "orphan"),
+      ("graft_chunk_h", 2L, "inprogress")), s"report: $report")
+
+    // survivors: exactly the newest base + the in-flight temp dir
+    val left = fs.listStatus(root).map(_.getPath.getName).toSet
+    assert(left == Set("gen=2", ".gen=3.inprogress-live0000"),
+      s"survivors: $left")
+    // the store still serves, pinned at the surviving base, rows ≡ a
+    // from-scratch chunk derivation of the current corpus
+    val (gen, rows) = Chunking.corpusChunkStorePinned(t)
+    assert(gen == 2L && rows.count() == t.documents
+      .select(explode(graft.pipeline.Chunking.chunkStructs(col("text"))))
+      .count())
+    // idempotent: a second sweep finds nothing
+    assert(Maintenance.vacuumPlanStores(t).isEmpty)
+  }
 }
