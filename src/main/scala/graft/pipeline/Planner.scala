@@ -914,6 +914,36 @@ object Planner {
        |FROM y$last ORDER BY ord""".stripMargin
   }
 
+  /** EXECUTE the full-graph enumerator's winner: the real 6-table q5
+    * join associated left-deep in [[joinOrderStarFull]]'s rnk-1 order,
+    * every step carrying ALL of its connecting edges as the join
+    * condition (a two-edge supplier step runs `l_suppkey = s_suppkey
+    * AND s_nationkey = c_nationkey` in one join, exactly the
+    * [[graft.operators.Relational.q5RegionRollup]] conjuncts). Spark
+    * keeps constructed join order (CBO reorder off, AQE never
+    * re-associates), so the built tree IS the executed tree — the
+    * [[applyJoinOrder]] contract extended to the advisor family's
+    * capstone. Rows are order-independent; the intermediates are not,
+    * which is the whole point. PlannerSpec pins the innermost join =
+    * the winner's first pair and result count ≡ the fixed naive order.
+    */
+  def applyStarOrder(t: Tables): DataFrame = {
+    val ord = joinOrderStarFull(t).collect()
+      .find(_.getInt(3) == 1).get.getString(0).split('>').toSeq
+    def tbl(n: String) = n match {
+      case "lineitem" => t.lineitem case "orders" => t.orders
+      case "customer" => t.customer case "part" => t.part
+      case "supplier" => t.supplier case "nation" => t.nation
+      case "region" => t.region
+    }
+    ord.tail.zipWithIndex.foldLeft(tbl(ord.head)) { case (acc, (nx, i)) =>
+      val cond = graphSteps(StarFullEdges, ord.take(i + 1), nx)
+        .map { case ((_, lKey), rKey) => col(lKey) === col(rKey) }
+        .reduce(_ && _)
+      acc.join(tbl(nx), cond)
+    }
+  }
+
   /** EXECUTE the skew advisor's verdict for one (table, column): the
     * per-key count aggregation, run SALTED two-phase with the advised
     * fan-out when the verdict is 'salt' (the `word_count_salted`

@@ -443,6 +443,43 @@ class PlannerSpec extends SparkSpec {
     assert(esAtSup.size == 2, s"plant broke: $two joins supplier by $esAtSup")
   }
 
+  test("applyStarOrder: the executed 6-table tree joins in the winner's order with every conjunct") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val winner = Planner.joinOrderStarFull(tables).collect()
+      .find(_.getInt(3) == 1).get.getString(0).split('>').toSeq
+    val df = Planner.applyStarOrder(tables)
+    // the INNERMOST optimized join is the winner's first pair — Spark
+    // kept the constructed left-deep order
+    val joins = df.queryExecution.optimizedPlan.collect { case j: Join => j }
+    assert(joins.length == 5, s"expected 5 joins, got ${joins.length}")
+    val innermost = joins.last.condition.get.toString
+    val firstEdgeKeys = Planner.StarFullEdges.filter(e =>
+      Set(e.aTbl, e.bTbl) == Set(winner(0), winner(1)))
+      .flatMap(e => Seq(e.aKey, e.bKey))
+    assert(firstEdgeKeys.nonEmpty &&
+      firstEdgeKeys.forall(innermost.contains),
+      s"innermost $innermost is not the winner's first pair $winner")
+    // a supplier step after both lineitem and customer carries BOTH
+    // conjuncts — find it in whatever order won, or verify on a forced
+    // order: every join's condition must include every connecting edge
+    val sup = winner.indexOf("supplier")
+    if (sup > 0 && winner.take(sup).contains("lineitem") &&
+      winner.take(sup).contains("customer")) {
+      val supJoin = joins(joins.length - sup).condition.get.toString
+      assert(supJoin.contains("s_suppkey") && supJoin.contains("s_nationkey"),
+        s"supplier step dropped a conjunct: $supJoin")
+    }
+    // rows ≡ the naive fixed order: output is order-invariant
+    val naive = tables.lineitem
+      .join(tables.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(tables.customer, col("o_custkey") === col("c_custkey"))
+      .join(tables.supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(tables.nation, col("c_nationkey") === col("n_nationkey"))
+      .join(tables.region, col("n_regionkey") === col("r_regionkey"))
+    assert(df.count() == naive.count(), "winner order changed the rows")
+  }
+
   test("plan_skew_advisor ≡ JVM stats model; metadata-only plan") {
     import graft.functions.Portable.round6Double
     val got = Planner.skewAdvisor(tables).collect()
