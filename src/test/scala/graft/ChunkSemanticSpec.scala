@@ -200,6 +200,46 @@ class ChunkSemanticSpec extends SparkSpec {
       s"doc 2 (dup_frac 0.5) and doc 3 (dup_frac 1.0) must drop: $sem")
   }
 
+  test("semdup_matrix plan: source lookups broadcast the pair side, pruned to (doc_id, source)") {
+    // the report-sized pair side must broadcast through BOTH source
+    // lookups (the sourceNearDupMatrix argument: Catalyst's static
+    // size estimate for a join output is corpus-scaled and would pick
+    // sort-merge, shuffling the corpus for a report), and the corpus
+    // lookup scan must read exactly the two columns it joins/returns
+    val plan = ChunkSemantic.sourceSemanticDupMatrix(t2)
+      .queryExecution.executedPlan.toString
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(nBroadcast >= 2, s"source lookups not broadcast:\n$plan")
+    assert(plan.contains("struct<doc_id:bigint,source:string>"),
+      s"source-lookup scan reads more than (doc_id, source):\n$plan")
+  }
+
+  test("semdup_clusters final plan reads checkpointed labels — no pair re-derivation") {
+    // the dedup_clusters discipline: the converged frame must source
+    // from the last round's localCheckpoint — if it re-derived the
+    // semantic pair edges, every consumer would pay the band join +
+    // cosine verify again and the fixpoint's rounds were wasted
+    val plan = ChunkSemantic.semDupClusters(t2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"),
+      s"final cluster plan does not read the checkpointed labels:\n$plan")
+    assert(!plan.contains("parquet"),
+      s"final cluster plan re-derives its edges from storage:\n$plan")
+  }
+
+  test("corpus_clean_semantic composes unsorted gates — one Sort in the ANALYZED plan") {
+    // the corpus_admit composition rule (ADVICE r9): the guarantee is
+    // structural — the pre-optimizer plan carries exactly ONE Sort,
+    // the composite's own output orderBy, with no EliminateSorts
+    // reliance on dropping the gates' presentation sorts
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    val analyzed = CorpusClean.corpusCleanSemantic(t2).queryExecution.analyzed
+    val sorts = analyzed.collect { case s: Sort => s }
+    assert(sorts.length == 1,
+      s"expected exactly the output Sort pre-optimization, got " +
+        s"${sorts.length}:\n${analyzed.treeString}")
+  }
+
   test("the boilerplate flood is dropped by the cap, not paired") {
     // non-vacuity: two flood rotations really are embedding-identical
     // (cosine 1.0 — they'd flood C(36,2) pairs if admitted) and
