@@ -586,4 +586,98 @@ object ChunkSemantic {
        |SELECT doc_id, keeper_id,
        |  COUNT(*) OVER (PARTITION BY keeper_id) AS cluster_size
        |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** SEMANTIC train/eval decontamination — the leakage mode the other
+    * two decontamination ops structurally miss: a benchmark question
+    * PARAPHRASED into a crawl page shares no rare shingle with the
+    * eval doc ([[graft.dedup.Dedup.dedupDecontaminate]]'s posting join
+    * never fires) and no 16-token verbatim window
+    * (`dedup_substring_decontaminate`'s province), yet its chunk
+    * embeddings barely move — the contamination that inflates eval
+    * scores exactly as much as the verbatim kind. Criterion is
+    * DIRECTIONAL, the decontaminate family's rule: per
+    * (eval doc, train doc), the fraction of the EVAL doc's chunk grid
+    * that semantically matches (cos ≥ [[SemCosMin]]) ANY chunk of that
+    * train doc — a benchmark answer embedded in a big page contaminates
+    * regardless of how much else the page carries. Threshold is the
+    * family's own [[SemDupFracMax]] applied cross-split (contaminated
+    * iff ≥ — the `doc_semantic_dup_frac` drop rule's orientation).
+    * Output: (eval_doc, train_doc, n_chunks, hit_chunks, contamination)
+    * for flagged pairs; eval↔eval and train↔train pairs are excluded
+    * (within-split redundancy is the dedup entries' domain).
+    *
+    * Scale: pairs come from the store-routed capped band product — the
+    * eval membership probes are broadcast semi/anti joins (at 100 TB
+    * the eval suite is tiny, the [[graft.dedup.Dedup
+    * .decontaminateAgainst]] argument), the per-pair rollup keys on
+    * (eval_doc, train_doc) over a pair list the band cap already
+    * bounded, and the denominator comes from token counts alone on the
+    * eval slice — one small scan, no second explode.
+    */
+  def semdupDecontaminate(t: Tables): DataFrame = {
+    val ev = broadcast(t.documents
+      .filter(col("source") === graft.dedup.Dedup.EvalSource)
+      .select(col("doc_id")))
+    val pairs = chunkDedupSemanticMatUnsorted(t)
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
+    // both orientations: the eval doc can sit on either side of the
+    // entry's (doc_a, chunk_a) < (doc_b, chunk_b) pair order
+    val ab = pairs
+      .join(ev.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(ev.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .select(col("doc_a").as("eval_doc"), col("chunk_a").as("eval_chunk"),
+        col("doc_b").as("train_doc"))
+    val ba = pairs
+      .join(ev.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+      .join(ev.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .select(col("doc_b").as("eval_doc"), col("chunk_b").as("eval_chunk"),
+        col("doc_a").as("train_doc"))
+    // one eval chunk can match several chunks of the same train doc —
+    // count each eval chunk once per train doc
+    val hits = ab.union(ba).distinct()
+      .groupBy(col("eval_doc"), col("train_doc"))
+      .agg(count(lit(1)).as("hit_chunks"))
+    val nch = t.documents
+      .filter(col("source") === graft.dedup.Dedup.EvalSource)
+      .select(col("doc_id").as("eval_doc"),
+        nChunksOf(size(split(col("text"), " "))).as("n_chunks"))
+    val frac = Portable.round6(col("hit_chunks").cast("double") /
+      col("n_chunks").cast("double"))
+    hits.join(broadcast(nch), Seq("eval_doc"))
+      .select(col("eval_doc"), col("train_doc"), col("n_chunks"),
+        col("hit_chunks"), frac.as("contamination"))
+      .filter(col("contamination") >= SemDupFracMax)
+      .orderBy(col("eval_doc"), col("train_doc"))
+  }
+
+  def semdupDecontaminateSql: String = {
+    val es = graft.dedup.Dedup.EvalSource
+    val frac = Portable.round6Sql(
+      "hit_chunks::DOUBLE / n_chunks::DOUBLE")
+    s"""WITH $semanticCtes,
+       |$pairCte,
+       |sdoc AS (SELECT doc_id, source FROM documents),
+       |ori AS (
+       |  SELECT pr.doc_a AS eval_doc, pr.chunk_a AS eval_chunk,
+       |         pr.doc_b AS train_doc
+       |  FROM pr JOIN sdoc ea ON pr.doc_a = ea.doc_id
+       |          JOIN sdoc tb ON pr.doc_b = tb.doc_id
+       |  WHERE ea.source = '$es' AND tb.source <> '$es'
+       |  UNION
+       |  SELECT pr.doc_b, pr.chunk_b, pr.doc_a
+       |  FROM pr JOIN sdoc eb ON pr.doc_b = eb.doc_id
+       |          JOIN sdoc ta ON pr.doc_a = ta.doc_id
+       |  WHERE eb.source = '$es' AND ta.source <> '$es'),
+       |hits AS (SELECT eval_doc, train_doc, COUNT(*)::BIGINT AS hit_chunks
+       |         FROM ori GROUP BY eval_doc, train_doc),
+       |nche AS (SELECT g.doc_id AS eval_doc, g.nc::BIGINT AS n_chunks
+       |         FROM g JOIN documents d ON g.doc_id = d.doc_id
+       |         WHERE d.source = '$es')
+       |SELECT h.eval_doc, h.train_doc, nche.n_chunks, h.hit_chunks,
+       |  $frac AS contamination
+       |FROM hits h JOIN nche ON h.eval_doc = nche.eval_doc
+       |WHERE $frac >= $SemDupFracMax
+       |ORDER BY h.eval_doc, train_doc""".stripMargin
+  }
 }

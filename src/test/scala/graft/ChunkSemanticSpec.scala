@@ -240,6 +240,62 @@ class ChunkSemanticSpec extends SparkSpec {
         s"${sorts.length}:\n${analyzed.treeString}")
   }
 
+  // ---- semantic decontamination ------------------------------------------
+  // doc 1 (src0, EVAL): the benchmark passage paraA — 1 chunk
+  // doc 2 (web, TRAIN): 48 junk + paraB (paraA 2-token-edited at a
+  //        shifted grid position) — the paraphrased leak; no rare
+  //        shingle and no verbatim window survives the edits
+  // doc 5 (src0, EVAL): paraC (paraA edited at OTHER positions) — a
+  //        HIGHER-id eval doc, so its pair with train doc 2 has the
+  //        eval doc on the B side of the entry's pair order (the
+  //        second orientation); its pair with doc 1 is eval↔eval and
+  //        must be excluded
+  // doc 6 (src0, EVAL): paraA ++ 64 unrelated tokens — 3 chunks, only
+  //        chunk 0 leaks → 1/3 < 0.5, below the family threshold
+  // doc 7 (web, TRAIN): 64 unrelated tokens — no pair at all
+  private val paraC = paraA.updated(5, "ed3a").updated(50, "ed3b")
+  private lazy val dir3: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_chunksem3").toString
+    val other = (0 until 64).map(i => s"other$i")
+    Seq((1L, "src0", paraA.mkString(" ")),
+      (2L, "web", ((0 until 48).map(i => s"junk$i") ++ paraB).mkString(" ")),
+      (5L, "src0", paraC.mkString(" ")),
+      (6L, "src0", (paraA ++ other).mkString(" ")),
+      (7L, "web", (0 until 64).map(i => s"lone$i").mkString(" ")))
+      .map { case (id, src, tx) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+  private lazy val t3 = Tables(spark, dir3)
+
+  test("semdup_decontaminate: the paraphrased benchmark leak is flagged, both orientations") {
+    val rows = ChunkSemantic.semdupDecontaminate(t3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1 (eval, LOWER id than its train match — the A side) and
+    // doc 5 (eval, HIGHER id — the B side) both contaminated by train
+    // doc 2 over their whole 1-chunk grid
+    assert(rows.contains((1L, 2L)) && rows((1L, 2L)) == ((1L, 1L, 1.0)),
+      s"$rows")
+    assert(rows.contains((5L, 2L)) && rows((5L, 2L)) == ((1L, 1L, 1.0)),
+      s"the B-side orientation was lost: $rows")
+    // eval↔eval pairs (1~5, 1~6) never flag — within-split redundancy
+    // is the dedup entries' domain; and doc 6's 1-of-3-chunk leak sits
+    // below the family threshold
+    assert(rows.keySet == Set((1L, 2L), (5L, 2L)), s"$rows")
+  }
+
+  test("semdup_decontaminate: eval membership probes broadcast, never shuffle the pair list") {
+    val plan = ChunkSemantic.semdupDecontaminate(t3)
+      .queryExecution.executedPlan.toString
+    // the eval suite is tiny at any corpus scale: both orientations'
+    // semi/anti probes must be broadcast joins
+    assert(!plan.contains("SortMergeJoin"),
+      s"an eval membership probe degraded to sort-merge:\n$plan")
+  }
+
   test("the boilerplate flood is dropped by the cap, not paired") {
     // non-vacuity: two flood rotations really are embedding-identical
     // (cosine 1.0 — they'd flood C(36,2) pairs if admitted) and
