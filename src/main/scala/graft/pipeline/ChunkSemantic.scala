@@ -541,13 +541,19 @@ object ChunkSemantic {
        |SELECT src_a, src_b, COUNT(*) AS n_pairs
        |FROM m GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
 
-  /** Memoized per corpus — the label fixpoint runs actions eagerly at
-    * plan-build time (the [[graft.dedup.Dedup.nearDupClusters]]
-    * discipline), so repeated calls (bench warmup + timed pass, Verify)
-    * must reuse the converged frame instead of re-running the loop.
+  /** Memoized per corpus CONTENT — the label fixpoint runs actions
+    * eagerly at plan-build time (the [[graft.dedup.Dedup
+    * .nearDupClusters]] discipline), so repeated calls (bench warmup +
+    * timed pass, Verify) must reuse the converged frame instead of
+    * re-running the loop. Keyed on [[graft.storage.Materialize
+    * .corpusTag]] (the documents file inventory), NOT the bare Tables
+    * handle: corpus growth in a long-lived session must invalidate the
+    * converged labels, or this entry would serve pre-growth components
+    * while its store-routed siblings recompute through
+    * `ensureIncremental` and see the new docs.
     */
   private val semClustersCache =
-    new java.util.concurrent.ConcurrentHashMap[Tables, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
   /** Doc-level SEMANTIC dup clusters: connected components of the
     * cross-doc semantic pair graph (docs joined by ≥1 chunk pair of
@@ -567,8 +573,9 @@ object ChunkSemantic {
     * one doc pair never multiplies join work in the loop.
     */
   def semDupClusters(t: Tables): DataFrame =
-    semClustersCache.computeIfAbsent(t, _ =>
-      graft.dedup.Dedup.clusterKeepers(
+    semClustersCache.computeIfAbsent(
+      graft.storage.Materialize.corpusTag(t, "documents", "semclusters"),
+      _ => graft.dedup.Dedup.clusterKeepers(
         chunkDedupSemanticMatUnsorted(t)
           .where(col("doc_a") =!= col("doc_b"))
           .select(col("doc_a"), col("doc_b")).distinct()))
@@ -589,13 +596,14 @@ object ChunkSemantic {
 
   /** SEMANTIC train/eval decontamination — the leakage mode the other
     * two decontamination ops structurally miss: a benchmark question
-    * PARAPHRASED into a crawl page shares no rare shingle with the
-    * eval doc ([[graft.dedup.Dedup.dedupDecontaminate]]'s posting join
-    * never fires) and no 16-token verbatim window
-    * (`dedup_substring_decontaminate`'s province), yet its chunk
-    * embeddings barely move — the contamination that inflates eval
-    * scores exactly as much as the verbatim kind. Criterion is
-    * DIRECTIONAL, the decontaminate family's rule: per
+    * PARAPHRASED (or merely token-reordered — the bag-of-words
+    * embedding is order-invariant) into a crawl page shares no rare
+    * shingle with the eval doc ([[graft.dedup.Dedup
+    * .dedupDecontaminate]]'s posting join never fires) and no 16-token
+    * verbatim window (`dedup_substring_decontaminate`'s province), yet
+    * its chunk embeddings barely move — the contamination that
+    * inflates eval scores exactly as much as the verbatim kind.
+    * Criterion is DIRECTIONAL, the decontaminate family's rule: per
     * (eval doc, train doc), the fraction of the EVAL doc's chunk grid
     * that semantically matches (cos ≥ [[SemCosMin]]) ANY chunk of that
     * train doc — a benchmark answer embedded in a big page contaminates
@@ -604,38 +612,65 @@ object ChunkSemantic {
     * iff ≥ — the `doc_semantic_dup_frac` drop rule's orientation).
     * Output: (eval_doc, train_doc, n_chunks, hit_chunks, contamination)
     * for flagged pairs; eval↔eval and train↔train pairs are excluded
-    * (within-split redundancy is the dedup entries' domain).
+    * (within-split redundancy is the dedup entries' domain), as are
+    * text-identical chunks (`h ≠ h` — verbatim leaks are the exact
+    * decontaminate's catch; this entry prices what semantics adds).
     *
-    * Scale: pairs come from the store-routed capped band product — the
-    * eval membership probes are broadcast semi/anti joins (at 100 TB
-    * the eval suite is tiny, the [[graft.dedup.Dedup
-    * .decontaminateAgainst]] argument), the per-pair rollup keys on
-    * (eval_doc, train_doc) over a pair list the band cap already
-    * bounded, and the denominator comes from token counts alone on the
-    * eval slice — one small scan, no second explode.
+    * NOT the dedup entries' pair machinery: their flood cap DROPS a
+    * flooded bucket whole — correct for dedup (a boilerplate flood's
+    * removal already happened in the exact pass) and exactly wrong
+    * here, where a benchmark leaked into 33+ train pages floods its
+    * own bucket and a bucket-drop would report ZERO contamination for
+    * the worst leak. This op builds its own index: the TRAIN side's
+    * buckets are TRIMMED to the [[ChunkBandCap]] lexicographically
+    * smallest (doc_id, chunk_idx) members (deterministic in both
+    * engines), the EVAL side is never capped (a benchmark suite is
+    * tiny — it cannot flood, and dropping eval chunks would silently
+    * under-report), and the cap counts TRAIN rows only — the
+    * [[graft.dedup.Dedup.decontaminateAgainst]] boundary rule: the
+    * eval suite must not be able to push a train bucket over the cap.
+    * A mass leak is thus flagged against cap representatives (the
+    * bounded trade: per-bucket pair work ≤ |eval ∩ bucket| · cap, and
+    * the flagged train set for one eval chunk is capped per bucket).
+    *
+    * Scale: eval membership probes are broadcast semi/anti joins off
+    * the chunk-vector STORE; the trim is one window over the train
+    * band rows (the only shuffle wider than the probes); the
+    * denominator comes from token counts alone on the eval slice.
     */
   def semdupDecontaminate(t: Tables): DataFrame = {
-    val ev = broadcast(t.documents
+    val vecs = chunkVectorsMat(t)
+    val evIds = broadcast(t.documents
       .filter(col("source") === graft.dedup.Dedup.EvalSource)
       .select(col("doc_id")))
-    val pairs = chunkDedupSemanticMatUnsorted(t)
-      .where(col("doc_a") =!= col("doc_b"))
-      .select(col("doc_a"), col("chunk_a"), col("doc_b"), col("chunk_b"))
-    // both orientations: the eval doc can sit on either side of the
-    // entry's (doc_a, chunk_a) < (doc_b, chunk_b) pair order
-    val ab = pairs
-      .join(ev.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
-      .join(ev.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
-      .select(col("doc_a").as("eval_doc"), col("chunk_a").as("eval_chunk"),
-        col("doc_b").as("train_doc"))
-    val ba = pairs
-      .join(ev.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
-      .join(ev.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
-      .select(col("doc_b").as("eval_doc"), col("chunk_b").as("eval_chunk"),
-        col("doc_a").as("train_doc"))
-    // one eval chunk can match several chunks of the same train doc —
-    // count each eval chunk once per train doc
-    val hits = ab.union(ba).distinct()
+    val bits = bandBits(t, vecs)
+    def bands(rows: DataFrame): DataFrame = rows
+      .select(col("doc_id"), col("chunk_idx"), col("h"), col("v"),
+        explode(array((0 until NumTables).map(j =>
+          struct(lit(j).as("tbl"),
+            shiftright(TextFunctions.srpWord16(col("v"), j),
+              BandBitsMax - bits).as("bkt"))): _*)).as("tb"))
+      .select(col("doc_id"), col("chunk_idx"), col("h"), col("v"),
+        col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val trainTrimmed = bands(vecs.join(evIds, Seq("doc_id"), "left_anti"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("tbl"), col("bkt"))
+          .orderBy(col("doc_id"), col("chunk_idx"))))
+      .filter(col("rn") <= ChunkBandCap)
+      .select(col("doc_id").as("train_doc"), col("h").as("th"),
+        col("v").as("tv"), col("tbl"), col("bkt"))
+    val evBands = bands(vecs.join(evIds, Seq("doc_id"), "left_semi"))
+      .select(col("doc_id").as("eval_doc"),
+        col("chunk_idx").as("eval_chunk"), col("h").as("eh"),
+        col("v").as("ev"), col("tbl"), col("bkt"))
+    val hits = broadcast(evBands)
+      .join(trainTrimmed, Seq("tbl", "bkt"))
+      .where(col("eh") =!= col("th") &&
+        Portable.round6(VectorFunctions.cosineSim(col("ev"), col("tv")))
+          >= SemCosMin)
+      .select(col("eval_doc"), col("eval_chunk"), col("train_doc"))
+      .distinct() // several tables / several train chunks → one hit
       .groupBy(col("eval_doc"), col("train_doc"))
       .agg(count(lit(1)).as("hit_chunks"))
     val nch = t.documents
@@ -655,25 +690,32 @@ object ChunkSemantic {
     val es = graft.dedup.Dedup.EvalSource
     val frac = Portable.round6Sql(
       "hit_chunks::DOUBLE / n_chunks::DOUBLE")
+    val cos = Portable.round6Sql(
+      "list_dot_product(e.v, tt.v) / (sqrt(list_dot_product(e.v, e.v)) * " +
+        "sqrt(list_dot_product(tt.v, tt.v)))")
+    val tableSel = (j: Int) =>
+      s"SELECT vv.doc_id, vv.chunk_idx, vv.h, vv.v, $j AS tbl, " +
+        s"w$j >> ($BandBitsMax - nb.bits) AS bkt FROM vv, nb"
+    val allBands = (0 until NumTables).map(tableSel).mkString("\n|  UNION ALL ")
     s"""WITH $semanticCtes,
-       |$pairCte,
        |sdoc AS (SELECT doc_id, source FROM documents),
-       |ori AS (
-       |  SELECT pr.doc_a AS eval_doc, pr.chunk_a AS eval_chunk,
-       |         pr.doc_b AS train_doc
-       |  FROM pr JOIN sdoc ea ON pr.doc_a = ea.doc_id
-       |          JOIN sdoc tb ON pr.doc_b = tb.doc_id
-       |  WHERE ea.source = '$es' AND tb.source <> '$es'
-       |  UNION
-       |  SELECT pr.doc_b, pr.chunk_b, pr.doc_a
-       |  FROM pr JOIN sdoc eb ON pr.doc_b = eb.doc_id
-       |          JOIN sdoc ta ON pr.doc_a = ta.doc_id
-       |  WHERE eb.source = '$es' AND ta.source <> '$es'),
+       |db AS (
+       |  $allBands),
+       |tt AS (SELECT db.* FROM db JOIN sdoc USING (doc_id)
+       |       WHERE sdoc.source <> '$es'
+       |       QUALIFY row_number() OVER (PARTITION BY tbl, bkt
+       |                                  ORDER BY doc_id, chunk_idx)
+       |               <= $ChunkBandCap),
+       |e AS (SELECT db.* FROM db JOIN sdoc USING (doc_id)
+       |      WHERE sdoc.source = '$es'),
+       |ori AS (SELECT DISTINCT e.doc_id AS eval_doc,
+       |          e.chunk_idx AS eval_chunk, tt.doc_id AS train_doc
+       |        FROM e JOIN tt ON e.tbl = tt.tbl AND e.bkt = tt.bkt
+       |        WHERE e.h <> tt.h AND $cos >= $SemCosMin),
        |hits AS (SELECT eval_doc, train_doc, COUNT(*)::BIGINT AS hit_chunks
        |         FROM ori GROUP BY eval_doc, train_doc),
        |nche AS (SELECT g.doc_id AS eval_doc, g.nc::BIGINT AS n_chunks
-       |         FROM g JOIN documents d ON g.doc_id = d.doc_id
-       |         WHERE d.source = '$es')
+       |         FROM g WHERE g.source = '$es')
        |SELECT h.eval_doc, h.train_doc, nche.n_chunks, h.hit_chunks,
        |  $frac AS contamination
        |FROM hits h JOIN nche ON h.eval_doc = nche.eval_doc

@@ -26,10 +26,20 @@ import org.apache.spark.sql.DataFrame
   *     .ensureIncrementalWithGen]] numbers strictly above the last
   *     committed generation (the [[Generations.vacuumPlan]] argument);
   *   - `inprogress` — `.gen=<n>.inprogress-<uuid>` temp directories
-  *     with n ≤ the current generation: their writer either committed
+  *     with n ≤ the current generation AND a modification time older
+  *     than [[InprogressGraceMs]]: their writer either committed
   *     (rename succeeded — the temp name is gone), lost a race and
-  *     reaped itself, or crashed; a LIVE writer's temp dir always
-  *     targets n > current, so it is never touched.
+  *     reaped itself, or crashed. The n-rule ALONE is not safe: a live
+  *     writer targets n > current when it STARTS, but a rival can
+  *     commit that generation while the write is still in flight — the
+  *     loser's temp then sits at n ≤ current and a graceless sweep
+  *     would delete it mid-write, turning the ensure protocol's
+  *     designed lost-race reap-and-reloop into a hard job failure. The
+  *     grace window covers the loser until it reaches its own reap
+  *     path; a writer that BOTH lost the race and has made no
+  *     filesystem progress for the whole window is indistinguishable
+  *     from a crash — the documented limit, set far above any single
+  *     store write.
   *
   * Growth segments at or above the newest base SURVIVE — they are the
   * chain current readers serve — as does anything a pinned long-lived
@@ -57,6 +67,14 @@ object Maintenance {
     graft.dedup.Substring.WindowsStore,
     graft.pipeline.Chunking.ChunkHashStore,
     graft.pipeline.ChunkSemantic.ChunkVecStore)
+
+  /** How long a sub-current `.inprogress` temp must sit unmodified
+    * before the sweep may reap it — the lost-race live-writer guard
+    * (see the class scaladoc's inprogress rule). One hour dwarfs any
+    * single store write while keeping crashed temps from surviving
+    * more than one maintenance cycle.
+    */
+  val InprogressGraceMs: Long = 60L * 60 * 1000
 
   /** One plannable deletion: `dir` is the directory name under the
     * store root; `gen` its parsed generation; `kind` ∈ rebased |
@@ -95,6 +113,7 @@ object Maintenance {
       .filterNot { case (_, n) => gens.contains(n) }
       .filter { case (_, n) => n < cur }
       .map { case (d, n) => VacuumAction(s.prefix, rootName, d, n, "orphan") }
+    val now = System.currentTimeMillis()
     val inprog = listed.filter(_.startsWith(".gen="))
       .flatMap { d =>
         d.stripPrefix(".gen=").takeWhile(_ != '.') match {
@@ -103,7 +122,11 @@ object Maintenance {
           case _ => None
         }
       }
-      .filter { case (_, n) => n <= cur }
+      .filter { case (d, n) =>
+        n <= cur &&
+          now - fs.getFileStatus(new Path(root, d)).getModificationTime >
+            InprogressGraceMs
+      }
       .map { case (d, n) =>
         VacuumAction(s.prefix, rootName, d, n, "inprogress")
       }

@@ -287,13 +287,45 @@ class ChunkSemanticSpec extends SparkSpec {
     assert(rows.keySet == Set((1L, 2L), (5L, 2L)), s"$rows")
   }
 
-  test("semdup_decontaminate: eval membership probes broadcast, never shuffle the pair list") {
+  test("semdup_decontaminate: eval probes broadcast, never shuffle as sort-merge") {
     val plan = ChunkSemantic.semdupDecontaminate(t3)
       .queryExecution.executedPlan.toString
-    // the eval suite is tiny at any corpus scale: both orientations'
-    // semi/anti probes must be broadcast joins
+    // the eval suite is tiny at any corpus scale: the membership
+    // semi/anti probes AND the eval-band × train-index join must all
+    // be broadcast joins
     assert(!plan.contains("SortMergeJoin"),
-      s"an eval membership probe degraded to sort-merge:\n$plan")
+      s"an eval-side join degraded to sort-merge:\n$plan")
+  }
+
+  test("semdup_decontaminate: a MASS leak floods its bucket and is still caught (trim, not drop)") {
+    // the failure mode the dedup entries' bucket-DROP cap would create
+    // here: a benchmark leaked into 33 train pages (token-reordered
+    // copies — order-invariant embeddings are IDENTICAL, md5s all
+    // differ, no shared shingle order for the other decontaminate ops)
+    // floods every (tbl, bkt) at every width; dropping the bucket
+    // would report ZERO contamination for the worst leak. The train
+    // index must instead TRIM to the cap's lexicographically smallest
+    // members and flag the eval doc against the representatives.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_chunksem4").toString
+    val bag = (0 until 64).map(i => s"leak$i")
+    val rows = Seq((1L, "src0", bag.mkString(" "))) ++
+      (1 to 33).map(k =>
+        (100L + k, "web", (bag.drop(k) ++ bag.take(k)).mkString(" ")))
+    rows.map { case (id, src, tx) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val got = ChunkSemantic.semdupDecontaminate(Tables(spark, d)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // flagged against exactly the cap smallest train docs — 32 of 33
+    // (the documented bounded trade), each over the whole 1-chunk grid
+    assert(got.length == ChunkSemantic.ChunkBandCap, s"got ${got.length}")
+    assert(got.map(_._2).toSeq ==
+      (1 to ChunkSemantic.ChunkBandCap).map(100L + _),
+      s"trim must keep the lexicographically smallest train docs: $got")
+    assert(got.forall(r => r._1 == 1L && r._3 == 1L && r._4 == 1L &&
+      r._5 == 1.0), s"$got")
   }
 
   test("the boilerplate flood is dropped by the cap, not paired") {

@@ -212,8 +212,19 @@ class MaterializeSpec extends SparkSpec {
         Materialize.incRootName(t, Chunking.ChunkHashStore))
     val fs = root.getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(root, "gen=1/rows/_SUCCESS"), false)
-    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".gen=2.inprogress-crashed00"))
+    val crashed = new org.apache.hadoop.fs.Path(root,
+      ".gen=2.inprogress-crashed00")
+    val raceLoser = new org.apache.hadoop.fs.Path(root,
+      ".gen=2.inprogress-racing00")
+    fs.mkdirs(crashed)
+    fs.mkdirs(raceLoser)
     fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".gen=3.inprogress-live0000"))
+    // the crashed temp is OLD (backdated past the grace window); the
+    // race-losing LIVE writer's temp is fresh at the same n ≤ cur — a
+    // rival committed its target generation mid-write, and the sweep
+    // must leave it for the writer's own lost-race reap path
+    fs.setTimes(crashed,
+      System.currentTimeMillis() - Maintenance.InprogressGraceMs - 60000, -1)
 
     val report = Maintenance.vacuumStores(t).collect()
       .map(r => (r.getString(0), r.getLong(2), r.getString(3))).toSeq
@@ -222,10 +233,18 @@ class MaterializeSpec extends SparkSpec {
       ("graft_chunk_h", 1L, "orphan"),
       ("graft_chunk_h", 2L, "inprogress")), s"report: $report")
 
-    // survivors: exactly the newest base + the in-flight temp dir
+    // survivors: the newest base, the above-current in-flight temp,
+    // AND the fresh race-loser temp (grace window — only age, not the
+    // n-rule alone, may condemn a sub-current temp)
     val left = fs.listStatus(root).map(_.getPath.getName).toSet
-    assert(left == Set("gen=2", ".gen=3.inprogress-live0000"),
-      s"survivors: $left")
+    assert(left == Set("gen=2", ".gen=3.inprogress-live0000",
+      ".gen=2.inprogress-racing00"), s"survivors: $left")
+    // once the loser ages past the grace window it IS dead litter
+    fs.setTimes(raceLoser,
+      System.currentTimeMillis() - Maintenance.InprogressGraceMs - 60000, -1)
+    val second = Maintenance.vacuumStores(t).collect()
+      .map(r => (r.getLong(2), r.getString(3))).toSeq
+    assert(second == Seq((2L, "inprogress")), s"aged loser not reaped: $second")
     // the store still serves, pinned at the surviving base, rows ≡ a
     // from-scratch chunk derivation of the current corpus
     val (gen, rows) = Chunking.corpusChunkStorePinned(t)
