@@ -211,7 +211,7 @@ object Dedup {
     * are dropped. The doc_freq aggregation and the semi join share the
     * (s) hash partitioning — one logical shuffle on the shingle key.
     */
-  private def cappedShingles(t: Tables, cap: Int): DataFrame =
+  private[graft] def cappedShingles(t: Tables, cap: Int): DataFrame =
     cappedShinglesFrom(shingles(t), cap)
 
   private def cappedShinglesFrom(all: DataFrame, cap: Int): DataFrame = {
@@ -719,7 +719,7 @@ object Dedup {
     * materialized plan never touches documents.parquet.
     */
   def dedupMinhashVerifiedMat(t: Tables): DataFrame =
-    dedupMinhashVerifiedFrom(keeperShinglesMaterialized(t))
+    verifiedPairsUnsorted(t).orderBy(col("doc_a"), col("doc_b"))
 
   /** Pair-degree above which a candidate doc is a WHALE in the verify
     * stage. Star routing makes whales STRUCTURAL, not accidental: a
@@ -753,7 +753,11 @@ object Dedup {
     * routing or dense true-dup neighborhoods) and broadcasts.
     */
   def dedupMinhashVerifiedSalted(t: Tables): DataFrame =
-    verifiedPairsSaltedFrom(keeperShinglesMaterialized(t))
+    // candidates from the bucketed band store — the
+    // [[verifiedPairsUnsorted]] routing note; the whale/salt machinery
+    // downstream is unchanged
+    verifiedPairsSaltedFrom(keeperShinglesMaterialized(t),
+      candOpt = Some(dedupMinhashBucketedUnsorted(t)))
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** The salted verify's internal frames, exposed for the plan/row
@@ -767,13 +771,19 @@ object Dedup {
   private[graft] def saltedVerifyFrames(
       shAll: DataFrame,
       whaleDegree: Int = WhaleDegree,
-      salts: Int = VerifySalts): SaltedVerifyFrames = {
-    val cand = minhashCandidatesFrom(shAll)
+      salts: Int = VerifySalts,
+      candOpt: Option[DataFrame] = None): SaltedVerifyFrames = {
+    val cand = candOpt.getOrElse(minhashCandidatesFrom(shAll))
     val ends = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id")))
-    val candDocs = ends.distinct()
-    val whales = ends.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("deg"))
+    // ONE degree aggregation serves both consumers: candDocs is its
+    // projection and the whale list its filter, so the exchange under
+    // it is planned once and reused — the r20 plan derived the pair
+    // endpoints twice (a distinct AND a count aggregation over
+    // separate exchanges of the same union)
+    val deg = ends.groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val candDocs = deg.select(col("doc_id"))
+    val whales = deg
       .filter(col("deg") > whaleDegree)
       .select(col("doc_id"), lit(true).as("w"))
     val sh = shAll.join(candDocs, Seq("doc_id"), "left_semi")
@@ -804,8 +814,9 @@ object Dedup {
   private[graft] def verifiedPairsSaltedFrom(
       shAll: DataFrame,
       whaleDegree: Int = WhaleDegree,
-      salts: Int = VerifySalts): DataFrame = {
-    val f = saltedVerifyFrames(shAll, whaleDegree, salts)
+      salts: Int = VerifySalts,
+      candOpt: Option[DataFrame] = None): DataFrame = {
+    val f = saltedVerifyFrames(shAll, whaleDegree, salts, candOpt)
     val (shS, candS, sz) = (f.shS, f.candS, f.sz)
     candS
       .join(shS.as("x"),
@@ -853,7 +864,7 @@ object Dedup {
     * documents.parquet scan at query time — intact: the md5 keeper
     * reduction happens once, at store build.
     */
-  private def keeperShinglesMaterialized(t: Tables): DataFrame =
+  private[graft] def keeperShinglesMaterialized(t: Tables): DataFrame =
     graft.storage.Materialize.ensureStore(t, KeeperShinglesStore,
       keeperShingles(t))
 
@@ -1074,19 +1085,33 @@ object Dedup {
     verifiedPairsFrom(shAll).orderBy(col("doc_a"), col("doc_b"))
 
   /** The verified near-dup edge list, unsorted, over the materialized
-    * shingle store — the composition form for cross-operator consumers
+    * stores — the composition form for cross-operator consumers
     * (pipeline.Reports.sourceNearDupMatrix) where a mid-plan global
     * sort would be waste. Same pairs as [[dedupMinhashVerifiedMat]].
+    *
+    * Candidates come from the BUCKETED band store ([[bandsBucketed]] —
+    * the exchange-free self-join `corpus_admit` already composes):
+    * pair-identical to the live band derivation by the shared oracle,
+    * but the signature aggregation — a SortAggregate pair (min over
+    * md5 strings cannot hash-aggregate), two full sorts of the shingle
+    * frame — was paid once at store write instead of inside every
+    * consumer's plan (optimization guide §2.4: bucketed tables persist
+    * a partitioning so repeated joins/aggregations skip the shuffle).
     */
   private[graft] def verifiedPairsUnsorted(t: Tables): DataFrame =
-    verifiedPairsFrom(keeperShinglesMaterialized(t))
+    verifiedPairsFrom(keeperShinglesMaterialized(t),
+      Some(dedupMinhashBucketedUnsorted(t)))
 
   /** Verified pairs WITHOUT the output sort — the near-dup edge list,
     * for composition ([[nearDupClusters]]) where a mid-plan global
-    * sort would be waste.
+    * sort would be waste. `candOpt` overrides candidate generation
+    * (the bucketed band store for store-routed consumers); the default
+    * derives bands live from `shAll` — the pedagogical twin and the
+    * prefix-corpus delta, whose shingle slice has no band store.
     */
-  private def verifiedPairsFrom(shAll: DataFrame): DataFrame = {
-    val cand = minhashCandidatesFrom(shAll)
+  private def verifiedPairsFrom(shAll: DataFrame,
+                                candOpt: Option[DataFrame] = None): DataFrame = {
+    val cand = candOpt.getOrElse(minhashCandidatesFrom(shAll))
     val candDocs = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val sh = shAll.join(candDocs, Seq("doc_id"), "left_semi")
@@ -1138,25 +1163,44 @@ object Dedup {
     * why"). A dedup decision that can't be explained can't be appealed;
     * this is the explainer AS A QUERY, composable into case tooling.
     *
-    * Scale: the evidence join is exactly the verify join's shape
-    * (pairs semi-bound the shingle store, fan-out capped by the
-    * band/doc-freq caps); the sample is a bounded sort_array slice per
-    * pair — output is pair-sized, strings only in the 3-shingle
-    * sample. Portable: the sample is concat_ws over a binary-collation
-    * sort — identical both engines.
+    * Scale: the evidence rides the verify join ITSELF — `n_shared` IS
+    * the verify stage's `common` count, and the sample aggregates in
+    * the same (doc_a, doc_b) pass, so the r20 plan's SECOND
+    * pair-×-shingle-store join (an exact duplicate of the verify
+    * join's two store shuffles plus a second pair aggregation, run
+    * only to re-count what the verify pass had already counted) is
+    * gone — one candidate product, one aggregation, pair-sized output
+    * (optimization guide §2.4: don't recompute a shuffle whose result
+    * is already in hand). The collect_list state per pair is bounded
+    * by the smaller doc's shingle count — the same bound the r20
+    * evidence aggregation had. Portable: the sample is concat_ws over
+    * a binary-collation sort — identical both engines.
     */
   def dedupPairEvidence(t: Tables): DataFrame = {
-    val pairs = verifiedPairsUnsorted(t)
-    val sh = keeperShinglesMaterialized(t)
-    pairs
-      .join(sh.as("ex"), col("doc_a") === col("ex.doc_id"))
-      .join(sh.as("ey"),
-        col("doc_b") === col("ey.doc_id") && col("ex.s") === col("ey.s"))
-      .groupBy(col("doc_a"), col("doc_b"), col("jaccard"))
-      .agg(count(lit(1)).as("n_shared"),
+    val shAll = keeperShinglesMaterialized(t)
+    // candidates from the bucketed band store — the
+    // [[verifiedPairsUnsorted]] routing note
+    val cand = dedupMinhashBucketedUnsorted(t)
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shAll.join(candDocs, Seq("doc_id"), "left_semi")
+    val sz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    cand
+      .join(sh.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(sh.as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"),
         concat_ws(" | ",
-          slice(sort_array(collect_list(col("ex.s"))), 1, EvidenceSampleK))
+          slice(sort_array(collect_list(col("x.s"))), 1, EvidenceSampleK))
           .as("sample_shingles"))
+      .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round6(col("common").cast("double")
+          / (col("sa.n") + col("sb.n") - col("common"))).as("jaccard"),
+        col("common").as("n_shared"), col("sample_shingles"))
+      .filter(col("jaccard") >= JaccardMin)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1201,7 +1245,7 @@ object Dedup {
     */
   def nearDupClusters(t: Tables): DataFrame =
     clustersCache.computeIfAbsent((t, "text"), _ =>
-      clusterKeepers(verifiedPairsFrom(keeperShinglesMaterialized(t))
+      clusterKeepers(verifiedPairsUnsorted(t)
         .select(col("doc_a"), col("doc_b"))))
 
   /** [[nearDupClusters]] for the EMBEDDING near-dup graph: connected

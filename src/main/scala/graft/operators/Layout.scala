@@ -119,15 +119,25 @@ object Layout {
   def layoutCompare(t: Tables): DataFrame = {
     import graft.functions.Portable.round6
     val zf = zFrame(t)
-    def zoneMap(tag: String, shard: Column): DataFrame =
-      zf.groupBy(shard.as("shard"))
-        .agg(min(col("u")).as("min_u"), max(col("u")).as("max_u"),
-          min(col("d")).as("min_d"), max(col("d")).as("max_d"))
-        .select(lit(tag).as("layout"), col("shard"), col("min_u"),
-          col("max_u"), col("min_d"), col("max_d"))
-    val zm = zoneMap("zorder", expr(s"z div $ZShardDiv"))
-      .unionAll(zoneMap("day_sort", expr(s"dn div $LinShardDiv")))
-      .unionAll(zoneMap("user_sort", expr(s"un div $LinShardDiv")))
+    // ONE aggregation builds all three layouts' zone maps: each row
+    // fans out to its (layout, shard) cell map-side (explode of three
+    // 2-field structs — no shuffle), and a single exchange keyed on
+    // (layout, shard) replaces the r20 plan's three separate
+    // aggregations over three re-derivations of the z-frame
+    // (optimization guide §2.4; same groups, same mins/maxes)
+    val zm = zf
+      .select(col("u"), col("d"), explode(array(
+        struct(lit("zorder").as("layout"),
+          expr(s"z div $ZShardDiv").as("shard")),
+        struct(lit("day_sort").as("layout"),
+          expr(s"dn div $LinShardDiv").as("shard")),
+        struct(lit("user_sort").as("layout"),
+          expr(s"un div $LinShardDiv").as("shard")))).as("ls"))
+      .groupBy(col("ls.layout").as("layout"), col("ls.shard").as("shard"))
+      .agg(min(col("u")).as("min_u"), max(col("u")).as("max_u"),
+        min(col("d")).as("min_d"), max(col("d")).as("max_d"))
+      .select(col("layout"), col("shard"), col("min_u"),
+        col("max_u"), col("min_d"), col("max_d"))
     def side(dim: String, probes: DataFrame, lo: String, hi: String) = {
       val nProbes = probes.count()
       zm.join(broadcast(probes),

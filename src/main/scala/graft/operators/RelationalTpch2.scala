@@ -228,13 +228,20 @@ object RelationalTpch2 {
     * distinct count is 1 — no second scan).
     */
   def q21SoleBlame(t: Tables): DataFrame = {
-    val rSupp = when(col("l_returnflag") === "R", col("l_suppkey"))
-    val blamed = t.lineitem
+    // two COUNT(DISTINCT)s in one aggregate compile to an Expand that
+    // triples the fact through the exchange; pre-aggregating to the
+    // (order, supplier) grid first makes both counts plain aggregates
+    // over ~the same row count with NO Expand — bit-equal results
+    // (optimization guide §2.3: shuffle fewer bytes)
+    val perOS = t.lineitem
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+    val blamed = perOS
       .groupBy(col("l_orderkey"))
       .agg(
-        countDistinct(col("l_suppkey")).as("n_supp"),
-        countDistinct(rSupp).as("n_r_supp"),
-        min(rSupp).as("blame_key"))
+        count(lit(1)).as("n_supp"),
+        sum(col("ret")).as("n_r_supp"),
+        min(when(col("ret") === 1, col("l_suppkey"))).as("blame_key"))
       .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
     blamed
       .groupBy(col("blame_key"))

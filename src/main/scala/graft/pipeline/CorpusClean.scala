@@ -18,28 +18,43 @@ import org.apache.spark.sql.functions._
   * (dedup.Dedup.dedupMinhash) is dropped, keeping each near-dup
   * cluster's lowest surviving id. One more left_anti join on doc_id.
   *
-  * Scale: one shuffle on (md5, id) for the keeper window — cluster
-  * sizes are bounded by dup multiplicity, so no skew — one shuffle for
-  * the quality aggregation, and (near-dup variant) the bounded minhash
-  * band join; the final join keys are doc_id (unique).
+  * Scale: ONE shuffle total — on (md5, id) for the keeper window;
+  * cluster sizes are bounded by dup multiplicity, so no skew. The
+  * quality leg is a per-row projection ([[CorpusClean.qualityCol]]),
+  * not an aggregation, so it rides the same scan. The near-dup variant
+  * adds the bounded minhash band join; the final join keys are doc_id
+  * (unique).
   */
 object CorpusClean {
 
   val QualityMin = 0.5
 
+  /** The quality composite as a PER-ROW expression over (text,
+    * n_chars): `size(split)` is the token count and
+    * `size(array_distinct(split))` the distinct-token count — exactly
+    * what the r20 plan derived with an explode + two-level
+    * count/countDistinct aggregation (an Expand doubling every token
+    * row, two exchanges, and a join back on doc_id). Token multisets
+    * are per-document, so no aggregation was ever required: this
+    * projection computes the identical longs inside whole-stage
+    * codegen with ZERO shuffles, turning the clean gate's quality leg
+    * from the composite's widest shuffle into a scan-side expression
+    * (optimization guide §2.3/§2.4 — don't shuffle what a row already
+    * knows). `array_distinct` and `count(DISTINCT w)` agree on every
+    * split output (no nulls; empty strings count in both).
+    */
+  private[pipeline] def qualityCol: org.apache.spark.sql.Column = {
+    val ts = split(col("text"), " ")
+    TextAnalysis.qualityExpr(col("n_chars"),
+      size(ts).cast("long"), size(array_distinct(ts)).cast("long"))
+  }
+
   /** (doc_id, quality) for every document — the clean gate's composite,
     * exposed so the verdicts op ([[Intake.corpusAdmitVerdicts]]) scores
-    * docs the clean gate rejects too.
+    * docs the clean gate rejects too. One projection ([[qualityCol]]).
     */
-  private[pipeline] def qualityPerDoc(t: Tables): DataFrame =
-    t.documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"),
-        col("n_chars"))
-      .groupBy(col("doc_id"), col("n_chars"))
-      .agg(count(lit(1)).as("n_tok"), countDistinct(col("w")).as("n_distinct"))
-      .select(col("doc_id"),
-        TextAnalysis.qualityExpr(col("n_chars"), col("n_tok"),
-          col("n_distinct")).as("quality"))
+  private[graft] def qualityPerDoc(t: Tables): DataFrame =
+    t.documents.select(col("doc_id"), qualityCol.as("quality"))
 
   /** The keeper rank: 1 for the lowest doc_id of each md5(text) group. */
   private[pipeline] def keeperRank =
@@ -67,17 +82,19 @@ object CorpusClean {
     * Catalyst's `EliminateSorts` dropping a mid-plan global sort
     * (ADVICE r9; PlanSpec pins the composed analyzed plan sort-free).
     */
-  def corpusCleanUnsorted(t: Tables): DataFrame = {
-    val docs = t.documents
-    val quality = qualityPerDoc(t)
-    docs
+  def corpusCleanUnsorted(t: Tables): DataFrame =
+    // quality is a per-row expression ([[qualityCol]]), so it rides the
+    // SAME frame as the keeper window instead of a doc_id self-join:
+    // the whole gate is one scan, one (md5-keyed) exchange, one window
+    // — the join, the explode and the countDistinct Expand of the r20
+    // plan are gone (guide §2.4: two operations keyed the same way
+    // share one pass when nothing forces them apart)
+    t.documents
+      .withColumn("quality", qualityCol)
       .withColumn("rn", keeperRank)
-      .filter(col("rn") === 1)
-      .join(quality, Seq("doc_id"))
-      .filter(col("quality") >= QualityMin)
+      .filter(col("rn") === 1 && col("quality") >= QualityMin)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
         col("quality"))
-  }
 
   /** Near-dup-free corpus: [[corpusClean]] minus every doc that is the
     * higher id of a minhash LSH candidate pair. The two dedup stages
@@ -93,7 +110,13 @@ object CorpusClean {
     * conservative LSH-dedup trade.)
     */
   def corpusCleanNearDup(t: Tables): DataFrame = {
-    val losers = graft.dedup.Dedup.minhashCandidates(t)
+    // candidates from the BUCKETED band store — pair-identical to the
+    // live minhashCandidates derivation (same oracle; DedupSpec pins
+    // store ≡ live), but the signature aggregation and band self-join
+    // shuffles were paid once at store write (the composition
+    // `corpus_admit` already uses; r21 points this composite at the
+    // same store instead of re-deriving bands from raw documents)
+    val losers = graft.dedup.Dedup.dedupMinhashBucketedUnsorted(t)
       .select(col("doc_b").as("doc_id")).distinct()
     // unsorted composition form — see corpusCleanUnsorted
     corpusCleanUnsorted(t)

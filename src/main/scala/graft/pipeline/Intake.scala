@@ -117,9 +117,11 @@ object Intake {
       .filter(col("verdict") === "drop").select(col("doc_id"))
       .withColumn("sm", lit(1))
     t.documents
+      // quality is a per-row projection (CorpusClean.qualityCol) — it
+      // rides the keeper-window frame instead of a doc_id self-join
+      .withColumn("quality", CorpusClean.qualityCol)
       .withColumn("rn", CorpusClean.keeperRank)
-      .select(col("doc_id"), col("lang"), col("rn"))
-      .join(CorpusClean.qualityPerDoc(t), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("rn"), col("quality"))
       .join(rep, Seq("doc_id"), "left")
       .join(ndLosers, Seq("doc_id"), "left")
       .join(ctLosers, Seq("doc_id"), "left")

@@ -106,32 +106,57 @@ object Maintenance {
     }.getOrElse(0L)
     val rebased = gens.filter(_ < lastBase)
       .map(n => VacuumAction(s.prefix, rootName, s"gen=$n", n, "rebased"))
-    val listed = fs.listStatus(root).toSeq.filter(_.isDirectory)
-      .map(_.getPath.getName)
+    val listedSt = fs.listStatus(root).toSeq.filter(_.isDirectory)
+    val listed = listedSt.map(_.getPath.getName)
     val orphans = listed.filter(_.startsWith("gen="))
       .flatMap(d => d.stripPrefix("gen=").toLongOption.map(d -> _))
       .filterNot { case (_, n) => gens.contains(n) }
       .filter { case (_, n) => n < cur }
       .map { case (d, n) => VacuumAction(s.prefix, rootName, d, n, "orphan") }
     val now = System.currentTimeMillis()
-    val inprog = listed.filter(_.startsWith(".gen="))
-      .flatMap { d =>
+    val inprog = listedSt.filter(_.getPath.getName.startsWith(".gen="))
+      .flatMap { st =>
+        val d = st.getPath.getName
         d.stripPrefix(".gen=").takeWhile(_ != '.') match {
           case num if num.nonEmpty && num.forall(_.isDigit) =>
-            Some(d -> num.toLong)
+            Some((st, d, num.toLong))
           case _ => None
         }
       }
-      .filter { case (d, n) =>
-        n <= cur &&
-          now - fs.getFileStatus(new Path(root, d)).getModificationTime >
-            InprogressGraceMs
+      .filter { case (st, _, n) =>
+        n <= cur && now - lastProgressMs(fs, st) > InprogressGraceMs
       }
-      .map { case (d, n) =>
+      .map { case (_, d, n) =>
         VacuumAction(s.prefix, rootName, d, n, "inprogress")
       }
     (rebased ++ orphans ++ inprog).sortBy(a => (a.gen, a.dir))
   }
+
+  /** Newest modification time observable under a temp dir: the dir's
+    * own mtime (from the root listing's FileStatus — never re-statted,
+    * so a writer committing or self-reaping between the listing and
+    * this walk cannot crash the plan, ADVICE r20 medium) maxed with
+    * every FILE inside it. An in-flight part write lands files under
+    * `rows/_temporary/...` WITHOUT refreshing the top dir's mtime on
+    * HDFS/local FS, so the top-level stat alone would measure "time
+    * since the write STARTED", not "time since last progress" — a live
+    * lost-race writer whose rows write outruns the grace window would
+    * be reaped mid-write (ADVICE r20 low). Any listing failure during
+    * the walk means the dir is vanishing right now (commit rename or
+    * self-reap won the race) — report it as live; it costs one
+    * maintenance cycle at most.
+    */
+  private def lastProgressMs(fs: org.apache.hadoop.fs.FileSystem,
+                             st: org.apache.hadoop.fs.FileStatus): Long =
+    try {
+      var newest = st.getModificationTime
+      val it = fs.listFiles(st.getPath, true)
+      while (it.hasNext) {
+        val m = it.next().getModificationTime
+        if (m > newest) newest = m
+      }
+      newest
+    } catch { case _: java.io.IOException => Long.MaxValue }
 
   /** Execute [[vacuumPlanStores]] and return one report row per
     * deleted directory: (store, root, gen, kind, dir), sorted — the

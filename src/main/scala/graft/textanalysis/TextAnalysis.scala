@@ -145,12 +145,19 @@ object TextAnalysis {
     * weighted formula both sides. Components surfaced for debuggability.
     */
   def qualityScore(t: Tables): DataFrame =
+    // token and distinct-token counts are per-row facts of `text`
+    // (`size(split)` / `size(array_distinct(split))` — identical longs
+    // to the r20 explode + count/countDistinct aggregation, which paid
+    // an Expand over every token row plus two exchanges for what a
+    // single codegen'd projection computes): the whole score is now
+    // scan-side, and the only exchange left is the output sort
+    // (optimization guide §2.3/§2.4)
     t.documents
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"),
+      .select(col("doc_id"), col("n_chars"),
+        split(col("text"), " ").as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tok"),
+        size(array_distinct(col("ts"))).cast("long").as("n_distinct"),
         col("n_chars"))
-      .groupBy(col("doc_id"), col("n_chars"))
-      .agg(count(lit(1)).as("n_tok"),
-        countDistinct(col("w")).as("n_distinct"))
       .select(col("doc_id"),
         round6(col("n_distinct").cast("double") / col("n_tok")).as("ttr"),
         round6(col("n_chars").cast("double") / col("n_tok"))

@@ -328,6 +328,41 @@ class ChunkSemanticSpec extends SparkSpec {
       r._5 == 1.0), s"$got")
   }
 
+  test("semdup_decontaminate: a MEGA-flood bucket is trimmed without any Window (salted two-phase min-k)") {
+    // the r20 perf-weak mark: the train trim was a row_number window
+    // partitioned by (tbl, bkt) — at 100 TB a boilerplate mass-leak
+    // concentrates on ONE such key and the window becomes a single
+    // task sorting the whole flood. The salted two-phase min-k must
+    // return the IDENTICAL trim set (the cap lexicographically
+    // smallest members) with NO Window operator anywhere in the plan.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_chunksem5").toString
+    val bag = (0 until 64).map(i => s"mega$i")
+    val n = 10000 // ≥10⁴ identical-vector train chunks in one bucket
+    val rows = Seq((1L, "src0", bag.mkString(" "))) ++
+      (1 to n).map(k =>
+        (100L + k, "web",
+          (bag.drop(k % 64) ++ bag.take(k % 64)).mkString(" ")))
+    rows.map { case (id, src, tx) => (id, tx, "en", src, tx.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val df = ChunkSemantic.semdupDecontaminate(Tables(spark, d))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"the train trim regressed to a per-bucket window:\n$plan")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getDouble(4)))
+    // trim keeps exactly the cap smallest train docs (101..132); their
+    // rotations k=1..32 all differ from the eval text (k%64 ≠ 0), so
+    // every representative flags over the whole 1-chunk grid
+    assert(got.length == ChunkSemantic.ChunkBandCap, s"got ${got.length}")
+    assert(got.map(_._2).toSeq ==
+      (1 to ChunkSemantic.ChunkBandCap).map(100L + _),
+      s"trim must keep the lexicographically smallest train docs: $got")
+    assert(got.forall(r => r._1 == 1L && r._3 == 1L && r._4 == 1L &&
+      r._5 == 1.0), s"$got")
+  }
+
   test("the boilerplate flood is dropped by the cap, not paired") {
     // non-vacuity: two flood rotations really are embedding-identical
     // (cosine 1.0 — they'd flood C(36,2) pairs if admitted) and

@@ -253,5 +253,37 @@ class MaterializeSpec extends SparkSpec {
       .count())
     // idempotent: a second sweep finds nothing
     assert(Maintenance.vacuumPlanStores(t).isEmpty)
+
+    // grace window measures PROGRESS, not start time (ADVICE r20): a
+    // sub-current temp whose top dir mtime is ancient (mkdirs happened
+    // before the window) but whose in-flight rows write keeps landing
+    // fresh part files deep inside is a LIVE lost-race writer — the
+    // sweep must not reap it; only a temp with no fresh file anywhere
+    // in its tree is condemned
+    val slowWriter = new org.apache.hadoop.fs.Path(root,
+      ".gen=2.inprogress-slowwrite0")
+    val deepDir = new org.apache.hadoop.fs.Path(slowWriter,
+      "rows/_temporary/0")
+    fs.mkdirs(deepDir)
+    val partFile = new org.apache.hadoop.fs.Path(deepDir, "part-00000")
+    fs.create(partFile).close()
+    val old = System.currentTimeMillis() - Maintenance.InprogressGraceMs -
+      60000
+    // backdate every DIRECTORY (top + intermediates) but leave the
+    // part file fresh — exactly the HDFS/local-FS shape of a long rows
+    // write: directory mtimes stop moving once created
+    fs.setTimes(slowWriter, old, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(slowWriter, "rows"), old, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(slowWriter, "rows/_temporary"),
+      old, -1)
+    fs.setTimes(deepDir, old, -1)
+    assert(Maintenance.vacuumPlanStores(t).isEmpty,
+      "a live writer with fresh deep files was condemned")
+    // and once the deep file ALSO ages out, the whole tree is litter
+    fs.setTimes(partFile, old, -1)
+    val third = Maintenance.vacuumStores(t).collect()
+      .map(r => (r.getLong(2), r.getString(3))).toSeq
+    assert(third == Seq((2L, "inprogress")), s"aged deep write kept: $third")
+    assert(Maintenance.vacuumPlanStores(t).isEmpty)
   }
 }
