@@ -28,7 +28,25 @@ object MicroBench {
     "quality_per_doc" ->
       (() => graft.pipeline.CorpusClean.qualityPerDoc(t)),
     "chunk_vec_store_scan" ->
-      (() => graft.pipeline.ChunkSemantic.chunkVectorsMat(t))
+      (() => graft.pipeline.ChunkSemantic.chunkVectorsMat(t)),
+    // corpus_admit gate attribution (r22): each composed leg alone
+    "gate_clean" ->
+      (() => graft.pipeline.CorpusClean.corpusCleanUnsorted(t)),
+    "gate_repetition" ->
+      (() => graft.textanalysis.TextAnalysis.qualityRepetitionUnsorted(t)),
+    "gate_ndlosers" ->
+      (() => graft.dedup.Dedup.dedupMinhashBucketedUnsorted(t)
+        .select(org.apache.spark.sql.functions.col("doc_b")).distinct()),
+    "gate_containment" ->
+      (() => graft.dedup.Dedup.dedupContainmentUnsorted(t)),
+    "gate_semdup" ->
+      (() => graft.pipeline.ChunkSemantic.docSemanticDupFracUnsorted(t)),
+    "gate_ccnet_bounded" ->
+      (() => graft.pipeline.Mixing.ccnetBucketBoundedUnsorted(t)),
+    "corpus_admit_full" ->
+      (() => graft.pipeline.Intake.corpusAdmit(t)),
+    "corpus_admit_verdicts_full" ->
+      (() => graft.pipeline.Intake.corpusAdmitVerdicts(t))
   )
 
   def main(args: Array[String]): Unit = {

@@ -317,9 +317,20 @@ object Dedup {
     * composition form consumed by `corpus_admit` (the
     * [[minhashCandidates]] pattern: composed plans must not rely on
     * `EliminateSorts` to stay shuffle-clean).
+    *
+    * Reads the BUCKETED shingle store (r22): the containment gate's
+    * inverted-index phase — doc-freq cap aggregation, rare-shingle
+    * semi-join, posting-list self-join — all cluster on `s`, exactly
+    * the store's bucket key, so over [[shinglesBucketed]] every one of
+    * them is exchange-free (optimization guide §2.4 bucketed tables;
+    * the `dedup_ngram_jaccard_bucketed` routing applied to the
+    * containment formula). The unbucketed incremental store previously
+    * used here re-expanded the capped-shingle subtree per consumer
+    * side — 4 scans and 4 shingle-keyed exchanges in the admit plan.
+    * Same rows, same oracle (store content ≡ live shingles).
     */
   def dedupContainmentUnsorted(t: Tables): DataFrame =
-    dedupContainmentFrom(shinglesMaterialized(t))
+    dedupContainmentFrom(shinglesBucketed(t))
 
   private def dedupContainmentFrom(shAll: DataFrame): DataFrame = {
     val sh = cappedShinglesFrom(shAll, ShingleDocFreqCap)
@@ -601,6 +612,17 @@ object Dedup {
     * (streaming.Jobs.CorpusNearDupGate probes it with live docs).
     */
   private[graft] def bandsFrom(sh: DataFrame): DataFrame = {
+    // min(md5-hex) plans as a SortAggregate pair (string buffers are
+    // not UnsafeRow-mutable) — KEPT after an r22 experiment replaced
+    // it with a hash-aggregatable two-long pair-min (projection-parsed
+    // hi/lo + DeclarativeAggregate): the hash plan measured SLOWER on
+    // every live consumer (dedup_minhash 0.87×, dedup_minhash_verified
+    // 0.82×, flat controls; the band frame alone 0.98 → 1.14 s median)
+    // because the shingle stores arrive nearly doc-clustered, making
+    // the sorts cheap runs while the hash map pays 16 long buffer
+    // columns per group. The optimization guide's §1.1 warning — the
+    // "ideal" plan lost to the measured one — so the sorts stay; see
+    // OPTIMIZATION_r22.md for the full A/B.
     val sigCols = (0 until NumPerms).map(p =>
       min(md5(concat(lit(s"$p:"), col("s")))).as(s"h$p"))
     val sig = sh.groupBy(col("doc_id"))

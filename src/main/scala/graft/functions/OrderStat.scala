@@ -42,38 +42,66 @@ object OrderStat {
     */
   def valuesAtDescRanks(counts: DataFrame,
                         targets: Seq[RankTarget]): Map[RankTarget, Double] = {
-    val spark = counts.sparkSession
-    import spark.implicits._
     require(targets.nonEmpty, "no rank targets")
-
-    // the multiplicity frame is re-joined every narrowing round (plus
-    // the seed aggregate) — persist it for the loop's lifetime so the
-    // upstream corpus scan + groupBy runs ONCE, not O(log_Bins n)
-    // times (the rankScoresFrom adjacency discipline, Dedup.scala).
-    // A frame the CALLER already persisted stays the caller's to
-    // manage: unpersisting it here would silently evict their cache
-    // mid-use (ADVICE r15), so only a frame this call pinned unpins.
-    if (counts.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
-      valuesAtDescRanksPinned(counts, targets)
-    else {
-      val pinned = counts.persist()
-      try valuesAtDescRanksPinned(pinned, targets)
-      finally pinned.unpersist(false)
+    withPinned(counts) { pinned =>
+      searchPinned(pinned, seedStats(pinned), targets)
     }
   }
 
-  private def valuesAtDescRanksPinned(counts: DataFrame,
-                                      targets: Seq[RankTarget]): Map[RankTarget, Double] = {
-    val spark = counts.sparkSession
-    import spark.implicits._
+  /** [[valuesAtDescRanks]] with the rank targets DERIVED from the
+    * per-group totals the seed aggregate already computes: `mkTargets`
+    * receives each group's total multiplicity and names the ranks to
+    * find. Every threshold op here used to pay a separate count-the-
+    * groups pass (`df.groupBy(g).count().collect()` or `df.count()`)
+    * before it could even phrase its targets — the same numbers the
+    * search's own seed aggregate produces one job later (optimization
+    * guide §1.2: remove passes). Returns (totals, values); an empty
+    * target list (every group under quota, say) skips the search
+    * entirely and returns an empty value map.
+    */
+  def searchWithTotals(counts: DataFrame)(
+      mkTargets: Map[String, Long] => Seq[RankTarget])
+      : (Map[String, Long], Map[RankTarget, Double]) =
+    withPinned(counts) { pinned =>
+      val stats = seedStats(pinned)
+      val totals = stats.map { case (g, (n, _, _)) => g -> n }
+      val targets = mkTargets(totals)
+      (totals,
+        if (targets.isEmpty) Map.empty
+        else searchPinned(pinned, stats, targets))
+    }
 
-    // seed ranges from one per-group aggregate (also validates ranks)
-    val stats = counts.groupBy(col("g"))
+  // the multiplicity frame is re-joined every narrowing round (plus
+  // the seed aggregate) — persist it for the loop's lifetime so the
+  // upstream corpus scan + groupBy runs ONCE, not O(log_Bins n)
+  // times (the rankScoresFrom adjacency discipline, Dedup.scala).
+  // A frame the CALLER already persisted stays the caller's to
+  // manage: unpersisting it here would silently evict their cache
+  // mid-use (ADVICE r15), so only a frame this call pinned unpins.
+  private def withPinned[A](counts: DataFrame)(f: DataFrame => A): A =
+    if (counts.storageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      f(counts)
+    else {
+      val pinned = counts.persist()
+      try f(pinned)
+      finally pinned.unpersist(false)
+    }
+
+  /** Seed ranges from one per-group aggregate (also validates ranks). */
+  private def seedStats(counts: DataFrame)
+      : Map[String, (Long, Double, Double)] =
+    counts.groupBy(col("g"))
       .agg(sum(col("cnt")).as("n"), min(col("v")).as("lo"),
         max(col("v")).as("hi"))
       .collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
         r.getDouble(3))).toMap
+
+  private def searchPinned(counts: DataFrame,
+                           stats: Map[String, (Long, Double, Double)],
+                           targets: Seq[RankTarget]): Map[RankTarget, Double] = {
+    val spark = counts.sparkSession
+    import spark.implicits._
 
     // (target, remaining rank, search range); result once resolved
     var active: Seq[(RankTarget, Long, Double, Double)] = targets.map { tg =>

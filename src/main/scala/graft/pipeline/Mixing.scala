@@ -251,15 +251,20 @@ object Mixing {
     import graft.functions.OrderStat.RankTarget
     val spark = scores.sparkSession
     import spark.implicits._
+    // ONE scan of the score frame: per-language totals come from the
+    // search's own seed aggregate (OrderStat.searchWithTotals) instead
+    // of a separate count-the-languages pass, and the seed + narrowing
+    // rounds all run over the one persisted multiplicity frame
+    // (optimization guide §1.2 "remove passes" — the r21 form scanned
+    // `scores` twice and paid one extra driver job per derivation).
     val counts = scores.groupBy(col("lang").as("g"),
       col("lm_score").as("v")).agg(count(lit(1)).as("cnt"))
-    val perLang = scores.groupBy(col("lang")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    val targets = perLang.toSeq.flatMap { case (l, n) =>
-      quantileCutRanks(n, q).distinct.map(RankTarget(l, _))
+    val (totals, cut) = OrderStat.searchWithTotals(counts) { ns =>
+      ns.toSeq.flatMap { case (l, n) =>
+        quantileCutRanks(n, q).distinct.map(RankTarget(l, _))
+      }
     }
-    val cut = OrderStat.valuesAtDescRanks(counts, targets)
-    perLang.toSeq.map { case (l, n) =>
+    totals.toSeq.sortBy(_._1).map { case (l, n) =>
       (l, quantileCutRanks(n, q).map(r => cut(RankTarget(l, r))))
     }.toDF("lang", "cuts")
   }
@@ -624,19 +629,34 @@ object Mixing {
     * (the bounded-collect discipline of the OrderStat histograms).
     */
   private[graft] def fixedThreshold(t: Tables): (Double, Long) = {
+    import graft.functions.OrderStat
     val docs = t.documents.select(col("doc_id"))
       .withColumn("u", u("fix", col("doc_id")))
-    val n = docs.count()
-    if (n <= SampleFixedN) return (2.0, Long.MaxValue) // keep everything
-    import graft.functions.OrderStat
+    // ONE corpus pass builds the multiplicity frame; the total row
+    // count rides the search's own seed aggregate and the strict-below
+    // count is a sum over the same persisted frame — the r21 form paid
+    // three corpus scans (count, search build, below-count) for
+    // numbers the one frame already held (guide §1.2). Persisted for
+    // this call only — the OrderStat lifecycle discipline.
     val counts = docs.groupBy(lit("all").as("g"), col("u").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val tgt = OrderStat.RankTarget("all", n - SampleFixedN + 1) // N-th smallest
-    val thr = OrderStat.valuesAtDescRanks(counts, Seq(tgt))(tgt)
-    val m = SampleFixedN - docs.filter(col("u") < thr).count()
-    val ties = docs.filter(col("u") === thr)
-      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
-    (thr, ties(m.toInt - 1))
+      .agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val (totals, vals) = OrderStat.searchWithTotals(counts) { ns =>
+        val n = ns.getOrElse("all", 0L)
+        if (n <= SampleFixedN) Seq.empty
+        else Seq(OrderStat.RankTarget("all", n - SampleFixedN + 1))
+      }
+      val n = totals.getOrElse("all", 0L)
+      if (n <= SampleFixedN) return (2.0, Long.MaxValue) // keep everything
+      val tgt = OrderStat.RankTarget("all", n - SampleFixedN + 1) // N-th smallest
+      val thr = vals(tgt)
+      val below = counts.filter(col("v") < thr)
+        .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      val m = SampleFixedN - below
+      val ties = docs.filter(col("u") === thr)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      (thr, ties(m.toInt - 1))
+    } finally counts.unpersist(false)
   }
 
   def sampleFixedSql: String =
@@ -692,37 +712,47 @@ object Mixing {
     import spark.implicits._
     val docs = t.documents.select(col("doc_id"), col("lang"))
       .withColumn("u", u("qta", col("doc_id")))
-    val perLang = docs.groupBy(col("lang")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-    val whole = perLang.filter(_._2 <= QuotaN)
-      .map { case (l, _) => (l, 2.0, Long.MaxValue) }
-    val over = perLang.filter(_._2 > QuotaN).toSeq
-    if (over.isEmpty) return whole.toSeq.toDF("lang", "thr", "cutoff")
-    val counts = docs.filter(col("lang").isin(over.map(_._1): _*))
-      .groupBy(col("lang").as("g"), col("u").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val thrs = OrderStat.valuesAtDescRanks(counts,
-      over.map { case (l, nl) => RankTarget(l, nl - QuotaN + 1) })
-    val thrByLang = over.map { case (l, nl) =>
-      l -> thrs(RankTarget(l, nl - QuotaN + 1))
-    }.toMap
-    val thrDf = broadcast(thrByLang.toSeq.toDF("lang", "thr"))
-    val joined = docs.join(thrDf, Seq("lang"))
-    // strict-below count per language fixes each residual tie quota m;
-    // the tie sets (docs at exactly the threshold coin — expected
-    // multiplicity n_l/2³²) are a bounded collect, sorted driver-side
-    val belowCnt = joined.filter(col("u") < col("thr"))
-      .groupBy(col("lang")).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val tiesByLang = joined.filter(col("u") === col("thr"))
-      .select(col("lang"), col("doc_id")).collect()
-      .groupBy(_.getString(0))
-    val cut = over.map { case (l, _) =>
-      val m = (QuotaN - belowCnt.getOrElse(l, 0L)).toInt
-      val ids = tiesByLang(l).map(_.getLong(1)).sorted
-      (l, thrByLang(l), ids(m - 1))
-    }
-    (whole.toSeq ++ cut).toDF("lang", "thr", "cutoff")
+    // ONE corpus pass builds the per-(lang, coin) multiplicity frame;
+    // language totals ride the search's seed aggregate and the
+    // strict-below counts are sums over the same persisted frame — the
+    // r21 form paid three corpus scans (per-lang count, search build
+    // over the over-quota slice, below-count) for numbers the one
+    // frame already held (guide §1.2). Persisted for this call only.
+    val counts = docs.groupBy(col("lang").as("g"), col("u").as("v"))
+      .agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val (totals, thrs) = OrderStat.searchWithTotals(counts) { ns =>
+        ns.toSeq.filter(_._2 > QuotaN)
+          .map { case (l, nl) => RankTarget(l, nl - QuotaN + 1) }
+      }
+      val perLang = totals.toSeq.sortBy(_._1)
+      val whole = perLang.filter(_._2 <= QuotaN)
+        .map { case (l, _) => (l, 2.0, Long.MaxValue) }
+      val over = perLang.filter(_._2 > QuotaN)
+      if (over.isEmpty) return whole.toDF("lang", "thr", "cutoff")
+      val thrByLang = over.map { case (l, nl) =>
+        l -> thrs(RankTarget(l, nl - QuotaN + 1))
+      }.toMap
+      val thrDf = broadcast(thrByLang.toSeq.toDF("g", "thr"))
+      // strict-below count per language fixes each residual tie quota m;
+      // the tie sets (docs at exactly the threshold coin — expected
+      // multiplicity n_l/2³²) are a bounded collect, sorted driver-side
+      val belowCnt = counts.join(thrDf, Seq("g"))
+        .filter(col("v") < col("thr"))
+        .groupBy(col("g")).agg(sum(col("cnt")).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val tiesByLang = docs
+        .join(thrDf.withColumnRenamed("g", "lang"), Seq("lang"))
+        .filter(col("u") === col("thr"))
+        .select(col("lang"), col("doc_id")).collect()
+        .groupBy(_.getString(0))
+      val cut = over.map { case (l, _) =>
+        val m = (QuotaN - belowCnt.getOrElse(l, 0L)).toInt
+        val ids = tiesByLang(l).map(_.getLong(1)).sorted
+        (l, thrByLang(l), ids(m - 1))
+      }
+      (whole ++ cut).toDF("lang", "thr", "cutoff")
+    } finally counts.unpersist(false)
   }
 
   def sampleQuotaSql: String =
@@ -790,22 +820,32 @@ object Mixing {
     * and τ = 0 (estimate = own weight — the exact-census case).
     */
   private[graft] def priorityThreshold(t: Tables): (Double, Long, Double) = {
+    import graft.functions.OrderStat
     val docs = t.documents.select(col("doc_id"), col("n_chars"))
       .withColumn("prio",
         u("pri", col("doc_id")) / col("n_chars").cast("double"))
-    val n = docs.count()
-    if (n <= PriorityN) return (2.0, Long.MaxValue, 0.0)
-    import graft.functions.OrderStat
+    // one corpus pass + cached sums — the [[fixedThreshold]] shape
     val counts = docs.groupBy(lit("all").as("g"), col("prio").as("v"))
-      .agg(count(lit(1)).as("cnt"))
-    val tgtN = OrderStat.RankTarget("all", n - PriorityN + 1)
-    val tgtN1 = OrderStat.RankTarget("all", n - PriorityN)
-    val vals = OrderStat.valuesAtDescRanks(counts, Seq(tgtN, tgtN1))
-    val thr = vals(tgtN)
-    val m = PriorityN - docs.filter(col("prio") < thr).count()
-    val ties = docs.filter(col("prio") === thr)
-      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
-    (thr, ties(m.toInt - 1), 1.0 / vals(tgtN1))
+      .agg(count(lit(1)).as("cnt")).persist()
+    try {
+      val (totals, vals) = OrderStat.searchWithTotals(counts) { ns =>
+        val n = ns.getOrElse("all", 0L)
+        if (n <= PriorityN) Seq.empty
+        else Seq(OrderStat.RankTarget("all", n - PriorityN + 1),
+          OrderStat.RankTarget("all", n - PriorityN))
+      }
+      val n = totals.getOrElse("all", 0L)
+      if (n <= PriorityN) return (2.0, Long.MaxValue, 0.0)
+      val tgtN = OrderStat.RankTarget("all", n - PriorityN + 1)
+      val tgtN1 = OrderStat.RankTarget("all", n - PriorityN)
+      val thr = vals(tgtN)
+      val below = counts.filter(col("v") < thr)
+        .agg(coalesce(sum(col("cnt")), lit(0L))).head().getLong(0)
+      val m = PriorityN - below
+      val ties = docs.filter(col("prio") === thr)
+        .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      (thr, ties(m.toInt - 1), 1.0 / vals(tgtN1))
+    } finally counts.unpersist(false)
   }
 
   def samplePrioritySql: String = {

@@ -478,19 +478,24 @@ object Reports {
   }
 
   /** Boundary values at the ascending ranks ⌈k·n/B⌉, k = 1..B−1, over
-    * a (v, cnt) multiplicity frame — OrderStat narrowing, no sort.
+    * a (v, cnt) multiplicity frame — OrderStat narrowing, no sort. The
+    * total count rides the search's own seed aggregate
+    * (OrderStat.searchWithTotals) instead of a separate sum pass over
+    * the frame (guide §1.2).
     */
   private def boundsOfCounts(counts0: DataFrame): Seq[Double] = {
     import graft.functions.OrderStat
     val B = EqdBuckets
     val counts = counts0.select(lit("all").as("g"), col("v"), col("cnt"))
-    val n = counts.agg(sum(col("cnt"))).head().getLong(0)
-    def ascRank(k: Int): Long = (k.toLong * n + B - 1) / B // ceil(k·n/B)
-    val targets = (1 until B)
-      .map(k => OrderStat.RankTarget("all", n - ascRank(k) + 1)).distinct
-    val bounds = OrderStat.valuesAtDescRanks(counts, targets)
+    def ascRank(k: Int, n: Long): Long = (k.toLong * n + B - 1) / B // ceil
+    val (totals, bounds) = OrderStat.searchWithTotals(counts) { ns =>
+      (1 until B)
+        .map(k => OrderStat.RankTarget("all", ns("all") - ascRank(k, ns("all")) + 1))
+        .distinct
+    }
+    val n = totals("all")
     (1 until B).map(k =>
-      bounds(OrderStat.RankTarget("all", n - ascRank(k) + 1)))
+      bounds(OrderStat.RankTarget("all", n - ascRank(k, n) + 1)))
   }
 
   def equidepthHist(t: Tables): DataFrame = {
@@ -668,17 +673,29 @@ object Reports {
     val spark = t.spark
     import spark.implicits._
     val B = EqdBuckets
-    val cut = t.orders.agg(max(col("o_orderkey"))).head().getLong(0) / 2
-    val baseVals = t.orders.filter(col("o_orderkey") <= cut)
+    // ONE orders aggregate serves both driver scalars (the split key
+    // and the total row count — r21 paid two separate jobs), and the
+    // base multiplicity frame is persisted across its TWO consumers
+    // (the boundary search and the histogram collect — r21 re-scanned
+    // the base slice from parquet for the histogram). Guide §1.2.
+    val head0 = t.orders
+      .agg(max(col("o_orderkey")).as("mx"), count(lit(1)).as("n")).head()
+    val cut = head0.getLong(0) / 2
+    val n = head0.getLong(1)
+    val baseCounts = t.orders.filter(col("o_orderkey") <= cut)
       .select(col("o_totalprice").as("v"))
-    val bs = boundsOfCounts(
-      baseVals.groupBy(col("v")).agg(count(lit(1)).as("cnt")))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt")).persist()
+    try {
+    val bs = boundsOfCounts(baseCounts)
     val bucket = bs.foldLeft(lit(1L)) { (acc, b) =>
       acc + when(col("v") > lit(b), 1L).otherwise(0L)
     }
-    // the ANALYZE artifact the merge consumes: B rows of (mass, hi)
-    val baseHist = baseVals.groupBy(bucket.as("bucket"))
-      .agg(count(lit(1)).as("n"), max(col("v")).as("hi"))
+    // the ANALYZE artifact the merge consumes: B rows of (mass, hi) —
+    // aggregated from the cached multiplicity frame (mass = Σcnt per
+    // bucket ≡ the r21 per-row count; hi = max v, bucket is a pure
+    // function of v so the grouping is unchanged)
+    val baseHist = baseCounts.groupBy(bucket.as("bucket"))
+      .agg(sum(col("cnt")).as("n"), max(col("v")).as("hi"))
       .collect().map(r => (r.getDouble(2), r.getLong(1)))
     val deltaCounts = t.orders.filter(col("o_orderkey") > cut)
       .select(col("o_totalprice").as("v"))
@@ -687,7 +704,6 @@ object Reports {
       .unionAll(baseHist.toSeq.toDF("v", "cnt"))
       .groupBy(col("v")).agg(sum(col("cnt")).as("cnt"))
       .select(lit("all").as("g"), col("v"), col("cnt"))
-    val n = t.orders.count()
     def ascRank(j: Int): Long = (j.toLong * n + B - 1) / B
     def target(j: Int) = OrderStat.RankTarget("all", n - ascRank(j) + 1)
     val targets = (1 until B).map(target)
@@ -700,6 +716,7 @@ object Reports {
     (1 until B).map { j =>
       (j.toLong, ascRank(j), est(target(j)), exact(j - 1))
     }.toDF("j", "rank_target", "b_est", "b_exact").orderBy(col("j"))
+    } finally baseCounts.unpersist(false)
   }
 
   def equidepthMergeSql: String =

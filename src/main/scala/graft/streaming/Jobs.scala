@@ -225,22 +225,12 @@ object Jobs {
       * is O(distinct × total) INSIDE one expression, so a single very
       * long spam document could stall an executor task before any
       * downstream gate applies (ADVICE r9); runs over a sorted copy
-      * cost what the sort costs. Null elements count as a run of their
-      * own: the comparison is null-safe (`<=>`, ADVICE r10), and the
-      * null-prev sentinel is safe because `run` starts at 0 — a
-      * leading null element increments 0→1, exactly its multiplicity
-      * so far (array_sort groups nulls, so the run stays contiguous).
+      * cost what the sort costs. ONE definition, shared with the batch
+      * gate ([[TextAnalysis.maxRunCount]] — the batch op adopted the
+      * per-row form in r22), so the count cannot drift.
       */
-    private[streaming] def maxRunCount(arr: Column): Column = {
-      val zero = struct(lit(null).cast("string").as("prev"),
-        lit(0L).as("run"), lit(0L).as("best"))
-      aggregate(array_sort(arr), zero, (acc, x) => {
-        val run = when(x <=> acc.getField("prev"),
-          acc.getField("run") + 1).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc.getField("best"), run).as("best"))
-      }, acc => acc.getField("best"))
-    }
+    private[streaming] def maxRunCount(arr: Column): Column =
+      graft.textanalysis.TextAnalysis.maxRunCount(arr)
 
     /** The keep PREDICATE over a per-row bigram array — the profile's
       * two threshold tests as one reusable Column, so the composed

@@ -205,19 +205,58 @@ object TextAnalysis {
   def qualityRepetition(t: Tables): DataFrame =
     qualityRepetitionUnsorted(t).orderBy(col("doc_id"))
 
+  /** Max multiplicity of any element of `arr`, LINEARLY: sort, then
+    * one `aggregate` pass counting runs — O(n log n) per row, inside
+    * whole-stage codegen. Null elements count as a run of their own:
+    * the comparison is null-safe (`<=>`), and the null-prev sentinel
+    * is safe because `run` starts at 0 — a leading null element
+    * increments 0→1, exactly its multiplicity so far (array_sort
+    * groups nulls, so the run stays contiguous). Shared by the batch
+    * repetition gate and the streaming twin
+    * (streaming.Jobs.RepetitionGateStream) so the count cannot drift.
+    */
+  private[graft] def maxRunCount(arr: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val zero = struct(lit(null).cast("string").as("prev"),
+      lit(0L).as("run"), lit(0L).as("best"))
+    aggregate(array_sort(arr), zero, (acc, x) => {
+      val run = when(x <=> acc.getField("prev"),
+        acc.getField("run") + 1).otherwise(lit(1L))
+      struct(x.as("prev"), run.as("run"),
+        greatest(acc.getField("best"), run).as("best"))
+    }, acc => acc.getField("best"))
+  }
+
   /** [[qualityRepetition]] without the presentation sort — the
     * composition form consumed by `corpus_admit` (the
     * `minhashCandidates` pattern: composed plans must not rely on
     * `EliminateSorts` to stay shuffle-clean).
+    *
+    * A doc's repetition profile depends on nothing but its own text —
+    * the streaming twin (streaming.Jobs.RepetitionGateStream, pinned
+    * stream ≡ batch by StreamingJobsSpec) has always computed it
+    * per-row — so the batch op is a PROJECTION too: the bigram array
+    * rides one codegen'd zip_with, `n_bigrams` = size, `n_distinct` =
+    * size∘array_distinct, `top_cnt` = [[maxRunCount]]. The r21 plan
+    * shuffled every (doc, bigram) occurrence through a two-level
+    * aggregation — two exchanges for per-row facts (optimization guide
+    * §2.3/§2.4, the same rewrite as the r21 quality gate: identical
+    * integers into the identical round6 division, so rows are
+    * bit-equal; bigram strings are injective because split-on-space
+    * tokens carry no spaces).
     */
-  def qualityRepetitionUnsorted(t: Tables): DataFrame = {
-    val perBigram = bigramsOf(t.documents.select(col("doc_id"), col("text")))
-      .groupBy(col("doc_id"), col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cnt"))
-    perBigram.groupBy(col("doc_id"))
-      .agg(sum(col("cnt")).as("n_bigrams"),
-        count(lit(1)).as("n_distinct"),
-        max(col("cnt")).as("top_cnt"))
+  def qualityRepetitionUnsorted(t: Tables): DataFrame =
+    t.documents
+      .withColumn("qr_ts", split(col("text"), " "))
+      .where(size(col("qr_ts")) >= 2)
+      .withColumn("bgs", expr(
+        """zip_with(slice(qr_ts, 1, size(qr_ts) - 1),
+          |  slice(qr_ts, 2, size(qr_ts) - 1),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("bgs")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bgs"))).cast("long").as("n_distinct"),
+        maxRunCount(col("bgs")).cast("long").as("top_cnt"))
       .select(col("doc_id"), col("n_bigrams"),
         round6(col("top_cnt").cast("double") / col("n_bigrams"))
           .as("top_bigram_frac"),
@@ -226,7 +265,6 @@ object TextAnalysis {
       .withColumn("keep",
         (col("top_bigram_frac") <= TopBigramFracMax &&
           col("dup_bigram_frac") <= DupBigramFracMax).cast("int"))
-  }
 
   def qualityRepetitionSql: String =
     s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') ts FROM documents

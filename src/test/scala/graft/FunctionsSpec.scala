@@ -352,4 +352,24 @@ class FunctionsSpec extends SparkSpec {
     assert(fresh.storageLevel == StorageLevel.NONE,
       "OrderStat leaked its internal pin")
   }
+
+  test("OrderStat.searchWithTotals: totals ≡ seed sums, values ≡ plain search, empty targets skip") {
+    import spark.implicits._
+    import graft.functions.OrderStat
+    val counts = ((1 to 100).map(i => ("a", i.toDouble, 2L)) ++
+      (1 to 5).map(i => ("b", i.toDouble, 1L)))
+      .toDF("g", "v", "cnt")
+    val (totals, vals) = OrderStat.searchWithTotals(counts) { ns =>
+      assert(ns == Map("a" -> 200L, "b" -> 5L))
+      Seq(OrderStat.RankTarget("a", 20), OrderStat.RankTarget("b", 1))
+    }
+    assert(totals == Map("a" -> 200L, "b" -> 5L))
+    // rank 20 of 200 descending with multiplicity 2 per value → value 91
+    assert(vals(OrderStat.RankTarget("a", 20)) == 91.0)
+    assert(vals(OrderStat.RankTarget("b", 1)) == 5.0)
+    // empty target list: totals still come back, no search runs
+    val (t2, v2) = OrderStat.searchWithTotals(counts)(_ => Seq.empty)
+    assert(t2("a") == 200L && v2.isEmpty)
+  }
+
 }
