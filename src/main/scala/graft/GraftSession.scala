@@ -19,6 +19,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 * 1024 * 1024).toString)
+      // Deliberately NOT set (r22 A/B, optimization guide §3.1/§9):
+      // spark.sql.join.preferSortMergeJoin=false +
+      // spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold=64m
+      // measured flat-to-slower on the 10-entry SMJ-bearing subset in
+      // two alternating A/B pairs (off 21.8/19.8 s vs on 22.9/23.5 s;
+      // no single entry improved beyond ambient noise) — shuffled-hash
+      // buys nothing over sort-merge at these partition sizes and
+      // carries the build-side-OOM risk sort-merge doesn't. Defaults
+      // stay; the full numbers are in OPTIMIZATION_r22.md.
       // Streaming state on RocksDB: the default HDFS-backed provider
       // keeps every key of every stateful operator on the executor HEAP
       // (bounded by memory, the first casualty of a 100 TB keyspace);

@@ -40,8 +40,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     * audit, never on a query path.
     */
   def validateDocuments(): Unit = {
+    // null-SAFE comparison (ADVICE r21 low): with a plain ===, a NULL
+    // text made the predicate null and slipped past validation — yet
+    // downstream per-row quality/repetition projections score null
+    // text as null (explode-based forms dropped such docs entirely),
+    // so the corpus contract is text IS NOT NULL, enforced here: a
+    // null text can never satisfy n_chars <=> length(text).
     val bad = documents
-      .filter(!(col("n_chars") === length(col("text")).cast(LongType)))
+      .filter(!(col("n_chars") <=> length(col("text")).cast(LongType)))
       .select(col("doc_id"), col("n_chars"),
         length(col("text")).cast(LongType).as("len_text"))
       .head(3)

@@ -1213,8 +1213,13 @@ object Dedup {
         col("doc_b") === col("y.doc_id") && col("x.s") === col("y.s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"),
+        // bounded min-k (r22): the k lexicographically-first shared
+        // shingles with O(k) heap state — the collect_list form held
+        // the pair's whole shared-shingle set in the aggregation
+        // buffer just to slice 3 (guide §5; same rows, same order)
         concat_ws(" | ",
-          slice(sort_array(collect_list(col("x.s"))), 1, EvidenceSampleK))
+          graft.functions.BoundedMinK.boundedMinK(
+            col("x.s"), EvidenceSampleK))
           .as("sample_shingles"))
       .join(sz.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sz.as("sb"), col("doc_b") === col("sb.doc_id"))

@@ -139,17 +139,22 @@ object Layout {
       .select(col("layout"), col("shard"), col("min_u"),
         col("max_u"), col("min_d"), col("max_d"))
     def side(dim: String, probes: DataFrame, lo: String, hi: String) = {
-      val nProbes = probes.count()
+      // the probe count rides the plan as a broadcast 1-row aggregate
+      // instead of a driver-side probes.count() action (r22, VERDICT
+      // r21 #6: two eager collect-shaped actions per entry gone —
+      // same integer, now computed inside the one job)
+      val np = broadcast(probes.agg(count(lit(1)).as("n_probes")))
       zm.join(broadcast(probes),
           col("p") >= col(lo) && col("p") <= col(hi))
         .groupBy(col("layout"))
         .agg(count(lit(1)).as("hits"))
         .join(zm.groupBy(col("layout")).agg(count(lit(1)).as("n_shards")),
           Seq("layout"))
+        .crossJoin(np)
         .select(col("layout"), lit(dim).as("dim"), col("n_shards"),
-          lit(nProbes).as("n_probes"), col("hits"),
+          col("n_probes"), col("hits"),
           round6(col("hits").cast("double") /
-            (lit(nProbes).cast("double") * col("n_shards").cast("double")))
+            (col("n_probes").cast("double") * col("n_shards").cast("double")))
             .as("scan_frac6"))
     }
     val pu = zf.select(col("u").as("p")).distinct()

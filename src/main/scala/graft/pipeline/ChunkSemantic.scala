@@ -74,18 +74,6 @@ object ChunkSemantic {
   /** Exact-cosine admission threshold for a semantic near-dup pair. */
   val SemCosMin = 0.80
 
-  /** Salt fan-out for [[semdupDecontaminate]]'s train-bucket trim —
-    * phase 1 of the two-phase min-k splits each (tbl, bkt) into this
-    * many deterministic shards (`pmod(xxhash64(doc_id, chunk_idx), S)`)
-    * so a mass-leak flood of F rows costs F/S rows of aggregation state
-    * per task instead of one F-row sorted whale, and phase 2 merges
-    * ≤ S·[[ChunkBandCap]] survivors per bucket (a few MB at any corpus
-    * size). Scale-invariant by construction — both phases are bounded
-    * in S and the cap, not the corpus — so one constant serves local
-    * and cluster runs.
-    */
-  val TrimSalts = 256
-
   /** Max chunks per (table, bucket) admitted to pair formation — the
     * flood guard bounding per-bucket pair work at C(cap,2): a
     * verbatim-boilerplate chunk's copies have IDENTICAL vectors, so
@@ -597,7 +585,12 @@ object ChunkSemantic {
     val it = semClustersCache.keySet.iterator
     while (it.hasNext) {
       val k = it.next()
-      if (k._1 == t && k._2 != tag) it.remove()
+      // superseded same-session tags AND entries whose SparkSession
+      // has stopped (ADVICE r21 low: a long-lived JVM cycling sessions
+      // over one corpus dir would otherwise pin one converged frame —
+      // and its dead session — per cycle forever)
+      if ((k._1 == t && k._2 != tag) || k._1.spark.sparkContext.isStopped)
+        it.remove()
     }
     semClustersCache.computeIfAbsent((t, tag),
       _ => graft.dedup.Dedup.clusterKeepers(
@@ -660,18 +653,20 @@ object ChunkSemantic {
     * the flagged train set for one eval chunk is capped per bucket).
     *
     * Scale: eval membership probes are broadcast semi/anti joins off
-    * the chunk-vector STORE; the trim is a SALTED TWO-PHASE MIN-K over
-    * the train band rows — per (tbl, bkt, salt) the [[ChunkBandCap]]
-    * lexicographically smallest members, then a per-(tbl, bkt) merge of
-    * the ≤ [[TrimSalts]]·cap survivors — never a per-bucket
-    * `row_number` window: the one key a boilerplate mass-leak
-    * concentrates would make that window a single task sorting the
-    * whole flood at 100 TB (the r20 verdict's perf-weak mark; the
-    * `sessionize_split` salting discipline applies). The global cap
-    * smallest of a bucket are each within their own salt's cap
-    * smallest, so phase 2's merge returns exactly the window's trim
-    * set — same rows, same oracle. The denominator comes from token
-    * counts alone on the eval slice.
+    * the chunk-vector STORE; the trim is ONE bounded min-k aggregation
+    * ([[graft.functions.BoundedMinK]]) per (tbl, bkt) — O(cap) heap
+    * state per group, partial-aggregated map-side so a mass-leak flood
+    * of F rows reduces to ≤ cap per task BEFORE the exchange — never a
+    * per-bucket `row_number` window (the r20 verdict's perf-weak mark:
+    * the one key a boilerplate mass-leak concentrates would make that
+    * window a single task sorting the whole flood at 100 TB) and never
+    * a collect-the-group buffer (the r21 salted two-phase held F/256
+    * full (doc, chunk, h, v) structs per phase-1 group in unspillable
+    * aggregation state — the ADVICE r21 executor-OOM mode; r22
+    * replaced both phases with the typed heap). Same rows, same
+    * oracle: the k-smallest of a bucket under the struct order IS the
+    * window's trim set. The denominator comes from token counts alone
+    * on the eval slice.
     */
   def semdupDecontaminate(t: Tables): DataFrame = {
     val vecs = chunkVectorsMat(t)
@@ -691,13 +686,9 @@ object ChunkSemantic {
     // unique per (tbl, bkt), so h/v never participate in a comparison
     val mem = struct(col("doc_id"), col("chunk_idx"), col("h"), col("v"))
     val trainTrimmed = bands(vecs.join(evIds, Seq("doc_id"), "left_anti"))
-      .groupBy(col("tbl"), col("bkt"),
-        pmod(xxhash64(col("doc_id"), col("chunk_idx")), lit(TrimSalts))
-          .as("salt"))
-      .agg(slice(array_sort(collect_list(mem)), 1, ChunkBandCap).as("tops"))
       .groupBy(col("tbl"), col("bkt"))
-      .agg(slice(array_sort(flatten(collect_list(col("tops")))), 1,
-        ChunkBandCap).as("tops"))
+      .agg(graft.functions.BoundedMinK.boundedMinK(mem, ChunkBandCap)
+        .as("tops"))
       .select(col("tbl"), col("bkt"), explode(col("tops")).as("m"))
       .select(col("m.doc_id").as("train_doc"), col("m.h").as("th"),
         col("m.v").as("tv"), col("tbl"), col("bkt"))

@@ -118,7 +118,11 @@ object Intake {
       .withColumn("sm", lit(1))
     t.documents
       // quality is a per-row projection (CorpusClean.qualityCol) — it
-      // rides the keeper-window frame instead of a doc_id self-join
+      // rides the keeper-window frame instead of a doc_id self-join.
+      // Null text would score null quality here where the r20 explode
+      // form dropped the doc; the corpus contract excludes the case
+      // (Tables.validateDocuments enforces text IS NOT NULL via the
+      // null-safe n_chars check — ADVICE r21)
       .withColumn("quality", CorpusClean.qualityCol)
       .withColumn("rn", CorpusClean.keeperRank)
       .select(col("doc_id"), col("lang"), col("rn"), col("quality"))

@@ -136,25 +136,30 @@ object Maintenance {
     * own mtime (from the root listing's FileStatus — never re-statted,
     * so a writer committing or self-reaping between the listing and
     * this walk cannot crash the plan, ADVICE r20 medium) maxed with
-    * every FILE inside it. An in-flight part write lands files under
-    * `rows/_temporary/...` WITHOUT refreshing the top dir's mtime on
-    * HDFS/local FS, so the top-level stat alone would measure "time
-    * since the write STARTED", not "time since last progress" — a live
-    * lost-race writer whose rows write outruns the grace window would
-    * be reaped mid-write (ADVICE r20 low). Any listing failure during
-    * the walk means the dir is vanishing right now (commit rename or
-    * self-reap won the race) — report it as live; it costs one
-    * maintenance cycle at most.
+    * every file AND DIRECTORY inside it. An in-flight part write lands
+    * files under `rows/_temporary/...` WITHOUT refreshing the top
+    * dir's mtime on HDFS/local FS, so the top-level stat alone would
+    * measure "time since the write STARTED", not "time since last
+    * progress" (ADVICE r20 low); and a writer whose most recent
+    * progress is deep DIRECTORY creation — Spark makes task-attempt
+    * dirs before the first part file opens — shows progress only in
+    * directory mtimes, which `fs.listFiles` (files-only) missed, so a
+    * slow task-setup phase could read as stale (ADVICE r21 low): the
+    * walk is a recursive listStatus counting both. Any listing failure
+    * during the walk means the dir is vanishing right now (commit
+    * rename or self-reap won the race) — report it as live; it costs
+    * one maintenance cycle at most.
     */
   private def lastProgressMs(fs: org.apache.hadoop.fs.FileSystem,
                              st: org.apache.hadoop.fs.FileStatus): Long =
     try {
       var newest = st.getModificationTime
-      val it = fs.listFiles(st.getPath, true)
-      while (it.hasNext) {
-        val m = it.next().getModificationTime
-        if (m > newest) newest = m
-      }
+      def walk(p: org.apache.hadoop.fs.Path): Unit =
+        fs.listStatus(p).foreach { c =>
+          if (c.getModificationTime > newest) newest = c.getModificationTime
+          if (c.isDirectory) walk(c.getPath)
+        }
+      walk(st.getPath)
       newest
     } catch { case _: java.io.IOException => Long.MaxValue }
 

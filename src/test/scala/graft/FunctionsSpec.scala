@@ -372,4 +372,37 @@ class FunctionsSpec extends SparkSpec {
     assert(t2("a") == 200L && v2.isEmpty)
   }
 
+  test("BoundedMinK ≡ slice(array_sort(collect_list), 1, k) on structs with vector payloads") {
+    import spark.implicits._
+    import graft.functions.BoundedMinK.boundedMinK
+    // groups larger and smaller than k; struct members carry an
+    // array<double> payload exactly like the semdup trim's (h, v); the
+    // shuffle between partial and final aggregation exercises the
+    // buffer serialize/deserialize round trip
+    val rows = (1 to 500).map { i =>
+      (s"g${i % 3}", i.toLong, i % 7, s"h$i", Seq(i.toDouble, -i.toDouble))
+    } ++ Seq(("tiny", 1L, 0, "x", Seq(0.0)))
+    val df = rows.toDF("g", "doc_id", "chunk_idx", "h", "v")
+      .repartition(7)
+    val mem = struct(col("doc_id"), col("chunk_idx"), col("h"), col("v"))
+    val both = df.groupBy(col("g")).agg(
+      slice(array_sort(collect_list(mem)), 1, 32).as("ref"),
+      boundedMinK(mem, 32).as("got"))
+    assert(both.filter(not(col("ref") <=> col("got"))).count() == 0)
+    assert(both.count() == 4)
+    // strings too (the pair-evidence sample shape), incl. k > group
+    val s = Seq(("a", "zz"), ("a", "aa"), ("a", "mm"), ("b", "q"))
+      .toDF("g", "s")
+    val r = s.groupBy(col("g")).agg(
+      slice(sort_array(collect_list(col("s"))), 1, 2).as("ref"),
+      boundedMinK(col("s"), 2).as("got"))
+    assert(r.filter(not(col("ref") <=> col("got"))).count() == 0)
+    // null inputs are skipped like collect_list
+    val n = Seq(("a", Some("x")), ("a", None), ("b", None))
+      .toDF("g", "s")
+    val rn = n.groupBy(col("g")).agg(
+      slice(sort_array(collect_list(col("s"))), 1, 2).as("ref"),
+      boundedMinK(col("s"), 2).as("got"))
+    assert(rn.filter(not(col("ref") <=> col("got"))).count() == 0)
+  }
 }
